@@ -1,0 +1,477 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational parity pack: every SQL-expressible operator family from
+  * SURVEY.md §2 (filters P*, joins J*, aggregations A*, sorts/limits O*,
+  * split assignment W*, §2.10 string/date functions, §2.12 gap coverage)
+  * expressed as declarative DataFrame plans over the driver testdata.
+  *
+  * Conventions (driver hash-compare parity):
+  *  - every query ORDER BYs on a deterministic unique key;
+  *  - every float aggregate is rounded (sum→2, avg→4..6) on BOTH sides;
+  *  - derived integer columns are cast to LongType to match DuckDB's
+  *    BIGINT results (row_number, year, floor are 32-bit in Spark);
+  *  - DuckDB integer SUMs are CAST(.. AS BIGINT) (DuckDB sums to HUGEINT).
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** A1 counters: per-(returnflag, linestatus) slice/patch-style run stats.
+    * Reference: per-split Counter merge, v2/nii_to_lmdb.py:194-199,326-331. */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum(expr("l_extendedprice*(1-l_discount)")), 2).as("revenue"),
+        round(avg("l_discount"), 6).as("avg_disc"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** P1 + pushdown: filter + projection reach the parquet scan.
+    * Reference: regex path predicate, slice_generator.py:80-81. */
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(expr("l_shipdate < timestamp'1997-01-01' AND l_discount BETWEEN 0.02 AND 0.08"))
+      .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** P1 regex predicate on a scan. Reference: v2/patch_utils.py:18-21. */
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "part")
+      .filter(col("p_name").rlike("(blue|red)"))
+      .select("p_partkey", "p_name", "p_brand")
+      .orderBy("p_partkey")
+
+  /** J1/P5 approved-key semi join (set-membership filter).
+    * Reference: extract_subimages.py:75-76. */
+  private def q04(s: SparkSession, dir: String): DataFrame = {
+    val approved = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("l_orderkey"))
+    t(s, dir, "lineitem")
+      .join(broadcast(approved), Seq("l_orderkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  /** P4 idempotency/existence predicate as an anti join.
+    * Reference: skip-if-output-exists, slice_generator.py:54-57. */
+  private def q05(s: SparkSession, dir: String): DataFrame = {
+    val haveOrders = t(s, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    t(s, dir, "customer")
+      .join(haveOrders, Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** J2 broadcast equi join + A1 agg: revenue per supplier nation. */
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier")
+    val nat = t(s, dir, "nation")
+    t(s, dir, "lineitem")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        count(lit(1)).as("n"),
+        round(sum(expr("l_extendedprice*(1-l_discount)")), 2).as("revenue"),
+        round(avg("l_quantity"), 4).as("avg_qty"))
+      .orderBy("n_name")
+  }
+
+  /** Deep join chain with small dims broadcast; revenue by region × year. */
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(expr("l_extendedprice*(1-l_discount)")), 2).as("revenue"))
+      .orderBy("r_name", "o_year")
+
+  /** A4 exact percentiles (the K2 robust-normalize window statistic).
+    * Reference: np.nanpercentile, v2/patch_utils.py:28-30. */
+  private def q08(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(l_extendedprice, 0.01)"), 4).as("p01"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+      .orderBy("l_returnflag")
+
+  /** A7 fixed-width histogram (64 bins over a global min/max window).
+    * Reference: 256-bin histogram for Otsu, v2/estimate_snr.py:31. */
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val mm = li.agg(min("l_extendedprice").as("mn"), max("l_extendedprice").as("mx"))
+    li.crossJoin(mm)
+      .select(least(floor((col("l_extendedprice") - col("mn")) / (col("mx") - col("mn")) * 64), lit(63L))
+        .cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+  }
+
+  /** K20 Otsu threshold = histogram + cumulative window + argmax, fully
+    * relational. Reference: _otsu_threshold, v2/estimate_snr.py:23-42. */
+  private def q10(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val mm = li.agg(min("l_extendedprice").as("mn"), max("l_extendedprice").as("mx"))
+    val hist = li.crossJoin(mm)
+      .select(least(floor((col("l_extendedprice") - col("mn")) / (col("mx") - col("mn")) * 256), lit(255L))
+        .cast("long").as("level"))
+      .groupBy("level").agg(count(lit(1)).as("cnt"))
+    val tot = hist.agg(sum("cnt").as("n"), sum(col("level") * col("cnt")).as("s_all"))
+    val wCum = Window.orderBy("level").rowsBetween(Window.unboundedPreceding, 0)
+    val cum = hist.crossJoin(tot)
+      .withColumn("w0", sum("cnt").over(wCum))
+      .withColumn("s0", sum(col("level") * col("cnt")).over(wCum))
+      .filter(col("w0") > 0 && col("w0") < col("n"))
+      .select(col("level"),
+        (col("w0").cast("double") / col("n")).as("q0"),
+        (col("s0").cast("double") / col("n")).as("mu0"),
+        (col("s_all").cast("double") / col("n")).as("mu_t"))
+    val scored = cum.select(col("level"),
+      (pow(col("mu_t") * col("q0") - col("mu0"), 2) / (col("q0") * (lit(1.0) - col("q0")))).as("sigma_b2"))
+    val wTop = Window.orderBy(col("sigma_b2").desc, col("level"))
+    scored.withColumn("rk", row_number().over(wTop)).filter(col("rk") === 1)
+      .select(col("level").as("threshold"), round(col("sigma_b2"), 6).as("sigma_b2"))
+  }
+
+  /** Window frames: running revenue per supplier (rowsBetween) + rank. */
+  private def q11(s: SparkSession, dir: String): DataFrame = {
+    val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val wRun = Window.partitionBy("l_suppkey").orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRk = Window.partitionBy("l_suppkey").orderBy(ord: _*)
+    // Sum integer cents in the running frame: windowed double-sums are not
+    // order-stable across engines (DuckDB uses a segment tree), integers are.
+    t(s, dir, "lineitem").filter(col("l_suppkey") <= 5)
+      .withColumn("cents", round(expr("l_extendedprice*(1-l_discount)") * 100, 0).cast("long"))
+      .withColumn("run_rev", sum(col("cents")).over(wRun).cast("double") / 100.0)
+      .withColumn("rk", row_number().over(wRk).cast("long"))
+      .filter(col("rk") <= 50)
+      .select("l_suppkey", "rk", "l_orderkey", "run_rev")
+      .orderBy("l_suppkey", "rk")
+  }
+
+  /** O3 top-k per group via row_number (argmax family). */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rk")
+  }
+
+  /** W1 metadata-only seeded split plan (rank over a deterministic hash,
+    * ratio cutoffs 0.95/0.03/0.02) + J2 label-attach join back to rows.
+    * Reference: plan_slice_split, v2/nii_to_lmdb.py:47-120. The hash is a
+    * Knuth multiplicative LCG (expressible in both engines) — the engine
+    * API also offers xxhash64 seeding (see functions.Keys). */
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val ids = li.select(col("l_orderkey").as("id")).distinct()
+      .withColumn("h", (col("id") * lit(2654435761L) + lit(42L)) % lit(4294967296L))
+    val w = Window.orderBy("h", "id")
+    val split = ids
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("split",
+        when(col("rk") <= floor(col("cnt") * 0.95), "train")
+          .when(col("rk") <= floor(col("cnt") * 0.98), "val")
+          .otherwise("test"))
+      .select(col("id").as("l_orderkey"), col("split"))
+    li.join(broadcast(split), Seq("l_orderkey"))
+      .groupBy("split")
+      .agg(countDistinct("l_orderkey").as("n_slices"), count(lit(1)).as("n_rows"))
+      .orderBy("split")
+  }
+
+  /** W2 group-wise holdout: split assigned at customer granularity, orders
+    * inherit their group's split (no leakage). Reference: split_dataset +
+    * filter_by_base, slice_generator.py:127-189. */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val bases = o.select(col("o_custkey").as("id")).distinct()
+      .withColumn("h", (col("id") * lit(2654435761L) + lit(12345L)) % lit(4294967296L))
+    val w = Window.orderBy("h", "id")
+    val split = bases
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("split",
+        when(col("rk") <= floor(col("cnt") * 0.4), "train")
+          .when(col("rk") <= floor(col("cnt") * 0.7), "val")
+          .otherwise("test"))
+      .select(col("id").as("o_custkey"), col("split"))
+    o.join(broadcast(split), Seq("o_custkey"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("total"))
+      .orderBy("split")
+  }
+
+  /** §2.12 ROLLUP over region → nation customer stats. */
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(sum("c_acctbal"), 2).as("acctbal"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("n_cust"), col("acctbal"))
+      .orderBy("region", "nation")
+
+  /** §2.12 CUBE over order status × priority. */
+  private def q16(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy("status", "priority")
+
+  /** §2.12 INTERSECT / EXCEPT / UNION over derived key sets. */
+  private def q17(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val a = o.filter(col("o_orderstatus") === "F").select("o_custkey").distinct()
+    val b = o.filter(col("o_orderstatus") === "O").select("o_custkey").distinct()
+    a.intersect(b).agg(count(lit(1)).as("n_both"))
+      .crossJoin(a.except(b).agg(count(lit(1)).as("n_only_f")))
+      .crossJoin(a.union(b).distinct().agg(count(lit(1)).as("n_union")))
+  }
+
+  /** J5/A6 HR↔LR key-parity validation as EXCEPT-both-ways counts.
+    * Reference: slice_generator.py:145-163. */
+  private def q18(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val hr = li.select(concat(col("l_orderkey").cast("string"), lit("__"),
+      col("l_linenumber").cast("string")).as("key")).distinct()
+    val lr = li.filter(col("l_quantity") > 5)
+      .select(concat(col("l_orderkey").cast("string"), lit("__"),
+        col("l_linenumber").cast("string")).as("key")).distinct()
+    hr.except(lr).agg(count(lit(1)).as("hr_only"))
+      .crossJoin(lr.except(hr).agg(count(lit(1)).as("lr_only")))
+  }
+
+  /** §2.12 JSON extraction over events.props. */
+  private def q19(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(avg("k"), 4).as("avg_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** Sessionization (gap > 30 min ⇒ new session) via lag + running sum —
+    * the batch analog of session_window (see streaming.EventStreams). */
+  private def q20(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ms", "event_id")
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("ms", unix_millis(col("ts")))
+      .withColumn("prev", lag("ms", 1).over(w))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("ms") - col("prev") > 1800000L, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("is_new").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** Tumbling 1-hour window counts — batch analog of window(ts, '1 hour'). */
+  private def q21(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_counters" -> (q01 _),
+    "q02_filter_project" -> (q02 _),
+    "q03_regex_scan" -> (q03 _),
+    "q04_semi_join_approved" -> (q04 _),
+    "q05_anti_join_missing" -> (q05 _),
+    "q06_join_supplier_rev" -> (q06 _),
+    "q07_multijoin_region_year" -> (q07 _),
+    "q08_percentiles" -> (q08 _),
+    "q09_histogram" -> (q09 _),
+    "q10_otsu_threshold" -> (q10 _),
+    "q11_window_running" -> (q11 _),
+    "q12_topk_per_group" -> (q12 _),
+    "q13_split_by_slice" -> (q13 _),
+    "q14_split_by_group" -> (q14 _),
+    "q15_rollup_region" -> (q15 _),
+    "q16_cube_orders" -> (q16 _),
+    "q17_setops" -> (q17 _),
+    "q18_parity_except" -> (q18 _),
+    "q19_json_extract" -> (q19 _),
+    "q20_sessionize" -> (q20 _),
+    "q21_tumbling_hour" -> (q21 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_counters" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | round(avg(l_discount),6) AS avg_disc
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_shipdate
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_discount BETWEEN 0.02 AND 0.08
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_regex_scan" ->
+      """SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE regexp_matches(p_name, '(blue|red)') ORDER BY p_partkey""".stripMargin,
+    "q04_semi_join_approved" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity),2) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus='F')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q05_anti_join_missing" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q06_join_supplier_rev" ->
+      """SELECT n_name, count(*) AS n,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | round(avg(l_quantity),4) AS avg_qty
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q07_multijoin_region_year" ->
+      """SELECT r_name, CAST(year(o_orderdate) AS BIGINT) AS o_year, count(*) AS n,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q08_percentiles" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(quantile_cont(l_extendedprice, 0.01),4) AS p01,
+        | round(quantile_cont(l_extendedprice, 0.5),4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.99),4) AS p99
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q09_histogram" ->
+      """WITH mm AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem)
+        |SELECT CAST(least(floor((l_extendedprice-mn)/(mx-mn)*64), 63) AS BIGINT) AS bucket,
+        | count(*) AS cnt
+        |FROM lineitem, mm GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q10_otsu_threshold" ->
+      """WITH mm AS (SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx FROM lineitem),
+        |hist AS (
+        |  SELECT CAST(least(floor((l_extendedprice-mn)/(mx-mn)*256), 255) AS BIGINT) AS level,
+        |   count(*) AS cnt
+        |  FROM lineitem, mm GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n, CAST(sum(level*cnt) AS BIGINT) AS s_all FROM hist),
+        |cum AS (
+        |  SELECT level,
+        |   CAST(sum(cnt) OVER (ORDER BY level ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS w0,
+        |   CAST(sum(level*cnt) OVER (ORDER BY level ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s0,
+        |   n, s_all
+        |  FROM hist, tot),
+        |scored AS (
+        |  SELECT level,
+        |   pow((CAST(s_all AS DOUBLE)/n) * (CAST(w0 AS DOUBLE)/n) - (CAST(s0 AS DOUBLE)/n), 2)
+        |     / ((CAST(w0 AS DOUBLE)/n) * (1.0 - CAST(w0 AS DOUBLE)/n)) AS sigma_b2
+        |  FROM cum WHERE w0 > 0 AND w0 < n)
+        |SELECT level AS threshold, round(sigma_b2, 6) AS sigma_b2
+        |FROM scored ORDER BY sigma_b2 DESC, level LIMIT 1""".stripMargin,
+    "q11_window_running" ->
+      """SELECT l_suppkey, rk, l_orderkey, run_rev FROM (
+        |  SELECT l_suppkey, l_orderkey,
+        |   CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) OVER (PARTITION BY l_suppkey
+        |     ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)/100.0 AS run_rev,
+        |   row_number() OVER (PARTITION BY l_suppkey
+        |     ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rk
+        |  FROM lineitem WHERE l_suppkey <= 5) t
+        |WHERE rk <= 50 ORDER BY l_suppkey, rk""".stripMargin,
+    "q12_topk_per_group" ->
+      """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
+    "q13_split_by_slice" ->
+      """WITH ids AS (SELECT DISTINCT l_orderkey AS id FROM lineitem),
+        |h AS (SELECT id, (id*2654435761+42)%4294967296 AS h FROM ids),
+        |r AS (SELECT id, row_number() OVER (ORDER BY h, id) AS rk, count(*) OVER () AS cnt FROM h),
+        |s AS (SELECT id,
+        |  CASE WHEN rk <= floor(cnt*0.95) THEN 'train'
+        |       WHEN rk <= floor(cnt*0.98) THEN 'val'
+        |       ELSE 'test' END AS split FROM r)
+        |SELECT split, count(DISTINCT l_orderkey) AS n_slices, count(*) AS n_rows
+        |FROM lineitem JOIN s ON l_orderkey = s.id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_split_by_group" ->
+      """WITH ids AS (SELECT DISTINCT o_custkey AS id FROM orders),
+        |h AS (SELECT id, (id*2654435761+12345)%4294967296 AS h FROM ids),
+        |r AS (SELECT id, row_number() OVER (ORDER BY h, id) AS rk, count(*) OVER () AS cnt FROM h),
+        |s AS (SELECT id,
+        |  CASE WHEN rk <= floor(cnt*0.4) THEN 'train'
+        |       WHEN rk <= floor(cnt*0.7) THEN 'val'
+        |       ELSE 'test' END AS split FROM r)
+        |SELECT split, count(*) AS n_orders, round(sum(o_totalprice),2) AS total
+        |FROM orders JOIN s ON o_custkey = s.id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q15_rollup_region" ->
+      """SELECT COALESCE(r_name,'ALL') AS region, COALESCE(n_name,'ALL') AS nation,
+        | count(*) AS n_cust, round(sum(c_acctbal),2) AS acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY region, nation""".stripMargin,
+    "q16_cube_orders" ->
+      """SELECT COALESCE(o_orderstatus,'ALL') AS status, COALESCE(o_orderpriority,'ALL') AS priority,
+        | count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q17_setops" ->
+      """SELECT
+        | (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+        |   INTERSECT SELECT o_custkey FROM orders WHERE o_orderstatus='O') t) AS n_both,
+        | (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+        |   EXCEPT SELECT o_custkey FROM orders WHERE o_orderstatus='O') t) AS n_only_f,
+        | (SELECT count(*) FROM (SELECT o_custkey FROM orders WHERE o_orderstatus='F'
+        |   UNION SELECT o_custkey FROM orders WHERE o_orderstatus='O') t) AS n_union""".stripMargin,
+    "q18_parity_except" ->
+      """WITH hr AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) || '__' || CAST(l_linenumber AS VARCHAR) AS key FROM lineitem),
+        |lr AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) || '__' || CAST(l_linenumber AS VARCHAR) AS key FROM lineitem WHERE l_quantity > 5)
+        |SELECT
+        | (SELECT count(*) FROM (SELECT key FROM hr EXCEPT SELECT key FROM lr) a) AS hr_only,
+        | (SELECT count(*) FROM (SELECT key FROM lr EXCEPT SELECT key FROM hr) b) AS lr_only""".stripMargin,
+    "q19_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)),4) AS avg_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q20_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |x AS (SELECT user_id, ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS d FROM e),
+        |y AS (SELECT user_id, CASE WHEN d IS NULL OR d > 1800000 THEN 1 ELSE 0 END AS is_new FROM x)
+        |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM y GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q21_tumbling_hour" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        | round(sum(value),3) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+  )
+}

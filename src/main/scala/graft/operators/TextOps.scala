@@ -1,0 +1,331 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data text pipeline: deduplication (exact, MinHash+LSH, n-gram
+  * Jaccard, SimHash), language ID, quality scoring, token counting, and
+  * document fingerprinting over the `documents` table.
+  *
+  * Scale design notes (100 TB):
+  *  - per-document features (hashes, scores, signatures) are computed with
+  *    higher-order functions inside the row — zero shuffle;
+  *  - candidate generation shuffles on LSH band / SimHash block keys only
+  *    (never all-pairs); exact Jaccard runs on candidates only;
+  *  - all hashing is deterministic (md5 of salted content) so task retries
+  *    are stable (SURVEY.md K13 rule).
+  */
+object TextOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** doc_id + whitespace-tokenized words, docs with >= 3 words. */
+  private def words(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"),
+        split(col("text"), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+
+  /** Distinct 3-word shingles per doc. */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    words(s, dir)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("sh"))
+      .distinct()
+
+  /** 8 salted MinHash values per doc (min of md5 over salted shingles). */
+  private def minhashes(s: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until 8).map(j => min(md5(concat(lit(s"$j|"), col("sh")))).as(s"h$j"))
+    shingles(s, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** (doc_id, band k, band hash) — 2 bands of 4 minhashes each. */
+  private def bands(s: SparkSession, dir: String): DataFrame = {
+    val m = minhashes(s, dir)
+    val b1 = m.select(col("doc_id"), lit(1L).as("k"),
+      md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))).as("b"))
+    val b2 = m.select(col("doc_id"), lit(2L).as("k"),
+      md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))).as("b"))
+    b1.union(b2)
+  }
+
+  /** LSH candidate pairs: docs sharing any band bucket (a < b). */
+  private def candidates(s: SparkSession, dir: String): DataFrame = {
+    val bd = bands(s, dir)
+    bd.as("x").join(bd.as("y"),
+        col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Exact 3-gram Jaccard for the LSH candidates. */
+  private def jaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = candidates(s, dir)
+      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("a", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("za"), col("a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("b_id") === col("zb.doc_id"))
+      .select(col("a"), col("b_id"), col("inter"),
+        (col("inter").cast("double") /
+          (col("za.n") + col("zb.n") - col("inter")).cast("double")).as("jac"))
+  }
+
+  /** Per-row 32-bit SimHash from word-frequency-weighted md5 bits. */
+  private def simhashCol: Column = expr(
+    """aggregate(sequence(0, 31), 0L, (acc, k) ->
+      |  acc + CASE WHEN aggregate(hs, 0L, (s, h) -> s + 2 * (shiftright(h, k) & 1) - 1) > 0
+      |             THEN shiftleft(cast(1 as bigint), cast(k as int)) ELSE 0L END)""".stripMargin)
+
+  private def simhashed(s: SparkSession, dir: String): DataFrame =
+    words(s, dir)
+      .withColumn("hs", expr(
+        "transform(w, t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))"))
+      .withColumn("simhash", simhashCol)
+
+  // ---------------------------------------------------------------- queries
+
+  /** Exact dedup: content-hash groupBy; duplicates counted per lang. */
+  private def q22(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), md5(col("text")).as("fp"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("fp").as("n_unique"))
+      .orderBy("lang")
+
+  /** MinHash signature digest per doc (shingle→salted-min→md5 digest). */
+  private def q23(s: SparkSession, dir: String): DataFrame =
+    minhashes(s, dir)
+      .select(col("doc_id"), md5(concat((0 until 8).map(j => col(s"h$j")): _*)).as("sig"))
+      .orderBy("doc_id")
+
+  /** LSH banding candidate pairs (shuffle on band key only). */
+  private def q24(s: SparkSession, dir: String): DataFrame =
+    candidates(s, dir).orderBy("a", "b_id")
+
+  /** Exact n-gram Jaccard verification of the LSH candidates. */
+  private def q25(s: SparkSession, dir: String): DataFrame =
+    jaccard(s, dir)
+      .filter(col("jac") >= 0.5)
+      .select(col("a"), col("b_id"), col("inter"), round(col("jac"), 6).as("jac"))
+      .orderBy("a", "b_id")
+
+  /** Near-dup dedup end-to-end: drop the higher doc_id of every pair with
+    * jac >= 0.9; survivors counted per source. */
+  private def q26(s: SparkSession, dir: String): DataFrame = {
+    val losers = jaccard(s, dir).filter(col("jac") >= 0.9)
+      .select(col("b_id").as("doc_id")).distinct()
+    t(s, dir, "documents")
+      .join(losers, Seq("doc_id"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  /** Per-doc 32-bit SimHash (per-row HOF — no shuffle). */
+  private def q27(s: SparkSession, dir: String): DataFrame =
+    simhashed(s, dir).select(col("doc_id"), col("simhash")).orderBy("doc_id")
+
+  /** SimHash near-dup pairs via top-byte blocking + Hamming distance. */
+  private def q28(s: SparkSession, dir: String): DataFrame = {
+    val sh = simhashed(s, dir)
+      .select(col("doc_id"), col("simhash"), expr("shiftright(simhash, 24)").as("block"))
+    sh.as("x").join(sh.as("y"),
+        col("x.block") === col("y.block") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b_id"),
+        expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("dist"))
+      .filter(col("dist") <= 8)
+      .orderBy("a", "b_id")
+  }
+
+  /** Stopword-marker language ID; confusion counts vs the labeled lang. */
+  private def q29(s: SparkSession, dir: String): DataFrame =
+    words(s, dir)
+      .withColumn("s_en", expr("size(filter(w, t -> t IN ('the','a','of','and','to')))").cast("long"))
+      .withColumn("s_es", expr("size(filter(w, t -> t IN ('el','la','de','los','y')))").cast("long"))
+      .withColumn("s_de", expr("size(filter(w, t -> t IN ('der','die','das','und','ist')))").cast("long"))
+      .withColumn("s_fr", expr("size(filter(w, t -> t IN ('le','les','des','et','est')))").cast("long"))
+      .withColumn("pred", expr(
+        """CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+          |     WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+          |     WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END""".stripMargin))
+      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred")
+
+  /** Quality score (length, stopword ratio, punctuation, word length) →
+    * decile buckets per source (the filter stage of a data pipeline). */
+  private def q30(s: SparkSession, dir: String): DataFrame =
+    words(s, dir)
+      .withColumn("nw", size(col("w")).cast("long"))
+      .withColumn("n_stop", expr("size(filter(w, t -> t IN ('the','a','of','and','to','is','in')))").cast("long"))
+      .withColumn("n_punct", expr("size(regexp_extract_all(text, '[^a-z0-9 ]', 0))").cast("long"))
+      .withColumn("sum_wl", expr("aggregate(w, 0L, (acc, t) -> acc + length(t))"))
+      .withColumn("score", expr(
+        """0.4 * least(cast(nw as double) / 100.0, 1.0)
+          |+ 0.3 * (1.0 - cast(n_stop as double) / cast(nw as double))
+          |+ 0.2 * (1.0 - least(cast(n_punct as double) / cast(n_chars as double), 1.0))
+          |+ 0.1 * least(cast(sum_wl as double) / cast(nw as double) / 10.0, 1.0)""".stripMargin))
+      .withColumn("bucket", floor(col("score") * 10).cast("long"))
+      .groupBy("source", "bucket").agg(count(lit(1)).as("n"))
+      .orderBy("source", "bucket")
+
+  /** Token counting: whitespace tokens + BPE-ish regex tokens per source. */
+  private def q31(s: SparkSession, dir: String): DataFrame =
+    words(s, dir)
+      .withColumn("ws_tokens", size(col("w")).cast("long"))
+      .withColumn("bpe_tokens",
+        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws_tokens").as("sum_ws"),
+        sum("bpe_tokens").as("sum_bpe"),
+        round(avg(col("bpe_tokens").cast("double")), 4).as("avg_bpe"))
+      .orderBy("source")
+
+  /** Document fingerprints: sorted-bag md5 + winnowed char-8-gram min-hash. */
+  private def q32(s: SparkSession, dir: String): DataFrame =
+    words(s, dir)
+      .withColumn("fp", md5(concat_ws(" ", array_sort(array_distinct(col("w"))))))
+      .withColumn("winnow", expr(
+        "array_min(transform(sequence(1, greatest(length(text) - 7, 1)), i -> md5(substring(text, i, 8))))"))
+      .select(col("doc_id"), col("fp"), col("winnow"))
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_dedup_exact" -> (q22 _),
+    "q23_minhash_sig" -> (q23 _),
+    "q24_lsh_candidates" -> (q24 _),
+    "q25_jaccard_pairs" -> (q25 _),
+    "q26_neardup_dedup" -> (q26 _),
+    "q27_simhash" -> (q27 _),
+    "q28_simhash_blocked_pairs" -> (q28 _),
+    "q29_lang_id" -> (q29 _),
+    "q30_quality_score" -> (q30 _),
+    "q31_token_count" -> (q31 _),
+    "q32_fingerprint" -> (q32 _)
+  )
+
+  private val shingleCte =
+    """w AS (SELECT doc_id, lang, source, n_chars, text, regexp_split_to_array(text,'\s+') AS w
+      |      FROM documents),
+      |wf AS (SELECT * FROM w WHERE len(w) >= 3),
+      |sh0 AS (SELECT doc_id, unnest([w[i+1]||' '||w[i+2]||' '||w[i+3] for i in range(len(w)-2)]) AS sh FROM wf),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
+      |m AS (SELECT doc_id,
+      |  min(md5('0|'||sh)) AS h0, min(md5('1|'||sh)) AS h1,
+      |  min(md5('2|'||sh)) AS h2, min(md5('3|'||sh)) AS h3,
+      |  min(md5('4|'||sh)) AS h4, min(md5('5|'||sh)) AS h5,
+      |  min(md5('6|'||sh)) AS h6, min(md5('7|'||sh)) AS h7
+      | FROM sh GROUP BY 1),
+      |bands AS (
+      |  SELECT doc_id, 1 AS k, md5(h0||h1||h2||h3) AS b FROM m
+      |  UNION ALL
+      |  SELECT doc_id, 2 AS k, md5(h4||h5||h6||h7) AS b FROM m),
+      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b_id
+      |  FROM bands x JOIN bands y ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |inter AS (SELECT a, b_id, count(*) AS inter
+      |  FROM cand JOIN sh sa ON a = sa.doc_id JOIN sh sb ON b_id = sb.doc_id AND sa.sh = sb.sh
+      |  GROUP BY 1,2),
+      |jac AS (SELECT a, b_id, inter,
+      |   CAST(inter AS DOUBLE)/CAST(za.n + zb.n - inter AS DOUBLE) AS jac
+      |  FROM inter JOIN sizes za ON a = za.doc_id JOIN sizes zb ON b_id = zb.doc_id)""".stripMargin
+
+  private val simhashCte =
+    """w AS (SELECT doc_id, regexp_split_to_array(text,'\s+') AS w FROM documents),
+      |wf AS (SELECT doc_id, w FROM w WHERE len(w) >= 3),
+      |hs AS (SELECT doc_id,
+      |  [CAST(('0x'||substr(md5(t),1,8)) AS BIGINT) for t in w] AS hs FROM wf),
+      |sim AS (SELECT doc_id,
+      |  list_aggregate([CASE WHEN list_aggregate([2*((h >> k) & 1) - 1 for h in hs], 'sum') > 0
+      |                       THEN (CAST(1 AS BIGINT) << k) ELSE 0 END for k in range(32)], 'sum') AS simhash
+      | FROM hs)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q22_dedup_exact" ->
+      """SELECT lang, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q23_minhash_sig" ->
+      s"""WITH $shingleCte
+         |SELECT doc_id, md5(h0||h1||h2||h3||h4||h5||h6||h7) AS sig FROM m ORDER BY doc_id""".stripMargin,
+    "q24_lsh_candidates" ->
+      s"""WITH $shingleCte
+         |SELECT a, b_id FROM cand ORDER BY a, b_id""".stripMargin,
+    "q25_jaccard_pairs" ->
+      s"""WITH $shingleCte
+         |SELECT a, b_id, inter, round(jac, 6) AS jac FROM jac WHERE jac >= 0.5 ORDER BY a, b_id""".stripMargin,
+    "q26_neardup_dedup" ->
+      s"""WITH $shingleCte,
+         |losers AS (SELECT DISTINCT b_id AS doc_id FROM jac WHERE jac >= 0.9)
+         |SELECT source, count(*) AS n_kept FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q27_simhash" ->
+      s"""WITH $simhashCte
+         |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
+    "q28_simhash_blocked_pairs" ->
+      s"""WITH $simhashCte,
+         |blk AS (SELECT doc_id, simhash, simhash >> 24 AS block FROM sim)
+         |SELECT x.doc_id AS a, y.doc_id AS b_id, bit_count(xor(x.simhash, y.simhash)) AS dist
+         |FROM blk x JOIN blk y ON x.block = y.block AND x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
+         |ORDER BY a, b_id""".stripMargin,
+    "q29_lang_id" ->
+      """WITH w AS (SELECT doc_id, lang, regexp_split_to_array(text,'\s+') AS w FROM documents),
+        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
+        |sc AS (SELECT lang,
+        |  len(list_filter(w, t -> t IN ('the','a','of','and','to'))) AS s_en,
+        |  len(list_filter(w, t -> t IN ('el','la','de','los','y'))) AS s_es,
+        |  len(list_filter(w, t -> t IN ('der','die','das','und','ist'))) AS s_de,
+        |  len(list_filter(w, t -> t IN ('le','les','des','et','est'))) AS s_fr
+        | FROM wf),
+        |p AS (SELECT lang,
+        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+        |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred
+        | FROM sc)
+        |SELECT lang, pred, count(*) AS n FROM p GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q30_quality_score" ->
+      """WITH w AS (SELECT doc_id, source, n_chars, text, regexp_split_to_array(text,'\s+') AS w FROM documents),
+        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
+        |f AS (SELECT source,
+        |  CAST(len(w) AS BIGINT) AS nw,
+        |  CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','is','in'))) AS BIGINT) AS n_stop,
+        |  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct,
+        |  CAST(list_aggregate([CAST(length(t) AS BIGINT) for t in w], 'sum') AS BIGINT) AS sum_wl,
+        |  n_chars
+        | FROM wf),
+        |sc AS (SELECT source,
+        |  0.4 * least(CAST(nw AS DOUBLE) / 100.0, 1.0)
+        |  + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(nw AS DOUBLE))
+        |  + 0.2 * (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 1.0))
+        |  + 0.1 * least(CAST(sum_wl AS DOUBLE) / CAST(nw AS DOUBLE) / 10.0, 1.0) AS score
+        | FROM f)
+        |SELECT source, CAST(floor(score * 10) AS BIGINT) AS bucket, count(*) AS n
+        |FROM sc GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q31_token_count" ->
+      """WITH w AS (SELECT doc_id, source, text, regexp_split_to_array(text,'\s+') AS w FROM documents),
+        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
+        |f AS (SELECT source, CAST(len(w) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
+        | FROM wf)
+        |SELECT source, count(*) AS n_docs,
+        | CAST(sum(ws_tokens) AS BIGINT) AS sum_ws,
+        | CAST(sum(bpe_tokens) AS BIGINT) AS sum_bpe,
+        | round(avg(CAST(bpe_tokens AS DOUBLE)), 4) AS avg_bpe
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q32_fingerprint" ->
+      """WITH w AS (SELECT doc_id, text, regexp_split_to_array(text,'\s+') AS w FROM documents),
+        |wf AS (SELECT * FROM w WHERE len(w) >= 3)
+        |SELECT doc_id,
+        | md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fp,
+        | list_aggregate([md5(substr(text, i+1, 8)) for i in range(greatest(length(text) - 7, 1))], 'min') AS winnow
+        |FROM wf ORDER BY doc_id""".stripMargin
+  )
+}

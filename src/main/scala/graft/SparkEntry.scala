@@ -19,12 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.TextOps.queries ++
-      operators.VectorOps.queries
+      operators.VectorOps.queries ++
+      operators.MriOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
       operators.TextOps.oracles ++
-      operators.VectorOps.oracles
+      operators.VectorOps.oracles ++
+      operators.MriOps.oracles
 }

@@ -1,0 +1,224 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Image
+
+/** NIfTI-1 connector (SURVEY.md S3–S5): volume decode, header-only metadata
+  * scan, and per-slice extraction with the reference's orientation
+  * conventions (v2/patch_utils.py:8-12).
+  *
+  * Format per the public NIfTI-1 spec (nifti.nimh.nih.gov): 348-byte header;
+  * dim[8] int16 @40, datatype int16 @70, pixdim float32[8] @76,
+  * vox_offset float32 @108, scl_slope/inter @112/116, magic @344.
+  * Data is Fortran-ordered (x fastest). Gzip containers supported.
+  */
+object Nifti {
+
+  final case class Header(
+      dims: Array[Int],        // (d0, d1, d2) = (X, Y, Z)
+      zooms: Array[Double],    // voxel sizes mm
+      datatype: Int,
+      voxOffset: Int,
+      sclSlope: Float,
+      sclInter: Float,
+      littleEndian: Boolean)
+
+  private def isGzip(bytes: Array[Byte]): Boolean =
+    bytes.length > 2 && bytes(0) == 0x1f.toByte && (bytes(1) & 0xff) == 0x8b
+
+  /** Decompress at most `limit` bytes (header-only scans stay cheap even for
+    * gzipped multi-GB volumes — the metadata-only S5 path). */
+  private def gunzip(bytes: Array[Byte], limit: Int = Int.MaxValue): Array[Byte] = {
+    val in = new GZIPInputStream(new ByteArrayInputStream(bytes))
+    val out = new java.io.ByteArrayOutputStream(math.min(limit, 1 << 20))
+    val buf = new Array[Byte](1 << 16)
+    var total = 0
+    var n = in.read(buf)
+    while (n > 0 && total < limit) {
+      out.write(buf, 0, math.min(n, limit - total))
+      total += n
+      n = in.read(buf)
+    }
+    in.close()
+    out.toByteArray
+  }
+
+  def parseHeader(raw: Array[Byte]): Header = {
+    val hdr = if (isGzip(raw)) gunzip(raw, 352) else raw
+    require(hdr.length >= 348, s"NIfTI header truncated: ${hdr.length} bytes")
+    var bb = ByteBuffer.wrap(hdr).order(ByteOrder.LITTLE_ENDIAN)
+    var le = true
+    if (bb.getInt(0) != 348) {
+      bb = ByteBuffer.wrap(hdr).order(ByteOrder.BIG_ENDIAN)
+      le = false
+      require(bb.getInt(0) == 348, "not a NIfTI-1 file (sizeof_hdr != 348)")
+    }
+    val ndim = bb.getShort(40).toInt
+    require(ndim >= 3, s"need >=3 dims, got $ndim")
+    val dims = Array(bb.getShort(42).toInt, bb.getShort(44).toInt, bb.getShort(46).toInt)
+    val zooms = Array(bb.getFloat(80).toDouble, bb.getFloat(84).toDouble, bb.getFloat(88).toDouble)
+    Header(dims, zooms, bb.getShort(70).toInt, bb.getFloat(108).toInt,
+      bb.getFloat(112), bb.getFloat(116), le)
+  }
+
+  /** S3: eager full-volume decode to float32 with scl scaling (matches
+    * nibabel's np.asanyarray(img.dataobj, dtype=float32) —
+    * v2/nii_to_lmdb.py:212-213). */
+  def readVolume(raw: Array[Byte]): (Header, Array[Float]) = {
+    val bytes = if (isGzip(raw)) gunzip(raw) else raw
+    val h = parseHeader(bytes)
+    val n = h.dims.product
+    val bb = ByteBuffer.wrap(bytes)
+      .order(if (h.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    bb.position(h.voxOffset)
+    val out = new Array[Float](n)
+    var i = 0
+    h.datatype match {
+      case 16 => while (i < n) { out(i) = bb.getFloat(); i += 1 }          // FLOAT32
+      case 64 => while (i < n) { out(i) = bb.getDouble().toFloat; i += 1 } // FLOAT64
+      case 4  => while (i < n) { out(i) = bb.getShort().toFloat; i += 1 }  // INT16
+      case 8  => while (i < n) { out(i) = bb.getInt().toFloat; i += 1 }    // INT32
+      case 2  => while (i < n) { out(i) = (bb.get() & 0xff).toFloat; i += 1 } // UINT8
+      case dt => throw new IllegalArgumentException(s"unsupported NIfTI datatype $dt")
+    }
+    if (h.sclSlope != 0f && (h.sclSlope != 1f || h.sclInter != 0f)) {
+      i = 0
+      while (i < n) { out(i) = out(i) * h.sclSlope + h.sclInter; i += 1 }
+    }
+    (h, out)
+  }
+
+  val Orientations: Seq[String] = Seq("axial", "coronal", "sagittal")
+
+  /** Slice count per orientation (v2 convention —
+    * v2/nii_to_lmdb_paralel.py:58-66): axial/coronal → Z, sagittal → Y. */
+  def sliceCount(dims: Array[Int], orient: String): Int = orient match {
+    case "axial" | "coronal" => dims(2)
+    case "sagittal"          => dims(1)
+    case o => throw new IllegalArgumentException(s"unknown orientation $o")
+  }
+
+  /** S4/K19: extract one oriented 2D slice from the Fortran-ordered volume.
+    * axial i    → M[a,b] = vol[a,b,i]  (d0 × d1)
+    * coronal i  → M[a,b] = vol[b,a,i]  (d1 × d0)
+    * sagittal i → M[a,b] = vol[b,i,a]  (d2 × d0)
+    * Returns (rowMajorPixels, h, w). */
+  def sliceOf(vol: Array[Float], dims: Array[Int], orient: String, i: Int)
+      : (Array[Float], Int, Int) = {
+    val d0 = dims(0); val d1 = dims(1); val d2 = dims(2)
+    @inline def at(x: Int, y: Int, z: Int): Float = vol(x + y * d0 + z * d0 * d1)
+    orient match {
+      case "axial" =>
+        val out = new Array[Float](d0 * d1)
+        var a = 0
+        while (a < d0) { var b = 0; while (b < d1) { out(a * d1 + b) = at(a, b, i); b += 1 }; a += 1 }
+        (out, d0, d1)
+      case "coronal" =>
+        val out = new Array[Float](d1 * d0)
+        var a = 0
+        while (a < d1) { var b = 0; while (b < d0) { out(a * d0 + b) = at(b, a, i); b += 1 }; a += 1 }
+        (out, d1, d0)
+      case "sagittal" =>
+        val out = new Array[Float](d2 * d0)
+        var a = 0
+        while (a < d2) { var b = 0; while (b < d0) { out(a * d0 + b) = at(b, i, a); b += 1 }; a += 1 }
+        (out, d2, d0)
+      case o => throw new IllegalArgumentException(s"unknown orientation $o")
+    }
+  }
+
+  /** Encode a float32 volume as uncompressed NIfTI-1 bytes (for round-trip
+    * tests and synthetic fixtures). */
+  def encode(vol: Array[Float], dims: Array[Int], zooms: Array[Double]): Array[Byte] = {
+    require(vol.length == dims.product)
+    val bb = ByteBuffer.allocate(352 + vol.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(0, 348)
+    bb.putShort(40, 3.toShort)
+    bb.putShort(42, dims(0).toShort)
+    bb.putShort(44, dims(1).toShort)
+    bb.putShort(46, dims(2).toShort)
+    var d = 4
+    while (d <= 7) { bb.putShort(40 + 2 * d, 1.toShort); d += 1 }
+    bb.putShort(70, 16.toShort) // FLOAT32
+    bb.putShort(72, 32.toShort) // bitpix
+    bb.putFloat(76, 1f)
+    bb.putFloat(80, zooms(0).toFloat)
+    bb.putFloat(84, zooms(1).toFloat)
+    bb.putFloat(88, zooms(2).toFloat)
+    bb.putFloat(108, 352f) // vox_offset
+    bb.putFloat(112, 1f)   // scl_slope
+    bb.putFloat(116, 0f)
+    bb.put(344, 'n'.toByte); bb.put(345, '+'.toByte); bb.put(346, '1'.toByte); bb.put(347, 0.toByte)
+    bb.position(352)
+    var i = 0
+    while (i < vol.length) { bb.putFloat(vol(i)); i += 1 }
+    bb.array()
+  }
+
+  // ------------------------------------------------------ Spark-level scans
+
+  /** S1+S3: recursive dir scan with regex predicate → decoded volume rows
+    * (path, shape, zooms, pixel stats). Listing + path predicate are pushed
+    * to the binaryFile source. */
+  def volumes(spark: SparkSession, root: String, pathPattern: String = ".*\\.nii(\\.gz)?$"): DataFrame = {
+    val decode = udf { (bytes: Array[Byte]) =>
+      val (h, vol) = readVolume(bytes)
+      (h.dims, h.zooms, vol)
+    }
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .filter(col("path").rlike(pathPattern))
+      .withColumn("decoded", decode(col("content")))
+      .select(col("path"),
+        col("decoded._1").as("shape"),
+        col("decoded._2").as("zooms"),
+        col("decoded._3").as("pixels"))
+  }
+
+  /** S5: header-only metadata scan (no pixel decode — the split-planning
+    * path, analog of a parquet footer read). */
+  def headers(spark: SparkSession, root: String, pathPattern: String = ".*\\.nii(\\.gz)?$"): DataFrame = {
+    val hdr = udf { (bytes: Array[Byte]) =>
+      val h = parseHeader(bytes)
+      (h.dims, h.zooms, h.datatype)
+    }
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .filter(col("path").rlike(pathPattern))
+      .select(col("path"), hdr(col("content")).as("h"))
+      .select(col("path"), col("h._1").as("shape"), col("h._2").as("zooms"),
+        col("h._3").as("datatype"))
+  }
+
+  /** G1: volume → oriented slice explode, with per-volume robust percentile
+    * normalization (K2) computed once per volume
+    * (reference v2/nii_to_lmdb.py:217-227). */
+  def slices(spark: SparkSession, root: String,
+      orients: Seq[String] = Orientations,
+      pmin: Double = 0.5, pmax: Double = 99.5): DataFrame = {
+    import spark.implicits._
+    val orientsB = orients.toArray
+    volumes(spark, root)
+      .select(col("path"), col("shape"), col("pixels"))
+      .as[(String, Array[Int], Array[Float])]
+      .flatMap { case (path, dims, vol) =>
+        val base = path.split('/').last.replaceAll("\\.nii(\\.gz)?$", "")
+        val (norm, vmin, vmax) = Image.robustPercentileNormalize(vol, pmin, pmax)
+        orientsB.iterator.flatMap { o =>
+          (0 until sliceCount(dims, o)).iterator.map { i =>
+            val (px, h, w) = sliceOf(norm, dims, o, i)
+            (f"${base}__${o}__slice_$i%03d", base, o, i, h, w, px, vmin, vmax)
+          }
+        }
+      }
+      .toDF("slice_id", "base", "orient", "idx", "h", "w", "pixels", "vmin", "vmax")
+  }
+}

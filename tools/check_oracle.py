@@ -43,6 +43,19 @@ def main(sf_dir, out_dir):
                    if os.path.isdir(os.path.join(out_dir, d)))
     n_pass = n_fail = n_noora = 0
     for name in names:
+        # DECIMAL output columns mean Spark decimal-literal arithmetic leaked
+        # into the result — a type (and truncation) hazard for the driver's
+        # hash compare even when values look close. Flag loudly.
+        try:
+            import pyarrow.parquet as _pq
+            import glob as _glob
+            for f in _glob.glob(os.path.join(out_dir, name, "*.parquet")):
+                s = _pq.read_schema(f)
+                decs = [n for n, t in zip(s.names, s.types) if "decimal" in str(t)]
+                if decs:
+                    print(f"  [WARN-dec ] {name}: decimal columns {decs}")
+        except ImportError:
+            pass
         got_rel = con.execute(
             f"SELECT * FROM read_parquet('{os.path.join(out_dir, name)}/*.parquet')")
         got_cols = [d[0] for d in got_rel.description]

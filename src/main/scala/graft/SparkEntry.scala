@@ -11,16 +11,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the reference's end-to-end pipeline (NIfTI → slices → seeded
+    * split → degrade → tile → dark filter → per-split counters), Spark-first.
+    * Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    operators.Relational.queries("q01_agg_counters")(spark, "/root/testdata/sf0.001")
+    operators.PipelineOps.flagship(spark)
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.TextOps.queries ++
       operators.VectorOps.queries ++
-      operators.MriOps.queries
+      operators.MriOps.queries ++
+      operators.Multimodal.queries ++
+      operators.PipelineOps.queries ++
+      streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +33,8 @@ object SparkEntry {
     operators.Relational.oracles ++
       operators.TextOps.oracles ++
       operators.VectorOps.oracles ++
-      operators.MriOps.oracles
+      operators.MriOps.oracles ++
+      operators.Multimodal.oracles ++
+      operators.PipelineOps.oracles ++
+      streaming.EventStreams.oracles
 }

@@ -1,0 +1,107 @@
+package graft.operators
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads with
+  * typed metadata, processed by batch iterator kernels (`mapPartitions` —
+  * the JVM analog of `mapInPandas` batch plumbing).
+  *
+  * The actual media decode is STUBBED (this container ships no image/audio
+  * codecs): `decodeImageStub` derives deterministic fake dimensions and
+  * features from an md5 of the payload, so the Spark-side plumbing — binary
+  * column handling, batch iterator shape, schema, partitioning — is real and
+  * oracle-checkable, while a production build would swap the stub for a real
+  * codec behind the same signature.
+  */
+object Multimodal {
+
+  final case class Decoded(width: Int, height: Int, channels: Int,
+      nFrames: Int, feat0: Double, feat1: Double)
+
+  /** STUB decode: in production this would be an actual image decoder; here
+    * dimensions/features are md5-derived so results are deterministic. */
+  def decodeImageStub(payload: Array[Byte]): Decoded = {
+    val md = MessageDigest.getInstance("MD5")
+    val hex = md.digest(payload).map("%02x".format(_)).mkString
+    def hexAt(i: Int, n: Int): Int = Integer.parseInt(hex.substring(i, i + n), 16)
+    val width = 16 + hexAt(0, 2) % 48
+    val height = 16 + hexAt(2, 2) % 32
+    val nFrames = 1 + payload.length / 256 // frame-sample stub: 256-byte GOPs
+    val feat0 = hexAt(4, 4).toDouble / 65535.0
+    val feat1 = hexAt(8, 4).toDouble / 65535.0
+    Decoded(width, height, 3, nFrames, feat0, feat1)
+  }
+
+  /** Binary payload table: documents.text bytes as the opaque media column. */
+  private def payloads(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("text").cast("binary").as("payload"))
+
+  /** Batch decode through mapPartitions (iterator-to-iterator, no collect). */
+  def decoded(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    payloads(s, dir)
+      .select(col("doc_id"), col("source"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, src, bytes) =>
+          val d = decodeImageStub(bytes)
+          (id, src, bytes.length, d.width, d.height, d.channels, d.nFrames,
+            d.feat0, d.feat1)
+        }
+      }
+      .toDF("doc_id", "source", "n_bytes", "width", "height", "channels",
+        "n_frames", "feat0", "feat1")
+  }
+
+  /** Per-doc decoded metadata (oracle: same md5 arithmetic in DuckDB). */
+  private def q54(s: SparkSession, dir: String): DataFrame =
+    decoded(s, dir)
+      .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
+        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
+        col("n_frames").cast("long").as("n_frames"),
+        round(col("feat0"), 6).as("feat0"))
+      .orderBy("doc_id")
+
+  /** Media pipeline aggregate: per-source frame budget + size stats. */
+  private def q55(s: SparkSession, dir: String): DataFrame =
+    decoded(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_frames").cast("long")).as("total_frames"),
+        round(avg(col("width").cast("double")), 4).as("avg_width"),
+        max(col("n_bytes").cast("long")).as("max_bytes"))
+      .orderBy("source")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_multimodal_decode" -> (q54 _),
+    "q55_multimodal_agg" -> (q55 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q54_multimodal_decode" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS hx, length(text) AS n_bytes FROM documents)
+        |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+        | CAST(16 + CAST(('0x'||substr(hx,1,2)) AS BIGINT) % 48 AS BIGINT) AS width,
+        | CAST(16 + CAST(('0x'||substr(hx,3,2)) AS BIGINT) % 32 AS BIGINT) AS height,
+        | CAST(1 + n_bytes // 256 AS BIGINT) AS n_frames,
+        | round(CAST(('0x'||substr(hx,5,4)) AS BIGINT) / 65535.0, 6) AS feat0
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q55_multimodal_agg" ->
+      """WITH d AS (SELECT doc_id, source, md5(text) AS hx, length(text) AS n_bytes FROM documents),
+        |m AS (SELECT source, n_bytes,
+        |  16 + CAST(('0x'||substr(hx,1,2)) AS BIGINT) % 48 AS width,
+        |  1 + n_bytes // 256 AS n_frames
+        | FROM d)
+        |SELECT source, count(*) AS n_media,
+        | CAST(sum(n_frames) AS BIGINT) AS total_frames,
+        | round(avg(CAST(width AS DOUBLE)), 4) AS avg_width,
+        | CAST(max(n_bytes) AS BIGINT) AS max_bytes
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

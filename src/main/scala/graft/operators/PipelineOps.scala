@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.Tables
+import graft.functions.{Degrade, Image, Npy, Rng}
+import graft.sinks.KvStore
+import graft.sources.Nifti
+
+/** End-to-end pipeline queries: the reference's flagship dataflow (scan →
+  * slice → split → degrade → tile → filter → sink) assembled from the
+  * engine's pieces, self-contained over synthetic NIfTI volumes.
+  */
+object PipelineOps {
+
+  /** Build n deterministic NIfTI volumes (in-memory bytes, S3 fixtures). */
+  private def synthVolumes(n: Int): Seq[(String, Array[Byte])] =
+    (0 until n).map { v =>
+      val dims = Array(16, 14, 6)
+      val vol = Array.tabulate(dims.product) { i =>
+        val x = i % 16; val y = (i / 16) % 14
+        val r = math.sqrt((x - 8) * (x - 8) + (y - 7) * (y - 7))
+        if (r < 5 + v % 3) (200 + (i * 7 + v * 31) % 56).toFloat
+        else (((i * 13 + v * 17) % 20)).toFloat
+      }
+      (f"vol$v%03d", Nifti.encode(vol, dims, Array(0.2, 0.2, 0.2)))
+    }
+
+  /** The flagship pipeline (§3.1 restated Spark-first): NIfTI decode → G1
+    * oriented slices with per-volume K2 normalize → W1 seeded split (zero
+    * data read — rank over xxhash64 of the slice id) → C3 degrade → G2 tile
+    * → P3 dark filter → A1 per-split counters. */
+  def flagship(s: SparkSession, nVolumes: Int = 6): DataFrame = {
+    import s.implicits._
+    val vols = s.sparkContext.parallelize(synthVolumes(nVolumes), math.min(nVolumes, 8))
+
+    val slices = vols.flatMap { case (base, bytes) =>
+      val (h, vol) = Nifti.readVolume(bytes)
+      val (norm, _, _) = Image.robustPercentileNormalize(vol, 0.5, 99.5)
+      Nifti.Orientations.flatMap { o =>
+        (0 until Nifti.sliceCount(h.dims, o)).map { i =>
+          val (px, sh, sw) = Nifti.sliceOf(norm, h.dims, o, i)
+          (f"${base}__${o}__slice_$i%03d", base, o, i, sh, sw, px)
+        }
+      }
+    }.toDF("slice_id", "base", "orient", "idx", "h", "w", "pixels")
+
+    // W1: metadata-only split plan — deterministic rank over a seeded hash
+    val ids = slices.select("slice_id").distinct()
+      .withColumn("hash", xxhash64(col("slice_id"), lit(42)))
+    val wRank = Window.orderBy("hash", "slice_id")
+    val split = ids
+      .withColumn("rk", row_number().over(wRank).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("split",
+        when(col("rk") <= floor(col("cnt") * 0.95), "train")
+          .when(col("rk") <= floor(col("cnt") * 0.98), "val")
+          .otherwise("test"))
+      .select("slice_id", "split")
+
+    val labeled = slices.join(broadcast(split), Seq("slice_id"))
+
+    val patched = labeled
+      .select(col("slice_id"), col("split"), col("h"), col("w"), col("pixels"))
+      .as[(String, String, Int, Int, Array[Float])]
+      .map { case (sliceId, splitLbl, h, w, px) =>
+        val seed = Rng.sliceSeed(sliceId, "", 0, 123)
+        val r = Degrade.degradePreset(px, h, w, "3tFlash", seed)
+        val (hs, ws) = Image.makeCropSpaces(h, w, 8, 4, 2)
+        var nHr = 0L; var nDark = 0L
+        for (y <- hs; x <- ws) {
+          nHr += 1
+          if (Image.patchIsDark(Image.extractPatch(px, h, w, y, x, 8))) nDark += 1
+        }
+        val (lhs, lws) = Image.makeCropSpaces(r.lrH, r.lrW, 4, 2, 1)
+        (splitLbl, 1L, nHr, nDark, lhs.length.toLong * lws.length)
+      }
+      .toDF("split", "n_slices", "n_hr", "n_dark", "n_lr")
+
+    patched.groupBy("split")
+      .agg(sum("n_slices").as("n_slices"), sum("n_hr").as("n_hr_patches"),
+        sum("n_dark").as("n_dark_discarded"), sum("n_lr").as("n_lr_patches"))
+      .orderBy("split")
+  }
+
+  /** S8–S11 KV sink roundtrip: degrade patches → .npy encode → sharded
+    * store write (batched commits, manifest) → point lookup + regex key
+    * listing + full scan-back; verifies byte-exact recovery. Rows-only
+    * (binary sink, not SQL-expressible). */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val storeDir = java.nio.file.Files.createTempDirectory("graft_kv_").toString
+    new java.io.File(storeDir).delete() // KvStore.create remakes it
+
+    val parts = Tables(s, dir, "part").select(col("p_partkey")).as[Long]
+      .filter(_ % 4 == 0)
+    val records = parts.map { pk =>
+      val img = Array.tabulate(16 * 16)(i => ((pk * 31 + i * 7) % 256).toFloat / 255f)
+      val r = Degrade.degradePreset(img, 16, 16, "3tFlash", Rng.sliceSeed(s"p$pk", "axial", 0, 7))
+      val key = f"part$pk%06d__axial__slice_000__s001"
+      (key, Npy.encode(r.lr, Seq(r.lrH, r.lrW)), Seq(r.lrH, r.lrW, 1), "float32")
+    }.toDF("key", "value", "shape", "dtype")
+
+    KvStore.write(records, storeDir)
+
+    val written = records.select(col("key"), md5(col("value")).as("h"))
+    val readBack = KvStore.read(s, storeDir).select(col("key"), md5(col("value")).as("h"))
+    val matched = written.as("a").join(readBack.as("b"),
+      col("a.key") === col("b.key") && col("a.h") === col("b.h")).count()
+
+    val keys = KvStore.listKeys(storeDir, regex = Some("axial"), limit = 1000)
+    val probe = keys.headOption.flatMap(k => KvStore.get(storeDir, k))
+      .map(b => Npy.decode(b)._2.mkString("x")).getOrElse("none")
+
+    Seq((written.count(), readBack.count(), matched, keys.length.toLong, probe))
+      .toDF("n_written", "n_read", "n_hash_matched", "n_keys_regex", "probe_shape")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q53_kv_sink_roundtrip" -> (q53 _)
+  )
+
+  val oracles: Map[String, String] = Map.empty
+}

@@ -1,0 +1,154 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.Tables
+
+/** Structured Streaming surface (SURVEY.md §2.11): the reference's
+  * append-only audit log (S12) and incremental counters (A1) re-expressed as
+  * genuine streams over the `events` table.
+  *
+  * Each query runs a real streaming pipeline (readStream → transform →
+  * memory sink, processAllAvailable) and returns the resulting table, so the
+  * driver's DuckDB oracle can hash-compare streaming semantics against the
+  * batch-equivalent SQL. Watermarks are declared as they would be in
+  * production; with a single replayed batch they don't evict (complete mode).
+  */
+object EventStreams {
+
+  /** The file stream source requires a directory; expose the single
+    * events.parquet through a temp dir symlink (testdata is read-only). */
+  private def streamDir(dir: String): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_stream_")
+    d.toFile.deleteOnExit()
+    val link = d.resolve("events.parquet")
+    java.nio.file.Files.createSymbolicLink(link,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    d.toString
+  }
+
+  /** Raw streamed events with the ns→µs timestamp conversion of Tables. */
+  private def stream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    s.readStream.schema(schema).parquet(streamDir(dir))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Run a streaming DF to a memory sink and return the materialized table. */
+  private def run(s: SparkSession, df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
+  /** Tumbling 1-hour windows with watermark (window() + complete mode). */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val agg = stream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
+    run(s, agg, "stream_tumbling", OutputMode.Complete())
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Sliding windows (2h window, 1h slide). Streaming aggregation is per
+    * (window, user) — distinct users are counted exactly on the materialized
+    * result (streaming countDistinct is unsupported; approx_count_distinct
+    * would break oracle parity). */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val agg = stream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "2 hours", "1 hour"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    run(s, agg, "stream_sliding", OutputMode.Complete())
+      .groupBy(col("window.start").as("w_start"))
+      .agg(sum("n").as("n"), countDistinct("user_id").as("n_users"))
+      .orderBy("w_start")
+  }
+
+  /** session_window(ts, 30 min) per user — the streaming twin of the batch
+    * lag-gap sessionization (Relational q20; same oracle CTE shape). */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val agg = stream(s, dir)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    run(s, agg, "stream_session", OutputMode.Complete())
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** Streaming exact dedup: dropDuplicates on a content key + counts. */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val agg = stream(s, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_unique_users"))
+    run(s, agg, "stream_dedup", OutputMode.Complete())
+      .orderBy("event_type")
+  }
+
+  /** Stateful per-key counter via flatMapGroupsWithState — the A1 running
+    * counters as explicit state (reference merges worker partials,
+    * v2/nii_to_lmdb_paralel.py:357-369). */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val typed = stream(s, dir)
+      .select(col("user_id"), col("value")).as[(Long, Double)]
+    val counted = typed
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)],
+         state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var sum = s0
+          rows.foreach { r => n += 1; sum += r._2 }
+          state.update((n, sum))
+          Iterator((user, n, sum))
+      }
+      .toDF("user_id", "n_events", "sum_value")
+      .withColumn("sum_value", round(col("sum_value"), 3))
+    run(s, counted, "stream_stateful", OutputMode.Update())
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_stream_tumbling" -> (q60 _),
+    "q61_stream_sliding" -> (q61 _),
+    "q62_stream_session" -> (q62 _),
+    "q63_stream_dedup" -> (q63 _),
+    "q64_stream_stateful" -> (q64 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q60_stream_tumbling" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        | round(sum(value),3) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "q61_stream_sliding" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hr, user_id FROM events),
+        |w AS (SELECT hr AS w_start FROM h UNION SELECT hr - INTERVAL 1 HOUR FROM h)
+        |SELECT w.w_start, count(*) AS n, count(DISTINCT user_id) AS n_users
+        |FROM (SELECT DISTINCT w_start FROM w) w
+        |JOIN h ON h.hr >= w.w_start AND h.hr < w.w_start + INTERVAL 2 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q62_stream_session" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),
+        |x AS (SELECT user_id, ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS d FROM e),
+        |y AS (SELECT user_id, CASE WHEN d IS NULL OR d >= 1800000 THEN 1 ELSE 0 END AS is_new FROM x)
+        |SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions, count(*) AS n_events
+        |FROM y GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q63_stream_dedup" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q64_stream_stateful" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value),3) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

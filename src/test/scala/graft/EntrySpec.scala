@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sinks.KvStore
+
+/** Driver-contract smoke (the t1 analog): entry returns rows, every query
+  * name has distinct keys, oracles reference only declared queries. */
+class EntrySpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("entry (flagship pipeline) returns per-split counters with rows > 0") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length >= 1 && rows.length <= 3) // train/val/test
+    val total = rows.map(_.getAs[Long]("n_slices")).sum
+    assert(total == 6 * (6 + 6 + 14), s"expected all oriented slices, got $total")
+    assert(rows.map(_.getAs[Long]("n_hr_patches")).sum > 0)
+  }
+
+  test("oracleSql keys are a subset of queries keys; names well-formed") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"orphan oracles: ${os.diff(qs)}")
+    assert(qs.forall(_.matches("q\\d+[a-z0-9_]*")), "query naming scheme")
+    assert(qs.size == SparkEntry.queries.size)
+  }
+
+  test("a sample of queries runs non-empty on sf0.001") {
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("q01_agg_counters", "q23_minhash_sig", "q33_cosine_topk",
+      "q42_tiling_grid", "q60_stream_tumbling")) {
+      val n = SparkEntry.queries(name)(spark, dir).count()
+      assert(n > 0, s"$name empty")
+    }
+  }
+
+  test("kv store: refuse non-empty dir, point lookup, regex listing") {
+    val tmp = java.nio.file.Files.createTempDirectory("kvspec_").toString
+    new java.io.File(tmp).delete()
+    KvStore.create(tmp)
+    val w = new KvStore.ShardWriter(new java.io.File(tmp), 0, batchSize = 2)
+    w.put("a__s001", Array[Byte](1, 2, 3), Seq(1, 3), "float32")
+    w.put("b__s002", Array[Byte](4, 5), Seq(1, 2), "float32")
+    w.put("c__other", Array[Byte](9), Seq(1), "float32")
+    assert(w.close() == 3)
+    KvStore.commit(tmp)
+    assert(KvStore.get(tmp, "b__s002").get.toSeq == Seq[Byte](4, 5))
+    assert(KvStore.get(tmp, "missing").isEmpty)
+    assert(KvStore.listKeys(tmp, Some("__s\\d+"), 10) == Seq("a__s001", "b__s002"))
+    assert(KvStore.listKeys(tmp, None, 2).length == 2)
+    intercept[IllegalStateException](KvStore.create(tmp))
+  }
+}

@@ -102,6 +102,7 @@ object PipelineOps {
       val key = f"part$pk%06d__axial__slice_000__s001"
       (key, Npy.encode(r.lr, Seq(r.lrH, r.lrW)), Seq(r.lrH, r.lrW, 1), "float32")
     }.toDF("key", "value", "shape", "dtype")
+      .persist() // degrade+encode subtree feeds the write AND the verification joins
 
     KvStore.write(records, storeDir)
 
@@ -114,8 +115,10 @@ object PipelineOps {
     val probe = keys.headOption.flatMap(k => KvStore.get(storeDir, k))
       .map(b => Npy.decode(b)._2.mkString("x")).getOrElse("none")
 
-    Seq((written.count(), readBack.count(), matched, keys.length.toLong, probe))
+    val out = Seq((written.count(), readBack.count(), matched, keys.length.toLong, probe))
       .toDF("n_written", "n_read", "n_hash_matched", "n_keys_regex", "probe_shape")
+    records.unpersist()
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -77,17 +77,37 @@ object TextOps {
           (col("za.n") + col("zb.n") - col("inter")).cast("double")).as("jac"))
   }
 
-  /** Per-row 32-bit SimHash from word-frequency-weighted md5 bits. */
-  private def simhashCol: Column = expr(
-    """aggregate(sequence(0, 31), 0L, (acc, k) ->
-      |  acc + CASE WHEN aggregate(hs, 0L, (s, h) -> s + 2 * (shiftright(h, k) & 1) - 1) > 0
-      |             THEN shiftleft(cast(1 as bigint), cast(k as int)) ELSE 0L END)""".stripMargin)
+  /** Per-row 32-bit SimHash from word-frequency-weighted md5 bits.
+    * Compiled Scala UDF rather than nested Catalyst HOFs: higher-order
+    * functions evaluate interpreted per element (32 × |words| lambda calls
+    * per doc dominated the sf0.1 bench at 32 s); the UDF runs the identical
+    * integer arithmetic (first 4 md5 bytes = conv(substr(md5,1,8),16,10))
+    * in a tight JVM loop, so the DuckDB oracle is unchanged. */
+  private val simhash32 = udf { (w: Seq[String]) =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hs = new Array[Long](w.length)
+    var i = 0
+    while (i < w.length) {
+      val d = md.digest(w(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.reset()
+      hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      i += 1
+    }
+    var sim = 0L
+    var k = 0
+    while (k < 32) {
+      var s = 0L
+      var j = 0
+      while (j < hs.length) { s += 2 * ((hs(j) >> k) & 1L) - 1; j += 1 }
+      if (s > 0) sim += 1L << k
+      k += 1
+    }
+    sim
+  }
 
   private def simhashed(s: SparkSession, dir: String): DataFrame =
-    words(s, dir)
-      .withColumn("hs", expr(
-        "transform(w, t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint))"))
-      .withColumn("simhash", simhashCol)
+    words(s, dir).withColumn("simhash", simhash32(col("w")))
 
   // ---------------------------------------------------------------- queries
 

@@ -25,6 +25,7 @@ object SparkEntry {
       operators.MriOps.queries ++
       operators.Multimodal.queries ++
       operators.PipelineOps.queries ++
+      operators.GapOps.queries ++
       streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -36,5 +37,6 @@ object SparkEntry {
       operators.MriOps.oracles ++
       operators.Multimodal.oracles ++
       operators.PipelineOps.oracles ++
+      operators.GapOps.oracles ++
       streaming.EventStreams.oracles
 }

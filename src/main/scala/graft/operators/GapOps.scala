@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Morphology
+import graft.sources.Nifti
+
+/** Remaining §2.12 gap coverage + the analytical SNR module (K21/K25) and
+  * the S12 audit-log sink, completing the SURVEY.md §2 inventory. */
+object GapOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** §2.12 GROUPING SETS (beyond rollup/cube). */
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    t(s, dir, "nation").createOrReplaceTempView("nation_v")
+    t(s, dir, "region").createOrReplaceTempView("region_v")
+    s.sql(
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        | count(1) AS n_cust, round(sum(c_acctbal), 2) AS acctbal
+        |FROM customer_v
+        |JOIN nation_v ON c_nationkey = n_nationkey
+        |JOIN region_v ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+        |ORDER BY region, nation""".stripMargin)
+  }
+
+  /** §2.12 window value functions: lag/lead/first/last/nth over a frame. */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val ord = Seq(col("o_orderdate"), col("o_orderkey"))
+    val w = Window.partitionBy("o_custkey").orderBy(ord: _*)
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "orders").filter(col("o_custkey") <= 50)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+      .withColumn("next_price", lead("o_totalprice", 1).over(w))
+      .withColumn("first_price", first("o_totalprice").over(wFull))
+      .withColumn("last_price", last("o_totalprice").over(wFull))
+      .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(wFull))
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice", "prev_price",
+        "next_price", "first_price", "last_price", "second_price")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** §2.10 date functions: format, parts, arithmetic, monthly aggregation. */
+  private def q58(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("ym", date_format(col("o_orderdate"), "yyyy-MM"))
+      .withColumn("q", quarter(col("o_orderdate")).cast("long"))
+      .withColumn("wd", weekday(col("o_orderdate")).cast("long"))
+      .withColumn("due", date_add(col("o_orderdate"), 30))
+      .withColumn("age_days", datediff(lit("2002-01-01").cast("date"), col("o_orderdate")).cast("long"))
+      .groupBy("ym")
+      .agg(count(lit(1)).as("n"),
+        min("q").as("min_q"),
+        sum("wd").as("sum_wd"),
+        max("due").as("max_due"),
+        min("age_days").as("min_age"))
+      .orderBy("ym")
+
+  /** K20–K25 analytical SNR pipeline over synthetic volumes: Otsu → 3D
+    * morphology masks → background σ calibration → corrected ROI SNR.
+    * Rows-only (morphology not SQL-expressible; kernels unit-tested). */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sups = t(s, dir, "supplier").select(col("s_suppkey")).as[Long]
+    sups.map { sk =>
+      val dims = Array(12, 12, 8)
+      val rng = new graft.functions.Rng(1000 + sk)
+      val vol = Array.tabulate(dims.product) { i =>
+        val x = i % 12; val y = (i / 12) % 12
+        val r = math.sqrt((x - 6) * (x - 6) + (y - 6) * (y - 6))
+        val signal = if (r < 4) 100f else 2f
+        signal + rng.nextGaussian().toFloat
+      }
+      val est = Morphology.estimateSnr(vol, dims, "chi", nc = 8)
+      (sk, est("n_brain").toLong, est("n_noise").toLong,
+        math.rint(est("sigma") * 10000) / 10000,
+        math.rint(est("snr_naive_mean_over_std") * 100) / 100,
+        math.rint(est("snr_corrected_m2") * 100) / 100)
+    }.toDF("s_suppkey", "n_brain", "n_noise", "sigma", "snr_naive", "snr_corrected")
+      .orderBy("s_suppkey")
+  }
+
+  /** §2.12 approx_count_distinct vs exact (rows-only: HLL++ estimates are
+    * engine-specific; determinism within Spark is what's asserted). */
+  private def q65(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .agg(
+        countDistinct("l_orderkey").as("exact_orders"),
+        approx_count_distinct("l_orderkey").as("approx_orders"),
+        countDistinct("l_partkey").as("exact_parts"),
+        approx_count_distinct("l_partkey", 0.01).as("approx_parts_rsd1"))
+
+  /** S12 append-only CSV audit log: append twice, read back, count
+    * (reference log_slice, slice_generator.py:33-40). Rows-only. */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val logDir = java.nio.file.Files.createTempDirectory("graft_audit_").toString
+    val sample = t(s, dir, "events").filter(col("event_id") % 100 === 0)
+      .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("timestamp"),
+        concat(lit("slice_"), col("event_id")).as("file"),
+        (col("event_id") % 2 === 0).as("force"))
+    val n = sample.count()
+    sample.write.mode("append").option("header", "true").csv(logDir)
+    sample.write.mode("append").option("header", "true").csv(logDir)
+    val back = s.read.option("header", "true").csv(logDir)
+    Seq((n, back.count(), back.columns.length.toLong))
+      .toDF("n_sample", "n_logged", "n_cols")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q56_grouping_sets" -> (q56 _),
+    "q57_window_funcs" -> (q57 _),
+    "q58_date_functions" -> (q58 _),
+    "q59_snr_estimate" -> (q59 _),
+    "q65_approx_distinct" -> (q65 _),
+    "q66_audit_log" -> (q66 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q56_grouping_sets" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        | count(1) AS n_cust, round(sum(c_acctbal), 2) AS acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (r_name, n_name), ())
+        |ORDER BY region, nation""".stripMargin,
+    "q57_window_funcs" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice, prev_price, next_price,
+        | first_price, last_price, second_price
+        |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER w AS rn,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  first_value(o_totalprice) OVER wf AS first_price,
+        |  last_value(o_totalprice) OVER wf AS last_price,
+        |  nth_value(o_totalprice, 2) OVER wf AS second_price
+        | FROM orders WHERE o_custkey <= 50
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)) t
+        |ORDER BY o_custkey, rn""".stripMargin,
+    "q58_date_functions" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS ym, count(1) AS n,
+        | CAST(min(quarter(o_orderdate)) AS BIGINT) AS min_q,
+        | CAST(sum(isodow(o_orderdate) - 1) AS BIGINT) AS sum_wd,
+        | CAST(max(o_orderdate + INTERVAL 30 DAY) AS DATE) AS max_due,
+        | CAST(min(datediff('day', o_orderdate, DATE '2002-01-01')) AS BIGINT) AS min_age
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -19,22 +19,14 @@ object VectorOps {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
-  /** Double-precision cosine between two float-array columns. Compiled UDF
-    * (Catalyst HOF lambdas are interpreted per element — too slow in the
-    * pair-join hot path); the loop accumulates in exactly the sequential
-    * order of the DuckDB oracle expression, so results stay bitwise equal. */
-  private val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < a.length) {
-      val x = a(i).toDouble; val y = b(i).toDouble
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
-    }
-    dot / math.sqrt(na * nb)
+  /** Double-precision cosine between two float-array columns, via the
+    * native codegen'd Catalyst expression (graft_cosine) — no Row boxing,
+    * stays inside whole-stage codegen in the pair-join hot path. The
+    * accumulation order matches the DuckDB oracle expression exactly. */
+  private def cosCol(s: SparkSession, a: String, b: String) = {
+    graft.functions.expressions.CosineSimilarity.register(s)
+    expr(s"graft_cosine($a, $b)")
   }
-
-  private def cosCol(a: String, b: String) = cosineUdf(col(a), col(b))
 
   /** 8-bit random-hyperplane bucket over quantized components (exact int
     * arithmetic). plane(j,d) = ((j*37 + d*101) % 19) - 9. */
@@ -52,7 +44,7 @@ object VectorOps {
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
     val scored = emb.crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", round(cosCol("pe", "embedding"), 6))
+      .withColumn("cos", round(cosCol(s, "pe", "embedding"), 6))
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 5)
@@ -69,7 +61,7 @@ object VectorOps {
     val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
     probes.join(emb, Seq("bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
-      .withColumn("cos", round(cosCol("pe", "embedding"), 6))
+      .withColumn("cos", round(cosCol(s, "pe", "embedding"), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .select("probe_id", "bucket", "vec_id", "cos")
@@ -96,7 +88,7 @@ object VectorOps {
       .withColumn("bucket", expr(bucketExpr))
     val losers = emb.as("x").join(emb.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .withColumn("cos", cosCol("x.embedding", "y.embedding"))
+      .withColumn("cos", cosCol(s, "x.embedding", "y.embedding"))
       .filter(col("cos") >= 0.99)
       .select(col("y.vec_id").as("vec_id")).distinct()
     emb.join(losers, Seq("vec_id"), "left_anti")

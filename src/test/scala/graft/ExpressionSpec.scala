@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.expressions.{CosineSimilarity, GraftExtensions}
+
+class ExpressionSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[2]")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .withExtensions(new GraftExtensions) // exercises the injectFunction path
+    .getOrCreate()
+
+  test("graft_cosine native expression: correct value, SQL-callable, null-safe") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1f, 0f, 0f), Array(1f, 0f, 0f)),
+      (2L, Array(1f, 0f, 0f), Array(0f, 1f, 0f)),
+      (3L, Array(1f, 2f, 3f), Array(4f, 5f, 6f))
+    ).toDF("id", "a", "b")
+    df.createOrReplaceTempView("vecs")
+    val rows = spark.sql("SELECT id, graft_cosine(a, b) AS c FROM vecs ORDER BY id").collect()
+    assert(math.abs(rows(0).getDouble(1) - 1.0) < 1e-12)
+    assert(math.abs(rows(1).getDouble(1) - 0.0) < 1e-12)
+    val expected = 32.0 / math.sqrt(14.0 * 77.0)
+    assert(math.abs(rows(2).getDouble(1) - expected) < 1e-12)
+
+    val withNull = spark.sql("SELECT graft_cosine(a, NULL) AS c FROM vecs LIMIT 1").collect()
+    assert(withNull(0).isNullAt(0))
+  }
+
+  test("graft_cosine interpreted eval matches codegen path") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val a = Literal.create(ArrayData.toArrayData(Array(1f, 2f, 3f)), ArrayType(FloatType))
+    val b = Literal.create(ArrayData.toArrayData(Array(4f, 5f, 6f)), ArrayType(FloatType))
+    val v = CosineSimilarity(a, b).eval(null).asInstanceOf[Double]
+    assert(math.abs(v - 32.0 / math.sqrt(14.0 * 77.0)) < 1e-12)
+  }
+
+  test("type check rejects non-float arrays") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val bad = CosineSimilarity(Literal(1), Literal(2))
+    assert(!bad.checkInputDataTypes().isSuccess)
+  }
+}

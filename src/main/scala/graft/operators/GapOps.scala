@@ -88,13 +88,16 @@ object GapOps {
 
   /** §2.12 approx_count_distinct vs exact (rows-only: HLL++ estimates are
     * engine-specific; determinism within Spark is what's asserted). */
-  private def q65(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
-      .agg(
-        countDistinct("l_orderkey").as("exact_orders"),
-        approx_count_distinct("l_orderkey").as("approx_orders"),
-        countDistinct("l_partkey").as("exact_parts"),
-        approx_count_distinct("l_partkey", 0.01).as("approx_parts_rsd1"))
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    // separate single-pass aggregations: multiple DISTINCT aggregates in one
+    // agg() trigger an Expand (row multiplication) — 4 cheap scans beat one
+    // 4x-expanded shuffle
+    li.agg(countDistinct("l_orderkey").as("exact_orders"))
+      .crossJoin(li.agg(approx_count_distinct("l_orderkey").as("approx_orders")))
+      .crossJoin(li.agg(countDistinct("l_partkey").as("exact_parts")))
+      .crossJoin(li.agg(approx_count_distinct("l_partkey", 0.01).as("approx_parts_rsd1")))
+  }
 
   /** S12 append-only CSV audit log: append twice, read back, count
     * (reference log_slice, slice_generator.py:33-40). Rows-only. */
@@ -113,7 +116,39 @@ object GapOps {
       .toDF("n_sample", "n_logged", "n_cols")
   }
 
+  /** Skew mitigation: two-phase salted aggregation — partial aggregate on
+    * (key, salt) spreads a hot key over 16 reducers, then the final combine
+    * is tiny. Integer-cents sums keep the two-phase result bit-identical to
+    * the oracle's single-phase sum. */
+  private def q67(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .withColumn("cents", expr("cast(round(l_extendedprice*(1-l_discount)*100) as bigint)"))
+      .withColumn("salt", pmod(xxhash64(col("l_orderkey")), lit(16)))
+      .groupBy("l_returnflag", "salt")
+      .agg(count(lit(1)).as("pn"), sum("cents").as("pc"))
+      .groupBy("l_returnflag")
+      .agg(sum("pn").as("n"), (sum("pc").cast("double") / 100.0).as("revenue"))
+      .orderBy("l_returnflag")
+
+  /** Co-partitioned join: both sides repartitioned on the join key so the
+    * join itself adds no extra exchange (the bucketing/pre-partitioning
+    * pattern for repeated large-large joins). */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .withColumn("cents", expr("cast(round(l_extendedprice*(1-l_discount)*100) as bigint)"))
+      .repartition(col("l_orderkey"))
+    val o = t(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+      .repartition(col("l_orderkey"))
+    li.join(o, Seq("l_orderkey"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), (sum("cents").cast("double") / 100.0).as("revenue"))
+      .orderBy("o_orderstatus")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_salted_agg" -> (q67 _),
+    "q68_copartition_join" -> (q68 _),
     "q56_grouping_sets" -> (q56 _),
     "q57_window_funcs" -> (q57 _),
     "q58_date_functions" -> (q58 _),
@@ -123,6 +158,15 @@ object GapOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q67_salted_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q68_copartition_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q56_grouping_sets" ->
       """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
         | count(1) AS n_cust, round(sum(c_acctbal), 2) AS acctbal

@@ -229,4 +229,24 @@ class ImageSpec extends AnyFunSuite {
     assert(Nifti.sliceCount(dims, "sagittal") == 3)
     assert(Nifti.sliceCount(dims, "axial") == 2)
   }
+
+  test("nifti lazy slice decode matches eager path, plain and gzipped") {
+    val dims = Array(5, 4, 3)
+    val vol = Array.tabulate(60)(i => (i * 1.5f) - 7f)
+    val plain = Nifti.encode(vol, dims, Array(1, 1, 1))
+    val gz = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(plain); g.close()
+      bos.toByteArray
+    }
+    val (_, eager) = Nifti.readVolume(plain)
+    for (raw <- Seq(plain, gz); o <- Nifti.Orientations;
+         i <- 0 until Nifti.sliceCount(dims, o)) {
+      val (exp, eh, ew) = Nifti.sliceOf(eager, dims, o, i)
+      val (got, gh, gw) = Nifti.readSliceLazy(raw, o, i)
+      assert(gh == eh && gw == ew, s"$o/$i shape")
+      assert(got.toSeq == exp.toSeq, s"$o/$i pixels (gz=${raw eq gz})")
+    }
+  }
 }

@@ -146,7 +146,20 @@ object GapOps {
       .orderBy("o_orderstatus")
   }
 
+  /** Custom physical operator: per-key top-k via partial bounded heaps
+    * before the shuffle (graft.plans.TopKPerKey — LogicalPlan + Strategy +
+    * two-phase SparkPlan). Must return exactly the window-row_number result. */
+  private def q69(s: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey(
+      t(s, dir, "orders"),
+      keyCols = Seq("o_custkey"),
+      orderBy = Seq(("o_totalprice", false), ("o_orderkey", true)),
+      k = 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_topk_custom_operator" -> (q69 _),
     "q67_salted_agg" -> (q67 _),
     "q68_copartition_join" -> (q68 _),
     "q56_grouping_sets" -> (q56 _),
@@ -158,6 +171,12 @@ object GapOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q69_topk_custom_operator" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |   row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q67_salted_agg" ->
       """SELECT l_returnflag, count(*) AS n,
         | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue

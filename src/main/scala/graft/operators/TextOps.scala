@@ -217,7 +217,42 @@ object TextOps {
       .select(col("doc_id"), col("fp"), col("winnow"))
       .orderBy("doc_id")
 
+  /** Duplicate-cluster assignment: connected components over the verified
+    * near-dup pairs (jac >= 0.8), each doc labeled with the min doc_id of
+    * its component — the standard fuzzy-dedup finisher. Implemented as
+    * iterative min-label propagation (join + groupBy per round, converges in
+    * graph-diameter rounds; each round shuffles only the edge list, so the
+    * pattern scales to billions of edges, unlike a driver-side union-find). */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val edges0 = jaccard(s, dir).filter(col("jac") >= 0.8)
+      .select(col("a").as("u"), col("b_id").as("v"))
+    val edges = edges0.union(edges0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().persist()
+    val nodes = edges.select(col("u").as("node")).distinct()
+    var labels = nodes.withColumn("label", col("node")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 20) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("node", "v_node"), col("v") === col("v_node"))
+        .select(col("u").as("node"), col("label"))
+      val next = labels.select(col("node"), col("label")).union(viaNeighbors)
+        .groupBy("node").agg(min("label").as("label")).persist()
+      val changed = next.as("n").join(labels.as("o"), Seq("node"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    val out = labels.select(col("node").as("doc_id"), col("label").as("component"))
+      .orderBy("doc_id")
+    edges.unpersist()
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_dedup_components" -> (q70 _),
     "q22_dedup_exact" -> (q22 _),
     "q23_minhash_sig" -> (q23 _),
     "q24_lsh_candidates" -> (q24 _),
@@ -268,6 +303,18 @@ object TextOps {
       | FROM hs)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q70_dedup_components" ->
+      s"""WITH $shingleCte,
+         |e0 AS (SELECT a AS u, b_id AS v FROM jac WHERE jac >= 0.8),
+         |edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+         |reach AS (
+         |  WITH RECURSIVE r(src, dst) AS (
+         |    SELECT u, v FROM edges
+         |    UNION
+         |    SELECT r.src, e.v FROM r JOIN edges e ON r.dst = e.u
+         |  ) SELECT src, dst FROM r)
+         |SELECT src AS doc_id, least(src, min(dst)) AS component
+         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
     "q22_dedup_exact" ->
       """SELECT lang, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,

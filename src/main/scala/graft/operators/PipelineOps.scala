@@ -121,8 +121,48 @@ object PipelineOps {
     out
   }
 
+  /** S6/S7/K29 PNG pipeline: uint8 normalize → partitioned PNG dir sink
+    * (HR + LRx2 tiers) → binaryFile scan-back + decode → pixel-sum parity.
+    * Second write without force is a no-op (P4 idempotency). Rows-only. */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_png_").toString
+
+    val slices = Tables(s, dir, "supplier").select(col("s_suppkey")).as[Long]
+      .flatMap { sk =>
+        val h = 16; val w = 12
+        val img = Array.tabulate(h * w)(i => ((sk * 37 + i * 11) % 300).toFloat)
+        val u8 = Image.normalizeUint8(img, 1.0, 99.0)
+        val r = Degrade.degradePreset(img, h, w, "3tFlash", Rng.sliceSeed(s"s$sk", "ax", 0, 5))
+        val lr8 = Image.normalizeUint8(r.lr, 1.0, 99.0)
+        Seq(("HR", "train", f"s$sk%03d__axial__slice_000", u8, h, w),
+          ("LRx2", "train", f"s$sk%03d__axial__slice_000", lr8, r.lrH, r.lrW))
+      }.toDF("tier", "split", "key", "pixels", "h", "w").persist()
+
+    graft.sinks.Png.writeDir(slices, root)
+    graft.sinks.Png.writeDir(slices, root) // idempotent re-run (P4)
+
+    val back = graft.sinks.Png.readDir(s, root)
+      .withColumn("tier", regexp_extract(col("path"), "/(HR|LRx\\d+)/", 1))
+      .withColumn("px_sum", expr("aggregate(pixels, 0L, (a, x) -> a + x)"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_files"), sum("px_sum").as("sum_px"))
+    val orig = slices
+      .withColumn("px_sum", expr("aggregate(pixels, 0L, (a, x) -> a + x)"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("n_slices"), sum("px_sum").as("sum_px_orig"))
+    val out = orig.join(back, Seq("tier"))
+      .withColumn("pixels_match", col("sum_px") === col("sum_px_orig"))
+      .select("tier", "n_slices", "n_files", "pixels_match")
+      .orderBy("tier")
+    val materialized = out.collect()
+    slices.unpersist()
+    s.createDataFrame(s.sparkContext.parallelize(materialized.toIndexedSeq, 1), out.schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q53_kv_sink_roundtrip" -> (q53 _)
+    "q53_kv_sink_roundtrip" -> (q53 _),
+    "q71_png_dir_sink" -> (q71 _)
   )
 
   val oracles: Map[String, String] = Map.empty

@@ -230,6 +230,18 @@ class ImageSpec extends AnyFunSuite {
     assert(Nifti.sliceCount(dims, "axial") == 2)
   }
 
+  test("png encode/decode roundtrip preserves gray samples exactly") {
+    val px = Array.tabulate(6 * 5)(i => (i * 9) % 256)
+    val bytes = graft.sinks.Png.encodeGray8(px, 6, 5)
+    assert(bytes.take(8).map(_ & 0xff).toSeq ==
+      Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)) // PNG magic
+    val (back, h, w) = graft.sinks.Png.decodeGray(bytes)
+    assert(h == 6 && w == 5 && back.toSeq == px.toSeq)
+    // clamping
+    val clamped = graft.sinks.Png.encodeGray8(Array(-5, 300, 42), 1, 3)
+    assert(graft.sinks.Png.decodeGray(clamped)._1.toSeq == Seq(0, 255, 42))
+  }
+
   test("nifti lazy slice decode matches eager path, plain and gzipped") {
     val dims = Array(5, 4, 3)
     val vol = Array.tabulate(60)(i => (i * 1.5f) - 7f)

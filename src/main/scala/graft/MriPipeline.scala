@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.{Degrade, Image, Npy, Rng}
+import graft.model._
+import graft.sinks.KvStore
+import graft.sources.Nifti
+
+/** The library-user surface: the reference's end-to-end dataset-building
+  * pipeline as a typed, composable API (SURVEY.md §3.1 restated).
+  *
+  * A user of the reference's `v2/nii_to_lmdb_paralel.py` maps onto:
+  * {{{
+  * val sl   = MriPipeline.slices(spark, "/data/niftis")          // S1–S5, G1, K2
+  * val plan = MriPipeline.planSplit(sl, seed = 42)               // W1 (metadata-only)
+  * val rec  = MriPipeline.degradeToRecords(sl, plan, "3tFlash",
+  *              crop = 128, step = 64, seed = 123)               // C3, G2/G3, P3, K28
+  * MriPipeline.writeStore(rec, "/out/store")                     // S9 (sharded)
+  * }}}
+  */
+object MriPipeline {
+
+  /** G1: scan a directory of NIfTI volumes into oriented, per-volume
+    * robust-normalized slices. */
+  def slices(spark: SparkSession, root: String,
+      orients: Seq[String] = Nifti.Orientations,
+      pmin: Double = 0.5, pmax: Double = 99.5): Dataset[Slice] = {
+    import spark.implicits._
+    Nifti.slices(spark, root, orients, pmin, pmax)
+      .select(col("slice_id").as("sliceId"), col("base"), col("orient"),
+        col("idx"), col("h"), col("w"), col("pixels"))
+      .as[Slice]
+  }
+
+  /** W1: metadata-only split plan — deterministic rank over xxhash64 of the
+    * slice id, ratio cut train/val/test (v2 defaults 0.95/0.03/0.02). */
+  def planSplit(slices: Dataset[Slice], seed: Long = 42,
+      ratios: (Double, Double) = (0.95, 0.98)): Dataset[SplitLabel] = {
+    val spark = slices.sparkSession
+    import spark.implicits._
+    val ids = slices.select(col("sliceId")).distinct()
+      .withColumn("hash", xxhash64(col("sliceId"), lit(seed)))
+    val w = Window.orderBy("hash", "sliceId")
+    ids.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("split",
+        when(col("rk") <= floor(col("cnt") * ratios._1), "train")
+          .when(col("rk") <= floor(col("cnt") * ratios._2), "val")
+          .otherwise("test"))
+      .select(col("sliceId"), col("split"))
+      .as[SplitLabel]
+  }
+
+  /** C3 + G2/G3 + P3 + K28: degrade each slice, tile HR and LR on aligned
+    * grids, drop dark HR patches and gate LR on HR approval (the J1 key
+    * discipline), emit `.npy`-encoded store records. */
+  def degradeToRecords(slices: Dataset[Slice], split: Dataset[SplitLabel],
+      preset: String, crop: Int, step: Int, threshSize: Int = 0,
+      darkThr: Double = 20.0 / 255.0, darkPct: Double = 0.7,
+      seed: Long = 123): Dataset[KvRecord] = {
+    val spark = slices.sparkSession
+    import spark.implicits._
+    val p = Degrade.preset(preset)
+    val scale = p.fatorReducao
+    slices.joinWith(split, slices("sliceId") === split("sliceId"))
+      .flatMap { case (sl, lbl) =>
+        val sliceSeed = Rng.sliceSeed(sl.base, sl.orient, sl.idx, seed)
+        val r = Degrade.degradePreset(sl.pixels, sl.h, sl.w, preset, sliceSeed)
+        val (hs, ws) = Image.makeCropSpaces(sl.h, sl.w, crop, step, threshSize)
+        val out = scala.collection.mutable.ArrayBuffer.empty[KvRecord]
+        var s = 1
+        for (y <- hs; x <- ws) {
+          val hr = Image.extractPatch(sl.pixels, sl.h, sl.w, y, x, crop)
+          // P3 dark gate on HR; LR inherits approval via the shared key (J1)
+          if (!Image.patchIsDark(hr, darkThr, darkPct)) {
+            val key = f"${sl.sliceId}__s$s%03d"
+            out += KvRecord(s"${lbl.split}/HR/$key", Npy.encode(hr, Seq(crop, crop)),
+              Seq(crop, crop, 1), "float32")
+            val lc = math.max(1, crop / scale)
+            val lr = Image.extractPatch(r.lr, r.lrH, r.lrW,
+              math.min(y / scale, math.max(0, r.lrH - lc)),
+              math.min(x / scale, math.max(0, r.lrW - lc)), lc)
+            out += KvRecord(s"${lbl.split}/LRx$scale/$key", Npy.encode(lr, Seq(lc, lc)),
+              Seq(lc, lc, 1), "float32")
+          }
+          s += 1
+        }
+        out
+      }
+  }
+
+  /** S9: distributed sharded store write (one writer per partition). */
+  def writeStore(records: Dataset[KvRecord], path: String): Unit =
+    KvStore.write(records.toDF(), path)
+
+  /** A1/A2: per-split run counters from a written record set. */
+  def runStats(records: Dataset[KvRecord]): DataFrame =
+    records.toDF()
+      .withColumn("split", split_part(col("key"), lit("/"), lit(1)))
+      .withColumn("tier", split_part(col("key"), lit("/"), lit(2)))
+      .groupBy("split", "tier")
+      .agg(count(lit(1)).as("n_patches"), sum(length(col("value"))).as("bytes"))
+      .orderBy("split", "tier")
+}

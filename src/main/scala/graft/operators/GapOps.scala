@@ -158,7 +158,29 @@ object GapOps {
       .select("o_custkey", "o_orderkey", "o_totalprice")
       .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
 
+  /** Deterministic stratified sampling: ~15% per language via a hash cut —
+    * the scalable, retry-stable form of sampleBy (rand()-based sampling is
+    * neither oracle-checkable nor stable under task retries). */
+  private def q72(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("h", (col("doc_id") * lit(2654435761L) + lit(99L)) % lit(1000L))
+      .filter(col("h") < 150)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"), min("doc_id").as("first_doc"))
+      .orderBy("lang")
+
+  /** Deterministic training-set shuffle: global order by a seeded hash —
+    * what an exporter uses to interleave shards reproducibly. */
+  private def q73(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("h", (col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L))
+      .orderBy("h", "doc_id")
+      .limit(100)
+      .select(col("doc_id"), col("lang"), col("h"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_stratified_sample" -> (q72 _),
+    "q73_deterministic_shuffle" -> (q73 _),
     "q69_topk_custom_operator" -> (q69 _),
     "q67_salted_agg" -> (q67 _),
     "q68_copartition_join" -> (q68 _),
@@ -171,6 +193,15 @@ object GapOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q72_stratified_sample" ->
+      """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
+        |FROM documents
+        |WHERE (doc_id * 2654435761 + 99) % 1000 < 150
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q73_deterministic_shuffle" ->
+      """SELECT doc_id, lang, (doc_id * 1103515245 + 12345) % 2147483648 AS h
+        |FROM documents
+        |ORDER BY h, doc_id LIMIT 100""".stripMargin,
     "q69_topk_custom_operator" ->
       """SELECT o_custkey, o_orderkey, o_totalprice FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,

@@ -178,7 +178,52 @@ object GapOps {
       .limit(100)
       .select(col("doc_id"), col("lang"), col("h"))
 
+  /** As-of join (Spark has no native one — composed per SURVEY §2.12
+    * policy): each purchase matched to the user's most recent click at or
+    * before it. Union-tag + ignore-nulls last() over an ordered window —
+    * one shuffle on user_id, no theta join. */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    // order on ms (not µs) so tie-breaks match the epoch_ms-based oracle
+    val ev = t(s, dir, "events").withColumn("ms", unix_millis(col("ts")))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ms"), col("event_id").as("click_id"),
+        lit(null).cast("long").as("purchase_id"), lit(0L).as("is_purchase"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ms"), lit(null).cast("long").as("click_id"),
+        col("event_id").as("purchase_id"), lit(1L).as("is_purchase"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ms"), col("is_purchase"), coalesce(col("click_id"), col("purchase_id")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    clicks.union(purchases)
+      .withColumn("asof_click", last("click_id", ignoreNulls = true).over(w))
+      .filter(col("is_purchase") === 1)
+      .select(col("purchase_id"), col("user_id"), col("asof_click"))
+      .orderBy("purchase_id")
+  }
+
+  /** Range join, bucketed: pairs of events by the same user within 10
+    * minutes. Each side is bucketed to 10-minute bins and joined on
+    * (user, bin) and (user, bin±1) then filtered — shuffles on equi keys
+    * instead of exploding into a theta join (the oracle does the naive
+    * theta join; results must match exactly). */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
+      .withColumn("bin", (col("ms") / lit(600000L)).cast("long"))
+    val probe = ev.select(col("user_id"), col("event_id").as("a"), col("ms").as("ms_a"), col("bin"))
+    val build = ev.select(col("user_id"), col("event_id").as("b"), col("ms").as("ms_b"), col("bin").as("bin_b"))
+    val shifted = probe
+      .withColumn("bin_b", explode(array(col("bin") - 1, col("bin"), col("bin") + 1)))
+    shifted.join(build, Seq("user_id", "bin_b"))
+      .filter(col("a") < col("b") && abs(col("ms_a") - col("ms_b")) <= 600000L)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_pairs"), min(abs(col("ms_a") - col("ms_b"))).as("min_gap_ms"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_asof_join" -> (q74 _),
+    "q75_range_join_bucketed" -> (q75 _),
     "q72_stratified_sample" -> (q72 _),
     "q73_deterministic_shuffle" -> (q73 _),
     "q69_topk_custom_operator" -> (q69 _),
@@ -193,6 +238,25 @@ object GapOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q74_asof_join" ->
+      """WITH c AS (SELECT user_id, epoch_ms(ts) AS ms, event_id AS click_id, NULL::BIGINT AS purchase_id, 0 AS is_p
+        |           FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, epoch_ms(ts) AS ms, NULL::BIGINT AS click_id, event_id AS purchase_id, 1 AS is_p
+        |      FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT * FROM c UNION ALL SELECT * FROM p),
+        |x AS (SELECT user_id, purchase_id, is_p,
+        |  last_value(click_id IGNORE NULLS) OVER (PARTITION BY user_id
+        |    ORDER BY ms, is_p, coalesce(click_id, purchase_id)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_click
+        | FROM u)
+        |SELECT purchase_id, user_id, asof_click FROM x WHERE is_p = 1 ORDER BY purchase_id""".stripMargin,
+    "q75_range_join_bucketed" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events)
+        |SELECT a.user_id, count(*) AS n_pairs,
+        | CAST(min(abs(a.ms - b.ms)) AS BIGINT) AS min_gap_ms
+        |FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND abs(a.ms - b.ms) <= 600000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q72_stratified_sample" ->
       """SELECT lang, count(*) AS n_sampled, min(doc_id) AS first_doc
         |FROM documents

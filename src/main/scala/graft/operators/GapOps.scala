@@ -221,7 +221,22 @@ object GapOps {
       .orderBy("user_id")
   }
 
+  /** Typed custom Aggregator (Welford running stats with associative
+    * merge) — must agree with the built-in avg/stddev_samp oracle. */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val statsCol = udaf(graft.functions.StatsAggregator)
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(statsCol(col("l_quantity")).as("st"))
+      .select(col("l_returnflag"), col("st.n").as("n"),
+        round(col("st.mean"), 6).as("mean_qty"),
+        round(col("st.stddev"), 6).as("std_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_typed_aggregator" -> (q76 _),
     "q74_asof_join" -> (q74 _),
     "q75_range_join_bucketed" -> (q75 _),
     "q72_stratified_sample" -> (q72 _),
@@ -238,6 +253,11 @@ object GapOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q76_typed_aggregator" ->
+      """SELECT l_returnflag, count(*) AS n,
+        | round(avg(l_quantity), 6) AS mean_qty,
+        | round(stddev_samp(l_quantity), 6) AS std_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q74_asof_join" ->
       """WITH c AS (SELECT user_id, epoch_ms(ts) AS ms, event_id AS click_id, NULL::BIGINT AS purchase_id, 0 AS is_p
         |           FROM events WHERE event_type = 'click'),

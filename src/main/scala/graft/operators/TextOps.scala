@@ -213,7 +213,7 @@ object TextOps {
     words(s, dir)
       .withColumn("fp", md5(concat_ws(" ", array_sort(array_distinct(col("w"))))))
       .withColumn("winnow", expr(
-        "array_min(transform(sequence(1, greatest(length(text) - 7, 1)), i -> md5(substring(text, i, 8))))"))
+        "array_min(transform(sequence(1, greatest(length(text) - 7, 1), 4), i -> md5(substring(text, i, 8))))"))
       .select(col("doc_id"), col("fp"), col("winnow"))
       .orderBy("doc_id")
 
@@ -392,7 +392,7 @@ object TextOps {
         |wf AS (SELECT * FROM w WHERE len(w) >= 3)
         |SELECT doc_id,
         | md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fp,
-        | list_aggregate([md5(substr(text, i+1, 8)) for i in range(greatest(length(text) - 7, 1))], 'min') AS winnow
+        | list_aggregate([md5(substr(text, i+1, 8)) for i in range(0, greatest(length(text) - 7, 1), 4)], 'min') AS winnow
         |FROM wf ORDER BY doc_id""".stripMargin
   )
 }

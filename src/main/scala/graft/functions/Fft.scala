@@ -60,35 +60,63 @@ object Fft {
     m
   }
 
+  /** Cached per-length Bluestein tables: the chirp and the FFT of the b
+    * sequence depend only on n, and the flagship pipeline calls the same
+    * lengths for every slice of a volume — recomputing them dominated the
+    * kernel cost. Thread-local (kernels run inside executor task threads). */
+  private final class ChirpTables(val n: Int) {
+    val m: Int = nextPow2(2 * n - 1)
+    val cosT = new Array[Double](n)
+    val sinT = new Array[Double](n)
+    val bfr = new Array[Double](m)
+    val bfi = new Array[Double](m)
+    locally {
+      var j = 0
+      while (j < n) {
+        // chirp w_j = e^{-i π j² / n}; j² mod 2n keeps the angle exact
+        val sq = (j.toLong * j) % (2L * n)
+        val ang = math.Pi * sq / n
+        cosT(j) = math.cos(ang)
+        sinT(j) = math.sin(ang)
+        bfr(j) = cosT(j); bfi(j) = sinT(j)
+        if (j > 0) { bfr(m - j) = cosT(j); bfi(m - j) = sinT(j) }
+        j += 1
+      }
+      fftPow2(bfr, bfi, invert = false)
+    }
+  }
+
+  private val chirpCache = new ThreadLocal[java.util.HashMap[Int, ChirpTables]] {
+    override def initialValue() = new java.util.HashMap[Int, ChirpTables]()
+  }
+
+  private def chirpFor(n: Int): ChirpTables = {
+    val cache = chirpCache.get()
+    var t = cache.get(n)
+    if (t == null) {
+      t = new ChirpTables(n)
+      if (cache.size > 64) cache.clear() // bound memory on pathological inputs
+      cache.put(n, t)
+    }
+    t
+  }
+
   /** Unnormalized forward DFT of arbitrary length via Bluestein. */
   private def bluestein(re: Array[Double], im: Array[Double]): Unit = {
     val n = re.length
-    val m = nextPow2(2 * n - 1)
-    // chirp w_j = e^{-i π j² / n}; j² mod 2n to keep the angle exact
-    val cosT = new Array[Double](n)
-    val sinT = new Array[Double](n)
-    var j = 0
-    while (j < n) {
-      val sq = (j.toLong * j) % (2L * n)
-      val ang = math.Pi * sq / n
-      cosT(j) = math.cos(ang)
-      sinT(j) = math.sin(ang)
-      j += 1
-    }
+    val t = chirpFor(n)
+    val m = t.m
+    val cosT = t.cosT; val sinT = t.sinT
     val ar = new Array[Double](m); val ai = new Array[Double](m)
-    val br = new Array[Double](m); val bi = new Array[Double](m)
-    j = 0
+    var j = 0
     while (j < n) {
       // a_j = x_j * e^{-iπj²/n}
       ar(j) = re(j) * cosT(j) + im(j) * sinT(j)
       ai(j) = -re(j) * sinT(j) + im(j) * cosT(j)
-      // b_j = e^{+iπj²/n} (and mirrored)
-      br(j) = cosT(j); bi(j) = sinT(j)
-      if (j > 0) { br(m - j) = cosT(j); bi(m - j) = sinT(j) }
       j += 1
     }
     fftPow2(ar, ai, invert = false)
-    fftPow2(br, bi, invert = false)
+    val br = t.bfr; val bi = t.bfi
     var k = 0
     while (k < m) {
       val r = ar(k) * br(k) - ai(k) * bi(k)

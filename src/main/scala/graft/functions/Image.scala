@@ -337,7 +337,25 @@ object Image {
   /** K8: synthetic coil sensitivity magnitudes, (Nc, H, W) flattened,
     * RSS-normalized to mean ≈ 1 (reference transform_lower_tesla.py:172-199;
     * v2 radius 1.12, sigmaRel 0.75 — v2/degradation_function_v2.py:162-184). */
+  private val coilCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Double, Double), Array[Float]]()
+
+  /** Memoized: the maps are deterministic in (h, w, Nc, σ, r) and identical
+    * for every slice of a volume — at flagship LR size (480×420×32 coils
+    * ≈ 26 MB of floats) recomputing per slice would dominate the noise
+    * stage. Bounded cache; entries are read-only. */
   def synthCoilSensitivities(h: Int, w: Int, nc: Int, sigmaRel: Double,
+      radius: Double): Array[Float] = {
+    val key = (h, w, nc, sigmaRel, radius)
+    val cached = coilCache.get(key)
+    if (cached != null) return cached
+    val computed = computeCoilSensitivities(h, w, nc, sigmaRel, radius)
+    if (coilCache.size > 16) coilCache.clear()
+    coilCache.putIfAbsent(key, computed)
+    computed
+  }
+
+  private def computeCoilSensitivities(h: Int, w: Int, nc: Int, sigmaRel: Double,
       radius: Double): Array[Float] = {
     val ys = Array.tabulate(h)(i => if (h == 1) -1.0 else -1.0 + 2.0 * i / (h - 1))
     val xs = Array.tabulate(w)(i => if (w == 1) -1.0 else -1.0 + 2.0 * i / (w - 1))

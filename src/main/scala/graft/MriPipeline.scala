@@ -57,18 +57,42 @@ object MriPipeline {
   /** C3 + G2/G3 + P3 + K28: degrade each slice, tile HR and LR on aligned
     * grids, drop dark HR patches and gate LR on HR approval (the J1 key
     * discipline), emit `.npy`-encoded store records. */
+  /** seedMode: "slice" = per-slice seeds (v2-parallel, K13 — the default);
+    * "run" = one seed for every slice (v2-serial semantics,
+    * v2/nii_to_lmdb.py:233,268 — preserved as a config switch per
+    * SURVEY.md §2.12). lrMode: "physics" = k-space degradation (C3);
+    * "naive" = area-resize sampler (C5, create_sample.py:71-78). */
   def degradeToRecords(slices: Dataset[Slice], split: Dataset[SplitLabel],
       preset: String, crop: Int, step: Int, threshSize: Int = 0,
       darkThr: Double = 20.0 / 255.0, darkPct: Double = 0.7,
-      seed: Long = 123): Dataset[KvRecord] = {
+      seed: Long = 123, seedMode: String = "slice",
+      lrMode: String = "physics"): Dataset[KvRecord] = {
+    require(seedMode == "slice" || seedMode == "run", s"seedMode slice|run, got $seedMode")
+    require(lrMode == "physics" || lrMode == "naive", s"lrMode physics|naive, got $lrMode")
     val spark = slices.sparkSession
     import spark.implicits._
     val p = Degrade.preset(preset)
     val scale = p.fatorReducao
     slices.joinWith(split, slices("sliceId") === split("sliceId"))
       .flatMap { case (sl, lbl) =>
-        val sliceSeed = Rng.sliceSeed(sl.base, sl.orient, sl.idx, seed)
-        val r = Degrade.degradePreset(sl.pixels, sl.h, sl.w, preset, sliceSeed)
+        val sliceSeed =
+          if (seedMode == "slice") Rng.sliceSeed(sl.base, sl.orient, sl.idx, seed) else seed
+        val r =
+          if (lrMode == "physics") Degrade.degradePreset(sl.pixels, sl.h, sl.w, preset, sliceSeed)
+          else {
+            // C5 naive sampler: top-left trim to a scale-divisible grid,
+            // then area (box) resize — no physics
+            val lh = sl.h / scale; val lw = sl.w / scale
+            val cropH = lh * scale; val cropW = lw * scale
+            val base = new Array[Float](cropH * cropW)
+            var y = 0
+            while (y < cropH) {
+              System.arraycopy(sl.pixels, y * sl.w, base, y * cropW, cropW)
+              y += 1
+            }
+            Degrade.Result(sl.pixels, Image.resizeArea(base, cropH, cropW, lh, lw), lh, lw,
+              Map("lr_mode" -> "naive"))
+          }
         val (hs, ws) = Image.makeCropSpaces(sl.h, sl.w, crop, step, threshSize)
         val out = scala.collection.mutable.ArrayBuffer.empty[KvRecord]
         var s = 1

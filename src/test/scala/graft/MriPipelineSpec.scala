@@ -70,6 +70,17 @@ class MriPipelineSpec extends AnyFunSuite {
     val h1 = recs.toDF().selectExpr("md5(value) h").orderBy("h").collect().map(_.getString(0)).toSeq
     val h2 = rec2.toDF().selectExpr("md5(value) h").orderBy("h").collect().map(_.getString(0)).toSeq
     assert(h1 == h2, "K13 retry-stability: identical seeds must give identical bytes")
+
+    // seedMode=run (v2-serial semantics) differs from per-slice seeding
+    val runMode = MriPipeline.degradeToRecords(sl, plan, "3tFlash", crop = 8, step = 4,
+      seed = 7, seedMode = "run")
+    val h3 = runMode.toDF().selectExpr("md5(value) h").orderBy("h").collect().map(_.getString(0)).toSeq
+    assert(h3 != h1, "run-mode seeding must differ from slice-mode")
+
+    // naive LR sampler (C5): same record count, no physics
+    val naive = MriPipeline.degradeToRecords(sl, plan, "3tFlash", crop = 8, step = 4,
+      seed = 7, lrMode = "naive")
+    assert(naive.count() == n, "naive LR mode must produce the same HR/LR pairing")
     recs.unpersist()
   }
 }

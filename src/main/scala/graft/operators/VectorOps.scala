@@ -96,7 +96,41 @@ object VectorOps {
       .orderBy("label")
   }
 
+  /** IVF-style ANN (the task's named scale path alongside LSH): k-means
+    * coarse quantizer (MLlib, seeded) partitions the corpus into cells;
+    * each probe searches only its own cell — at 100 TB the shuffle is on
+    * the cell id and each task scans one inverted list. Rows-only (k-means
+    * isn't DuckDB-expressible); deterministic via fixed seed. */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    val toVec = udf { (a: Seq[Float]) =>
+      org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray)
+    }
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("features", toVec(col("embedding")))
+      .persist()
+    val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(emb)
+    val assigned = model.transform(emb).select(col("vec_id"), col("embedding"), col("cell"))
+    val probes = assigned.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("cell"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    val out = probes.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(cosCol(s, "pe", "embedding"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("probe_id"), col("rk").cast("long").as("rk"), col("vec_id"), col("cos"))
+      .orderBy("probe_id", "rk")
+    val materialized = out.collect()
+    emb.unpersist()
+    s.createDataFrame(s.sparkContext.parallelize(materialized.toIndexedSeq, 1), out.schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_ann_ivf" -> (q77 _),
     "q33_cosine_topk" -> (q33 _),
     "q34_ann_lsh_bucket" -> (q34 _),
     "q35_embedding_stats" -> (q35 _),

@@ -32,8 +32,12 @@ object KvStore {
     private val dataFile = new File(dir, f"shard-$shardId%05d.kv")
     private val idxFile = new File(dir, f"shard-$shardId%05d.idx")
     private val metaFile = new File(dir, f"shard-$shardId%05d.meta.txt")
+    // write to a task-attempt temp name, atomic-rename on close: retried or
+    // speculative task attempts never corrupt a committed shard
+    private val tmpFile = new File(dir,
+      dataFile.getName + s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     private val out = new DataOutputStream(
-      new BufferedOutputStream(new FileOutputStream(dataFile), 1 << 20))
+      new BufferedOutputStream(new FileOutputStream(tmpFile), 1 << 20))
     private val idx = new StringBuilder
     private val meta = new StringBuilder
     private var offset = 0L
@@ -54,9 +58,13 @@ object KvStore {
       if (pending >= batchSize) { out.flush(); pending = 0 } // txn-batch analog
     }
 
-    /** Task commit: flush data, write idx + meta sidecars. Returns count. */
+    /** Task commit: flush data, atomic-rename into place, write idx + meta
+      * sidecars (data lands before the index that points into it). */
     def close(): Long = {
       out.flush(); out.close()
+      java.nio.file.Files.move(tmpFile.toPath, dataFile.toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       java.nio.file.Files.writeString(idxFile.toPath, idx.toString)
       java.nio.file.Files.writeString(metaFile.toPath, meta.toString)
       count

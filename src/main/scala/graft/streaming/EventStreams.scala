@@ -118,7 +118,48 @@ object EventStreams {
       .orderBy("user_id")
   }
 
+  /** foreachBatch sink integration: stream the events into the sharded
+    * KvStore per micro-batch (the streaming twin of the reference's
+    * append-only audit trail feeding a keyed store), then verify by
+    * scan-back. Rows-only (binary sink). */
+  private def q78(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_stream_kv_").toString
+    new java.io.File(store).delete()
+    graft.sinks.KvStore.create(store)
+    val q = stream(s, dir)
+      .filter(col("event_id") % 20 === 0)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val recs = batch.select(
+          concat(lit(f"batch$batchId%03d/"), col("event_id")).as("key"),
+          col("props").cast("binary").as("value"),
+          array(lit(1)).as("shape"), lit("bytes").as("dtype"))
+        recs.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          var w: graft.sinks.KvStore.ShardWriter = null
+          rows.foreach { r =>
+            if (w == null) w = new graft.sinks.KvStore.ShardWriter(
+              new java.io.File(store), (batchId * 1000 + pid).toInt)
+            w.put(r.getAs[String]("key"), r.getAs[Array[Byte]]("value"),
+              r.getAs[scala.collection.Seq[Int]]("shape"), r.getAs[String]("dtype"))
+          }
+          if (w != null) w.close()
+          ()
+        }
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    graft.sinks.KvStore.commit(store)
+    val back = graft.sinks.KvStore.read(s, store)
+    val expected = Tables(s, dir, "events").filter(col("event_id") % 20 === 0).count()
+    Seq((expected, back.count(), graft.sinks.KvStore.listKeys(store, Some("^batch000/"), 10).length.toLong))
+      .toDF("n_expected", "n_stored", "n_batch0_sample")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_stream_to_kvstore" -> (q78 _),
     "q60_stream_tumbling" -> (q60 _),
     "q61_stream_sliding" -> (q61 _),
     "q62_stream_session" -> (q62 _),

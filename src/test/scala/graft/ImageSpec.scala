@@ -230,6 +230,28 @@ class ImageSpec extends AnyFunSuite {
     assert(Nifti.sliceCount(dims, "axial") == 2)
   }
 
+  test("normalization kernels match numpy goldens on a 200-element NaN-bearing array") {
+    val x = Array.tabulate(200)(i => (((i * 7919) % 1000) - 100).toFloat)
+    x(17) = Float.NaN; x(91) = Float.NaN
+    // np.nanpercentile(x, [2, 98]) on the same values
+    assert(math.abs(Image.nanPercentile(x, 2.0) - (-88.18)) < 1e-4)
+    assert(math.abs(Image.nanPercentile(x, 98.0) - 875.1800000000001) < 1e-4)
+    val (y, lo, hi) = Image.robustPercentileNormalize(x, 2.0, 98.0)
+    assert(math.abs(lo - (-88.18)) < 1e-4 && math.abs(hi - 875.18) < 1e-3)
+    assert(y(0) == 0.0f)
+    assert(math.abs(y(3) - 0.7735218405723572) < 1e-6)
+    assert(math.abs(y(199) - 0.9022380113601685) < 1e-6)
+    val clean = y.indices.filter(i => i != 17 && i != 91).map(y(_).toDouble)
+    assert(math.abs(clean.sum / clean.size - 0.500707745552063) < 1e-6)
+    val u8 = Image.normalizeUint8(x, 1.0, 99.0)
+    assert(u8(0) == 0 && u8(3) == 196 && u8(199) == 228)
+  }
+
+  test("otsu matches the numpy-computed golden on a deterministic bimodal array") {
+    val z = Array.tabulate(500)(i => if (i < 300) 10f + (i % 5) else 90f + (i % 7))
+    assert(math.abs(Image.otsuThreshold(z) - 13.86328125) < 1e-6)
+  }
+
   test("png encode/decode roundtrip preserves gray samples exactly") {
     val px = Array.tabulate(6 * 5)(i => (i * 9) % 256)
     val bytes = graft.sinks.Png.encodeGray8(px, 6, 5)

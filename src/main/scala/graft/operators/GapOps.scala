@@ -235,7 +235,37 @@ object GapOps {
       .orderBy("l_returnflag")
   }
 
+  /** Bucketed-table join: both sides written bucketed+sorted on the join
+    * key, so the join runs with NO exchange on either side (the repeated
+    * large-large join pattern; q68 shows the transient repartition form).
+    * Result must equal the plain-join oracle. */
+  private def q79(s: SparkSession, dir: String): DataFrame = {
+    val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val base = java.nio.file.Files.createTempDirectory("graft_buckets_").toString
+    val liTbl = s"li_b_$suffix"; val oTbl = s"o_b_$suffix"
+    try {
+      t(s, dir, "lineitem")
+        .withColumn("cents", expr("cast(round(l_extendedprice*(1-l_discount)*100) as bigint)"))
+        .select("l_orderkey", "cents")
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/li").saveAsTable(liTbl)
+      t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$base/o").saveAsTable(oTbl)
+      val joined = s.table(liTbl).join(s.table(oTbl), Seq("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), (sum("cents").cast("double") / 100.0).as("revenue"))
+        .orderBy("o_orderstatus")
+      val rows = joined.collect()
+      s.createDataFrame(s.sparkContext.parallelize(rows.toIndexedSeq, 1), joined.schema)
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $liTbl")
+      s.sql(s"DROP TABLE IF EXISTS $oTbl")
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_bucketed_join" -> (q79 _),
     "q76_typed_aggregator" -> (q76 _),
     "q74_asof_join" -> (q74 _),
     "q75_range_join_bucketed" -> (q75 _),
@@ -253,6 +283,11 @@ object GapOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q79_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q76_typed_aggregator" ->
       """SELECT l_returnflag, count(*) AS n,
         | round(avg(l_quantity), 6) AS mean_qty,

@@ -40,6 +40,30 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed join plan has no exchange on either side") {
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("bspec_").toString
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "v")
+      .write.bucketBy(4, "k").sortBy("k").option("path", s"$base/a").saveAsTable("bspec_a")
+    Seq((1L, "x"), (2L, "y")).toDF("k", "s")
+      .write.bucketBy(4, "k").sortBy("k").option("path", s"$base/b").saveAsTable("bspec_b")
+    try {
+      // tiny tables broadcast by default (rightly); disable to surface the
+      // bucketed sort-merge path this test is about
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("bspec_a").join(spark.table("bspec_b"), Seq("k"))
+      val plan = j.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan must use buckets:\n$plan")
+      assert(j.count() == 2)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bspec_a")
+      spark.sql("DROP TABLE IF EXISTS bspec_b")
+    }
+  }
+
   test("kv store: refuse non-empty dir, point lookup, regex listing") {
     val tmp = java.nio.file.Files.createTempDirectory("kvspec_").toString
     new java.io.File(tmp).delete()

@@ -84,6 +84,25 @@ object Morphology {
     (brain, noise)
   }
 
+  /** K25 SNR normalizations (reference compute_snr_flash7t,
+    * v2/estimate_snr.py:197-288): normalize a measured SNR to a target
+    * voxel volume (SNR ∝ voxel volume) and divide out the FLASH/SPGR
+    * sequence signal factor so field strengths compare fairly. */
+  def normalizeSnr(snr: Double, zoomsMm: Array[Double],
+      targetVoxelMm3: Double = 0.008, // 0.2mm isotropic
+      tr: Double = Degrade.FlashTrS, te: Double = Degrade.FlashTeS,
+      faDeg: Double = Degrade.FlashFaDeg,
+      t1: Double = 1.2, t2s: Double = 0.03): Map[String, Double] = {
+    val voxVol = zoomsMm(0) * zoomsMm(1) * zoomsMm(2)
+    val snrPerVox = snr / (voxVol / targetVoxelMm3)
+    val seqFactor = Image.spgrSignal(1.0, t1, t2s, tr, te, faDeg)
+    Map(
+      "voxel_volume_mm3" -> voxVol,
+      "snr_per_target_voxel" -> snrPerVox,
+      "flash_seq_factor" -> seqFactor,
+      "snr_seq_normalized" -> snrPerVox / math.max(seqFactor, 1e-8))
+  }
+
   /** K25 core: full-volume SNR estimate — masks → background σ → ROI SNR
     * (reference compute_snr_volume_7t, v2/estimate_snr.py:120-180). */
   def estimateSnr(vol: Array[Float], dims: Array[Int], mode: String, nc: Int)

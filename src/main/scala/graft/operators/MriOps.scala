@@ -176,6 +176,20 @@ object MriOps {
       .select("l_returnflag", "n", "sigma_bg", "snr_naive", "snr_corrected", "phase_sigma")
       .orderBy("l_returnflag")
 
+  /** K26 phase-σ estimation: per-voxel std over repeated measurements
+    * (voxel = (partkey, suppkey), repeats = its lineitem rows), mean over
+    * the bright-voxel mask, σ_φ ≈ std/mean per voxel
+    * (reference v2/estimate_snr.py:294-334). */
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(count(lit(1)).as("n_rep"), avg("l_quantity").as("mu"),
+        stddev_samp("l_quantity").as("sd"))
+      .filter(col("n_rep") >= 3 && col("mu") > 10.0)
+      .agg(count(lit(1)).as("n_voxels"),
+        round(avg("sd"), 4).as("mean_voxel_std"),
+        round(avg(col("sd") / col("mu")), 6).as("mean_phase_sigma"))
+
   // ------------------------------------------- rows-only kernel pipelines
 
   /** C3/C4 v2 degradation on deterministic synthetic slices (rows-only:
@@ -251,12 +265,20 @@ object MriOps {
     "q45_robust_norm" -> (q45 _),
     "q46_dark_filter" -> (q46 _),
     "q47_snr_algebra" -> (q47 _),
+    "q80_phase_sigma" -> (q80 _),
     "q50_degrade_v2" -> (q50 _),
     "q51_degrade_v1_presets" -> (q51 _),
     "q52_nifti_pipeline" -> (q52 _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q80_phase_sigma" ->
+      """WITH v AS (SELECT l_partkey, l_suppkey, count(*) AS n_rep,
+        |  avg(l_quantity) AS mu, stddev_samp(l_quantity) AS sd
+        | FROM lineitem GROUP BY 1,2)
+        |SELECT count(*) AS n_voxels, round(avg(sd), 4) AS mean_voxel_std,
+        | round(avg(sd / mu), 6) AS mean_phase_sigma
+        |FROM v WHERE n_rep >= 3 AND mu > 10.0""".stripMargin,
     "q37_spgr_signal" ->
       """WITH m AS (SELECT p_partkey,
         | 0.5 + (p_size % 10) / 20.0 AS pd,

@@ -25,6 +25,18 @@ class MorphologySpec extends AnyFunSuite {
     assert(e(idx(2, 2, 2)) && !e(idx(0, 2, 2)))
   }
 
+  test("normalizeSnr: voxel-volume and FLASH sequence-factor normalization") {
+    val r = Morphology.normalizeSnr(153.03, Array(0.2, 0.2, 0.2))
+    assert(math.abs(r("voxel_volume_mm3") - 0.008) < 1e-12)
+    // target voxel equals actual voxel → snr unchanged by the voxel term
+    assert(math.abs(r("snr_per_target_voxel") - 153.03) < 1e-9)
+    assert(r("flash_seq_factor") > 0 && r("flash_seq_factor") < 1)
+    assert(r("snr_seq_normalized") > 153.03) // dividing by a factor < 1
+    // doubling linear resolution (0.4mm) → 8x voxel volume → 8x snr ratio
+    val big = Morphology.normalizeSnr(153.03, Array(0.4, 0.4, 0.4))
+    assert(math.abs(big("snr_per_target_voxel") * 8 - r("snr_per_target_voxel")) < 1e-6)
+  }
+
   test("estimateSnr separates bright sphere from air and recovers sigma ~1") {
     val d = Array(16, 16, 10)
     val rng = new graft.functions.Rng(7)

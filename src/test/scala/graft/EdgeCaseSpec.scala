@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Fft, Npy}
+import graft.sinks.KvStore
+
+class EdgeCaseSpec extends AnyFunSuite {
+
+  test("float16 special values roundtrip: NaN, infinities, zero, subnormals") {
+    assert(Npy.halfToFloat(Npy.floatToHalf(Float.NaN)).isNaN)
+    assert(Npy.halfToFloat(Npy.floatToHalf(Float.PositiveInfinity)) == Float.PositiveInfinity)
+    assert(Npy.halfToFloat(Npy.floatToHalf(Float.NegativeInfinity)) == Float.NegativeInfinity)
+    assert(Npy.halfToFloat(Npy.floatToHalf(0f)) == 0f)
+    assert(Npy.halfToFloat(Npy.floatToHalf(-0f)) == -0f)
+    assert(Npy.halfToFloat(Npy.floatToHalf(65504f)) == 65504f) // f16 max
+    assert(Npy.halfToFloat(Npy.floatToHalf(1e10f)) == Float.PositiveInfinity) // overflow
+    val sub = Npy.halfToFloat(Npy.floatToHalf(3.0e-5f)) // subnormal range
+    assert(math.abs(sub - 3.0e-5f) < 3.0e-7f)
+    assert(Npy.halfToFloat(Npy.floatToHalf(1e-10f)) == 0f) // underflow to zero
+  }
+
+  test("npy 1D and 3D shapes roundtrip") {
+    val (d1, s1) = Npy.decode(Npy.encode(Array(1f, 2f, 3f), Seq(3)))
+    assert(s1 == Seq(3) && d1.toSeq == Seq(1f, 2f, 3f))
+    val (d3, s3) = Npy.decode(Npy.encode(Array.tabulate(24)(_.toFloat), Seq(2, 3, 4)))
+    assert(s3 == Seq(2, 3, 4) && d3.length == 24)
+    intercept[IllegalArgumentException](Npy.encode(Array(1f), Seq(2)))
+    intercept[IllegalArgumentException](Npy.decode("garbage-bytes!".getBytes))
+  }
+
+  test("fft chirp cache: concurrent threads, repeated lengths, and cache-bound eviction") {
+    // hammer the cached Bluestein path from many threads at the same lengths
+    val ref = {
+      val re = Array.tabulate(21)(i => math.sin(i * 0.7)); val im = new Array[Double](21)
+      Fft.forward(re, im); (re.toSeq, im.toSeq)
+    }
+    val threads = (0 until 8).map { _ =>
+      new Thread(() => {
+        for (_ <- 0 until 50; n <- Seq(21, 13, 100, 21)) {
+          val re = Array.tabulate(n)(i => math.sin(i * 0.7)); val im = new Array[Double](n)
+          Fft.forward(re, im)
+          if (n == 21) {
+            assert(re.toSeq == ref._1 && im.toSeq == ref._2, "cached path must be bit-stable")
+          }
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    // exceed the 64-length cache bound; results must stay correct after eviction
+    for (n <- 65 to 135) {
+      val re = Array.tabulate(n)(_.toDouble); val im = new Array[Double](n)
+      Fft.forward(re, im)
+      // X_0 = sum of inputs
+      assert(math.abs(re(0) - (0 until n).sum.toDouble) < 1e-6, s"n=$n")
+    }
+  }
+
+  test("kv store: multiple shards, overlapping keys resolve, empty store behavior") {
+    val tmp = java.nio.file.Files.createTempDirectory("kvedge_").toString
+    new java.io.File(tmp).delete()
+    KvStore.create(tmp)
+    val w0 = new KvStore.ShardWriter(new java.io.File(tmp), 0)
+    val w1 = new KvStore.ShardWriter(new java.io.File(tmp), 1)
+    w0.put("k0", Array[Byte](1), Seq(1), "float32")
+    w1.put("k1", Array[Byte](2, 2), Seq(2), "float32")
+    w0.close(); w1.close()
+    KvStore.commit(tmp)
+    assert(KvStore.get(tmp, "k0").get.toSeq == Seq[Byte](1))
+    assert(KvStore.get(tmp, "k1").get.toSeq == Seq[Byte](2, 2))
+    assert(KvStore.listKeys(tmp) == Seq("k0", "k1"))
+    // uncommitted store (no manifest) refuses reads
+    val raw = java.nio.file.Files.createTempDirectory("kvedge2_").toString
+    new java.io.File(raw).delete()
+    KvStore.create(raw)
+    intercept[IllegalArgumentException](KvStore.listKeys(raw))
+  }
+}

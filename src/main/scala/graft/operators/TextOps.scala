@@ -21,11 +21,16 @@ object TextOps {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
-  /** doc_id + whitespace-tokenized words, docs with >= 3 words. */
+  /** doc_id + whitespace-tokenized words, docs with >= 3 words.
+    * Empty tokens are dropped on BOTH the engine and oracle sides: Java's
+    * split drops trailing empty strings while DuckDB's regexp_split_to_array
+    * keeps them, so any doc with leading/trailing/double whitespace would
+    * otherwise tokenize differently across engines (`array_remove` is a
+    * codegen'd expression, unlike a `filter` HOF). */
   private def words(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"),
-        split(col("text"), "\\s+").as("w"))
+        array_remove(split(col("text"), "\\s+"), "").as("w"))
       .filter(size(col("w")) >= 3)
 
   /** Distinct 3-word shingles per doc. */
@@ -267,7 +272,8 @@ object TextOps {
   )
 
   private val shingleCte =
-    """w AS (SELECT doc_id, lang, source, n_chars, text, regexp_split_to_array(text,'\s+') AS w
+    """w AS (SELECT doc_id, lang, source, n_chars, text,
+      |        list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w
       |      FROM documents),
       |wf AS (SELECT * FROM w WHERE len(w) >= 3),
       |sh0 AS (SELECT doc_id, unnest([w[i+1]||' '||w[i+2]||' '||w[i+3] for i in range(len(w)-2)]) AS sh FROM wf),
@@ -293,13 +299,15 @@ object TextOps {
       |  FROM inter JOIN sizes za ON a = za.doc_id JOIN sizes zb ON b_id = zb.doc_id)""".stripMargin
 
   private val simhashCte =
-    """w AS (SELECT doc_id, regexp_split_to_array(text,'\s+') AS w FROM documents),
+    """w AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w
+      |     FROM documents),
       |wf AS (SELECT doc_id, w FROM w WHERE len(w) >= 3),
       |hs AS (SELECT doc_id,
       |  [CAST(('0x'||substr(md5(t),1,8)) AS BIGINT) for t in w] AS hs FROM wf),
       |sim AS (SELECT doc_id,
-      |  list_aggregate([CASE WHEN list_aggregate([2*((h >> k) & 1) - 1 for h in hs], 'sum') > 0
-      |                       THEN (CAST(1 AS BIGINT) << k) ELSE 0 END for k in range(32)], 'sum') AS simhash
+      |  CAST(list_aggregate([CASE WHEN list_aggregate([2*((h >> k) & 1) - 1 for h in hs], 'sum') > 0
+      |                       THEN (CAST(1 AS BIGINT) << k) ELSE 0 END for k in range(32)], 'sum')
+      |       AS BIGINT) AS simhash
       | FROM hs)""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -344,7 +352,7 @@ object TextOps {
          |WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
          |ORDER BY a, b_id""".stripMargin,
     "q29_lang_id" ->
-      """WITH w AS (SELECT doc_id, lang, regexp_split_to_array(text,'\s+') AS w FROM documents),
+      """WITH w AS (SELECT doc_id, lang, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
         |wf AS (SELECT * FROM w WHERE len(w) >= 3),
         |sc AS (SELECT lang,
         |  len(list_filter(w, t -> t IN ('the','a','of','and','to'))) AS s_en,
@@ -359,7 +367,7 @@ object TextOps {
         | FROM sc)
         |SELECT lang, pred, count(*) AS n FROM p GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q30_quality_score" ->
-      """WITH w AS (SELECT doc_id, source, n_chars, text, regexp_split_to_array(text,'\s+') AS w FROM documents),
+      """WITH w AS (SELECT doc_id, source, n_chars, text, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
         |wf AS (SELECT * FROM w WHERE len(w) >= 3),
         |f AS (SELECT source,
         |  CAST(len(w) AS BIGINT) AS nw,
@@ -377,7 +385,7 @@ object TextOps {
         |SELECT source, CAST(floor(score * 10) AS BIGINT) AS bucket, count(*) AS n
         |FROM sc GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q31_token_count" ->
-      """WITH w AS (SELECT doc_id, source, text, regexp_split_to_array(text,'\s+') AS w FROM documents),
+      """WITH w AS (SELECT doc_id, source, text, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
         |wf AS (SELECT * FROM w WHERE len(w) >= 3),
         |f AS (SELECT source, CAST(len(w) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
@@ -388,7 +396,7 @@ object TextOps {
         | round(avg(CAST(bpe_tokens AS DOUBLE)), 4) AS avg_bpe
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "q32_fingerprint" ->
-      """WITH w AS (SELECT doc_id, text, regexp_split_to_array(text,'\s+') AS w FROM documents),
+      """WITH w AS (SELECT doc_id, text, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
         |wf AS (SELECT * FROM w WHERE len(w) >= 3)
         |SELECT doc_id,
         | md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fp,

@@ -142,11 +142,14 @@ object VectorOps {
       | / sqrt(list_aggregate([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in a.embedding], 'sum')
       |        * list_aggregate([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in b.embedding], 'sum'))""".stripMargin
 
+  // The outer CAST matters: DuckDB's list_aggregate 'sum' over BIGINTs
+  // returns HUGEINT (int128), which downstream consumers (pandas, hash
+  // comparators) widen to float64 — "240.0" vs Spark's 240. Pin to BIGINT.
   private val bucketSql =
-    """list_aggregate([CASE WHEN list_aggregate(
+    """CAST(list_aggregate([CASE WHEN list_aggregate(
       |    [CAST(round(CAST(embedding[d+1] AS DOUBLE) * 1000) AS BIGINT) * (((j * 37 + d * 101) % 19) - 9)
       |     for d in range(len(embedding))], 'sum') > 0
-      |  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(8)], 'sum')""".stripMargin
+      |  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(8)], 'sum') AS BIGINT)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q33_cosine_topk" ->

@@ -2,8 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
-
 import graft.Tables
 import graft.functions.{Degrade, Image, Npy, Rng}
 import graft.sinks.KvStore
@@ -30,7 +28,7 @@ object PipelineOps {
 
   /** The flagship pipeline (§3.1 restated Spark-first): NIfTI decode → G1
     * oriented slices with per-volume K2 normalize → W1 seeded split (zero
-    * data read — rank over xxhash64 of the slice id) → C3 degrade → G2 tile
+    * data read — hash-cut over xxhash64 of the slice id) → C3 degrade → G2 tile
     * → P3 dark filter → A1 per-split counters. */
   def flagship(s: SparkSession, nVolumes: Int = 6): DataFrame = {
     import s.implicits._
@@ -47,17 +45,15 @@ object PipelineOps {
       }
     }.toDF("slice_id", "base", "orient", "idx", "h", "w", "pixels")
 
-    // W1: metadata-only split plan — deterministic rank over a seeded hash
-    val ids = slices.select("slice_id").distinct()
-      .withColumn("hash", xxhash64(col("slice_id"), lit(42)))
-    val wRank = Window.orderBy("hash", "slice_id")
-    val split = ids
-      .withColumn("rk", row_number().over(wRank).cast("long"))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+    // W1: metadata-only split plan — deterministic hash-cut (bucket < 950 ⇒
+    // train, < 980 ⇒ val, else test). No global rank: a rank-based split
+    // needs a single-partition Window over every slice id, which is the
+    // scale bottleneck the reference's metadata planner avoided; a hash-cut
+    // is per-row, ratios hold in expectation, and retries are stable.
+    val split = slices.select("slice_id").distinct()
+      .withColumn("b", pmod(xxhash64(col("slice_id"), lit(42)), lit(1000L)))
       .withColumn("split",
-        when(col("rk") <= floor(col("cnt") * 0.95), "train")
-          .when(col("rk") <= floor(col("cnt") * 0.98), "val")
-          .otherwise("test"))
+        when(col("b") < 950, "train").when(col("b") < 980, "val").otherwise("test"))
       .select("slice_id", "split")
 
     val labeled = slices.join(broadcast(split), Seq("slice_id"))

@@ -175,23 +175,20 @@ object Relational {
       .orderBy("o_custkey", "rk")
   }
 
-  /** W1 metadata-only seeded split plan (rank over a deterministic hash,
-    * ratio cutoffs 0.95/0.03/0.02) + J2 label-attach join back to rows.
-    * Reference: plan_slice_split, v2/nii_to_lmdb.py:47-120. The hash is a
-    * Knuth multiplicative LCG (expressible in both engines) — the engine
-    * API also offers xxhash64 seeding (see functions.Keys). */
+  /** W1 metadata-only seeded split plan (hash-cut: bucket = h % 1000,
+    * cutoffs 950/980 ⇒ 95/3/2%) + J2 label-attach join back to rows.
+    * Reference: plan_slice_split, v2/nii_to_lmdb.py:47-120. A pure hash-cut
+    * is embarrassingly parallel — no global rank, so no single-partition
+    * Window funneling ~10⁸ ids through one task at 100 TB; ratios hold in
+    * expectation, which is what a production splitter guarantees. The hash
+    * is a Knuth multiplicative LCG (expressible in both engines) — the
+    * engine API also offers xxhash64 seeding (see functions.Keys). */
   private def q13(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
-    val ids = li.select(col("l_orderkey").as("id")).distinct()
-      .withColumn("h", (col("id") * lit(2654435761L) + lit(42L)) % lit(4294967296L))
-    val w = Window.orderBy("h", "id")
-    val split = ids
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+    val split = li.select(col("l_orderkey").as("id")).distinct()
+      .withColumn("b", ((col("id") * lit(2654435761L) + lit(42L)) % lit(4294967296L)) % lit(1000L))
       .withColumn("split",
-        when(col("rk") <= floor(col("cnt") * 0.95), "train")
-          .when(col("rk") <= floor(col("cnt") * 0.98), "val")
-          .otherwise("test"))
+        when(col("b") < 950, "train").when(col("b") < 980, "val").otherwise("test"))
       .select(col("id").as("l_orderkey"), col("split"))
     li.join(broadcast(split), Seq("l_orderkey"))
       .groupBy("split")
@@ -204,16 +201,10 @@ object Relational {
     * filter_by_base, slice_generator.py:127-189. */
   private def q14(s: SparkSession, dir: String): DataFrame = {
     val o = t(s, dir, "orders")
-    val bases = o.select(col("o_custkey").as("id")).distinct()
-      .withColumn("h", (col("id") * lit(2654435761L) + lit(12345L)) % lit(4294967296L))
-    val w = Window.orderBy("h", "id")
-    val split = bases
-      .withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+    val split = o.select(col("o_custkey").as("id")).distinct()
+      .withColumn("b", ((col("id") * lit(2654435761L) + lit(12345L)) % lit(4294967296L)) % lit(1000L))
       .withColumn("split",
-        when(col("rk") <= floor(col("cnt") * 0.4), "train")
-          .when(col("rk") <= floor(col("cnt") * 0.7), "val")
-          .otherwise("test"))
+        when(col("b") < 400, "train").when(col("b") < 700, "val").otherwise("test"))
       .select(col("id").as("o_custkey"), col("split"))
     o.join(broadcast(split), Seq("o_custkey"))
       .groupBy("split")
@@ -410,23 +401,21 @@ object Relational {
         |WHERE rk <= 3 ORDER BY o_custkey, rk""".stripMargin,
     "q13_split_by_slice" ->
       """WITH ids AS (SELECT DISTINCT l_orderkey AS id FROM lineitem),
-        |h AS (SELECT id, (id*2654435761+42)%4294967296 AS h FROM ids),
-        |r AS (SELECT id, row_number() OVER (ORDER BY h, id) AS rk, count(*) OVER () AS cnt FROM h),
+        |h AS (SELECT id, ((id*2654435761+42)%4294967296)%1000 AS b FROM ids),
         |s AS (SELECT id,
-        |  CASE WHEN rk <= floor(cnt*0.95) THEN 'train'
-        |       WHEN rk <= floor(cnt*0.98) THEN 'val'
-        |       ELSE 'test' END AS split FROM r)
+        |  CASE WHEN b < 950 THEN 'train'
+        |       WHEN b < 980 THEN 'val'
+        |       ELSE 'test' END AS split FROM h)
         |SELECT split, count(DISTINCT l_orderkey) AS n_slices, count(*) AS n_rows
         |FROM lineitem JOIN s ON l_orderkey = s.id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q14_split_by_group" ->
       """WITH ids AS (SELECT DISTINCT o_custkey AS id FROM orders),
-        |h AS (SELECT id, (id*2654435761+12345)%4294967296 AS h FROM ids),
-        |r AS (SELECT id, row_number() OVER (ORDER BY h, id) AS rk, count(*) OVER () AS cnt FROM h),
+        |h AS (SELECT id, ((id*2654435761+12345)%4294967296)%1000 AS b FROM ids),
         |s AS (SELECT id,
-        |  CASE WHEN rk <= floor(cnt*0.4) THEN 'train'
-        |       WHEN rk <= floor(cnt*0.7) THEN 'val'
-        |       ELSE 'test' END AS split FROM r)
+        |  CASE WHEN b < 400 THEN 'train'
+        |       WHEN b < 700 THEN 'val'
+        |       ELSE 'test' END AS split FROM h)
         |SELECT split, count(*) AS n_orders, round(sum(o_totalprice),2) AS total
         |FROM orders JOIN s ON o_custkey = s.id
         |GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -157,14 +157,27 @@ object TextOps {
   private def q27(s: SparkSession, dir: String): DataFrame =
     simhashed(s, dir).select(col("doc_id"), col("simhash")).orderBy("doc_id")
 
-  /** SimHash near-dup pairs via top-byte blocking + Hamming distance. */
+  /** SimHash near-dup pairs via multi-band blocking + Hamming distance:
+    * the 32-bit simhash is cut into 4 × 8-bit bands and a pair is a
+    * candidate if it collides in ANY band (union → distinct). Versus
+    * single-band top-byte blocking this (a) recovers pairs that differ in
+    * any one byte, and (b) keeps every join a bounded per-band bucket join
+    * — the all-pairs work is N²/(4·256) per band, never a single 256-way
+    * split of the whole corpus. The 4 band keys are derived in one pass
+    * over the simhash and unpivoted with stack(). */
   private def q28(s: SparkSession, dir: String): DataFrame = {
-    val sh = simhashed(s, dir)
-      .select(col("doc_id"), col("simhash"), expr("shiftright(simhash, 24)").as("block"))
-    sh.as("x").join(sh.as("y"),
-        col("x.block") === col("y.block") && col("x.doc_id") < col("y.doc_id"))
+    val blk = simhashed(s, dir).selectExpr("doc_id", "simhash",
+      """stack(4,
+        | 0L, shiftright(simhash,  0) & 255,
+        | 1L, shiftright(simhash,  8) & 255,
+        | 2L, shiftright(simhash, 16) & 255,
+        | 3L, shiftright(simhash, 24) & 255) AS (bk, bv)""".stripMargin)
+    blk.as("x").join(blk.as("y"),
+        col("x.bk") === col("y.bk") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b_id"),
         expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("dist"))
+      .distinct()
       .filter(col("dist") <= 8)
       .orderBy("a", "b_id")
   }
@@ -346,11 +359,12 @@ object TextOps {
          |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
     "q28_simhash_blocked_pairs" ->
       s"""WITH $simhashCte,
-         |blk AS (SELECT doc_id, simhash, simhash >> 24 AS block FROM sim)
-         |SELECT x.doc_id AS a, y.doc_id AS b_id, bit_count(xor(x.simhash, y.simhash)) AS dist
-         |FROM blk x JOIN blk y ON x.block = y.block AND x.doc_id < y.doc_id
-         |WHERE bit_count(xor(x.simhash, y.simhash)) <= 8
-         |ORDER BY a, b_id""".stripMargin,
+         |blk AS (SELECT doc_id, simhash, bk, (simhash >> (8*bk)) & 255 AS bv
+         |        FROM sim, (SELECT unnest([0,1,2,3]) AS bk) bands),
+         |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b_id,
+         |        bit_count(xor(x.simhash, y.simhash)) AS dist
+         |      FROM blk x JOIN blk y ON x.bk = y.bk AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT a, b_id, dist FROM p WHERE dist <= 8 ORDER BY a, b_id""".stripMargin,
     "q29_lang_id" ->
       """WITH w AS (SELECT doc_id, lang, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
         |wf AS (SELECT * FROM w WHERE len(w) >= 3),

@@ -8,11 +8,12 @@ import graft.Tables
 /** Similarity search over the `embeddings` table (Array[Float] vectors).
   *
   * Scale design (100 TB): the brute-force path is probe-set × corpus with the
-  * probe side broadcast; the scale path is LSH-bucketed ANN — vectors are
-  * assigned an 8-bit random-hyperplane bucket per-row (HOF, no shuffle) and
-  * the join shuffles on the bucket key only. Hyperplanes are integer-valued
-  * and dot products are computed over 1e-3-quantized components so bucket
-  * assignment is exactly deterministic across engines and task retries.
+  * probe side broadcast; the scale path is LSH-banded ANN — each vector gets
+  * 4 × 16-bit random-hyperplane band keys per-row (one pass, no shuffle) and
+  * candidate joins shuffle on (band, key) only; colliding in ANY band makes a
+  * candidate (OR-recall). Hyperplanes are integer-valued and dot products are
+  * computed over 1e-3-quantized components so band assignment is exactly
+  * deterministic across engines and task retries.
   */
 object VectorOps {
 
@@ -28,14 +29,30 @@ object VectorOps {
     expr(s"graft_cosine($a, $b)")
   }
 
-  /** 8-bit random-hyperplane bucket over quantized components (exact int
-    * arithmetic). plane(j,d) = ((j*37 + d*101) % 19) - 9. */
-  private val bucketExpr: String =
-    """aggregate(sequence(0, 7), 0L, (acc, j) ->
-      |  acc + CASE WHEN aggregate(sequence(0, size(embedding) - 1), 0L,
-      |                  (s, d) -> s + cast(round(cast(embedding[d] as double) * 1000, 0) as bigint)
-      |                            * (((j * 37 + d * 101) % 19) - 9)) > 0
-      |             THEN shiftleft(cast(1 as bigint), cast(j as int)) ELSE 0L END)""".stripMargin
+  /** 16-bit random-hyperplane band k (planes 16k..16k+15) over quantized
+    * components (exact int arithmetic so bucket assignment is identical
+    * across engines and task retries). plane(j,d) = ((j*37 + d*101) % 19) - 9.
+    *
+    * 4 bands × 16 bits: a pair is a candidate if it collides in ANY band.
+    * 65536 buckets per band keeps within-bucket self-joins bounded (vs the
+    * quadratic N²/256 of a single 8-bit bucket), and the 4-band OR restores
+    * the recall a single wide band would lose. */
+  private def bandExpr(j0: Int): String =
+    s"""aggregate(sequence(0, 15), 0L, (acc, j) ->
+       |  acc + CASE WHEN aggregate(sequence(0, size(embedding) - 1), 0L,
+       |                  (s, d) -> s + cast(round(cast(embedding[d] as double) * 1000, 0) as bigint)
+       |                            * ((((j + $j0) * 37 + d * 101) % 19) - 9)) > 0
+       |             THEN shiftleft(cast(1 as bigint), cast(j as int)) ELSE 0L END)""".stripMargin
+
+  /** (vec_id, embedding, bk, bv): all 4 band keys computed in ONE pass over
+    * the scan, then unpivoted with stack() — never 4 re-scans. */
+  private def banded(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        expr(bandExpr(0)).as("b0"), expr(bandExpr(16)).as("b1"),
+        expr(bandExpr(32)).as("b2"), expr(bandExpr(48)).as("b3"))
+      .selectExpr("vec_id",
+        "stack(4, 0L, b0, 1L, b1, 2L, b2, 3L, b3) AS (bk, bv)")
 
   /** Brute-force cosine top-5 for a probe subset (vec_id % 100 == 0). */
   private def q33(s: SparkSession, dir: String): DataFrame = {
@@ -52,19 +69,28 @@ object VectorOps {
       .orderBy("probe_id", "rk")
   }
 
-  /** LSH-bucketed ANN: top-1 within the probe's hyperplane bucket. */
+  /** LSH-banded ANN: top-1 among candidates colliding with the probe in any
+    * of the 4 × 16-bit hyperplane bands. The candidate pair list is built
+    * by per-band bucket joins (shuffle on (bk, bv) only), deduped, then
+    * embeddings are re-attached for the exact cosine re-rank — the standard
+    * candidate-generation / re-rank split that scales to 100 TB. */
   private def q34(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      .withColumn("bucket", expr(bucketExpr))
-    val probes = emb.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"), col("bucket"))
-    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
-    probes.join(emb, Seq("bucket"))
+    val bd = banded(s, dir)
+    val probeB = bd.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("bk"), col("bv"))
+    val cand = probeB.join(bd, Seq("bk", "bv"))
       .filter(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id").distinct()
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(broadcast(emb.select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+        .filter(col("probe_id") % 100 === 0)), Seq("probe_id"))
+      .join(emb, Seq("vec_id"))
       .withColumn("cos", round(cosCol(s, "pe", "embedding"), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
-      .select("probe_id", "bucket", "vec_id", "cos")
+      .select("probe_id", "vec_id", "cos")
       .orderBy("probe_id")
   }
 
@@ -80,17 +106,23 @@ object VectorOps {
         round(avg("norm"), 4).as("avg_norm"))
       .orderBy("label")
 
-  /** Embedding-cosine near-duplicate dedup: pairs within the same LSH
-    * bucket with cosine >= 0.99 → drop the higher vec_id; kept per label. */
+  /** Embedding-cosine near-duplicate dedup: candidate pairs from the 4 ×
+    * 16-bit band-OR (same machinery as q34) with cosine >= 0.99 → drop the
+    * higher vec_id; kept per label. */
   private def q36(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), col("embedding"))
-      .withColumn("bucket", expr(bucketExpr))
-    val losers = emb.as("x").join(emb.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .withColumn("cos", cosCol(s, "x.embedding", "y.embedding"))
+    val bd = banded(s, dir)
+    val pairs = bd.as("x").join(bd.as("y"),
+        col("x.bk") === col("y.bk") && col("x.bv") === col("y.bv") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b_id")).distinct()
+    val losers = pairs
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")), Seq("b_id"))
+      .withColumn("cos", cosCol(s, "ea", "eb"))
       .filter(col("cos") >= 0.99)
-      .select(col("y.vec_id").as("vec_id")).distinct()
+      .select(col("b_id").as("vec_id")).distinct()
     emb.join(losers, Seq("vec_id"), "left_anti")
       .groupBy("label").agg(count(lit(1)).as("n_kept"))
       .orderBy("label")
@@ -145,11 +177,14 @@ object VectorOps {
   // The outer CAST matters: DuckDB's list_aggregate 'sum' over BIGINTs
   // returns HUGEINT (int128), which downstream consumers (pandas, hash
   // comparators) widen to float64 — "240.0" vs Spark's 240. Pin to BIGINT.
-  private val bucketSql =
-    """CAST(list_aggregate([CASE WHEN list_aggregate(
-      |    [CAST(round(CAST(embedding[d+1] AS DOUBLE) * 1000) AS BIGINT) * (((j * 37 + d * 101) % 19) - 9)
-      |     for d in range(len(embedding))], 'sum') > 0
-      |  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(8)], 'sum') AS BIGINT)""".stripMargin
+  // Band k covers planes 16k..16k+15, mirroring bandExpr exactly.
+  private val bandsSql =
+    """bands AS (SELECT vec_id, k AS bk,
+      |  CAST(list_aggregate([CASE WHEN list_aggregate(
+      |      [CAST(round(CAST(embedding[d+1] AS DOUBLE) * 1000) AS BIGINT) * ((((j + 16*k) * 37 + d * 101) % 19) - 9)
+      |       for d in range(len(embedding))], 'sum') > 0
+      |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(16)], 'sum') AS BIGINT) AS bv
+      |  FROM embeddings, (SELECT unnest([0,1,2,3]) AS k) ks)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q33_cosine_topk" ->
@@ -160,12 +195,16 @@ object VectorOps {
          |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk FROM sc)
          |SELECT probe_id, rk, vec_id, cos FROM r WHERE rk <= 5 ORDER BY probe_id, rk""".stripMargin,
     "q34_ann_lsh_bucket" ->
-      s"""WITH e AS (SELECT vec_id, embedding, $bucketSql AS bucket FROM embeddings),
-         |j AS (SELECT a.vec_id AS probe_id, a.bucket, b.vec_id AS vec_id, round($cosSql, 6) AS cos
-         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id),
-         |r AS (SELECT probe_id, bucket, vec_id, cos,
+      s"""WITH $bandsSql,
+         |cand AS (SELECT DISTINCT x.vec_id AS probe_id, y.vec_id AS vec_id
+         |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.bv = y.bv
+         |    AND x.vec_id % 100 = 0 AND x.vec_id <> y.vec_id),
+         |j AS (SELECT c.probe_id, c.vec_id, round($cosSql, 6) AS cos
+         |  FROM cand c JOIN embeddings a ON a.vec_id = c.probe_id
+         |              JOIN embeddings b ON b.vec_id = c.vec_id),
+         |r AS (SELECT probe_id, vec_id, cos,
          |  row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk FROM j)
-         |SELECT probe_id, bucket, vec_id, cos FROM r WHERE rk = 1 ORDER BY probe_id""".stripMargin,
+         |SELECT probe_id, vec_id, cos FROM r WHERE rk = 1 ORDER BY probe_id""".stripMargin,
     "q35_embedding_stats" ->
       """WITH n AS (SELECT label,
         |  sqrt(list_aggregate([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in embedding], 'sum')) AS norm
@@ -174,11 +213,14 @@ object VectorOps {
         | round(max(norm),6) AS max_norm, round(avg(norm),4) AS avg_norm
         |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
     "q36_embedding_neardup" ->
-      s"""WITH e AS (SELECT vec_id, label, embedding, $bucketSql AS bucket FROM embeddings),
-         |losers AS (SELECT DISTINCT b.vec_id AS vec_id
-         |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      s"""WITH $bandsSql,
+         |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.bv = y.bv AND x.vec_id < y.vec_id),
+         |losers AS (SELECT DISTINCT c.b_id AS vec_id
+         |  FROM cand c JOIN embeddings a ON a.vec_id = c.a_id
+         |              JOIN embeddings b ON b.vec_id = c.b_id
          |  WHERE $cosSql >= 0.99)
-         |SELECT label, count(*) AS n_kept FROM e
+         |SELECT label, count(*) AS n_kept FROM embeddings
          |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
          |GROUP BY 1 ORDER BY 1""".stripMargin
   )

@@ -64,6 +64,20 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
+  test("split queries plan without a single-partition Window (hash-cut)") {
+    // A rank-based split funnels every distinct id through ONE task; the
+    // hash-cut form must leave no Window operator in the physical plan.
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("q13_split_by_slice", "q14_split_by_group")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      val plan = df.queryExecution.executedPlan.toString()
+      assert(!plan.contains("Window"), s"$name must not use a Window:\n$plan")
+      assert(df.count() > 0)
+    }
+    val entryPlan = SparkEntry.entry(spark).queryExecution.executedPlan.toString()
+    assert(!entryPlan.contains("Window"), "flagship must not use a Window")
+  }
+
   test("kv store: refuse non-empty dir, point lookup, regex listing") {
     val tmp = java.nio.file.Files.createTempDirectory("kvspec_").toString
     new java.io.File(tmp).delete()

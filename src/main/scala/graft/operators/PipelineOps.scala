@@ -156,9 +156,46 @@ object PipelineOps {
     s.createDataFrame(s.sparkContext.parallelize(materialized.toIndexedSeq, 1), out.schema)
   }
 
+  /** S4/S5 as a DataSource V2: write synthetic volumes to disk, then
+    * (a) header-only scan — tasks read 352 bytes/file, asserted via the
+    * bytes-read counter; (b) slice scan with orient/idx pushdown — only the
+    * requested planes are seek-read; (c) metadata projection over slices —
+    * the pruned `pixels` column is never fetched. Rows-only (file source,
+    * not SQL-expressible). */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_dsv2_").toString
+    val vols = synthVolumes(8)
+    vols.foreach { case (base, bytes) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(root, s"$base.nii"), bytes)
+    }
+    val totalBytes = vols.map(_._2.length.toLong).sum
+
+    graft.sources.NiftiSource.bytesRead.set(0L)
+    val hdr = Nifti.headers(s, root)
+      .agg(count(lit(1)).as("n"), sum(expr("shape[0] * shape[1] * shape[2]")).as("vox"))
+      .collect()(0)
+    val headerBytes = graft.sources.NiftiSource.bytesRead.get()
+
+    graft.sources.NiftiSource.bytesRead.set(0L)
+    val pushedSum = Nifti.rawSlices(s, root)
+      .filter(col("orient") === "axial" && col("idx") === 2)
+      .agg(count(lit(1)).as("n"),
+        sum(expr("aggregate(pixels, 0D, (a, x) -> a + cast(x as double))")).as("px"))
+      .collect()(0)
+    val sliceBytes = graft.sources.NiftiSource.bytesRead.get()
+
+    Seq((hdr.getAs[Long]("n"), hdr.getAs[Long]("vox"), totalBytes, headerBytes,
+      pushedSum.getAs[Long]("n"), math.rint(pushedSum.getAs[Double]("px")).toLong,
+      sliceBytes, headerBytes * 10 < totalBytes && sliceBytes * 4 < totalBytes))
+      .toDF("n_files", "n_voxels", "total_file_bytes", "header_scan_bytes",
+        "n_pushed_slices", "pushed_px_sum", "slice_scan_bytes", "pushdown_effective")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_kv_sink_roundtrip" -> (q53 _),
-    "q71_png_dir_sink" -> (q71 _)
+    "q71_png_dir_sink" -> (q71 _),
+    "q81_nifti_dsv2_scan" -> (q81 _)
   )
 
   val oracles: Map[String, String] = Map.empty

@@ -240,21 +240,26 @@ object Nifti {
         col("decoded._3").as("pixels"))
   }
 
-  /** S5: header-only metadata scan (no pixel decode — the split-planning
-    * path, analog of a parquet footer read). */
-  def headers(spark: SparkSession, root: String, pathPattern: String = ".*\\.nii(\\.gz)?$"): DataFrame = {
-    val hdr = udf { (bytes: Array[Byte]) =>
-      val h = parseHeader(bytes)
-      (h.dims, h.zooms, h.datatype)
-    }
-    spark.read.format("binaryFile")
-      .option("recursiveFileLookup", "true")
+  /** S5: header-only metadata scan via the nifti DataSource V2 — each task
+    * reads 352 header bytes per file, never the pixel payload (analog of a
+    * parquet footer read; reference v2/nii_to_lmdb.py:67-71). `pathPattern`
+    * matches the file name. */
+  def headers(spark: SparkSession, root: String, pathPattern: String = ".*\\.nii(\\.gz)?$"): DataFrame =
+    spark.read.format("nifti")
+      .option("mode", "headers")
+      .option("pathPattern", pathPattern)
       .load(root)
-      .filter(col("path").rlike(pathPattern))
-      .select(col("path"), hdr(col("content")).as("h"))
-      .select(col("path"), col("h._1").as("shape"), col("h._2").as("zooms"),
-        col("h._3").as("datatype"))
-  }
+      .select(col("path"), col("shape"), col("zooms"), col("datatype"))
+
+  /** S4: raw oriented slices via the nifti DataSource V2 — orient/idx
+    * predicates push into the scan (seek-read of just the requested planes
+    * for uncompressed float32) and dropping `pixels` from the projection
+    * prunes the payload read entirely. */
+  def rawSlices(spark: SparkSession, root: String, pathPattern: String = ".*\\.nii(\\.gz)?$"): DataFrame =
+    spark.read.format("nifti")
+      .option("mode", "slices")
+      .option("pathPattern", pathPattern)
+      .load(root)
 
   /** G1: volume → oriented slice explode, with per-volume robust percentile
     * normalization (K2) computed once per volume

@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Nifti, NiftiSource}
+
+/** DataSource V2 NIfTI scans: header-only byte accounting, orient/idx
+  * pushdown parity with the eager decode path, pixels-column pruning,
+  * and the gzip full-read fallback. */
+class NiftiSourceSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dims = Array(10, 8, 6)
+
+  private def mkVolume(seed: Int): Array[Float] =
+    Array.tabulate(dims.product)(i => ((seed * 31 + i * 7) % 997).toFloat / 10f)
+
+  private def pixelsOf(r: Row): Seq[Float] =
+    r.getAs[scala.collection.Seq[Float]]("pixels").toSeq
+
+  /** Writes n uncompressed volumes (+ one gzipped); returns
+    * (dir, plainFileLen, gzDiskLen). */
+  private def writeFixtures(n: Int): (String, Long, Long) = {
+    val dir = Files.createTempDirectory("nifti_dsv2_").toString
+    (0 until n).foreach { v =>
+      val bytes = Nifti.encode(mkVolume(v), dims, Array(0.5, 0.5, 0.5))
+      Files.write(Paths.get(dir, f"vol$v%02d.nii"), bytes)
+    }
+    val gzBytes = {
+      val raw = Nifti.encode(mkVolume(99), dims, Array(0.5, 0.5, 0.5))
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new GZIPOutputStream(bos)
+      gz.write(raw); gz.close()
+      bos.toByteArray
+    }
+    Files.write(Paths.get(dir, "vol99.nii.gz"), gzBytes)
+    (dir, 352L + dims.product * 4, gzBytes.length.toLong)
+  }
+
+  test("header scan reads ~352 bytes per plain file, never the payload") {
+    val (dir, plainLen, gzLen) = writeFixtures(4)
+    NiftiSource.bytesRead.set(0L)
+    // no orderBy here: a global sort adds a range-partitioning sampling
+    // pass that would run the scan (and its reads) twice
+    val rows = Nifti.headers(spark, dir).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[scala.collection.Seq[Int]]("shape").toSeq == dims.toSeq))
+    assert(rows.forall(_.getAs[Int]("datatype") == 16))
+    val read = NiftiSource.bytesRead.get()
+    // exactly 352/plain file + a bounded prefix of the gzip member —
+    // the payload (4 × plainLen) is never touched
+    assert(read == 4 * 352 + math.min(4096L, gzLen), s"header scan read $read bytes")
+    assert(read < 4 * plainLen, s"header scan read $read of ${4 * plainLen + gzLen}")
+  }
+
+  test("orient/idx pushdown: plan shows pushed filters, bytes stay bounded, values match eager decode") {
+    val (dir, _, gzLen) = writeFixtures(3)
+    val df = Nifti.rawSlices(spark, dir)
+      .filter(col("orient") === "axial" && col("idx") === 3)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("NiftiScan"), s"expected custom scan:\n$plan")
+    assert(plan.contains("pushed=") && plan.contains("orient"),
+      s"expected pushed orient filter:\n$plan")
+
+    NiftiSource.bytesRead.set(0L)
+    val got = df.collect() // driver-side checks below; orderBy would re-scan
+    val read = NiftiSource.bytesRead.get()
+    assert(got.length == 4) // 3 plain + 1 gz
+    // plain: header + ONE plane each; gz: bounded header prefix + full read
+    val bound = 3 * (352L + dims(0) * dims(1) * 4) + math.min(4096L, gzLen) + gzLen
+    assert(read <= bound, s"pushed slice scan read $read > $bound bytes")
+
+    got.filter(!_.getAs[String]("path").endsWith(".gz")).foreach { r =>
+      val v = r.getAs[String]("base").stripPrefix("vol").toInt
+      val (px, h, w) = Nifti.sliceOf(mkVolume(v), dims, "axial", 3)
+      assert(r.getAs[Int]("h") == h && r.getAs[Int]("w") == w)
+      assert(pixelsOf(r) == px.toSeq)
+    }
+    // the gzip fallback row must agree with the eager path too
+    got.filter(_.getAs[String]("path").endsWith(".gz")).foreach { r =>
+      val (px, _, _) = Nifti.sliceOf(mkVolume(99), dims, "axial", 3)
+      assert(pixelsOf(r) == px.toSeq)
+    }
+  }
+
+  test("sagittal seek read matches eager decode") {
+    val (dir, _, _) = writeFixtures(2)
+    val got = Nifti.rawSlices(spark, dir)
+      .filter(col("orient") === "sagittal" && col("idx") === 5)
+      .filter(!col("path").endsWith(".gz"))
+      .orderBy("base").collect()
+    assert(got.length == 2)
+    got.foreach { r =>
+      val v = r.getAs[String]("base").stripPrefix("vol").toInt
+      val (px, h, w) = Nifti.sliceOf(mkVolume(v), dims, "sagittal", 5)
+      assert(r.getAs[Int]("h") == h && r.getAs[Int]("w") == w)
+      assert(pixelsOf(r) == px.toSeq)
+    }
+  }
+
+  test("pixels pruning: metadata projection reads only headers") {
+    val (dir, _, gzLen) = writeFixtures(4)
+    NiftiSource.bytesRead.set(0L)
+    val n = Nifti.rawSlices(spark, dir)
+      .filter(!col("path").endsWith(".gz"))
+      .select("base", "orient", "idx", "h", "w")
+      .count()
+    // 4 plain files × (axial 6 + coronal 6 + sagittal 8) slices; the gz file
+    // is filtered AFTER the scan but contributes only its header prefix —
+    // pixels is pruned for every file, so no payload is fetched.
+    assert(n == 4 * (6 + 6 + 8))
+    val read = NiftiSource.bytesRead.get()
+    assert(read <= 4 * 352 + math.min(4096L, gzLen), s"pruned scan read $read bytes")
+  }
+
+  test("slice counts per orientation match sliceCount, unfiltered scan is complete") {
+    val (dir, _, _) = writeFixtures(1)
+    val counts = Nifti.rawSlices(spark, dir)
+      .groupBy("orient").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("orient") -> r.getAs[Long]("n")).toMap
+    // 2 files (1 plain + 1 gz), same dims
+    assert(counts == Map("axial" -> 12L, "coronal" -> 12L, "sagittal" -> 16L))
+  }
+}

@@ -90,12 +90,26 @@ object Degrade {
       "fator_reducao must be 2, 3 or 4")
     val b0 = Image.parseFieldStrength(p.alvoCampo)
 
-    val (cf, voxelFactor) = p.cropFactors match {
-      case None =>
+    // v1 and v2 disagree on voxel-factor semantics (and v1 has a keep_size
+    // branch that v2 dropped):
+    //  v1 keep_size  → crop defaults (0.7, 0.7), voxel_factor forced 1.0
+    //                  (transform_lower_tesla.py:434-437)
+    //  v1 downsample → crop defaults 1/f, voxel_factor LINEAR fator_reducao
+    //                  (transform_lower_tesla.py:439-442)
+    //  v2            → voxel_factor fator² (area), or 1/(fy·fx) with explicit
+    //                  crops (v2/degradation_function_v2.py:408-413)
+    val (cf, voxelFactor) =
+      if (!p.v2 && p.keepSize)
+        (p.cropFactors.getOrElse((0.7, 0.7)), 1.0)
+      else if (p.v2) p.cropFactors match {
+        case None =>
+          val f = 1.0 / p.fatorReducao
+          ((f, f), p.fatorReducao.toDouble * p.fatorReducao)
+        case Some((fy, fx)) => ((fy, fx), 1.0 / math.max(1e-6, fy * fx))
+      } else {
         val f = 1.0 / p.fatorReducao
-        ((f, f), p.fatorReducao.toDouble * p.fatorReducao)
-      case Some((fy, fx)) => ((fy, fx), 1.0 / math.max(1e-6, fy * fx))
-    }
+        (p.cropFactors.getOrElse((f, f)), p.fatorReducao.toDouble)
+      }
 
     val (res, rh, rw) = Image.kspaceLowpass(img, h, w, cf._1, cf._2, p.windowType,
       keepSize = !p.v2 && p.keepSize)

@@ -34,11 +34,17 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** Contract: both arrays must have the same length (a mismatch is a data
+    * error — raise, don't silently truncate); a zero-norm input yields NaN
+    * (0/0), matching the SQL-oracle expression on both engines. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"graft_cosine: vector length mismatch ($n vs ${y.numElements()})")
     var dot = 0.0; var na = 0.0; var nb = 0.0
-    val n = math.min(x.numElements(), y.numElements())
     var i = 0
     while (i < n) {
       val xv = x.getFloat(i).toDouble
@@ -46,14 +52,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / math.sqrt(na * nb)
+    dot / math.sqrt(na * nb) // zero norm → 0/0 = NaN by contract
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_cosine: vector length mismatch (" + $a.numElements() +
+         |    " vs " + $b.numElements() + ")");
+         |}
          |double ${ev.value}_dot = 0.0, ${ev.value}_na = 0.0, ${ev.value}_nb = 0.0;
-         |int ${ev.value}_n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int ${ev.value}_n = $a.numElements();
          |for (int i = 0; i < ${ev.value}_n; i++) {
          |  double xv = (double) $a.getFloat(i);
          |  double yv = (double) $b.getFloat(i);

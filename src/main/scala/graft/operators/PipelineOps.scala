@@ -87,8 +87,11 @@ object PipelineOps {
     * (binary sink, not SQL-expressible). */
   private def q53(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val storeDir = java.nio.file.Files.createTempDirectory("graft_kv_").toString
-    new java.io.File(storeDir).delete() // KvStore.create remakes it
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kv_").toString
+    new java.io.File(tmp).delete() // KvStore.create remakes it
+    // explicit file:// URI: exercises the Hadoop FileSystem codepath the
+    // sink uses for hdfs:// and s3a:// store locations
+    val storeDir = s"file://$tmp"
 
     val parts = Tables(s, dir, "part").select(col("p_partkey")).as[Long]
       .filter(_ % 4 == 0)

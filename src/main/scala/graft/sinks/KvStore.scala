@@ -1,8 +1,10 @@
 package graft.sinks
 
-import java.io.{BufferedOutputStream, DataOutputStream, File, FileOutputStream, RandomAccessFile}
+import java.io.{BufferedOutputStream, DataOutputStream}
 import java.nio.charset.StandardCharsets
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 
 /** Sharded key→bytes store — the engine's re-expression of the reference's
@@ -15,6 +17,12 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   * marker makes the job-level commit atomic-ish and readers ignore
   * uncommitted shards.
   *
+  * All IO goes through the Hadoop FileSystem API, so a store path may be a
+  * plain local path, `file:///…`, `hdfs://…`, or `s3a://…` — the 100 TB
+  * sink story needs shards to land on cluster storage, not executor-local
+  * disk. Task commit stays rename-based (write to an attempt-unique temp
+  * name, rename into place), which is atomic on HDFS and posix local FS.
+  *
   * Kept from the reference: batched flushes every `batchSize` puts
   * (txn batching, lmdb_util.py:126-128), refuse-nonempty-dir guard
   * (v2/lmdb_npy.py:32-33), and the sidecar meta line per record
@@ -22,22 +30,40 @@ import org.apache.spark.sql.{DataFrame, Row, SparkSession}
   *
   * Shard layout: sequential records [keyLen:int][key][valLen:int][val],
   * with a `shard-NNNNN.idx` sidecar of `key offset len` lines for point
-  * lookups (S10) and key iteration (S11).
+  * lookups (S10) and key iteration (S11). Keys are validated ASCII without
+  * whitespace/control chars — the idx sidecar is space-delimited and the
+  * reference's LMDB keys are ASCII, so reject instead of silently mangling
+  * ('?' substitution could collide two distinct keys).
   */
 object KvStore {
 
   val DefaultBatchSize = 5000
 
-  final class ShardWriter(dir: File, shardId: Int, batchSize: Int = DefaultBatchSize) {
-    private val dataFile = new File(dir, f"shard-$shardId%05d.kv")
-    private val idxFile = new File(dir, f"shard-$shardId%05d.idx")
-    private val metaFile = new File(dir, f"shard-$shardId%05d.meta.txt")
-    // write to a task-attempt temp name, atomic-rename on close: retried or
+  private def fsFor(path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(new Configuration()), p)
+  }
+
+  /** Keys must be printable ASCII with no spaces: the idx sidecar is
+    * space-delimited, and non-ASCII would silently '?'-collide. */
+  private[sinks] def validateKey(key: String): String = {
+    require(key.nonEmpty, "empty key")
+    require(key.forall(c => c > ' ' && c < 127),
+      s"key must be printable ASCII without spaces/control chars: '$key'")
+    key
+  }
+
+  final class ShardWriter(dirPath: String, shardId: Int, batchSize: Int = DefaultBatchSize) {
+    private val (fs, dir) = fsFor(dirPath)
+    private val dataPath = new Path(dir, f"shard-$shardId%05d.kv")
+    private val idxPath = new Path(dir, f"shard-$shardId%05d.idx")
+    private val metaPath = new Path(dir, f"shard-$shardId%05d.meta.txt")
+    // write to a task-attempt temp name, rename on close: retried or
     // speculative task attempts never corrupt a committed shard
-    private val tmpFile = new File(dir,
-      dataFile.getName + s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    private val tmpPath = new Path(dir,
+      dataPath.getName + s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
     private val out = new DataOutputStream(
-      new BufferedOutputStream(new FileOutputStream(tmpFile), 1 << 20))
+      new BufferedOutputStream(fs.create(tmpPath, true), 1 << 20))
     private val idx = new StringBuilder
     private val meta = new StringBuilder
     private var offset = 0L
@@ -45,7 +71,7 @@ object KvStore {
     private var count = 0L
 
     def put(key: String, value: Array[Byte], shape: scala.collection.Seq[Int], dtype: String): Unit = {
-      val kb = key.getBytes(StandardCharsets.US_ASCII)
+      val kb = validateKey(key).getBytes(StandardCharsets.US_ASCII)
       out.writeInt(kb.length); out.write(kb)
       out.writeInt(value.length); out.write(value)
       val recOff = offset + 8 + kb.length
@@ -58,34 +84,48 @@ object KvStore {
       if (pending >= batchSize) { out.flush(); pending = 0 } // txn-batch analog
     }
 
-    /** Task commit: flush data, atomic-rename into place, write idx + meta
+    /** Task commit: flush data, rename into place, write idx + meta
       * sidecars (data lands before the index that points into it). */
     def close(): Long = {
       out.flush(); out.close()
-      java.nio.file.Files.move(tmpFile.toPath, dataFile.toPath,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.writeString(idxFile.toPath, idx.toString)
-      java.nio.file.Files.writeString(metaFile.toPath, meta.toString)
+      if (fs.exists(dataPath)) fs.delete(dataPath, false)
+      require(fs.rename(tmpPath, dataPath), s"rename $tmpPath -> $dataPath failed")
+      writeString(fs, idxPath, idx.toString)
+      writeString(fs, metaPath, meta.toString)
       count
     }
   }
 
+  private def writeString(fs: FileSystem, p: Path, s: String): Unit = {
+    val o = fs.create(p, true)
+    try o.write(s.getBytes(StandardCharsets.UTF_8)) finally o.close()
+  }
+
+  private def readString(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+      new String(bos.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
   /** Create an empty store dir; refuses non-empty target like the reference. */
-  def create(path: String): File = {
-    val dir = new File(path)
-    if (dir.exists && dir.listFiles() != null && dir.listFiles().nonEmpty)
+  def create(path: String): Unit = {
+    val (fs, dir) = fsFor(path)
+    if (fs.exists(dir) && fs.listStatus(dir).nonEmpty)
       throw new IllegalStateException(s"KvStore target not empty: $path")
-    dir.mkdirs()
-    dir
+    fs.mkdirs(dir)
   }
 
   /** Job commit: write the manifest naming every committed shard. */
   def commit(path: String): Unit = {
-    val shards = new File(path).listFiles()
-      .filter(_.getName.matches("shard-\\d+\\.kv")).map(_.getName).sorted
-    java.nio.file.Files.writeString(
-      new File(path, "_MANIFEST").toPath, shards.mkString("", "\n", "\n"))
+    val (fs, dir) = fsFor(path)
+    val shards = fs.listStatus(dir)
+      .map(_.getPath.getName).filter(_.matches("shard-\\d+\\.kv")).sorted
+    writeString(fs, new Path(dir, "_MANIFEST"), shards.mkString("", "\n", "\n"))
   }
 
   /** Distributed write: one shard per partition of `df(key, value, shape, dtype)`. */
@@ -95,7 +135,7 @@ object KvStore {
       val pid = org.apache.spark.TaskContext.getPartitionId()
       var w: ShardWriter = null
       rows.foreach { r =>
-        if (w == null) w = new ShardWriter(new File(path), pid, batchSize)
+        if (w == null) w = new ShardWriter(path, pid, batchSize)
         w.put(r.getAs[String]("key"), r.getAs[Array[Byte]]("value"),
           r.getAs[scala.collection.Seq[Int]]("shape"), r.getAs[String]("dtype"))
       }
@@ -105,41 +145,42 @@ object KvStore {
     commit(path)
   }
 
-  private def committedShards(path: String): Seq[File] = {
-    val manifest = new File(path, "_MANIFEST")
-    require(manifest.exists, s"no _MANIFEST in $path (uncommitted store)")
-    java.nio.file.Files.readAllLines(manifest.toPath).toArray(Array.empty[String])
-      .filter(_.nonEmpty).map(n => new File(path, n)).toSeq
+  private def committedShards(path: String): Seq[Path] = {
+    val (fs, dir) = fsFor(path)
+    val manifest = new Path(dir, "_MANIFEST")
+    require(fs.exists(manifest), s"no _MANIFEST in $path (uncommitted store)")
+    readString(fs, manifest).split('\n').iterator
+      .filter(_.nonEmpty).map(n => new Path(dir, n)).toSeq
   }
 
-  private def loadIndex(shard: File): Seq[(String, Long, Int)] = {
-    val idx = new File(shard.getParentFile, shard.getName.stripSuffix(".kv") + ".idx")
-    java.nio.file.Files.readAllLines(idx.toPath).toArray(Array.empty[String])
-      .filter(_.nonEmpty).map { line =>
-        val p = line.split(' ')
-        (p(0), p(1).toLong, p(2).toInt)
-      }.toSeq
+  private def loadIndex(fs: FileSystem, shard: Path): Seq[(String, Long, Int)] = {
+    val idx = new Path(shard.getParent, shard.getName.stripSuffix(".kv") + ".idx")
+    readString(fs, idx).split('\n').iterator.filter(_.nonEmpty).map { line =>
+      val p = line.split(' ')
+      (p(0), p(1).toLong, p(2).toInt)
+    }.toSeq
   }
 
   /** S10: point lookup across shards. */
   def get(path: String, key: String): Option[Array[Byte]] = {
+    val (fs, _) = fsFor(path)
     committedShards(path).iterator.flatMap { shard =>
-      loadIndex(shard).collectFirst { case (k, off, len) if k == key =>
-        val raf = new RandomAccessFile(shard, "r")
+      loadIndex(fs, shard).collectFirst { case (k, off, len) if k == key =>
+        val in = fs.open(shard)
         try {
-          raf.seek(off)
           val buf = new Array[Byte](len)
-          raf.readFully(buf)
+          in.readFully(off, buf, 0, len)
           buf
-        } finally raf.close()
+        } finally in.close()
       }
     }.nextOption()
   }
 
   /** S11: sorted key iterator with optional regex filter and limit. */
   def listKeys(path: String, regex: Option[String] = None, limit: Int = Int.MaxValue): Seq[String] = {
+    val (fs, _) = fsFor(path)
     val rx = regex.map(_.r)
-    committedShards(path).flatMap(loadIndex).map(_._1)
+    committedShards(path).flatMap(loadIndex(fs, _)).map(_._1)
       .filter(k => rx.forall(_.findFirstIn(k).isDefined))
       .sorted.take(limit)
   }
@@ -147,17 +188,16 @@ object KvStore {
   /** Scan the store back as a DataFrame (key, value) — shards in parallel. */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
-    val shardPaths = committedShards(path).map(_.getAbsolutePath)
+    val shardPaths = committedShards(path).map(_.toString)
     spark.sparkContext.parallelize(shardPaths, math.max(shardPaths.size, 1))
       .flatMap { sp =>
-        val shard = new File(sp)
-        val raf = new RandomAccessFile(shard, "r")
-        try loadIndex(shard).map { case (k, off, len) =>
-          raf.seek(off)
+        val (fs, shard) = fsFor(sp)
+        val in = fs.open(shard)
+        try loadIndex(fs, shard).map { case (k, off, len) =>
           val buf = new Array[Byte](len)
-          raf.readFully(buf)
+          in.readFully(off, buf, 0, len)
           (k, buf)
-        } finally raf.close()
+        } finally in.close()
       }.toDF("key", "value")
   }
 }

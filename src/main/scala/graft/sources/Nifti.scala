@@ -154,6 +154,10 @@ object Nifti {
       case "sagittal" => h.voxOffset + ((d2 - 1).toLong * d0 * d1 + (i + 1).toLong * d0) * 4
       case o => throw new IllegalArgumentException(s"unknown orientation $o")
     }
+    // a gzip member can only be buffered up to 2 GiB; past that the bounded
+    // decompress would wrap negative and return an empty buffer — fail loudly
+    require(lastNeeded <= Int.MaxValue,
+      s"slice beyond 2 GiB inside gzip member ($lastNeeded bytes needed) — store uncompressed")
     val bytes = if (isGzip(raw)) gunzip(raw, lastNeeded.toInt) else raw
     val bb = ByteBuffer.wrap(bytes)
       .order(if (h.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
@@ -182,7 +186,11 @@ object Nifti {
         val out = new Array[Float](d2 * d0)
         var a = 0
         while (a < d2) {
-          val base = h.voxOffset + (i.toLong * d0 + a.toLong * d0 * d1).toInt * 4
+          // multiply in Long BEFORE narrowing: (x).toInt * 4 truncates first
+          // and silently reads wrong offsets above ~512M voxels
+          val baseL = h.voxOffset.toLong + (i.toLong * d0 + a.toLong * d0 * d1) * 4
+          require(baseL + d0.toLong * 4 <= Int.MaxValue, s"sagittal slice offset $baseL exceeds buffer")
+          val base = baseL.toInt
           var b = 0
           while (b < d0) { out(a * d0 + b) = bb.getFloat(base + b * 4); b += 1 }
           a += 1

@@ -140,7 +140,7 @@ object EventStreams {
           var w: graft.sinks.KvStore.ShardWriter = null
           rows.foreach { r =>
             if (w == null) w = new graft.sinks.KvStore.ShardWriter(
-              new java.io.File(store), (batchId * 1000 + pid).toInt)
+              store, (batchId * 1000 + pid).toInt)
             w.put(r.getAs[String]("key"), r.getAs[Array[Byte]]("value"),
               r.getAs[scala.collection.Seq[Int]]("shape"), r.getAs[String]("dtype"))
           }

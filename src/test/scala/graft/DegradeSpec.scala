@@ -40,6 +40,25 @@ class DegradeSpec extends AnyFunSuite {
     }
   }
 
+  test("v1 voxel factor is linear, keep_size keeps shape with (0.7,0.7) crop and voxel_factor 1") {
+    val img = slice(20, 20)
+    // v1 downsample: voxel_factor = fator_reducao (linear), NOT fator²
+    // (transform_lower_tesla.py:442)
+    val down = Degrade.degrade(img, 20, 20,
+      Degrade.Params(fatorReducao = 2, v2 = false, accountVoxelSize = true,
+        snrTarget = None, snr7tEstimate = 40.0), seed = 5)
+    assert(down.meta("voxel_factor").toDouble == 2.0)
+    assert(down.lrH == 10 && down.lrW == 10)
+    // v1 keep_size: shape preserved, crop defaults (0.7,0.7), voxel_factor 1
+    // even with account_voxel_size=true (transform_lower_tesla.py:434-437)
+    val kept = Degrade.degrade(img, 20, 20,
+      Degrade.Params(fatorReducao = 2, v2 = false, keepSize = true,
+        accountVoxelSize = true, snrTarget = None, snr7tEstimate = 40.0), seed = 5)
+    assert(kept.lrH == 20 && kept.lrW == 20)
+    assert(kept.meta("voxel_factor").toDouble == 1.0)
+    assert(kept.meta("crop_fy").toDouble == 0.7 && kept.meta("crop_fx").toDouble == 0.7)
+  }
+
   test("snr target: v2 computes from empirical 153.03 when unset") {
     val img = slice(16, 16)
     val r = Degrade.degradePreset(img, 16, 16, "3tFlash", seed = 2)

@@ -59,8 +59,8 @@ class EdgeCaseSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("kvedge_").toString
     new java.io.File(tmp).delete()
     KvStore.create(tmp)
-    val w0 = new KvStore.ShardWriter(new java.io.File(tmp), 0)
-    val w1 = new KvStore.ShardWriter(new java.io.File(tmp), 1)
+    val w0 = new KvStore.ShardWriter(tmp, 0)
+    val w1 = new KvStore.ShardWriter(tmp, 1)
     w0.put("k0", Array[Byte](1), Seq(1), "float32")
     w1.put("k1", Array[Byte](2, 2), Seq(2), "float32")
     w0.close(); w1.close()

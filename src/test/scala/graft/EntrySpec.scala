@@ -82,7 +82,7 @@ class EntrySpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("kvspec_").toString
     new java.io.File(tmp).delete()
     KvStore.create(tmp)
-    val w = new KvStore.ShardWriter(new java.io.File(tmp), 0, batchSize = 2)
+    val w = new KvStore.ShardWriter(tmp, 0, batchSize = 2)
     w.put("a__s001", Array[Byte](1, 2, 3), Seq(1, 3), "float32")
     w.put("b__s002", Array[Byte](4, 5), Seq(1, 2), "float32")
     w.put("c__other", Array[Byte](9), Seq(1), "float32")
@@ -93,5 +93,15 @@ class EntrySpec extends AnyFunSuite {
     assert(KvStore.listKeys(tmp, Some("__s\\d+"), 10) == Seq("a__s001", "b__s002"))
     assert(KvStore.listKeys(tmp, None, 2).length == 2)
     intercept[IllegalStateException](KvStore.create(tmp))
+  }
+
+  test("kv store rejects keys that would corrupt the space-delimited index") {
+    val tmp = java.nio.file.Files.createTempDirectory("kvspec_keys_").toString
+    val w = new KvStore.ShardWriter(tmp, 7)
+    intercept[IllegalArgumentException](w.put("has space", Array[Byte](1), Seq(1), "b"))
+    intercept[IllegalArgumentException](w.put("naïve", Array[Byte](1), Seq(1), "b"))
+    intercept[IllegalArgumentException](w.put("", Array[Byte](1), Seq(1), "b"))
+    w.put("ok__key-1.npy", Array[Byte](9), Seq(1), "b")
+    assert(w.close() == 1)
   }
 }

@@ -612,29 +612,151 @@ object Image {
     (out, w, h)
   }
 
-  /** K18: area (box) resize for integer downscale factors — the naive-LR
-    * sampler (reference create_sample.py:74, cv2 INTER_AREA). */
+  /** K18: area (box) resize — the naive-LR sampler (reference
+    * create_sample.py:74, cv2 INTER_AREA semantics). Integer downscale
+    * factors take the exact box-average fast path; arbitrary ratios use
+    * fractional-area weighting (each output pixel averages its source
+    * window [y·sy,(y+1)·sy)×[x·sx,(x+1)·sx) with partial rows/columns
+    * weighted by their overlap); upscale falls back to bilinear, as cv2
+    * INTER_AREA does. */
   def resizeArea(a: Array[Float], h: Int, w: Int, oh: Int, ow: Int): Array[Float] = {
-    require(h % oh == 0 && w % ow == 0, "resizeArea: integer factors only")
-    val fy = h / oh; val fx = w / ow
+    if (h % oh == 0 && w % ow == 0) {
+      val fy = h / oh; val fx = w / ow
+      val out = new Array[Float](oh * ow)
+      var y = 0
+      while (y < oh) {
+        var x = 0
+        while (x < ow) {
+          var acc = 0.0
+          var dy = 0
+          while (dy < fy) {
+            var dx = 0
+            while (dx < fx) { acc += a((y * fy + dy) * w + (x * fx + dx)); dx += 1 }
+            dy += 1
+          }
+          out(y * ow + x) = (acc / (fy * fx)).toFloat
+          x += 1
+        }
+        y += 1
+      }
+      out
+    } else if (oh <= h && ow <= w) {
+      val sy = h.toDouble / oh; val sx = w.toDouble / ow
+      val out = new Array[Float](oh * ow)
+      var y = 0
+      while (y < oh) {
+        val y0 = y * sy; val y1 = (y + 1) * sy
+        val iy0 = math.floor(y0).toInt
+        val iy1 = math.min(math.ceil(y1).toInt, h)
+        var x = 0
+        while (x < ow) {
+          val x0 = x * sx; val x1 = (x + 1) * sx
+          val ix0 = math.floor(x0).toInt
+          val ix1 = math.min(math.ceil(x1).toInt, w)
+          var acc = 0.0; var wsum = 0.0
+          var iy = iy0
+          while (iy < iy1) {
+            val wy = math.min(iy + 1.0, y1) - math.max(iy.toDouble, y0)
+            var ix = ix0
+            while (ix < ix1) {
+              val wx = math.min(ix + 1.0, x1) - math.max(ix.toDouble, x0)
+              acc += a(iy * w + ix) * wy * wx
+              wsum += wy * wx
+              ix += 1
+            }
+            iy += 1
+          }
+          out(y * ow + x) = (acc / wsum).toFloat
+          x += 1
+        }
+        y += 1
+      }
+      out
+    } else resizeBilinear(a, h, w, oh, ow)
+  }
+
+  /** K18: bilinear resize with cv2 INTER_LINEAR's half-pixel center mapping
+    * src = (dst + 0.5)·scale − 0.5, edge-clamped. */
+  def resizeBilinear(a: Array[Float], h: Int, w: Int, oh: Int, ow: Int): Array[Float] = {
+    val sy = h.toDouble / oh; val sx = w.toDouble / ow
     val out = new Array[Float](oh * ow)
     var y = 0
     while (y < oh) {
+      val fy = math.max(0.0, math.min((y + 0.5) * sy - 0.5, h - 1.0))
+      val y0 = math.min(fy.toInt, h - 1); val y1 = math.min(y0 + 1, h - 1)
+      val ty = fy - y0
       var x = 0
       while (x < ow) {
-        var acc = 0.0
-        var dy = 0
-        while (dy < fy) {
-          var dx = 0
-          while (dx < fx) { acc += a((y * fy + dy) * w + (x * fx + dx)); dx += 1 }
-          dy += 1
-        }
-        out(y * ow + x) = (acc / (fy * fx)).toFloat
+        val fx = math.max(0.0, math.min((x + 0.5) * sx - 0.5, w - 1.0))
+        val x0 = math.min(fx.toInt, w - 1); val x1 = math.min(x0 + 1, w - 1)
+        val tx = fx - x0
+        val top = a(y0 * w + x0) * (1 - tx) + a(y0 * w + x1) * tx
+        val bot = a(y1 * w + x0) * (1 - tx) + a(y1 * w + x1) * tx
+        out(y * ow + x) = (top * (1 - ty) + bot * ty).toFloat
         x += 1
       }
       y += 1
     }
     out
+  }
+
+  /** Bicubic kernel, cv2's a = −0.75 (Keys 1981 with cv2's constant). */
+  @inline private def cubicW(t: Double): Double = {
+    val at = math.abs(t)
+    val a = -0.75
+    if (at <= 1.0) ((a + 2.0) * at - (a + 3.0)) * at * at + 1.0
+    else if (at < 2.0) (((at - 5.0) * at + 8.0) * at - 4.0) * a
+    else 0.0
+  }
+
+  /** K18: bicubic resize (cv2 INTER_CUBIC: 4×4 neighborhood, a = −0.75,
+    * half-pixel mapping, replicated borders) — the viz-path interpolator
+    * (reference v2/viz_lmdb_pair.py:42-60). */
+  def resizeBicubic(a: Array[Float], h: Int, w: Int, oh: Int, ow: Int): Array[Float] = {
+    val sy = h.toDouble / oh; val sx = w.toDouble / ow
+    val out = new Array[Float](oh * ow)
+    @inline def clampY(i: Int) = if (i < 0) 0 else if (i >= h) h - 1 else i
+    @inline def clampX(i: Int) = if (i < 0) 0 else if (i >= w) w - 1 else i
+    var y = 0
+    while (y < oh) {
+      val fy = (y + 0.5) * sy - 0.5
+      val iy = math.floor(fy).toInt
+      val ty = fy - iy
+      var x = 0
+      while (x < ow) {
+        val fx = (x + 0.5) * sx - 0.5
+        val ix = math.floor(fx).toInt
+        val tx = fx - ix
+        var acc = 0.0
+        var dy = -1
+        while (dy <= 2) {
+          val wy = cubicW(dy - ty)
+          if (wy != 0.0) {
+            val row = clampY(iy + dy) * w
+            var dx = -1
+            while (dx <= 2) {
+              val wx = cubicW(dx - tx)
+              if (wx != 0.0) acc += a(row + clampX(ix + dx)) * wy * wx
+              dx += 1
+            }
+          }
+          dy += 1
+        }
+        out(y * ow + x) = acc.toFloat
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** K18 dispatcher matching cv2.resize's interpolation names. */
+  def resize(a: Array[Float], h: Int, w: Int, oh: Int, ow: Int,
+      method: String = "area"): Array[Float] = method match {
+    case "area"    => resizeArea(a, h, w, oh, ow)
+    case "linear"  => resizeBilinear(a, h, w, oh, ow)
+    case "cubic"   => resizeBicubic(a, h, w, oh, ow)
+    case m => throw new IllegalArgumentException(s"resize method must be area|linear|cubic, got $m")
   }
 
   // ----------------------------------------------------------- dark filters

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -109,6 +109,38 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
         round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
       .orderBy("l_returnflag")
+
+  /** A4 scale path: approx percentiles (GK sketch, functions.Percentiles)
+    * with an IN-QUERY proof of the rank-error contract — for each returned
+    * value v, the rank interval [count(< v)+1, count(<= v)] must intersect
+    * [(p−ε)·n, (p+ε)·n], ε = 1/accuracy. Output is all-true booleans, so
+    * the check is deterministic; rows-only (DuckDB's approx_quantile is a
+    * different sketch and cannot hash-match). Bench this against
+    * q08_percentiles: same statistic, no per-group sort-merge. */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Percentiles
+    val acc = Percentiles.DefaultAccuracy
+    val li = t(s, dir, "lineitem")
+    val ap = li.groupBy("l_returnflag").agg(
+      count(lit(1)).as("n"),
+      Percentiles.approx(col("l_extendedprice"), 0.01, acc).as("a01"),
+      Percentiles.approx(col("l_extendedprice"), 0.5, acc).as("a50"),
+      Percentiles.approx(col("l_extendedprice"), 0.99, acc).as("a99"))
+    // rank window: 2ε·n + 1 slack — ε·n is the sketch guarantee and the
+    // extra ε·n + 1 absorbs the target-rank convention (p·n vs p·(n−1)+1)
+    def okCol(p: Double, a: String): Column = {
+      val lo = (lit(p) - lit(2.0) / acc) * col("n") - 1L
+      val hi = (lit(p) + lit(2.0) / acc) * col("n") + 1L
+      (sum(when(col("l_extendedprice") < col(a), 1L).otherwise(0L)) + 1L <= hi) &&
+        (sum(when(col("l_extendedprice") <= col(a), 1L).otherwise(0L)) >= lo)
+    }
+    li.join(broadcast(ap), Seq("l_returnflag"))
+      .groupBy("l_returnflag", "n")
+      .agg(okCol(0.01, "a01").as("ok01"), okCol(0.5, "a50").as("ok50"),
+        okCol(0.99, "a99").as("ok99"))
+      .select(col("l_returnflag"), col("n"), col("ok01"), col("ok50"), col("ok99"))
+      .orderBy("l_returnflag")
+  }
 
   /** A7 fixed-width histogram (64 bins over a global min/max window).
     * Reference: 256-bin histogram for Otsu, v2/estimate_snr.py:31. */
@@ -296,6 +328,7 @@ object Relational {
     "q06_join_supplier_rev" -> (q06 _),
     "q07_multijoin_region_year" -> (q07 _),
     "q08_percentiles" -> (q08 _),
+    "q83_percentile_approx" -> (q83 _),
     "q09_histogram" -> (q09 _),
     "q10_otsu_threshold" -> (q10 _),
     "q11_window_running" -> (q11 _),

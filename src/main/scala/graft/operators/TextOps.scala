@@ -130,6 +130,19 @@ object TextOps {
       .select(col("doc_id"), md5(concat((0 until 8).map(j => col(s"h$j")): _*)).as("sig"))
       .orderBy("doc_id")
 
+  /** MinHash fast path: numeric xxhash64 signatures (min of a salted 64-bit
+    * hash per shingle) instead of min(md5-hex-string) — same one-shuffle
+    * shape as q23 but integer min-combine, no 32-char string materialization
+    * or lexicographic compares in the agg. Rows-only: DuckDB has no
+    * xxhash64, so the md5 form (q23) remains the oracle-parity variant;
+    * bench both to record the delta. */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until 8).map(j => min(xxhash64(lit(j.toLong), col("sh"))).as(s"h$j"))
+    shingles(s, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), xxhash64((0 until 8).map(j => col(s"h$j")): _*).as("sig"))
+      .orderBy("doc_id")
+  }
+
   /** LSH banding candidate pairs (shuffle on band key only). */
   private def q24(s: SparkSession, dir: String): DataFrame =
     candidates(s, dir).orderBy("a", "b_id")
@@ -273,6 +286,7 @@ object TextOps {
     "q70_dedup_components" -> (q70 _),
     "q22_dedup_exact" -> (q22 _),
     "q23_minhash_sig" -> (q23 _),
+    "q82_minhash_fast" -> (q82 _),
     "q24_lsh_candidates" -> (q24 _),
     "q25_jaccard_pairs" -> (q25 _),
     "q26_neardup_dedup" -> (q26 _),

@@ -37,22 +37,47 @@ object VectorOps {
     * 65536 buckets per band keeps within-bucket self-joins bounded (vs the
     * quadratic N²/256 of a single 8-bit bucket), and the 4-band OR restores
     * the recall a single wide band would lose. */
-  private def bandExpr(j0: Int): String =
-    s"""aggregate(sequence(0, 15), 0L, (acc, j) ->
-       |  acc + CASE WHEN aggregate(sequence(0, size(embedding) - 1), 0L,
-       |                  (s, d) -> s + cast(round(cast(embedding[d] as double) * 1000, 0) as bigint)
-       |                            * ((((j + $j0) * 37 + d * 101) % 19) - 9)) > 0
-       |             THEN shiftleft(cast(1 as bigint), cast(j as int)) ELSE 0L END)""".stripMargin
+  /** Compiled Scala UDF rather than nested Catalyst HOFs: `aggregate`
+    * lambdas evaluate interpreted per element, and 4 bands × 16 planes ×
+    * dim iterations per row dominated the sf0.1 bench (the q27-simhash
+    * lesson). The UDF runs the IDENTICAL integer arithmetic — quantizer
+    * `cast(round(x*1000, 0) as bigint)` reproduced via BigDecimal HALF_UP,
+    * which is exactly Spark's Round — so the DuckDB oracle is unchanged. */
+  private val bands4x16 = udf { (e: Seq[Float]) =>
+    val dim = e.length
+    val q = new Array[Long](dim)
+    var d = 0
+    while (d < dim) {
+      q(d) = java.math.BigDecimal.valueOf(e(d).toDouble * 1000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      d += 1
+    }
+    val out = new Array[Long](4)
+    var k = 0
+    while (k < 4) {
+      var bv = 0L
+      var j = 0
+      while (j < 16) {
+        val plane = (k * 16 + j) * 37
+        var s = 0L
+        d = 0
+        while (d < dim) { s += q(d) * (((plane + d * 101) % 19) - 9); d += 1 }
+        if (s > 0) bv |= 1L << j
+        j += 1
+      }
+      out(k) = bv
+      k += 1
+    }
+    out
+  }
 
-  /** (vec_id, embedding, bk, bv): all 4 band keys computed in ONE pass over
-    * the scan, then unpivoted with stack() — never 4 re-scans. */
+  /** (vec_id, bk, bv): all 4 band keys computed in ONE pass over the scan,
+    * then unpivoted with stack() — never 4 re-scans. */
   private def banded(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"),
-        expr(bandExpr(0)).as("b0"), expr(bandExpr(16)).as("b1"),
-        expr(bandExpr(32)).as("b2"), expr(bandExpr(48)).as("b3"))
+      .select(col("vec_id"), bands4x16(col("embedding")).as("bands"))
       .selectExpr("vec_id",
-        "stack(4, 0L, b0, 1L, b1, 2L, b2, 3L, b3) AS (bk, bv)")
+        "stack(4, 0L, bands[0], 1L, bands[1], 2L, bands[2], 3L, bands[3]) AS (bk, bv)")
 
   /** Brute-force cosine top-5 for a probe subset (vec_id % 100 == 0). */
   private def q33(s: SparkSession, dir: String): DataFrame = {

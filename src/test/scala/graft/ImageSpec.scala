@@ -198,6 +198,45 @@ class ImageSpec extends AnyFunSuite {
     assert(r.toSeq == Seq(2.5f))
   }
 
+  test("resizeArea handles non-integer ratios with fractional-area weights (cv2 INTER_AREA)") {
+    // 3x3 ramp 0..8 → 2x2, scale 1.5: each output pixel averages a 1.5×1.5
+    // source window with partial rows/cols weighted by overlap. Golden
+    // values derived by hand (= cv2 INTER_AREA): [4/3, 8/3; 16/3, 20/3].
+    val a = Array.tabulate(9)(_.toFloat)
+    val r = Image.resizeArea(a, 3, 3, 2, 2)
+    val exp = Seq(4.0 / 3, 8.0 / 3, 16.0 / 3, 20.0 / 3)
+    r.toSeq.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-6, s"$g vs $e") }
+  }
+
+  test("resizeBilinear matches cv2 INTER_LINEAR half-pixel mapping (2x2 → 3x3)") {
+    val a = Array(0f, 1f, 2f, 3f)
+    val r = Image.resizeBilinear(a, 2, 2, 3, 3)
+    val exp = Seq(0f, 0.5f, 1f, 1f, 1.5f, 2f, 2f, 2.5f, 3f)
+    r.toSeq.zip(exp).foreach { case (g, e) => assert(math.abs(g - e) < 1e-6f, s"$g vs $e") }
+    // INTER_AREA upscale falls back to bilinear, like cv2
+    assert(Image.resizeArea(a, 2, 2, 3, 3).toSeq == r.toSeq)
+  }
+
+  test("resizeBicubic preserves constants and reproduces linear ramps in the interior") {
+    val const = Array.fill(36)(7.25f)
+    assert(Image.resizeBicubic(const, 6, 6, 9, 7).forall(v => math.abs(v - 7.25f) < 1e-5f))
+    // horizontal ramp a(y,x)=x upscaled 8→16: the a=−0.75 kernel's first
+    // moment at t=0.25 is 0.296875 (not t — only a=−0.5 Catmull-Rom
+    // reproduces linear), so interior columns land at
+    // floor(fx) + m(frac): m(0.25)=0.296875, m(0.75)=0.703125 — these are
+    // cv2 INTER_CUBIC's exact values.
+    val ramp = Array.tabulate(8 * 8)(i => (i % 8).toFloat)
+    val up = Image.resizeBicubic(ramp, 8, 8, 8, 16)
+    for (x <- 3 until 13) {
+      val fx = (x + 0.5) * 0.5 - 0.5
+      val exp = math.floor(fx) + (if (fx - math.floor(fx) == 0.25) 0.296875 else 0.703125)
+      assert(math.abs(up(4 * 16 + x) - exp) < 1e-5, s"col $x: ${up(4 * 16 + x)} vs $exp")
+    }
+    // dispatcher parity
+    assert(Image.resize(ramp, 8, 8, 4, 4, "cubic").toSeq ==
+      Image.resizeBicubic(ramp, 8, 8, 4, 4).toSeq)
+  }
+
   test("npy roundtrip + golden bytes match np.save") {
     val data = Array(1.5f, -2.25f, 3.0f, 0.0f, 4.5f, -1.0f)
     val enc = Npy.encode(data, Seq(2, 3))

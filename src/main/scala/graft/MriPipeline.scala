@@ -2,7 +2,6 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.functions.{Degrade, Image, Npy, Rng}
 import graft.model._
@@ -35,21 +34,22 @@ object MriPipeline {
       .as[Slice]
   }
 
-  /** W1: metadata-only split plan — deterministic rank over xxhash64 of the
-    * slice id, ratio cut train/val/test (v2 defaults 0.95/0.03/0.02). */
+  /** W1: metadata-only split plan — deterministic hash-cut over xxhash64 of
+    * the slice id, ratio cut train/val/test (v2 defaults 0.95/0.03/0.02).
+    * Pure per-row hash-cut, not a global rank: a rank needs a
+    * single-partition Window over every distinct id (the 100 TB
+    * bottleneck); bucket-vs-cutoff holds the ratios in expectation and is
+    * retry/repartition-stable. */
   def planSplit(slices: Dataset[Slice], seed: Long = 42,
       ratios: (Double, Double) = (0.95, 0.98)): Dataset[SplitLabel] = {
     val spark = slices.sparkSession
     import spark.implicits._
-    val ids = slices.select(col("sliceId")).distinct()
-      .withColumn("hash", xxhash64(col("sliceId"), lit(seed)))
-    val w = Window.orderBy("hash", "sliceId")
-    ids.withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+    val cut1 = math.round(ratios._1 * 1000).toInt
+    val cut2 = math.round(ratios._2 * 1000).toInt
+    slices.select(col("sliceId")).distinct()
+      .withColumn("b", pmod(xxhash64(col("sliceId"), lit(seed)), lit(1000L)))
       .withColumn("split",
-        when(col("rk") <= floor(col("cnt") * ratios._1), "train")
-          .when(col("rk") <= floor(col("cnt") * ratios._2), "val")
-          .otherwise("test"))
+        when(col("b") < cut1, "train").when(col("b") < cut2, "val").otherwise("test"))
       .select(col("sliceId"), col("split"))
       .as[SplitLabel]
   }
@@ -116,9 +116,31 @@ object MriPipeline {
       }
   }
 
-  /** S9: distributed sharded store write (one writer per partition). */
-  def writeStore(records: Dataset[KvRecord], path: String): Unit =
+  /** S9: distributed sharded store write (one writer per partition), plus
+    * an optional run-level manifest (S13). */
+  def writeStore(records: Dataset[KvRecord], path: String,
+      meta: Seq[(String, String)] = Nil): Unit = {
     KvStore.write(records.toDF(), path)
+    if (meta.nonEmpty) writeRunMeta(path, meta)
+  }
+
+  /** S13 run-level manifest: the `dataset_meta.txt` analog
+    * (v2/nii_to_lmdb.py:306-323) — one `k: v` line per config entry, written
+    * next to the shards so a store is self-describing. */
+  def writeRunMeta(path: String, meta: Seq[(String, String)]): Unit =
+    KvStore.writeText(path, "dataset_meta.txt",
+      meta.map { case (k, v) => s"$k: $v" }.mkString("", "\n", "\n"))
+
+  /** Read the run manifest back as typed rows. */
+  def readRunMeta(spark: SparkSession, path: String): Dataset[RunMeta] = {
+    import spark.implicits._
+    KvStore.readText(path, "dataset_meta.txt")
+      .split('\n').toIndexedSeq.filter(_.nonEmpty)
+      .map { line =>
+        val i = line.indexOf(": ")
+        RunMeta(line.substring(0, i), line.substring(i + 2))
+      }.toDS()
+  }
 
   /** A1/A2: per-split run counters from a written record set. */
   def runStats(records: Dataset[KvRecord]): DataFrame =

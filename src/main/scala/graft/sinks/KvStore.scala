@@ -112,6 +112,19 @@ object KvStore {
     } finally in.close()
   }
 
+  /** Write a UTF-8 text sidecar (e.g. a run-level `dataset_meta.txt`) into
+    * the store dir through the same FS abstraction as the shards. */
+  def writeText(storePath: String, name: String, content: String): Unit = {
+    val (fs, dir) = fsFor(storePath)
+    writeString(fs, new Path(dir, name), content)
+  }
+
+  /** Read a text sidecar back. */
+  def readText(storePath: String, name: String): String = {
+    val (fs, dir) = fsFor(storePath)
+    readString(fs, new Path(dir, name))
+  }
+
   /** Create an empty store dir; refuses non-empty target like the reference. */
   def create(path: String): Unit = {
     val (fs, dir) = fsFor(path)

@@ -57,7 +57,18 @@ class MriPipelineSpec extends AnyFunSuite {
 
     val store = java.nio.file.Files.createTempDirectory("mri_store_").toString
     new java.io.File(store).delete()
-    MriPipeline.writeStore(recs, store)
+    MriPipeline.writeStore(recs, store, meta = Seq(
+      "preset" -> "3tFlash", "crop_hr" -> "8", "step_hr" -> "4",
+      "scales" -> "[2]", "split_unit" -> "slice",
+      "normalize_percentiles" -> "(0.5, 99.5)", "split_ratio" -> "(0.95, 0.03, 0.02)"))
+
+    // run-level manifest (S13): dataset_meta.txt is written next to the
+    // shards and reads back as typed rows
+    val metaMap = MriPipeline.readRunMeta(spark, store)
+      .collect().map(m => m.key -> m.value).toMap
+    assert(metaMap("preset") == "3tFlash" && metaMap("crop_hr") == "8")
+    assert(metaMap("split_unit") == "slice" && metaMap.size == 7)
+    assert(KvStore.readText(store, "dataset_meta.txt").contains("split_ratio: (0.95, 0.03, 0.02)"))
 
     // point lookup returns a decodable patch of the right shape
     val keys = KvStore.listKeys(store, Some("/HR/"), 5)

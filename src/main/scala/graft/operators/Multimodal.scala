@@ -10,12 +10,14 @@ import graft.Tables
   * typed metadata, processed by batch iterator kernels (`mapPartitions` —
   * the JVM analog of `mapInPandas` batch plumbing).
   *
-  * The actual media decode is STUBBED (this container ships no image/audio
-  * codecs): `decodeImageStub` derives deterministic fake dimensions and
-  * features from an md5 of the payload, so the Spark-side plumbing — binary
-  * column handling, batch iterator shape, schema, partitioning — is real and
-  * oracle-checkable, while a production build would swap the stub for a real
-  * codec behind the same signature.
+  * The IMAGE arm is real: q84 decodes PNG payloads with the JDK's own
+  * javax.imageio codecs and feature-extracts/resizes through the engine's
+  * kernels. Audio/video decode is STUBBED (those codecs aren't on the JVM
+  * classpath): `decodeImageStub` derives deterministic fake
+  * dimensions/features from an md5 of the payload, so the Spark-side
+  * plumbing — binary column handling, batch iterator shape, schema,
+  * partitioning — stays real and oracle-checkable, while a production build
+  * would swap the stub for a real codec behind the same signature.
   */
 object Multimodal {
 
@@ -78,9 +80,61 @@ object Multimodal {
         max(col("n_bytes").cast("long")).as("max_bytes"))
       .orderBy("source")
 
+  /** REAL image decode (no stub): javax.imageio ships PNG/JPEG/BMP/GIF
+    * codecs in the JDK itself, so the image arm of the multimodal tier can
+    * be genuinely exercised end-to-end — encode synthetic gray PNGs
+    * (sinks.Png), carry them as an opaque binary column, then decode /
+    * feature-extract / resize inside mapPartitions (iterator-to-iterator,
+    * one ImageIO read per payload, no collect). Rows-only: DuckDB cannot
+    * decode PNG. Audio/video decode remains stubbed (q54/q55) — those
+    * codecs genuinely aren't on the JVM classpath. */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables(s, dir, "part").select(col("p_partkey")).as[Long]
+      .filter(_ % 8 == 0)
+      .map { pk =>
+        val h = 16 + (pk % 5).toInt; val w = 12 + (pk % 7).toInt
+        val px = Array.tabulate(h * w)(i => ((pk * 31 + i * 7) % 256).toInt)
+        (pk, graft.sinks.Png.encodeGray8(px, h, w))
+      }.toDF("media_id", "payload")
+    payloads.as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val h = img.getHeight; val w = img.getWidth
+          // raw raster samples: getRGB would run the gray→sRGB colorspace
+          // conversion and corrupt the pixel values
+          val raster = img.getRaster
+          val gray = new Array[Float](h * w)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              gray(y * w + x) = raster.getSample(x, y, 0).toFloat
+              x += 1
+            }
+            y += 1
+          }
+          var mean = 0.0
+          gray.foreach(mean += _)
+          mean /= gray.length
+          // resize through the engine's K18 kernel → 8×8 thumbnail feature
+          val thumb = graft.functions.Image.resizeArea(gray, h, w, 8, 8)
+          var tmean = 0.0
+          thumb.foreach(tmean += _)
+          tmean /= thumb.length
+          (id, bytes.length.toLong, h.toLong, w.toLong,
+            math.rint(mean * 1000) / 1000, math.rint(tmean * 1000) / 1000)
+        }
+      }
+      .toDF("media_id", "n_bytes", "height", "width", "mean_lum", "thumb_mean")
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_multimodal_decode" -> (q54 _),
-    "q55_multimodal_agg" -> (q55 _)
+    "q55_multimodal_agg" -> (q55 _),
+    "q84_multimodal_imageio" -> (q84 _)
   )
 
   val oracles: Map[String, String] = Map(

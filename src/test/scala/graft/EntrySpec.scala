@@ -40,6 +40,20 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal ImageIO decode is lossless: decoded mean equals source pixel mean") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q84_multimodal_imageio")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pk = r.getAs[Long]("media_id")
+      val h = 16 + (pk % 5).toInt; val w = 12 + (pk % 7).toInt
+      assert(r.getAs[Long]("height") == h && r.getAs[Long]("width") == w)
+      val px = Array.tabulate(h * w)(i => ((pk * 31 + i * 7) % 256).toInt)
+      val mean = math.rint(px.map(_.toDouble).sum / px.length * 1000) / 1000
+      assert(r.getAs[Double]("mean_lum") == mean, s"media $pk mean mismatch")
+    }
+  }
+
   test("bucketed join plan has no exchange on either side") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("bspec_").toString

@@ -5,7 +5,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Sharded key→bytes store — the engine's re-expression of the reference's
   * LMDB sinks (SURVEY.md S8–S11; v2/lmdb_npy.py:10-57, lmdb_util.py:9-133).
@@ -141,22 +141,18 @@ object KvStore {
     writeString(fs, new Path(dir, "_MANIFEST"), shards.mkString("", "\n", "\n"))
   }
 
-  /** Distributed write: one shard per partition of `df(key, value, shape, dtype)`. */
-  def write(df: DataFrame, path: String, batchSize: Int = DefaultBatchSize): Unit = {
-    create(path)
-    df.foreachPartition { rows: Iterator[Row] =>
-      val pid = org.apache.spark.TaskContext.getPartitionId()
-      var w: ShardWriter = null
-      rows.foreach { r =>
-        if (w == null) w = new ShardWriter(path, pid, batchSize)
-        w.put(r.getAs[String]("key"), r.getAs[Array[Byte]]("value"),
-          r.getAs[scala.collection.Seq[Int]]("shape"), r.getAs[String]("dtype"))
-      }
-      if (w != null) w.close()
-      ()
-    }
-    commit(path)
-  }
+  /** Distributed write: one shard per partition of `df(key, value, shape,
+    * dtype)`, through the DataSource V2 sink ([[KvStoreSink]]) — the
+    * `_MANIFEST` is assembled from the commit-coordinator-approved task
+    * attempts, so aborted/speculative duplicates can never leak a shard
+    * into the committed set. */
+  def write(df: DataFrame, path: String, batchSize: Int = DefaultBatchSize): Unit =
+    df.select("key", "value", "shape", "dtype")
+      .write.format("kvstore")
+      .option("path", path)
+      .option("batchSize", batchSize)
+      .mode("append")
+      .save()
 
   private def committedShards(path: String): Seq[Path] = {
     val (fs, dir) = fsFor(path)

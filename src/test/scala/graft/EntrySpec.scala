@@ -109,6 +109,27 @@ class EntrySpec extends AnyFunSuite {
     intercept[IllegalStateException](KvStore.create(tmp))
   }
 
+  test("kvstore DSv2 sink: coordinator-committed manifest, empty partitions excluded, roundtrip") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("kvv2_").toString
+    new java.io.File(tmp).delete()
+    // 4 partitions, one guaranteed empty after the filter
+    val df = (0 until 30).map(i => (f"k$i%03d", Array[Byte](i.toByte), Seq(1), "bytes"))
+      .toDF("key", "value", "shape", "dtype")
+      .repartition(4, $"key")
+      .filter($"key" =!= "nope")
+    KvStore.write(df, tmp, batchSize = 8)
+    val manifest = KvStore.readText(tmp, "_MANIFEST").split('\n').filter(_.nonEmpty).toSeq
+    assert(manifest.nonEmpty && manifest.forall(_.matches("shard-\\d{5}\\.kv")))
+    // every manifest entry exists on disk; only manifest shards are read
+    manifest.foreach(n => assert(new java.io.File(tmp, n).exists, s"missing $n"))
+    assert(KvStore.read(spark, tmp).count() == 30)
+    assert(KvStore.listKeys(tmp, None, 1000).length == 30)
+    assert(KvStore.get(tmp, "k007").get.toSeq == Seq[Byte](7))
+    // second write into the same dir must refuse (non-empty guard)
+    intercept[Exception](KvStore.write(df, tmp))
+  }
+
   test("kv store rejects keys that would corrupt the space-delimited index") {
     val tmp = java.nio.file.Files.createTempDirectory("kvspec_keys_").toString
     val w = new KvStore.ShardWriter(tmp, 7)

@@ -250,10 +250,13 @@ object TextOps {
 
   /** Duplicate-cluster assignment: connected components over the verified
     * near-dup pairs (jac >= 0.8), each doc labeled with the min doc_id of
-    * its component — the standard fuzzy-dedup finisher. Implemented as
-    * iterative min-label propagation (join + groupBy per round, converges in
-    * graph-diameter rounds; each round shuffles only the edge list, so the
-    * pattern scales to billions of edges, unlike a driver-side union-find). */
+    * its component — the standard fuzzy-dedup finisher. Iterative min-label
+    * propagation PLUS pointer doubling (each round also follows the label's
+    * own label), so convergence is O(log diameter) rounds instead of
+    * O(diameter) — on a 100 TB corpus with chain-shaped duplicate clusters
+    * that is the difference between ~6 and hundreds of shuffle rounds. Each
+    * round shuffles only the edge list and the label table, never
+    * materializing components on the driver. */
   private def q70(s: SparkSession, dir: String): DataFrame = {
     val edges0 = jaccard(s, dir).filter(col("jac") >= 0.8)
       .select(col("a").as("u"), col("b_id").as("v"))
@@ -267,8 +270,16 @@ object TextOps {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("node", "v_node"), col("v") === col("v_node"))
         .select(col("u").as("node"), col("label"))
-      val next = labels.select(col("node"), col("label")).union(viaNeighbors)
-        .groupBy("node").agg(min("label").as("label")).persist()
+      val propagated = labels.select(col("node"), col("label")).union(viaNeighbors)
+        .groupBy("node").agg(min("label").as("label"))
+      // pointer doubling: label ← min(label, label(label)); labels are
+      // always node ids, so the self-join resolves one extra hop per round
+      val next = propagated.as("a")
+        .join(propagated.select(col("node").as("l_node"), col("label").as("l_label")).as("b"),
+          col("a.label") === col("l_node"), "left")
+        .select(col("a.node").as("node"),
+          least(col("a.label"), coalesce(col("l_label"), col("a.label"))).as("label"))
+        .persist()
       val changed = next.as("n").join(labels.as("o"), Seq("node"))
         .filter(col("n.label") =!= col("o.label")).count()
       labels.unpersist()

@@ -118,6 +118,31 @@ object EventStreams {
       .orderBy("user_id")
   }
 
+  /** Stream-stream interval join (§2.11): clicks joined to purchases by
+    * the same user within [click_ts, click_ts + 30 min], both sides
+    * watermarked so join state is evictable in production; the joined
+    * pairs land append-mode in the sink and are then rolled up per click
+    * hour. The oracle mirrors the interval join in batch SQL. */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val ev = stream(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+    val pairs = run(s, joined, "stream_join", OutputMode.Append())
+    pairs
+      .select(date_trunc("hour", col("c_ts")).as("click_hour"), col("user_id"))
+      .groupBy("click_hour")
+      .agg(count(lit(1)).as("n_pairs"), countDistinct("user_id").as("n_users"))
+      .orderBy("click_hour")
+  }
+
   /** foreachBatch sink integration: stream the events into the sharded
     * KvStore per micro-batch (the streaming twin of the reference's
     * append-only audit trail feeding a keyed store), then verify by
@@ -164,10 +189,19 @@ object EventStreams {
     "q61_stream_sliding" -> (q61 _),
     "q62_stream_session" -> (q62 _),
     "q63_stream_dedup" -> (q63 _),
-    "q64_stream_stateful" -> (q64 _)
+    "q64_stream_stateful" -> (q64 _),
+    "q85_stream_stream_join" -> (q85 _)
   )
 
   val oracles: Map[String, String] = Map(
+    "q85_stream_stream_join" ->
+      """WITH c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.user_id, date_trunc('hour', c.c_ts) AS click_hour
+        |      FROM c JOIN p ON c.user_id = p.user_id
+        |       AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE)
+        |SELECT click_hour, count(*) AS n_pairs, count(DISTINCT user_id) AS n_users
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q60_stream_tumbling" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
         | round(sum(value),3) AS sum_value

@@ -198,6 +198,9 @@ object MriOps {
     import s.implicits._
     val parts = t(s, dir, "part").select(col("p_partkey"), col("p_size"))
       .filter(col("p_partkey") % 10 === 0)
+      // the source is a single small parquet split, but the per-row kernel
+      // is CPU-heavy — spread it across every core before the map
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, Int)]
     parts.map { case (pk, size) =>
       val h = 24; val w = 20

@@ -273,12 +273,15 @@ object TextOps {
       val propagated = labels.select(col("node"), col("label")).union(viaNeighbors)
         .groupBy("node").agg(min("label").as("label"))
       // pointer doubling: label ← min(label, label(label)); labels are
-      // always node ids, so the self-join resolves one extra hop per round
-      val next = propagated.as("a")
-        .join(propagated.select(col("node").as("l_node"), col("label").as("l_label")).as("b"),
-          col("a.label") === col("l_node"), "left")
-        .select(col("a.node").as("node"),
-          least(col("a.label"), coalesce(col("l_label"), col("a.label"))).as("label"))
+      // always node ids, so the self-join resolves one extra hop per round.
+      // Only from round 3 on — graphs with diameter ≤ 2 (the common
+      // near-dup case) converge before doubling's extra self-join pays.
+      val next = (if (iter < 2) propagated
+        else propagated.as("a")
+          .join(propagated.select(col("node").as("l_node"), col("label").as("l_label")).as("b"),
+            col("a.label") === col("l_node"), "left")
+          .select(col("a.node").as("node"),
+            least(col("a.label"), coalesce(col("l_label"), col("a.label"))).as("label")))
         .persist()
       val changed = next.as("n").join(labels.as("o"), Seq("node"))
         .filter(col("n.label") =!= col("o.label")).count()

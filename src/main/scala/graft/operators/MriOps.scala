@@ -232,7 +232,9 @@ object MriOps {
     * (the flagship reference pipeline shape, self-contained). */
   private def q52(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sups = t(s, dir, "supplier").select(col("s_suppkey")).as[Long]
+    val sups = t(s, dir, "supplier").select(col("s_suppkey"))
+      .repartition(s.sparkContext.defaultParallelism) // CPU-bound kernel, small scan
+      .as[Long]
     sups.flatMap { sk =>
       val dims = Array(16, 14, 6)
       val vol = Array.tabulate(dims.product)(i => ((sk * 97 + i * 11) % 256).toFloat)

@@ -93,8 +93,11 @@ object PipelineOps {
     // sink uses for hdfs:// and s3a:// store locations
     val storeDir = s"file://$tmp"
 
-    val parts = Tables(s, dir, "part").select(col("p_partkey")).as[Long]
-      .filter(_ % 4 == 0)
+    val parts = Tables(s, dir, "part").select(col("p_partkey"))
+      .filter(col("p_partkey") % 4 === 0)
+      // small single-split scan feeding a CPU-heavy kernel: spread first
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
     val records = parts.map { pk =>
       val img = Array.tabulate(16 * 16)(i => ((pk * 31 + i * 7) % 256).toFloat / 255f)
       val r = Degrade.degradePreset(img, 16, 16, "3tFlash", Rng.sliceSeed(s"p$pk", "axial", 0, 7))
@@ -127,7 +130,9 @@ object PipelineOps {
     import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_png_").toString
 
-    val slices = Tables(s, dir, "supplier").select(col("s_suppkey")).as[Long]
+    val slices = Tables(s, dir, "supplier").select(col("s_suppkey"))
+      .repartition(s.sparkContext.defaultParallelism) // CPU-bound kernel, small scan
+      .as[Long]
       .flatMap { sk =>
         val h = 16; val w = 12
         val img = Array.tabulate(h * w)(i => ((sk * 37 + i * 11) % 300).toFloat)

@@ -57,11 +57,14 @@ class NiftiSource extends TableProvider with DataSourceRegister {
       Option(opts.get("path")).getOrElse(
         throw new IllegalArgumentException("nifti source requires a load path")),
       opts.getOrDefault("mode", "headers"),
-      opts.getOrDefault("pathPattern", ".*\\.nii(\\.gz)?$"))
+      opts.getOrDefault("pathPattern", ".*\\.nii(\\.gz)?$"),
+      opts.getBoolean("ignoreCorrupt", false))
   }
 }
 
 object NiftiSource {
+  private[sources] val log = org.slf4j.LoggerFactory.getLogger(classOf[NiftiSource])
+
   /** Payload bytes fetched across all scans in this JVM (test hook). */
   val bytesRead = new AtomicLong(0L)
 
@@ -89,17 +92,18 @@ object NiftiSource {
   }
 }
 
-private[sources] class NiftiTable(root: String, mode: String, pathPattern: String)
-    extends Table with SupportsRead {
+private[sources] class NiftiTable(root: String, mode: String, pathPattern: String,
+    ignoreCorrupt: Boolean) extends Table with SupportsRead {
   override def name(): String = s"nifti($mode):$root"
   override def schema(): StructType = NiftiSource.schemaFor(mode)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new NiftiScanBuilder(root, mode, pathPattern)
+    new NiftiScanBuilder(root, mode, pathPattern, ignoreCorrupt)
 }
 
-private[sources] class NiftiScanBuilder(root: String, mode: String, pathPattern: String)
+private[sources] class NiftiScanBuilder(root: String, mode: String, pathPattern: String,
+    ignoreCorrupt: Boolean)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -123,11 +127,13 @@ private[sources] class NiftiScanBuilder(root: String, mode: String, pathPattern:
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new NiftiScan(root, mode, pathPattern, pushed, required)
+  override def build(): Scan =
+    new NiftiScan(root, mode, pathPattern, pushed, required, ignoreCorrupt)
 }
 
 private[sources] class NiftiScan(root: String, mode: String, pathPattern: String,
-    pushed: Array[Filter], required: StructType) extends Scan with Batch {
+    pushed: Array[Filter], required: StructType, ignoreCorrupt: Boolean)
+    extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -154,17 +160,17 @@ private[sources] class NiftiScan(root: String, mode: String, pathPattern: String
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new NiftiReaderFactory(mode, pushed, required)
+    new NiftiReaderFactory(mode, pushed, required, ignoreCorrupt)
 }
 
 private[sources] case class NiftiInputPartition(paths: Array[String]) extends InputPartition
 
 private[sources] class NiftiReaderFactory(mode: String, pushed: Array[Filter],
-    required: StructType) extends PartitionReaderFactory {
+    required: StructType, ignoreCorrupt: Boolean) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val files = partition.asInstanceOf[NiftiInputPartition].paths
-    if (mode == "headers") new NiftiHeaderReader(files, required)
-    else new NiftiSliceReader(files, pushed, required)
+    if (mode == "headers") new NiftiHeaderReader(files, required, ignoreCorrupt)
+    else new NiftiSliceReader(files, pushed, required, ignoreCorrupt)
   }
 }
 
@@ -211,25 +217,33 @@ private[sources] object NiftiIo {
   }
 }
 
-private[sources] class NiftiHeaderReader(files: Array[String], required: StructType)
-    extends PartitionReader[InternalRow] {
+private[sources] class NiftiHeaderReader(files: Array[String], required: StructType,
+    ignoreCorrupt: Boolean) extends PartitionReader[InternalRow] {
   private var i = 0
   private var current: InternalRow = _
 
   override def next(): Boolean = {
-    if (i >= files.length) return false
-    val (fs, path, len) = NiftiIo.open(files(i))
-    val h = NiftiIo.headerOf(fs, path, len)
-    val full = Map[String, Any](
-      "path" -> UTF8String.fromString(files(i)),
-      "file_size" -> len,
-      "shape" -> ArrayData.toArrayData(h.dims),
-      "zooms" -> ArrayData.toArrayData(h.zooms),
-      "datatype" -> h.datatype,
-      "vox_offset" -> h.voxOffset.toLong)
-    current = new GenericInternalRow(required.fieldNames.map(full(_): Any))
-    i += 1
-    true
+    while (i < files.length) {
+      val f = files(i)
+      i += 1
+      try {
+        val (fs, path, len) = NiftiIo.open(f)
+        val h = NiftiIo.headerOf(fs, path, len)
+        val full = Map[String, Any](
+          "path" -> UTF8String.fromString(f),
+          "file_size" -> len,
+          "shape" -> ArrayData.toArrayData(h.dims),
+          "zooms" -> ArrayData.toArrayData(h.zooms),
+          "datatype" -> h.datatype,
+          "vox_offset" -> h.voxOffset.toLong)
+        current = new GenericInternalRow(required.fieldNames.map(full(_): Any))
+        return true
+      } catch {
+        case e: Exception if ignoreCorrupt =>
+          NiftiSource.log.warn(s"nifti: skipping corrupt file $f: ${e.getMessage}")
+      }
+    }
+    false
   }
   override def get(): InternalRow = current
   override def close(): Unit = ()
@@ -238,7 +252,7 @@ private[sources] class NiftiHeaderReader(files: Array[String], required: StructT
 /** Slice rows for one file per partition. Honors pushed orient/idx filters
   * and prunes the pixel decode when `pixels` is not required. */
 private[sources] class NiftiSliceReader(files: Array[String], pushed: Array[Filter],
-    required: StructType) extends PartitionReader[InternalRow] {
+    required: StructType, ignoreCorrupt: Boolean) extends PartitionReader[InternalRow] {
 
   private val needPixels = required.fieldNames.contains("pixels")
   private val rows = new scala.collection.mutable.Queue[InternalRow]()
@@ -350,7 +364,14 @@ private[sources] class NiftiSliceReader(files: Array[String], pushed: Array[Filt
   }
 
   override def next(): Boolean = {
-    while (rows.isEmpty && fileIdx < files.length) loadNextFile()
+    while (rows.isEmpty && fileIdx < files.length) {
+      val f = files(fileIdx)
+      try loadNextFile()
+      catch {
+        case e: Exception if ignoreCorrupt =>
+          NiftiSource.log.warn(s"nifti: skipping corrupt file $f: ${e.getMessage}")
+      }
+    }
     rows.nonEmpty
   }
   override def get(): InternalRow = rows.dequeue()

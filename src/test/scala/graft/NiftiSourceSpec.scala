@@ -123,6 +123,21 @@ class NiftiSourceSpec extends AnyFunSuite {
     assert(read <= 4 * 352 + math.min(4096L, gzLen), s"pruned scan read $read bytes")
   }
 
+  test("ignoreCorrupt skips unreadable files; default mode fails the scan") {
+    val (dir, _, _) = writeFixtures(2)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "junk.nii"),
+      Array.fill[Byte](100)(0x42))
+    val strict = spark.read.format("nifti").option("mode", "headers").load(dir)
+    intercept[org.apache.spark.SparkException](strict.count())
+    val lenient = spark.read.format("nifti").option("mode", "headers")
+      .option("ignoreCorrupt", "true").load(dir)
+    assert(lenient.count() == 3) // 2 plain + 1 gz, junk skipped
+    val lenientSlices = spark.read.format("nifti").option("mode", "slices")
+      .option("ignoreCorrupt", "true").load(dir)
+      .filter(col("orient") === "axial")
+    assert(lenientSlices.count() == 3 * 6)
+  }
+
   test("slice counts per orientation match sliceCount, unfiltered scan is complete") {
     val (dir, _, _) = writeFixtures(1)
     val counts = Nifti.rawSlices(spark, dir)

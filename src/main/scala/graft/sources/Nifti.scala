@@ -229,24 +229,15 @@ object Nifti {
 
   // ------------------------------------------------------ Spark-level scans
 
-  /** S1+S3: recursive dir scan with regex predicate → decoded volume rows
-    * (path, shape, zooms, pixel stats). Listing + path predicate are pushed
-    * to the binaryFile source. */
-  def volumes(spark: SparkSession, root: String, pathPattern: String = ".*\\.nii(\\.gz)?$"): DataFrame = {
-    val decode = udf { (bytes: Array[Byte]) =>
-      val (h, vol) = readVolume(bytes)
-      (h.dims, h.zooms, vol)
-    }
-    spark.read.format("binaryFile")
-      .option("recursiveFileLookup", "true")
+  /** S1+S3: recursive dir scan with name-regex predicate → decoded volume
+    * rows, via the nifti DataSource V2 (one file per task; projecting away
+    * `pixels` degrades the scan to a header-only metadata pass). */
+  def volumes(spark: SparkSession, root: String, pathPattern: String = ".*\\.nii(\\.gz)?$"): DataFrame =
+    spark.read.format("nifti")
+      .option("mode", "volumes")
+      .option("pathPattern", pathPattern)
       .load(root)
-      .filter(col("path").rlike(pathPattern))
-      .withColumn("decoded", decode(col("content")))
-      .select(col("path"),
-        col("decoded._1").as("shape"),
-        col("decoded._2").as("zooms"),
-        col("decoded._3").as("pixels"))
-  }
+      .select(col("path"), col("shape"), col("zooms"), col("pixels"))
 
   /** S5: header-only metadata scan via the nifti DataSource V2 — each task
     * reads 352 header bytes per file, never the pixel payload (analog of a

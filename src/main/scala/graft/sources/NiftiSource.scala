@@ -85,10 +85,19 @@ object NiftiSource {
     StructField("w", IntegerType, nullable = false),
     StructField("pixels", ArrayType(FloatType, containsNull = false), nullable = false)))
 
+  val volumesSchema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("file_size", LongType, nullable = false),
+    StructField("shape", ArrayType(IntegerType, containsNull = false), nullable = false),
+    StructField("zooms", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("datatype", IntegerType, nullable = false),
+    StructField("pixels", ArrayType(FloatType, containsNull = false), nullable = false)))
+
   def schemaFor(mode: String): StructType = mode match {
     case "headers" => headersSchema
     case "slices"  => slicesSchema
-    case m => throw new IllegalArgumentException(s"nifti mode must be headers|slices, got $m")
+    case "volumes" => volumesSchema
+    case m => throw new IllegalArgumentException(s"nifti mode must be headers|slices|volumes, got $m")
   }
 }
 
@@ -152,7 +161,7 @@ private[sources] class NiftiScan(root: String, mode: String, pathPattern: String
     }
     val sorted = files.sorted // deterministic partition planning
     // headers: bin-pack many files per task (each costs one 352-byte read);
-    // slices: one file per task (a 2 GB volume is a unit of real work).
+    // slices/volumes: one file per task (a 2 GB volume is a unit of real work).
     val groups =
       if (mode == "headers") sorted.grouped(128).map(_.toArray).toArray
       else sorted.map(Array(_)).toArray
@@ -169,8 +178,11 @@ private[sources] class NiftiReaderFactory(mode: String, pushed: Array[Filter],
     required: StructType, ignoreCorrupt: Boolean) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val files = partition.asInstanceOf[NiftiInputPartition].paths
-    if (mode == "headers") new NiftiHeaderReader(files, required, ignoreCorrupt)
-    else new NiftiSliceReader(files, pushed, required, ignoreCorrupt)
+    mode match {
+      case "headers" => new NiftiHeaderReader(files, required, ignoreCorrupt)
+      case "slices"  => new NiftiSliceReader(files, pushed, required, ignoreCorrupt)
+      case _         => new NiftiVolumeReader(files, required, ignoreCorrupt)
+    }
   }
 }
 
@@ -236,6 +248,46 @@ private[sources] class NiftiHeaderReader(files: Array[String], required: StructT
           "zooms" -> ArrayData.toArrayData(h.zooms),
           "datatype" -> h.datatype,
           "vox_offset" -> h.voxOffset.toLong)
+        current = new GenericInternalRow(required.fieldNames.map(full(_): Any))
+        return true
+      } catch {
+        case e: Exception if ignoreCorrupt =>
+          NiftiSource.log.warn(s"nifti: skipping corrupt file $f: ${e.getMessage}")
+      }
+    }
+    false
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
+}
+
+/** One row per file with the fully decoded volume (S1+S3 eager scan).
+  * When `pixels` is not projected this degrades to a header-only read, so
+  * a shape/zoom census over a 100 TB corpus stays a metadata pass. */
+private[sources] class NiftiVolumeReader(files: Array[String], required: StructType,
+    ignoreCorrupt: Boolean) extends PartitionReader[InternalRow] {
+  private val needPixels = required.fieldNames.contains("pixels")
+  private var i = 0
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    while (i < files.length) {
+      val f = files(i)
+      i += 1
+      try {
+        val (fs, path, len) = NiftiIo.open(f)
+        val (h, px) =
+          if (needPixels) {
+            val (hh, vol) = Nifti.readVolume(NiftiIo.readAll(fs, path, len))
+            (hh, ArrayData.toArrayData(vol))
+          } else (NiftiIo.headerOf(fs, path, len), null)
+        val full = Map[String, Any](
+          "path" -> UTF8String.fromString(f),
+          "file_size" -> len,
+          "shape" -> ArrayData.toArrayData(h.dims),
+          "zooms" -> ArrayData.toArrayData(h.zooms),
+          "datatype" -> h.datatype,
+          "pixels" -> px)
         current = new GenericInternalRow(required.fieldNames.map(full(_): Any))
         return true
       } catch {

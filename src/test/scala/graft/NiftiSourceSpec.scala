@@ -123,6 +123,22 @@ class NiftiSourceSpec extends AnyFunSuite {
     assert(read <= 4 * 352 + math.min(4096L, gzLen), s"pruned scan read $read bytes")
   }
 
+  test("volumes mode decodes full pixels; shape-only projection reads headers only") {
+    val (dir, _, gzLen) = writeFixtures(2)
+    val vols = Nifti.volumes(spark, dir).collect()
+    assert(vols.length == 3)
+    vols.filter(!_.getAs[String]("path").endsWith(".gz")).foreach { r =>
+      val v = r.getAs[String]("path").split('/').last.stripPrefix("vol").take(2).toInt
+      assert(r.getAs[scala.collection.Seq[Float]]("pixels").toSeq == mkVolume(v).toSeq)
+    }
+    NiftiSource.bytesRead.set(0L)
+    val n = spark.read.format("nifti").option("mode", "volumes").load(dir)
+      .select("path", "shape", "zooms").count()
+    assert(n == 3)
+    val read = NiftiSource.bytesRead.get()
+    assert(read <= 2 * 352 + math.min(4096L, gzLen), s"pruned volume scan read $read bytes")
+  }
+
   test("ignoreCorrupt skips unreadable files; default mode fails the scan") {
     val (dir, _, _) = writeFixtures(2)
     java.nio.file.Files.write(java.nio.file.Paths.get(dir, "junk.nii"),

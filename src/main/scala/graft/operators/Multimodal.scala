@@ -10,14 +10,16 @@ import graft.Tables
   * typed metadata, processed by batch iterator kernels (`mapPartitions` —
   * the JVM analog of `mapInPandas` batch plumbing).
   *
-  * The IMAGE arm is real: q84 decodes PNG payloads with the JDK's own
-  * javax.imageio codecs and feature-extracts/resizes through the engine's
-  * kernels. Audio/video decode is STUBBED (those codecs aren't on the JVM
-  * classpath): `decodeImageStub` derives deterministic fake
-  * dimensions/features from an md5 of the payload, so the Spark-side
-  * plumbing — binary column handling, batch iterator shape, schema,
-  * partitioning — stays real and oracle-checkable, while a production build
-  * would swap the stub for a real codec behind the same signature.
+  * Three arms are REAL, using codecs the JDK itself ships: q84 decodes PNG
+  * images (javax.imageio) with feature-extract + K18 resize; q86
+  * frame-samples multi-frame animated-GIF "video" payloads (only sampled
+  * frames are decoded); q87 decodes PCM WAV audio (javax.sound) into
+  * RMS/zero-crossing features. Compressed AV codecs (JPEG2000, H.264, MP3)
+  * aren't on the JVM classpath, so q54/q55 keep the documented md5 STUB for
+  * that tier: the Spark-side plumbing — binary column handling, batch
+  * iterator shape, schema, partitioning — stays real and oracle-checkable,
+  * and a production build swaps the stub for a codec behind the same
+  * signature.
   */
 object Multimodal {
 
@@ -80,6 +82,45 @@ object Multimodal {
         max(col("n_bytes").cast("long")).as("max_bytes"))
       .orderBy("source")
 
+  /** Multi-frame GIF encode (JDK ImageIO write sequence) — the test-side
+    * "video container": N gray frames in one animated-GIF payload. */
+  def encodeGifFrames(frames: Seq[Array[Int]], h: Int, w: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    frames.foreach { px =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      val raster = img.getRaster
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { raster.setSample(x, y, 0, px(y * w + x)); x += 1 }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    bos.toByteArray
+  }
+
+  /** PCM-16 mono WAV encode (JDK javax.sound) — the test-side audio clip. */
+  def encodeWavPcm16(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val bb = java.nio.ByteBuffer.allocate(samples.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putShort)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(bb.array()), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
   /** REAL image decode (no stub): javax.imageio ships PNG/JPEG/BMP/GIF
     * codecs in the JDK itself, so the image arm of the multimodal tier can
     * be genuinely exercised end-to-end — encode synthetic gray PNGs
@@ -131,10 +172,107 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** REAL video-frame sampling: multi-frame animated-GIF payloads opened
+    * with an ImageIO reader, every 3rd frame decoded (the reference
+    * frame-sample pattern — skip decode of unsampled frames entirely),
+    * per-sample luminance features aggregated per clip. Rows-only. */
+  private def q86(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clips = Tables(s, dir, "supplier").select(col("s_suppkey"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+      .map { sk =>
+        val h = 12; val w = 10
+        val nFrames = 4 + (sk % 5).toInt
+        val frames = (0 until nFrames).map(f =>
+          Array.tabulate(h * w)(i => ((sk * 13 + f * 41 + i * 7) % 256).toInt))
+        (sk, encodeGifFrames(frames, h, w))
+      }.toDF("clip_id", "payload")
+    clips.as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+        batch.map { case (id, bytes) =>
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          reader.setInput(iis)
+          val n = reader.getNumImages(true)
+          val sampled = (0 until n by 3).map { f =>
+            val img = reader.read(f) // only sampled frames are decoded
+            val raster = img.getRaster
+            var sum = 0.0
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            sum / (img.getWidth * img.getHeight)
+          }
+          iis.close()
+          (id, n.toLong, sampled.length.toLong,
+            math.rint(sampled.sum / sampled.length * 1000) / 1000)
+        }
+      }
+      .toDF("clip_id", "n_frames", "n_sampled", "avg_sampled_lum")
+      .orderBy("clip_id")
+  }
+
+  /** REAL audio decode: PCM-16 WAV payloads through javax.sound's codec,
+    * RMS energy + zero-crossing rate per clip (the standard cheap audio
+    * quality features). Rows-only. */
+  private def q87(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val clips = Tables(s, dir, "nation").select(col("n_nationkey"))
+      .as[Long]
+      .map { nk =>
+        val sr = 8000
+        val n = 800 + (nk % 5).toInt * 80
+        val samples = Array.tabulate(n) { i =>
+          val t = i.toDouble / sr
+          val f = 200.0 + 40.0 * nk
+          (math.sin(2 * math.Pi * f * t) * 12000 +
+            math.sin(2 * math.Pi * 3 * f * t) * 3000).toShort
+        }
+        (nk, encodeWavPcm16(samples, sr))
+      }.toDF("clip_id", "payload")
+    clips.as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          val fmt = ais.getFormat
+          val raw = ais.readAllBytes()
+          ais.close()
+          val bb = java.nio.ByteBuffer.wrap(raw).order(
+            if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+            else java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = raw.length / 2
+          var sumSq = 0.0
+          var zc = 0L
+          var prev = 0
+          var i = 0
+          while (i < n) {
+            val v = bb.getShort(i * 2).toInt
+            sumSq += v.toDouble * v
+            if (i > 0 && ((v >= 0) != (prev >= 0))) zc += 1
+            prev = v
+            i += 1
+          }
+          (id, n.toLong, fmt.getSampleRate.toLong,
+            math.rint(math.sqrt(sumSq / n) * 100) / 100,
+            math.rint(zc.toDouble / n * 10000) / 10000)
+        }
+      }
+      .toDF("clip_id", "n_samples", "sample_rate", "rms", "zcr")
+      .orderBy("clip_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_multimodal_decode" -> (q54 _),
     "q55_multimodal_agg" -> (q55 _),
-    "q84_multimodal_imageio" -> (q84 _)
+    "q84_multimodal_imageio" -> (q84 _),
+    "q86_multimodal_frames" -> (q86 _),
+    "q87_multimodal_audio" -> (q87 _)
   )
 
   val oracles: Map[String, String] = Map(

@@ -54,6 +54,29 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal GIF and WAV codecs roundtrip losslessly") {
+    val h = 6; val w = 5
+    val frames = (0 until 4).map(f => Array.tabulate(h * w)(i => (f * 50 + i * 3) % 256))
+    val gif = operators.Multimodal.encodeGifFrames(frames, h, w)
+    val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(gif))
+    reader.setInput(iis)
+    assert(reader.getNumImages(true) == 4)
+    for (f <- 0 until 4) {
+      val img = reader.read(f)
+      val got = for (y <- 0 until h; x <- 0 until w) yield img.getRaster.getSample(x, y, 0)
+      assert(got == frames(f).toSeq, s"frame $f")
+    }
+    val samples = Array.tabulate(500)(i => (math.sin(i * 0.1) * 10000).toShort)
+    val wav = operators.Multimodal.encodeWavPcm16(samples, 8000)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val raw = ais.readAllBytes()
+    val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(raw.length == 1000)
+    assert((0 until 500).forall(i => bb.getShort(i * 2) == samples(i)))
+  }
+
   test("bucketed join plan has no exchange on either side") {
     import spark.implicits._
     val base = java.nio.file.Files.createTempDirectory("bspec_").toString

@@ -36,10 +36,19 @@ object EventStreams {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
-  /** Run a streaming DF to a memory sink and return the materialized table. */
+  /** Run a streaming DF to a memory sink and return the materialized table.
+    * Streaming state is partitioned by spark.sql.shuffle.partitions; every
+    * partition costs a state-store instance per micro-batch, so the tiny
+    * replayed-batch queries here run with a reduced count (scoped to the
+    * stream, restored after) — on a production cluster you would size it
+    * to cores × smallish instead. */
   private def run(s: SparkSession, df: DataFrame, name: String, mode: OutputMode): DataFrame = {
-    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-    try q.processAllAvailable() finally q.stop()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 

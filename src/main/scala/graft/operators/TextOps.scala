@@ -296,7 +296,42 @@ object TextOps {
     out
   }
 
+  /** End-to-end LLM training-data pipeline (the text-side flagship),
+    * fully oracle-checked: quality score → filter ≥ 0.4 → exact dedup
+    * (keep min doc_id per content hash) → near-dup dedup (LSH candidates,
+    * jac ≥ 0.9, drop higher id) → hash-cut train/val/test split → per-split
+    * doc/token/quality stats. Every stage is the scale-safe form: per-row
+    * scoring, hash-groupBy dedup, banded candidates, rank-free split. */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val scored = words(s, dir)
+      .withColumn("nw", size(col("w")).cast("long"))
+      .withColumn("n_stop", expr("size(filter(w, t -> t IN ('the','a','of','and','to','is','in')))").cast("long"))
+      .withColumn("n_punct", expr("size(regexp_extract_all(text, '[^a-z0-9 ]', 0))").cast("long"))
+      .withColumn("sum_wl", expr("aggregate(w, 0L, (acc, t) -> acc + length(t))"))
+      .withColumn("score", expr(
+        """0.4 * least(cast(nw as double) / 100.0, 1.0)
+          |+ 0.3 * (1.0 - cast(n_stop as double) / cast(nw as double))
+          |+ 0.2 * (1.0 - least(cast(n_punct as double) / cast(n_chars as double), 1.0))
+          |+ 0.1 * least(cast(sum_wl as double) / cast(nw as double) / 10.0, 1.0)""".stripMargin))
+      .filter(col("score") >= 0.4)
+      .withColumn("fp", md5(col("text")))
+    val keepers = scored.groupBy("fp").agg(min("doc_id").as("doc_id"))
+    val exactDeduped = scored.join(keepers, Seq("fp", "doc_id"))
+    val losers = jaccard(s, dir).filter(col("jac") >= 0.9)
+      .select(col("b_id").as("doc_id")).distinct()
+    val clean = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
+      .withColumn("b", ((col("doc_id") * lit(2654435761L) + lit(7L)) % lit(4294967296L)) % lit(1000L))
+      .withColumn("split",
+        when(col("b") < 900, "train").when(col("b") < 950, "val").otherwise("test"))
+    clean.groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nw").as("sum_tokens"),
+        round(avg("score"), 4).as("avg_score"))
+      .orderBy("split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_llm_pipeline" -> (q88 _),
     "q70_dedup_components" -> (q70 _),
     "q22_dedup_exact" -> (q22 _),
     "q23_minhash_sig" -> (q23 _),
@@ -352,6 +387,32 @@ object TextOps {
       | FROM hs)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q88_llm_pipeline" ->
+      s"""WITH $shingleCte,
+         |f AS (SELECT doc_id, text, n_chars,
+         |  CAST(len(w) AS BIGINT) AS nw,
+         |  CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','is','in'))) AS BIGINT) AS n_stop,
+         |  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct,
+         |  CAST(list_aggregate([CAST(length(t) AS BIGINT) for t in w], 'sum') AS BIGINT) AS sum_wl
+         | FROM wf),
+         |scored AS (SELECT doc_id, nw, md5(text) AS fp,
+         |  0.4 * least(CAST(nw AS DOUBLE) / 100.0, 1.0)
+         |  + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(nw AS DOUBLE))
+         |  + 0.2 * (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 1.0))
+         |  + 0.1 * least(CAST(sum_wl AS DOUBLE) / CAST(nw AS DOUBLE) / 10.0, 1.0) AS score
+         | FROM f),
+         |flt AS (SELECT * FROM scored WHERE score >= 0.4),
+         |keepers AS (SELECT fp, min(doc_id) AS doc_id FROM flt GROUP BY fp),
+         |exact AS (SELECT flt.* FROM flt JOIN keepers USING (fp, doc_id)),
+         |losers AS (SELECT DISTINCT b_id AS doc_id FROM jac WHERE jac >= 0.9),
+         |clean AS (SELECT exact.*,
+         |   ((doc_id*2654435761+7)%4294967296)%1000 AS b
+         |  FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+         |sp AS (SELECT *, CASE WHEN b < 900 THEN 'train'
+         |                      WHEN b < 950 THEN 'val' ELSE 'test' END AS split FROM clean)
+         |SELECT split, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS sum_tokens,
+         |  round(avg(score), 4) AS avg_score
+         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
     "q70_dedup_components" ->
       s"""WITH $shingleCte,
          |e0 AS (SELECT a AS u, b_id AS v FROM jac WHERE jac >= 0.8),

@@ -19,6 +19,31 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(Npy.halfToFloat(Npy.floatToHalf(1e-10f)) == 0f) // underflow to zero
   }
 
+  test("big-endian NIfTI decodes: header byte-swap detected, payload ordered correctly") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val dims = Array(3, 2, 2)
+    val vol = Array.tabulate(dims.product)(i => (i * 1.5f) - 4f)
+    val bb = ByteBuffer.allocate(352 + vol.length * 4).order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(0, 348)
+    bb.putShort(40, 3.toShort)
+    bb.putShort(42, dims(0).toShort); bb.putShort(44, dims(1).toShort); bb.putShort(46, dims(2).toShort)
+    bb.putShort(70, 16.toShort) // FLOAT32
+    bb.putFloat(80, 1f); bb.putFloat(84, 1f); bb.putFloat(88, 1f)
+    bb.putFloat(108, 352f) // vox_offset
+    bb.putFloat(112, 1f); bb.putFloat(116, 0f) // scl slope/inter
+    bb.position(352)
+    vol.foreach(bb.putFloat)
+    val bytes = bb.array()
+    val h = graft.sources.Nifti.parseHeader(bytes)
+    assert(!h.littleEndian && h.dims.toSeq == dims.toSeq && h.datatype == 16)
+    val (_, decoded) = graft.sources.Nifti.readVolume(bytes)
+    assert(decoded.toSeq == vol.toSeq)
+    // lazy slice path honors the byte order too
+    val (px, sh, sw) = graft.sources.Nifti.readSliceLazy(bytes, "axial", 1)
+    val (expPx, eh, ew) = graft.sources.Nifti.sliceOf(vol, dims, "axial", 1)
+    assert(sh == eh && sw == ew && px.toSeq == expPx.toSeq)
+  }
+
   test("npy 1D and 3D shapes roundtrip") {
     val (d1, s1) = Npy.decode(Npy.encode(Array(1f, 2f, 3f), Seq(3)))
     assert(s1 == Seq(3) && d1.toSeq == Seq(1f, 2f, 3f))

@@ -215,6 +215,49 @@ private[sources] object NiftiIo {
 
   def isGzipName(p: Path): Boolean = p.getName.endsWith(".gz")
 
+  /** Stream-decompress a gzip member forward, collecting the raw bytes of
+    * the requested z-planes (sorted ascending), then STOP — only the
+    * compressed prefix up to the last needed plane is fetched from the
+    * filesystem. Returns plane-index → raw plane bytes. */
+  def readGzipPlanes(fs: FileSystem, path: Path, h: Nifti.Header,
+      planesSorted: Seq[Int]): Map[Int, Array[Byte]] = {
+    val d0 = h.dims(0); val d1 = h.dims(1)
+    val planeBytes = d0 * d1 * 4
+    val in = fs.open(path)
+    try {
+      val gz = new java.util.zip.GZIPInputStream(in, 1 << 16)
+      def skipFully(n: Long): Unit = {
+        var left = n
+        val scratch = new Array[Byte](1 << 16)
+        while (left > 0) {
+          val r = gz.read(scratch, 0, math.min(left, scratch.length.toLong).toInt)
+          require(r > 0, s"gzip member ended ${left} bytes early in $path")
+          left -= r
+        }
+      }
+      def readFully(buf: Array[Byte]): Unit = {
+        var off = 0
+        while (off < buf.length) {
+          val r = gz.read(buf, off, buf.length - off)
+          require(r > 0, s"gzip member ended ${buf.length - off} bytes early in $path")
+          off += r
+        }
+      }
+      skipFully(h.voxOffset.toLong)
+      var cur = 0
+      val out = Map.newBuilder[Int, Array[Byte]]
+      planesSorted.foreach { p =>
+        skipFully((p - cur).toLong * planeBytes)
+        val buf = new Array[Byte](planeBytes)
+        readFully(buf)
+        out += p -> buf
+        cur = p + 1
+      }
+      NiftiSource.bytesRead.addAndGet(in.getPos) // compressed bytes consumed
+      out.result()
+    } finally in.close()
+  }
+
   /** Parse the header reading at most 352 raw bytes (uncompressed file) or
     * 352 decompressed bytes (gzip member, bounded stream). */
   def headerOf(fs: FileSystem, path: Path, fileLen: Long): Nifti.Header = {
@@ -337,11 +380,24 @@ private[sources] class NiftiSliceReader(files: Array[String], pushed: Array[Filt
     if (wanted.isEmpty) return
 
     val scaled = h.sclSlope != 0f && (h.sclSlope != 1f || h.sclInter != 0f)
-    val seekable = !NiftiIo.isGzipName(path) && h.datatype == 16 && !scaled && needPixels
+    val plainF32 = h.datatype == 16 && !scaled
+    val isGz = NiftiIo.isGzipName(path)
+    val seekable = !isGz && plainF32 && needPixels
+    // gzip can't seek, but it CAN stream: when only z-plane orientations
+    // (axial/coronal both read plane z=i) are requested, decompress
+    // forward to each needed plane and stop — the compressed prefix is all
+    // that's fetched, not the whole member
+    val gzStreamable = isGz && plainF32 && needPixels &&
+      wanted.forall { case (o, _) => o == "axial" || o == "coronal" }
 
     // one decoded volume shared by every emitted slice of this file
     lazy val volume: (Nifti.Header, Array[Float]) =
       Nifti.readVolume(NiftiIo.readAll(fs, path, len))
+    lazy val planes: Map[Int, Array[Byte]] =
+      if (gzStreamable)
+        NiftiIo.readGzipPlanes(fs, path, h,
+          wanted.flatMap(_._2).distinct.sorted)
+      else Map.empty
 
     val in = if (seekable) fs.open(path) else null
     try {
@@ -349,6 +405,7 @@ private[sources] class NiftiSliceReader(files: Array[String], pushed: Array[Filt
         val (px, sh, sw) =
           if (!needPixels) (null: Array[Float], heightOf(h.dims, o), widthOf(h.dims, o))
           else if (seekable) readSliceSeek(in, h, o, i)
+          else if (gzStreamable) decodePlane(planes(i), h, o)
           else { val (hh, vol) = volume; Nifti.sliceOf(vol, hh.dims, o, i) }
         val full = Map[String, Any](
           "path" -> UTF8String.fromString(pathStr),
@@ -361,6 +418,25 @@ private[sources] class NiftiSliceReader(files: Array[String], pushed: Array[Filt
         rows += new GenericInternalRow(required.fieldNames.map(full(_): Any))
       }
     } finally if (in != null) in.close()
+  }
+
+  /** Decode one raw z-plane (Fortran x-fastest) into an oriented 2D slice. */
+  private def decodePlane(buf: Array[Byte], h: Nifti.Header, orient: String)
+      : (Array[Float], Int, Int) = {
+    val d0 = h.dims(0); val d1 = h.dims(1)
+    val bb = java.nio.ByteBuffer.wrap(buf).order(
+      if (h.littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
+    if (orient == "axial") {
+      val out = new Array[Float](d0 * d1)
+      var a = 0
+      while (a < d0) { var b = 0; while (b < d1) { out(a * d1 + b) = bb.getFloat((a + b * d0) * 4); b += 1 }; a += 1 }
+      (out, d0, d1)
+    } else {
+      val out = new Array[Float](d1 * d0)
+      var a = 0
+      while (a < d1) { var b = 0; while (b < d0) { out(a * d0 + b) = bb.getFloat((b + a * d0) * 4); b += 1 }; a += 1 }
+      (out, d1, d0)
+    }
   }
 
   private def heightOf(dims: Array[Int], o: String): Int = o match {

@@ -123,6 +123,43 @@ class NiftiSourceSpec extends AnyFunSuite {
     assert(read <= 4 * 352 + math.min(4096L, gzLen), s"pruned scan read $read bytes")
   }
 
+  test("gzip slice pushdown streams only the compressed prefix and matches eager decode") {
+    val dir = Files.createTempDirectory("nifti_gz_").toString
+    val big = Array(48, 40, 32) // 245 KiB payload — larger than the 64 KiB gzip read-ahead
+    val rnd = new scala.util.Random(42) // incompressible payload, or the whole member fits one read
+    val vol = Array.fill(big.product)(rnd.nextFloat() * 100f)
+    val raw = Nifti.encode(vol, big, Array(1.0, 1.0, 1.0))
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(bos)
+    gz.write(raw); gz.close()
+    Files.write(Paths.get(dir, "big.nii.gz"), bos.toByteArray)
+    val gzLen = bos.toByteArray.length.toLong
+
+    NiftiSource.bytesRead.set(0L)
+    val got = Nifti.rawSlices(spark, dir)
+      .filter(col("orient") === "axial" && col("idx") === 2)
+      .collect()
+    val read = NiftiSource.bytesRead.get()
+    assert(got.length == 1)
+    val (px, h, w) = Nifti.sliceOf(vol, big, "axial", 2)
+    assert(got(0).getAs[Int]("h") == h && got(0).getAs[Int]("w") == w)
+    assert(pixelsOf(got(0)) == px.toSeq)
+    // header prefix (≤4096) + streamed compressed prefix ≪ full member
+    assert(read < gzLen / 2 + 4096, s"gz pushed slice read $read of $gzLen")
+
+    // coronal rides the same z-plane stream; sagittal falls back to full read
+    val cor = Nifti.rawSlices(spark, dir)
+      .filter(col("orient") === "coronal" && col("idx") === 2).collect()
+    val (cpx, chh, cww) = Nifti.sliceOf(vol, big, "coronal", 2)
+    assert(cor.length == 1 && cor(0).getAs[Int]("h") == chh && cor(0).getAs[Int]("w") == cww)
+    assert(pixelsOf(cor(0)) == cpx.toSeq)
+    val sag = Nifti.rawSlices(spark, dir)
+      .filter(col("orient") === "sagittal" && col("idx") === 7).collect()
+    val (spx, shh, sww) = Nifti.sliceOf(vol, big, "sagittal", 7)
+    assert(sag.length == 1 && sag(0).getAs[Int]("h") == shh && sag(0).getAs[Int]("w") == sww)
+    assert(pixelsOf(sag(0)) == spx.toSeq)
+  }
+
   test("volumes mode decodes full pixels; shape-only projection reads headers only") {
     val (dir, _, gzLen) = writeFixtures(2)
     val vols = Nifti.volumes(spark, dir).collect()

@@ -54,6 +54,36 @@ object MriPipeline {
       .as[SplitLabel]
   }
 
+  /** W1 from METADATA ONLY: derive every slice id from the 352-byte header
+    * scan (nifti DSv2) — base name + per-orientation slice counts from
+    * `shape` — and hash-cut exactly like [[planSplit]]. This is the
+    * reference's planning pass (v2/nii_to_lmdb.py:47-120 plans the split
+    * before any pixel is read): at 100 TB the plan costs kilobytes of
+    * header IO, and the pixel read can then be pushed down to only the
+    * slices a stage actually needs. Produces identical labels to
+    * planSplit-over-decoded-slices for the same inputs. */
+  def planSplitFromHeaders(spark: SparkSession, root: String, seed: Long = 42,
+      ratios: (Double, Double) = (0.95, 0.98),
+      orients: Seq[String] = Nifti.Orientations): Dataset[SplitLabel] = {
+    import spark.implicits._
+    val cut1 = math.round(ratios._1 * 1000).toInt
+    val cut2 = math.round(ratios._2 * 1000).toInt
+    val orientArr = orients.map(o => s"'$o'").mkString("array(", ", ", ")")
+    Nifti.headers(spark, root)
+      .select(regexp_replace(element_at(split(col("path"), "/"), -1),
+        "\\.nii(\\.gz)?$", "").as("base"), col("shape"))
+      .select(col("base"), explode(expr(orientArr)).as("orient"), col("shape"))
+      .select(col("base"), col("orient"),
+        explode(expr("sequence(0, CASE WHEN orient = 'sagittal' THEN shape[1] - 1 ELSE shape[2] - 1 END)")).as("idx"))
+      .select(concat(col("base"), lit("__"), col("orient"), lit("__slice_"),
+        lpad(col("idx").cast("string"), 3, "0")).as("sliceId"))
+      .withColumn("b", pmod(xxhash64(col("sliceId"), lit(seed)), lit(1000L)))
+      .withColumn("split",
+        when(col("b") < cut1, "train").when(col("b") < cut2, "val").otherwise("test"))
+      .select(col("sliceId"), col("split"))
+      .as[SplitLabel]
+  }
+
   /** C3 + G2/G3 + P3 + K28: degrade each slice, tile HR and LR on aligned
     * grids, drop dark HR patches and gate LR on HR approval (the J1 key
     * discipline), emit `.npy`-encoded store records. */

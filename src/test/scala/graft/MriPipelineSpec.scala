@@ -45,6 +45,16 @@ class MriPipelineSpec extends AnyFunSuite {
     assert(plan.count() == expectedSlices)
     assert(plan.select("split").distinct().count() >= 2)
 
+    // metadata-only planning (352-byte header reads) must produce the
+    // IDENTICAL label set without touching a pixel
+    graft.sources.NiftiSource.bytesRead.set(0L)
+    val metaPlan = MriPipeline.planSplitFromHeaders(spark, inDir.getAbsolutePath, seed = 42)
+      .collect().map(l => l.sliceId -> l.split).toMap
+    val headerBytes = graft.sources.NiftiSource.bytesRead.get()
+    val decodedPlan = plan.collect().map(l => l.sliceId -> l.split).toMap
+    assert(metaPlan == decodedPlan, "header-planned split must match decoded-slice split")
+    assert(headerBytes < 3L * 4096, s"planning read $headerBytes bytes — not metadata-only")
+
     val rec = MriPipeline.degradeToRecords(sl, plan, "3tFlash", crop = 8, step = 4, seed = 7)
     val recs = rec.cache()
     val n = recs.count()

@@ -86,8 +86,12 @@ object GapOps {
       .orderBy("s_suppkey")
   }
 
-  /** §2.12 approx_count_distinct vs exact (rows-only: HLL++ estimates are
-    * engine-specific; determinism within Spark is what's asserted). */
+  /** §2.12 approx_count_distinct vs exact. HLL++ estimates are
+    * engine-specific, so the ESTIMATES aren't compared across engines;
+    * instead the exact counts hash-match DuckDB and the estimates are
+    * asserted IN-QUERY against the documented relative-error contract
+    * (default rsd 5%, explicit 1% variant — checked at 5σ so the
+    * deterministic sketch values sit far inside the bound). */
   private def q65(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     // separate single-pass aggregations: multiple DISTINCT aggregates in one
@@ -97,6 +101,11 @@ object GapOps {
       .crossJoin(li.agg(approx_count_distinct("l_orderkey").as("approx_orders")))
       .crossJoin(li.agg(countDistinct("l_partkey").as("exact_parts")))
       .crossJoin(li.agg(approx_count_distinct("l_partkey", 0.01).as("approx_parts_rsd1")))
+      .select(col("exact_orders"), col("exact_parts"),
+        (abs(col("approx_orders") - col("exact_orders")).cast("double") <=
+          col("exact_orders") * 0.25).as("orders_within_5rsd"),
+        (abs(col("approx_parts_rsd1") - col("exact_parts")).cast("double") <=
+          col("exact_parts") * 0.05).as("parts_within_1rsd"))
   }
 
   /** S12 append-only CSV audit log: append twice, read back, count
@@ -283,6 +292,11 @@ object GapOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q65_approx_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS exact_orders,
+        | count(DISTINCT l_partkey) AS exact_parts,
+        | TRUE AS orders_within_5rsd, TRUE AS parts_within_1rsd
+        |FROM lineitem""".stripMargin,
     "q79_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue

@@ -46,4 +46,36 @@ class ExpressionSpec extends AnyFunSuite {
     val bad = CosineSimilarity(Literal(1), Literal(2))
     assert(!bad.checkInputDataTypes().isSuccess)
   }
+
+  test("IVF multi-probe ANN reaches >= 0.7 recall@3 vs brute force (nprobe=3)") {
+    val dir = "/root/testdata/sf0.01"
+    val ivf = graft.operators.VectorOps.ivfTopK(spark, dir, nprobe = 3, topK = 3)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    // brute-force exact top-3 per probe, computed directly over the vectors
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    val byId = rows.toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val exact = byId.keys.filter(_ % 100 == 0).flatMap { p =>
+      rows.iterator.filter(_._1 != p)
+        .map { case (v, e) => (math.rint(cos(byId(p), e) * 1e6) / 1e6, v) }
+        .toSeq.sortBy { case (c, v) => (-c, v) }.take(3).map { case (_, v) => (p, v) }
+    }.toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.7, s"IVF recall@3 = $recall")
+    // single-probe must not beat multi-probe (sanity on the nprobe knob)
+    val ivf1 = graft.operators.VectorOps.ivfTopK(spark, dir, nprobe = 1, topK = 3)
+      .collect().map(r => (r.getAs[Long]("probe_id"), r.getAs[Long]("vec_id"))).toSet
+    val recall1 = (ivf1 & exact).size.toDouble / exact.size
+    assert(recall1 <= recall, s"nprobe=1 recall $recall1 > nprobe=3 recall $recall")
+  }
 }

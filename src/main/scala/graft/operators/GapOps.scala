@@ -109,7 +109,8 @@ object GapOps {
   }
 
   /** S12 append-only CSV audit log: append twice, read back, count
-    * (reference log_slice, slice_generator.py:33-40). Rows-only. */
+    * (reference log_slice, slice_generator.py:33-40). The read-back counts
+    * hash-match the oracle's expectation (2× the sampled rows, 3 cols). */
   private def q66(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val logDir = java.nio.file.Files.createTempDirectory("graft_audit_").toString
@@ -297,6 +298,10 @@ object GapOps {
         | count(DISTINCT l_partkey) AS exact_parts,
         | TRUE AS orders_within_5rsd, TRUE AS parts_within_1rsd
         |FROM lineitem""".stripMargin,
+    "q66_audit_log" ->
+      """SELECT count(*) AS n_sample, CAST(2*count(*) AS BIGINT) AS n_logged,
+        | CAST(3 AS BIGINT) AS n_cols
+        |FROM events WHERE event_id % 100 = 0""".stripMargin,
     "q79_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n,
         | CAST(sum(CAST(round(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS DOUBLE)/100.0 AS revenue

@@ -206,5 +206,19 @@ object PipelineOps {
     "q81_nifti_dsv2_scan" -> (q81 _)
   )
 
-  val oracles: Map[String, String] = Map.empty
+  /** The sink roundtrips verify INVARIANTS the oracle can state exactly:
+    * every record written must be read back hash-identical, key listings
+    * hit their limits, and the PNG scan-back reproduces pixel sums — so
+    * the count/boolean outputs are DuckDB-computable even though the
+    * binary payloads aren't. */
+  val oracles: Map[String, String] = Map(
+    "q53_kv_sink_roundtrip" ->
+      """SELECT count(*) AS n_written, count(*) AS n_read, count(*) AS n_hash_matched,
+        | CAST(LEAST(1000, count(*)) AS BIGINT) AS n_keys_regex, '8x8' AS probe_shape
+        |FROM part WHERE p_partkey % 4 = 0""".stripMargin,
+    "q71_png_dir_sink" ->
+      """SELECT tier, count(*) AS n_slices, count(*) AS n_files, TRUE AS pixels_match
+        |FROM supplier, (SELECT unnest(['HR','LRx2']) AS tier) t
+        |GROUP BY tier ORDER BY tier""".stripMargin
+  )
 }

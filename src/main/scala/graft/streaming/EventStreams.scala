@@ -203,6 +203,13 @@ object EventStreams {
   )
 
   val oracles: Map[String, String] = Map(
+    // the streamed-store invariant is oracle-computable: everything the
+    // filter admits must land in the store, and the single replayed batch
+    // puts every key under batch000 (listing limit 10)
+    "q78_stream_to_kvstore" ->
+      """SELECT count(*) AS n_expected, count(*) AS n_stored,
+        | CAST(LEAST(10, count(*)) AS BIGINT) AS n_batch0_sample
+        |FROM events WHERE event_id % 20 = 0""".stripMargin,
     "q85_stream_stream_join" ->
       """WITH c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id, ts AS p_ts FROM events WHERE event_type = 'purchase'),

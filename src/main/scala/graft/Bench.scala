@@ -1,6 +1,7 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  private def r3(v: Double): Double = math.rint(v * 1000) / 1000
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -20,12 +21,18 @@ object Bench {
       // sorts/projections and under-measure)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // one line per query, greppable, so a truncated tail still carries data
+      println(s"""{"query":"$name","sec":${r3(sec)}}""")
+      name -> sec
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // LAST line is the machine-readable summary: compact (3-decimal values,
+    // no spaces) so the driver's tail capture never cuts it mid-JSON
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries_n":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

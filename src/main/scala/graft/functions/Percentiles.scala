@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** K2/A4 percentile policy (SURVEY.md §2.8).
@@ -33,4 +34,74 @@ object Percentiles {
 
   def approxMulti(col: Column, ps: Seq[Double], accuracy: Int = DefaultAccuracy): Column =
     approx_percentile(col, array(ps.map(lit): _*), lit(accuracy))
+
+  /** Exact per-group percentiles WITHOUT the per-group sort-agg.
+    *
+    * Spark's `percentile` builds one value→count map per group and sorts it
+    * in a single agg buffer — at 100 TB an unbounded group is the scale
+    * killer (the round-2 perf-weak flag on q08/q45). This is the classic
+    * distributed rank-selection instead, value-identical to `percentile`
+    * (same linear-interpolation arithmetic, so DuckDB `quantile_cont`
+    * oracles are unchanged):
+    *
+    *  1. collapse duplicates: (group, value) → count — ONE hash shuffle
+    *     with map-side combine;
+    *  2. range-partition by (group, value) and sort within partitions: the
+    *     global order of each group spans MANY partitions — no group ever
+    *     sits in one task;
+    *  3. per-(partition, group) subtotal (tiny: P×G rows) → prefix offsets
+    *     via a window over the SMALL table;
+    *  4. absolute rank of every distinct value = offset + within-partition
+    *     running count, where the running-count window partitions by
+    *     (partitionId, group) — bounded by the range-partition size, never
+    *     by group size;
+    *  5. broadcast the (group, p, targetRank) table and keep only the ≤2
+    *     covering rows per target, then interpolate exactly as Spark does:
+    *     `vlo·(⌈i⌉−i) + vhi·(i−⌊i⌋)`, i = p·(n−1).
+    *
+    * Returns (groupCol, p, value). */
+  def exactByRank(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val cnt = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val ranged = cnt.repartitionByRange(parts, col("g"), col("v"))
+      .sortWithinPartitions("g", "v")
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tiny table: one row per (partition, group)
+    val subtotals = ranged.groupBy("pid", "g").agg(sum("c").as("pc"))
+    val wOff = Window.partitionBy("g").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = subtotals
+      .withColumn("off", coalesce(sum("pc").over(wOff), lit(0L)))
+      .withColumn("n", sum("pc").over(Window.partitionBy("g")))
+    // absolute 0-indexed rank interval [prev, cum) per distinct value
+    val wRun = Window.partitionBy("pid", "g").orderBy("v")
+    val cum = ranged
+      .withColumn("cw", sum("c").over(wRun))
+      .join(broadcast(offsets.select("pid", "g", "off")), Seq("pid", "g"))
+      .withColumn("cum", col("off") + col("cw"))
+      .withColumn("prev", col("cum") - col("c"))
+    val targets = offsets.select("g", "n").distinct()
+      .select(col("g"), col("n"), explode(array(ps.map(lit): _*)).as("p"))
+      .withColumn("idx", col("p") * (col("n") - 1))
+      .withColumn("klo", floor(col("idx")))
+      .withColumn("khi", ceil(col("idx")))
+    cum.as("cm").join(broadcast(targets.as("tg")),
+        col("cm.g") === col("tg.g") &&
+          ((col("klo") >= col("prev") && col("klo") < col("cum")) ||
+            (col("khi") >= col("prev") && col("khi") < col("cum"))))
+      .groupBy(col("tg.g").as("g"), col("p"), col("idx"), col("klo"), col("khi"))
+      .agg(
+        max(when(col("klo") >= col("prev") && col("klo") < col("cum"), col("v"))).as("vlo"),
+        max(when(col("khi") >= col("prev") && col("khi") < col("cum"), col("v"))).as("vhi"))
+      .withColumn("value",
+        when(col("klo") === col("khi"), col("vlo"))
+          .otherwise(col("vlo") * (col("khi") - col("idx")) +
+            col("vhi") * (col("idx") - col("klo"))))
+      .select(col("g").as(groupCol), col("p"), col("value"))
+  }
 }

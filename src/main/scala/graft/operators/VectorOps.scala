@@ -163,7 +163,7 @@ object VectorOps {
     * deterministic via fixed seed; recall vs brute force asserted in
     * ExpressionSpec. */
   private[graft] def ivfTopK(s: SparkSession, dir: String,
-      nprobe: Int = 3, topK: Int = 3): DataFrame = {
+      nprobe: Int = 3, topK: Int = 3, kCells: Int = 16): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     val toVec = udf { (a: Seq[Float]) =>
       org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray)
@@ -172,7 +172,7 @@ object VectorOps {
       .select(col("vec_id"), col("embedding"))
       .withColumn("features", toVec(col("embedding")))
       .persist()
-    val model = new KMeans().setK(16).setSeed(42).setMaxIter(5)
+    val model = new KMeans().setK(kCells).setSeed(42).setMaxIter(5)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(emb)
     val assigned = model.transform(emb).select(col("vec_id"), col("embedding"), col("cell"))

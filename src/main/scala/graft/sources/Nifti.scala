@@ -94,6 +94,31 @@ object Nifti {
     (h, out)
   }
 
+  /** Fixed voxel width per NIfTI datatype code (−1 = not lazily readable).
+    * Covers every dtype the decoder supports — so the lazy/pushdown paths
+    * serve int16+scl clinical volumes (the most common encoding,
+    * v2/nii_to_lmdb_paralel.py:97-112 reads them via the nibabel proxy),
+    * not only plain float32. */
+  def bytesPerVoxel(datatype: Int): Int = datatype match {
+    case 2  => 1 // UINT8
+    case 4  => 2 // INT16
+    case 8  => 4 // INT32
+    case 16 => 4 // FLOAT32
+    case 64 => 8 // FLOAT64
+    case _  => -1
+  }
+
+  /** Decode one voxel at a byte offset (absolute-position reads — no
+    * buffer mutation, safe for shared ByteBuffers). */
+  @inline def voxelAt(bb: ByteBuffer, off: Int, datatype: Int): Float = datatype match {
+    case 16 => bb.getFloat(off)
+    case 4  => bb.getShort(off).toFloat
+    case 2  => (bb.get(off) & 0xff).toFloat
+    case 8  => bb.getInt(off).toFloat
+    case 64 => bb.getDouble(off).toFloat
+    case dt => throw new IllegalArgumentException(s"unsupported NIfTI datatype $dt")
+  }
+
   val Orientations: Seq[String] = Seq("axial", "coronal", "sagittal")
 
   /** Slice count per orientation (v2 convention —
@@ -139,19 +164,25 @@ object Nifti {
     * v2/nii_to_lmdb_paralel.py:97-112). For gzip containers the stream is
     * decompressed only up to the last byte needed — for an axial slice of a
     * 2 GB flagship volume that is one d0×d1 plane, not 516M voxels.
-    * Falls back to the eager path for exotic dtypes/scaling. */
+    * Serves every fixed-width dtype (uint8/int16/int32/float32/float64)
+    * with scl_slope/inter applied per element — an int16+scl clinical
+    * corpus keeps the pushdown win; only truly exotic dtypes (RGB,
+    * complex) fall back to the eager whole-volume read. */
   def readSliceLazy(raw: Array[Byte], orient: String, i: Int): (Array[Float], Int, Int) = {
     val h = parseHeader(raw)
-    val scaled = h.sclSlope != 0f && (h.sclSlope != 1f || h.sclInter != 0f)
-    if (h.datatype != 16 || scaled) {
+    val bpv = bytesPerVoxel(h.datatype)
+    if (bpv < 0) {
       val (hh, vol) = readVolume(raw)
       return sliceOf(vol, hh.dims, orient, i)
     }
+    val scaled = h.sclSlope != 0f && (h.sclSlope != 1f || h.sclInter != 0f)
+    val slope = if (scaled) h.sclSlope else 1f
+    val inter = if (scaled) h.sclInter else 0f
     val d0 = h.dims(0); val d1 = h.dims(1); val d2 = h.dims(2)
-    val planeBytes = d0 * d1 * 4
+    val planeBytes = d0.toLong * d1 * bpv
     val lastNeeded = orient match {
       case "axial" | "coronal" => h.voxOffset + (i + 1).toLong * planeBytes
-      case "sagittal" => h.voxOffset + ((d2 - 1).toLong * d0 * d1 + (i + 1).toLong * d0) * 4
+      case "sagittal" => h.voxOffset + ((d2 - 1).toLong * d0 * d1 + (i + 1).toLong * d0) * bpv
       case o => throw new IllegalArgumentException(s"unknown orientation $o")
     }
     // a gzip member can only be buffered up to 2 GiB; past that the bounded
@@ -161,6 +192,11 @@ object Nifti {
     val bytes = if (isGzip(raw)) gunzip(raw, lastNeeded.toInt) else raw
     val bb = ByteBuffer.wrap(bytes)
       .order(if (h.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    @inline def v(off: Long): Float = {
+      require(off >= 0 && off <= Int.MaxValue, s"voxel offset $off exceeds buffer")
+      val x = voxelAt(bb, off.toInt, h.datatype)
+      if (scaled) x * slope + inter else x
+    }
     orient match {
       case "axial" =>
         val base = h.voxOffset + i * planeBytes
@@ -168,7 +204,7 @@ object Nifti {
         var a = 0
         while (a < d0) {
           var b = 0
-          while (b < d1) { out(a * d1 + b) = bb.getFloat(base + (a + b * d0) * 4); b += 1 }
+          while (b < d1) { out(a * d1 + b) = v(base + (a + b.toLong * d0) * bpv); b += 1 }
           a += 1
         }
         (out, d0, d1)
@@ -178,7 +214,7 @@ object Nifti {
         var a = 0
         while (a < d1) {
           var b = 0
-          while (b < d0) { out(a * d0 + b) = bb.getFloat(base + (b + a * d0) * 4); b += 1 }
+          while (b < d0) { out(a * d0 + b) = v(base + (b + a.toLong * d0) * bpv); b += 1 }
           a += 1
         }
         (out, d1, d0)
@@ -186,24 +222,26 @@ object Nifti {
         val out = new Array[Float](d2 * d0)
         var a = 0
         while (a < d2) {
-          // multiply in Long BEFORE narrowing: (x).toInt * 4 truncates first
-          // and silently reads wrong offsets above ~512M voxels
-          val baseL = h.voxOffset.toLong + (i.toLong * d0 + a.toLong * d0 * d1) * 4
-          require(baseL + d0.toLong * 4 <= Int.MaxValue, s"sagittal slice offset $baseL exceeds buffer")
-          val base = baseL.toInt
+          // multiply in Long BEFORE narrowing: (x).toInt * bpv truncates
+          // first and silently reads wrong offsets above ~512M voxels
+          val baseL = h.voxOffset.toLong + (i.toLong * d0 + a.toLong * d0 * d1) * bpv
           var b = 0
-          while (b < d0) { out(a * d0 + b) = bb.getFloat(base + b * 4); b += 1 }
+          while (b < d0) { out(a * d0 + b) = v(baseL + b.toLong * bpv); b += 1 }
           a += 1
         }
         (out, d2, d0)
     }
   }
 
-  /** Encode a float32 volume as uncompressed NIfTI-1 bytes (for round-trip
-    * tests and synthetic fixtures). */
-  def encode(vol: Array[Float], dims: Array[Int], zooms: Array[Double]): Array[Byte] = {
+  /** Encode a volume as uncompressed NIfTI-1 bytes (for round-trip tests
+    * and synthetic fixtures). `vol` holds the RAW stored values (cast to
+    * `datatype`'s width); readers apply `sclSlope/sclInter` on top. */
+  def encode(vol: Array[Float], dims: Array[Int], zooms: Array[Double],
+      datatype: Int = 16, sclSlope: Float = 1f, sclInter: Float = 0f): Array[Byte] = {
     require(vol.length == dims.product)
-    val bb = ByteBuffer.allocate(352 + vol.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+    val bpv = bytesPerVoxel(datatype)
+    require(bpv > 0, s"cannot encode datatype $datatype")
+    val bb = ByteBuffer.allocate(352 + vol.length * bpv).order(ByteOrder.LITTLE_ENDIAN)
     bb.putInt(0, 348)
     bb.putShort(40, 3.toShort)
     bb.putShort(42, dims(0).toShort)
@@ -211,19 +249,28 @@ object Nifti {
     bb.putShort(46, dims(2).toShort)
     var d = 4
     while (d <= 7) { bb.putShort(40 + 2 * d, 1.toShort); d += 1 }
-    bb.putShort(70, 16.toShort) // FLOAT32
-    bb.putShort(72, 32.toShort) // bitpix
+    bb.putShort(70, datatype.toShort)
+    bb.putShort(72, (bpv * 8).toShort) // bitpix
     bb.putFloat(76, 1f)
     bb.putFloat(80, zooms(0).toFloat)
     bb.putFloat(84, zooms(1).toFloat)
     bb.putFloat(88, zooms(2).toFloat)
     bb.putFloat(108, 352f) // vox_offset
-    bb.putFloat(112, 1f)   // scl_slope
-    bb.putFloat(116, 0f)
+    bb.putFloat(112, sclSlope)
+    bb.putFloat(116, sclInter)
     bb.put(344, 'n'.toByte); bb.put(345, '+'.toByte); bb.put(346, '1'.toByte); bb.put(347, 0.toByte)
     bb.position(352)
     var i = 0
-    while (i < vol.length) { bb.putFloat(vol(i)); i += 1 }
+    while (i < vol.length) {
+      datatype match {
+        case 16 => bb.putFloat(vol(i))
+        case 4  => bb.putShort(vol(i).toShort)
+        case 2  => bb.put(vol(i).toInt.toByte)
+        case 8  => bb.putInt(vol(i).toInt)
+        case 64 => bb.putDouble(vol(i).toDouble)
+      }
+      i += 1
+    }
     bb.array()
   }
 

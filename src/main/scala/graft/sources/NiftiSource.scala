@@ -222,7 +222,7 @@ private[sources] object NiftiIo {
   def readGzipPlanes(fs: FileSystem, path: Path, h: Nifti.Header,
       planesSorted: Seq[Int]): Map[Int, Array[Byte]] = {
     val d0 = h.dims(0); val d1 = h.dims(1)
-    val planeBytes = d0 * d1 * 4
+    val planeBytes = d0 * d1 * Nifti.bytesPerVoxel(h.datatype)
     val in = fs.open(path)
     try {
       val gz = new java.util.zip.GZIPInputStream(in, 1 << 16)
@@ -379,15 +379,17 @@ private[sources] class NiftiSliceReader(files: Array[String], pushed: Array[Filt
     }.filter(_._2.nonEmpty)
     if (wanted.isEmpty) return
 
-    val scaled = h.sclSlope != 0f && (h.sclSlope != 1f || h.sclInter != 0f)
-    val plainF32 = h.datatype == 16 && !scaled
+    // any fixed-width dtype is lazily readable (scl applied per element in
+    // the decode step) — int16+scl clinical corpora keep the pushdown win;
+    // only exotic dtypes (RGB, complex) fall back to the eager volume read
+    val lazyReadable = Nifti.bytesPerVoxel(h.datatype) > 0
     val isGz = NiftiIo.isGzipName(path)
-    val seekable = !isGz && plainF32 && needPixels
+    val seekable = !isGz && lazyReadable && needPixels
     // gzip can't seek, but it CAN stream: when only z-plane orientations
     // (axial/coronal both read plane z=i) are requested, decompress
     // forward to each needed plane and stop — the compressed prefix is all
     // that's fetched, not the whole member
-    val gzStreamable = isGz && plainF32 && needPixels &&
+    val gzStreamable = isGz && lazyReadable && needPixels &&
       wanted.forall { case (o, _) => o == "axial" || o == "coronal" }
 
     // one decoded volume shared by every emitted slice of this file
@@ -420,21 +422,28 @@ private[sources] class NiftiSliceReader(files: Array[String], pushed: Array[Filt
     } finally if (in != null) in.close()
   }
 
-  /** Decode one raw z-plane (Fortran x-fastest) into an oriented 2D slice. */
+  /** Decode one raw z-plane (Fortran x-fastest) into an oriented 2D slice —
+    * dtype-generic with per-element scl scaling. */
   private def decodePlane(buf: Array[Byte], h: Nifti.Header, orient: String)
       : (Array[Float], Int, Int) = {
     val d0 = h.dims(0); val d1 = h.dims(1)
+    val bpv = Nifti.bytesPerVoxel(h.datatype)
+    val scaled = h.sclSlope != 0f && (h.sclSlope != 1f || h.sclInter != 0f)
     val bb = java.nio.ByteBuffer.wrap(buf).order(
       if (h.littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
+    @inline def v(off: Int): Float = {
+      val x = Nifti.voxelAt(bb, off, h.datatype)
+      if (scaled) x * h.sclSlope + h.sclInter else x
+    }
     if (orient == "axial") {
       val out = new Array[Float](d0 * d1)
       var a = 0
-      while (a < d0) { var b = 0; while (b < d1) { out(a * d1 + b) = bb.getFloat((a + b * d0) * 4); b += 1 }; a += 1 }
+      while (a < d0) { var b = 0; while (b < d1) { out(a * d1 + b) = v((a + b * d0) * bpv); b += 1 }; a += 1 }
       (out, d0, d1)
     } else {
       val out = new Array[Float](d1 * d0)
       var a = 0
-      while (a < d1) { var b = 0; while (b < d0) { out(a * d0 + b) = bb.getFloat((b + a * d0) * 4); b += 1 }; a += 1 }
+      while (a < d1) { var b = 0; while (b < d0) { out(a * d0 + b) = v((b + a * d0) * bpv); b += 1 }; a += 1 }
       (out, d1, d0)
     }
   }
@@ -446,16 +455,23 @@ private[sources] class NiftiSliceReader(files: Array[String], pushed: Array[Filt
     case "axial" => dims(1); case _ => dims(0)
   }
 
-  /** Seek-read exactly the bytes of one oriented slice (uncompressed
-    * float32): axial/coronal are one contiguous plane; sagittal is d2
-    * strided rows of d0 floats. Offsets stay in Long throughout. */
+  /** Seek-read exactly the bytes of one oriented slice (uncompressed, any
+    * fixed-width dtype): axial/coronal are one contiguous plane; sagittal
+    * is d2 strided rows of d0 voxels. Offsets stay in Long throughout;
+    * scl scaling applied per element. */
   private def readSliceSeek(in: org.apache.hadoop.fs.FSDataInputStream,
       h: Nifti.Header, orient: String, i: Int): (Array[Float], Int, Int) = {
     val d0 = h.dims(0); val d1 = h.dims(1); val d2 = h.dims(2)
     val off = h.voxOffset.toLong
+    val bpv = Nifti.bytesPerVoxel(h.datatype)
+    val scaled = h.sclSlope != 0f && (h.sclSlope != 1f || h.sclInter != 0f)
+    @inline def v(bb: java.nio.ByteBuffer, o: Int): Float = {
+      val x = Nifti.voxelAt(bb, o, h.datatype)
+      if (scaled) x * h.sclSlope + h.sclInter else x
+    }
     orient match {
       case "axial" | "coronal" =>
-        val planeBytes = d0.toLong * d1 * 4
+        val planeBytes = d0.toLong * d1 * bpv
         require(planeBytes <= Int.MaxValue, "plane too large")
         val buf = new Array[Byte](planeBytes.toInt)
         in.readFully(off + i * planeBytes, buf, 0, buf.length)
@@ -465,26 +481,26 @@ private[sources] class NiftiSliceReader(files: Array[String], pushed: Array[Filt
         if (orient == "axial") {
           val out = new Array[Float](d0 * d1)
           var a = 0
-          while (a < d0) { var b = 0; while (b < d1) { out(a * d1 + b) = bb.getFloat((a + b * d0) * 4); b += 1 }; a += 1 }
+          while (a < d0) { var b = 0; while (b < d1) { out(a * d1 + b) = v(bb, (a + b * d0) * bpv); b += 1 }; a += 1 }
           (out, d0, d1)
         } else {
           val out = new Array[Float](d1 * d0)
           var a = 0
-          while (a < d1) { var b = 0; while (b < d0) { out(a * d0 + b) = bb.getFloat((b + a * d0) * 4); b += 1 }; a += 1 }
+          while (a < d1) { var b = 0; while (b < d0) { out(a * d0 + b) = v(bb, (b + a * d0) * bpv); b += 1 }; a += 1 }
           (out, d1, d0)
         }
       case "sagittal" =>
         val out = new Array[Float](d2 * d0)
-        val row = new Array[Byte](d0 * 4)
+        val row = new Array[Byte](d0 * bpv)
         var a = 0
         while (a < d2) {
-          val pos = off + (i.toLong * d0 + a.toLong * d0 * d1) * 4
+          val pos = off + (i.toLong * d0 + a.toLong * d0 * d1) * bpv
           in.readFully(pos, row, 0, row.length)
           NiftiSource.bytesRead.addAndGet(row.length)
           val bb = java.nio.ByteBuffer.wrap(row).order(
             if (h.littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN else java.nio.ByteOrder.BIG_ENDIAN)
           var b = 0
-          while (b < d0) { out(a * d0 + b) = bb.getFloat(b * 4); b += 1 }
+          while (b < d0) { out(a * d0 + b) = v(bb, b * bpv); b += 1 }
           a += 1
         }
         (out, d2, d0)

@@ -40,17 +40,18 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
-  test("multimodal ImageIO decode is lossless: decoded mean equals source pixel mean") {
+  test("multimodal ImageIO decode is lossless and K18 area-resize conserves luminance mass") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q84_multimodal_imageio")(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val pk = r.getAs[Long]("media_id")
-      val h = 16 + (pk % 5).toInt; val w = 12 + (pk % 7).toInt
+      val h = 16 + (pk % 3).toInt * 8; val w = 16 + (pk % 2).toInt * 8
       assert(r.getAs[Long]("height") == h && r.getAs[Long]("width") == w)
-      val px = Array.tabulate(h * w)(i => ((pk * 31 + i * 7) % 256).toInt)
-      val mean = math.rint(px.map(_.toDouble).sum / px.length * 1000) / 1000
-      assert(r.getAs[Double]("mean_lum") == mean, s"media $pk mean mismatch")
+      val sum = Array.tabulate(h * w)(i => ((pk * 31 + i * 7) % 256)).sum
+      assert(r.getAs[Long]("sum_lum") == sum, s"media $pk decoded sum mismatch")
+      // exact-block area resize preserves total mass bit-for-bit
+      assert(r.getAs[Long]("thumb_mass") == sum, s"media $pk resize lost mass")
     }
   }
 

@@ -191,6 +191,58 @@ class NiftiSourceSpec extends AnyFunSuite {
     assert(lenientSlices.count() == 3 * 6)
   }
 
+  test("int16+scl volumes keep the lazy pushdown: bounded bytes, scl applied, parity with eager decode") {
+    // the most common clinical NIfTI encoding: int16 raw values with
+    // scl_slope/inter in the header (reference reads these lazily through
+    // the nibabel proxy, v2/nii_to_lmdb_paralel.py:97-112)
+    val dir = Files.createTempDirectory("nifti_i16_").toString
+    val raw16 = Array.tabulate(dims.product)(i => ((i * 7) % 997 - 498).toFloat)
+    val bytes = Nifti.encode(raw16, dims, Array(1.0, 1.0, 1.0),
+      datatype = 4, sclSlope = 2.5f, sclInter = 10f)
+    Files.write(Paths.get(dir, "i16.nii"), bytes)
+    val gzBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new GZIPOutputStream(bos)
+      gz.write(bytes); gz.close()
+      bos.toByteArray
+    }
+    Files.write(Paths.get(dir, "i16gz.nii.gz"), gzBytes)
+
+    // eager decode (applies scl) is the ground truth for both lazy paths
+    val (eh, evol) = Nifti.readVolume(bytes)
+    assert(eh.datatype == 4 && eh.sclSlope == 2.5f)
+    assert(evol(5) == raw16(5) * 2.5f + 10f)
+
+    NiftiSource.bytesRead.set(0L)
+    val got = Nifti.rawSlices(spark, dir)
+      .filter(col("orient") === "axial" && col("idx") === 3)
+      .collect()
+    val read = NiftiSource.bytesRead.get()
+    assert(got.length == 2)
+    val (px, h, w) = Nifti.sliceOf(evol, dims, "axial", 3)
+    got.foreach { r =>
+      assert(r.getAs[Int]("h") == h && r.getAs[Int]("w") == w)
+      assert(pixelsOf(r) == px.toSeq)
+    }
+    // plain: header + ONE int16 plane (2 bytes/voxel, half the float32
+    // plane); gz: header prefix + streamed compressed prefix ≤ full member
+    val bound = (352L + dims(0) * dims(1) * 2) + math.min(4096L, gzBytes.length.toLong) + gzBytes.length
+    assert(read <= bound, s"int16 pushed scan read $read > $bound bytes")
+
+    // the slice-level lazy reader agrees too (gzip container, sagittal stride)
+    val (lpx, lh, lw) = Nifti.readSliceLazy(gzBytes, "sagittal", 5)
+    val (spx, sh2, sw2) = Nifti.sliceOf(evol, dims, "sagittal", 5)
+    assert(lh == sh2 && lw == sw2 && lpx.toSeq == spx.toSeq)
+
+    // uint8 roundtrip through the same dtype-generic encoder/decoder
+    val raw8 = Array.tabulate(dims.product)(i => (i % 256).toFloat)
+    val b8 = Nifti.encode(raw8, dims, Array(1.0, 1.0, 1.0), datatype = 2)
+    val (h8, v8) = Nifti.readVolume(b8)
+    assert(h8.datatype == 2 && v8.toSeq == raw8.toSeq)
+    val (l8, _, _) = Nifti.readSliceLazy(b8, "coronal", 2)
+    assert(l8.toSeq == Nifti.sliceOf(raw8, dims, "coronal", 2)._1.toSeq)
+  }
+
   test("slice counts per orientation match sliceCount, unfiltered scan is complete") {
     val (dir, _, _) = writeFixtures(1)
     val counts = Nifti.rawSlices(spark, dir)

@@ -35,6 +35,40 @@ object Percentiles {
   def approxMulti(col: Column, ps: Seq[Double], accuracy: Int = DefaultAccuracy): Column =
     approx_percentile(col, array(ps.map(lit): _*), lit(accuracy))
 
+  /** K2 robust percentile normalization at the API tier (the engine
+    * counterpart of MriOps q45; reference `v2/patch_utils.py:25-34`).
+    *
+    * Default is the SCALE policy: `approx_percentile` bounds — the
+    * reference's own granularity is per-volume (a bounded group), and
+    * anything coarser (per-scanner, per-corpus) is an unbounded group
+    * where a guaranteed-rank-error sketch is the right default. Pass
+    * `exact = true` for bounded groups / oracle parity — it routes
+    * through [[exactByRank]], so even the exact path never builds a
+    * per-group sort buffer. Appends `norm` ∈ [0,1] (clip outside the
+    * robust range; degenerate range → 1, the reference's vmax≤vmin+1e-8
+    * guard). */
+  def robustNormalize(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double = 0.02, pHi: Double = 0.98, exact: Boolean = false,
+      accuracy: Int = DefaultAccuracy): DataFrame = {
+    val bounds =
+      if (exact)
+        exactByRank(df, groupCol, valueCol, Seq(pLo, pHi))
+          .groupBy(groupCol).agg(
+            max(when(col("p") === pLo, col("value"))).as("plo"),
+            max(when(col("p") === pHi, col("value"))).as("phi"))
+      else
+        df.groupBy(groupCol).agg(
+          approx(col(valueCol).cast("double"), pLo, accuracy).as("plo"),
+          approx(col(valueCol).cast("double"), pHi, accuracy).as("phi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("norm",
+        when(col("phi") <= col("plo") + lit(1e-8), lit(1.0))
+          .otherwise(greatest(least(
+            (col(valueCol).cast("double") - col("plo")) / (col("phi") - col("plo")),
+            lit(1.0)), lit(0.0))))
+      .drop("plo", "phi")
+  }
+
   /** Exact per-group percentiles WITHOUT the per-group sort-agg.
     *
     * Spark's `percentile` builds one value→count map per group and sorts it
@@ -59,14 +93,24 @@ object Percentiles {
     *     covering rows per target, then interpolate exactly as Spark does:
     *     `vlo·(⌈i⌉−i) + vhi·(i−⌊i⌋)`, i = p·(n−1).
     *
-    * Returns (groupCol, p, value). */
+    * Returns (groupCol, p, value, n) — n is the exact non-null group count
+    * (already aggregated for the rank targets), so callers never need a
+    * second scan of the input for counts. */
   def exactByRank(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double]): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
+    // BOTH persists are load-bearing. cnt: the range partitioner's SAMPLING
+    // job re-executes its child, so an uncached cnt would run the groupBy
+    // twice. ranged: pid must be identical for the subtotal and rank
+    // consumers — two separate materializations of a range exchange draw
+    // DIFFERENT sampling boundaries (the sampler seeds from the RDD id), so
+    // an unpinned ranged silently mis-offsets every rank (caught by the
+    // round-3 oracle run: q08 p99 off by 10%).
     val cnt = df.filter(col(valueCol).isNotNull)
       .groupBy(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
       .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ranged = cnt.repartitionByRange(parts, col("g"), col("v"))
       .sortWithinPartitions("g", "v")
       .withColumn("pid", spark_partition_id())
@@ -94,7 +138,7 @@ object Percentiles {
         col("cm.g") === col("tg.g") &&
           ((col("klo") >= col("prev") && col("klo") < col("cum")) ||
             (col("khi") >= col("prev") && col("khi") < col("cum"))))
-      .groupBy(col("tg.g").as("g"), col("p"), col("idx"), col("klo"), col("khi"))
+      .groupBy(col("tg.g").as("g"), col("p"), col("idx"), col("klo"), col("khi"), col("n"))
       .agg(
         max(when(col("klo") >= col("prev") && col("klo") < col("cum"), col("v"))).as("vlo"),
         max(when(col("khi") >= col("prev") && col("khi") < col("cum"), col("v"))).as("vhi"))
@@ -102,6 +146,6 @@ object Percentiles {
         when(col("klo") === col("khi"), col("vlo"))
           .otherwise(col("vlo") * (col("khi") - col("idx")) +
             col("vhi") * (col("idx") - col("klo"))))
-      .select(col("g").as(groupCol), col("p"), col("value"))
+      .select(col("g").as(groupCol), col("p"), col("value"), col("n"))
   }
 }

@@ -195,10 +195,15 @@ object MriOps {
         round(avg("sd"), 4).as("mean_voxel_std"),
         round(avg(col("sd") / col("mu")), 6).as("mean_phase_sigma"))
 
-  // ------------------------------------------- rows-only kernel pipelines
+  // ------------- kernel pipelines (structure + invariants oracle-checked)
 
-  /** C3/C4 v2 degradation on deterministic synthetic slices (rows-only:
-    * FFT not SQL-expressible; numerics covered by DegradeSpec). */
+  /** C3/C4 v2 degradation on deterministic synthetic slices, oracle-checked
+    * on everything DuckDB can state exactly: the downsampled geometry
+    * (24×20 through the f=2 preset → 12×10) and the two invariants the
+    * physics chain must satisfy — K13 retry-stability (the same seed must
+    * reproduce the same bytes, the speculative-execution contract) and a
+    * bounded output mean. The FFT numerics themselves are golden-tested in
+    * DegradeSpec (not SQL-expressible). */
   private def q50(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val parts = t(s, dir, "part").select(col("p_partkey"), col("p_size"))
@@ -212,23 +217,29 @@ object MriOps {
       val img = Array.tabulate(h * w)(i => ((pk * 31 + size * 17 + i * 7) % 256).toFloat / 255f)
       val seed = Rng.sliceSeed(s"part$pk", "axial", size, 123)
       val r = Degrade.degradePreset(img, h, w, "3tFlash", seed)
+      val r2 = Degrade.degradePreset(img, h, w, "3tFlash", seed)
+      val stable = java.util.Arrays.equals(r.lr, r2.lr) &&
+        java.util.Arrays.equals(r.hr, r2.hr)
       val mean = r.lr.map(_.toDouble).sum / r.lr.length
-      val sd = math.sqrt(r.lr.map(v => (v - mean) * (v - mean)).sum / r.lr.length)
-      (pk, r.lrH, r.lrW, math.rint(mean * 10000) / 10000, math.rint(sd * 10000) / 10000)
-    }.toDF("p_partkey", "lr_h", "lr_w", "lr_mean", "lr_std")
+      (pk, r.lrH.toLong, r.lrW.toLong, stable, mean > 0.0 && mean < 2.0)
+    }.toDF("p_partkey", "lr_h", "lr_w", "retry_stable", "lr_mean_in_range")
       .orderBy("p_partkey")
   }
 
-  /** C1/C2 v1 preset dispatch smoke over one synthetic slice per preset. */
+  /** C1/C2 v1 preset dispatch over one synthetic slice per preset —
+    * oracle-checked on per-preset downsample geometry (24/fatorReducao)
+    * and the same K13 retry-stability invariant as q50. */
   private def q51(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Degrade.presetsV1.keys.toSeq.sorted.toDS().map { name =>
       val h = 24; val w = 24
       val img = Array.tabulate(h * w)(i => ((i * 13) % 200).toFloat / 255f)
       val r = Degrade.degradePreset(img, h, w, name, seed = 42)
+      val r2 = Degrade.degradePreset(img, h, w, name, seed = 42)
+      val stable = java.util.Arrays.equals(r.lr, r2.lr)
       val mean = r.lr.map(_.toDouble).sum / r.lr.length
-      (name, r.lrH, r.lrW, math.rint(mean * 10000) / 10000)
-    }.toDF("preset", "lr_h", "lr_w", "lr_mean")
+      (name, r.lrH.toLong, r.lrW.toLong, stable, mean > 0.0 && mean < 2.0)
+    }.toDF("preset", "lr_h", "lr_w", "retry_stable", "lr_mean_in_range")
       .orderBy("preset")
   }
 
@@ -282,6 +293,27 @@ object MriOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // q50–q52 oracle the structural outputs of the kernel pipelines — the
+    // downsample geometry, slice counts and tiling-grid sizes DuckDB can
+    // derive analytically — plus retry-stability/sanity booleans; the
+    // kernel numerics themselves are golden-tested in DegradeSpec/ImageSpec.
+    "q50_degrade_v2" ->
+      """SELECT p_partkey, CAST(12 AS BIGINT) AS lr_h, CAST(10 AS BIGINT) AS lr_w,
+        | TRUE AS retry_stable, TRUE AS lr_mean_in_range
+        |FROM part WHERE p_partkey % 10 = 0 ORDER BY p_partkey""".stripMargin,
+    "q51_degrade_v1_presets" ->
+      """SELECT preset,
+        | CAST(24 // f AS BIGINT) AS lr_h, CAST(24 // f AS BIGINT) AS lr_w,
+        | TRUE AS retry_stable, TRUE AS lr_mean_in_range
+        |FROM (VALUES ('15T_T1W', 3), ('3T_T1W', 2), ('3T_T2STAR', 2), ('3T_fMRI', 4)) p(preset, f)
+        |ORDER BY preset""".stripMargin,
+    "q52_nifti_pipeline" ->
+      """SELECT s_suppkey, o.orient,
+        | CAST(CASE WHEN o.orient = 'sagittal' THEN 14 ELSE 6 END AS BIGINT) AS n_slices,
+        | CAST(CASE WHEN o.orient = 'sagittal' THEN 42 ELSE 36 END AS BIGINT) AS n_patches,
+        | CAST(0 AS BIGINT) AS n_dark
+        |FROM supplier, (SELECT unnest(['axial','coronal','sagittal']) AS orient) o
+        |ORDER BY s_suppkey, orient""".stripMargin,
     "q80_phase_sigma" ->
       """WITH v AS (SELECT l_partkey, l_suppkey, count(*) AS n_rep,
         |  avg(l_quantity) AS mu, stddev_samp(l_quantity) AS sd

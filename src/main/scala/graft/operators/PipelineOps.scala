@@ -165,11 +165,12 @@ object PipelineOps {
   }
 
   /** S4/S5 as a DataSource V2: write synthetic volumes to disk, then
-    * (a) header-only scan — tasks read 352 bytes/file, asserted via the
-    * bytes-read counter; (b) slice scan with orient/idx pushdown — only the
-    * requested planes are seek-read; (c) metadata projection over slices —
-    * the pruned `pixels` column is never fetched. Rows-only (file source,
-    * not SQL-expressible). */
+    * (a) header-only scan — tasks read exactly 352 bytes/file, byte-counter
+    * proven; (b) slice scan with orient/idx pushdown — only the requested
+    * planes are seek-read, and the DECODED plane content is hash-checked:
+    * the synthesis formula is integer arithmetic, so the oracle recomputes
+    * the exact pushed-plane pixel sum that only a correct seek-read of the
+    * right plane at the right offsets can produce. */
   private def q81(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft_dsv2_").toString
@@ -193,11 +194,11 @@ object PipelineOps {
       .collect()(0)
     val sliceBytes = graft.sources.NiftiSource.bytesRead.get()
 
-    Seq((hdr.getAs[Long]("n"), hdr.getAs[Long]("vox"), totalBytes, headerBytes,
+    Seq((hdr.getAs[Long]("n"), hdr.getAs[Long]("vox"), headerBytes,
       pushedSum.getAs[Long]("n"), math.rint(pushedSum.getAs[Double]("px")).toLong,
-      sliceBytes, headerBytes * 10 < totalBytes && sliceBytes * 4 < totalBytes))
-      .toDF("n_files", "n_voxels", "total_file_bytes", "header_scan_bytes",
-        "n_pushed_slices", "pushed_px_sum", "slice_scan_bytes", "pushdown_effective")
+      headerBytes * 10 < totalBytes && sliceBytes * 4 < totalBytes))
+      .toDF("n_files", "n_voxels", "header_scan_bytes",
+        "n_pushed_slices", "pushed_px_sum", "pushdown_effective")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -219,6 +220,23 @@ object PipelineOps {
     "q71_png_dir_sink" ->
       """SELECT tier, count(*) AS n_slices, count(*) AS n_files, TRUE AS pixels_match
         |FROM supplier, (SELECT unnest(['HR','LRx2']) AS tier) t
-        |GROUP BY tier ORDER BY tier""".stripMargin
+        |GROUP BY tier ORDER BY tier""".stripMargin,
+    // q81: the synthesis formula is integer arithmetic (the r < k disc test
+    // is exact as an integer square compare), so DuckDB recomputes the
+    // pushed axial plane z=2 sum over all 8 volumes; 8 files × 352 header
+    // bytes is the S5 contract, counter-measured on the engine side.
+    "q81_nifti_dsv2_scan" ->
+      """WITH xy AS (SELECT x, y, x + 16*y + 448 AS i
+        |            FROM range(16) t1(x), range(14) t2(y)),
+        |pv AS (SELECT v,
+        |  CAST(sum(CASE WHEN (x-8)*(x-8) + (y-7)*(y-7) < (5 + v%3)*(5 + v%3)
+        |       THEN 200 + (i*7 + v*31) % 56 ELSE (i*13 + v*17) % 20 END) AS BIGINT) AS s
+        | FROM range(8) tv(v), xy GROUP BY v)
+        |SELECT CAST(8 AS BIGINT) AS n_files, CAST(8 * 16 * 14 * 6 AS BIGINT) AS n_voxels,
+        | CAST(8 * 352 AS BIGINT) AS header_scan_bytes,
+        | CAST(8 AS BIGINT) AS n_pushed_slices,
+        | CAST(sum(s) AS BIGINT) AS pushed_px_sum,
+        | TRUE AS pushdown_effective
+        |FROM pv""".stripMargin
   )
 }

@@ -109,12 +109,11 @@ object Relational {
     val li = t(s, dir, "lineitem")
     val pct = Percentiles.exactByRank(li, "l_returnflag", "l_extendedprice",
       Seq(0.01, 0.5, 0.99))
-    val wide = pct.groupBy("l_returnflag").agg(
+    pct.groupBy("l_returnflag").agg(
+      max(col("n")).as("n"),
       round(max(when(col("p") === 0.01, col("value"))), 4).as("p01"),
       round(max(when(col("p") === 0.5, col("value"))), 4).as("p50"),
       round(max(when(col("p") === 0.99, col("value"))), 4).as("p99"))
-    li.groupBy("l_returnflag").agg(count(lit(1)).as("n"))
-      .join(broadcast(wide), Seq("l_returnflag"))
       .select(col("l_returnflag"), col("n"), col("p01"), col("p50"), col("p99"))
       .orderBy("l_returnflag")
   }

@@ -332,12 +332,34 @@ object TextOps {
     * round shuffles only the edge list and the label table, never
     * materializing components on the driver. */
   private def q70(s: SparkSession, dir: String): DataFrame = {
+    // the label/edge tables are near-dup pairs — orders of magnitude
+    // smaller than the corpus — and the loop runs several shuffle rounds,
+    // so per-round task-scheduling overhead dominates at the default
+    // partition count; scope it down for the loop (a production run sizes
+    // it to the edge count; AQE coalesces but can't merge the per-round
+    // job overhead)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try q70Loop(s, dir)
+    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
+  private def q70Loop(s: SparkSession, dir: String): DataFrame = {
     val edges0 = jaccard(s, dir).filter(col("jac") >= 0.8)
       .select(col("a").as("u"), col("b_id").as("v"))
+    // localCheckpoint (lazy) instead of persist: persist caches DATA but the
+    // logical plan still embeds the whole jaccard chain into EVERY round —
+    // and with pointer doubling each round references the previous round
+    // TWICE, so an un-truncated loop plan grows exponentially (round 2's
+    // audit showed 185 exchanges; a doubling variant hit 6693). Checkpointing
+    // edges once and each round's labels keeps every plan O(one round), and
+    // bounds the recovery path after an executor loss to the last round.
+    // Lazy (eager=false): the changed-count action below materializes each
+    // round anyway, so an eager extra job would be pure overhead.
     val edges = edges0.union(edges0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().persist()
+      .distinct().localCheckpoint(false)
     val nodes = edges.select(col("u").as("node")).distinct()
-    var labels = nodes.withColumn("label", col("node")).persist()
+    var labels = nodes.withColumn("label", col("node")).localCheckpoint(false)
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
@@ -356,23 +378,15 @@ object TextOps {
             col("a.label") === col("l_node"), "left")
           .select(col("a.node").as("node"),
             least(col("a.label"), coalesce(col("l_label"), col("a.label"))).as("label"))
-      // truncate lineage every 3rd round: persist alone materializes the
-      // DATA but the logical plan still embeds every prior round (round 2's
-      // unrolled plan hit 185 exchanges, and an executor loss late in the
-      // loop would recompute through every prior join). localCheckpoint cuts
-      // both the analyzer cost and the recovery path.
-      val next = if (iter % 3 == 2) stepped.localCheckpoint(true) else stepped.persist()
+      val next = stepped.localCheckpoint(false)
       val changed = next.as("n").join(labels.as("o"), Seq("node"))
         .filter(col("n.label") =!= col("o.label")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
-    val out = labels.select(col("node").as("doc_id"), col("label").as("component"))
+    labels.select(col("node").as("doc_id"), col("label").as("component"))
       .orderBy("doc_id")
-    edges.unpersist()
-    out
   }
 
   /** End-to-end LLM training-data pipeline (the text-side flagship),

@@ -72,12 +72,20 @@ object VectorOps {
   }
 
   /** (vec_id, bk, bv): all 4 band keys computed in ONE pass over the scan,
-    * then unpivoted with stack() — never 4 re-scans. */
+    * then unpivoted with stack() — never 4 re-scans. Persisted per
+    * (session, sfDir): the ANN candidate join reads it on both sides and
+    * the near-dup query reuses it, so the 64-plane hyperplane projection
+    * runs once per corpus (the TextOps.shared pattern). */
+  private val bandCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def banded(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "embeddings")
-      .select(col("vec_id"), bands4x16(col("embedding")).as("bands"))
-      .selectExpr("vec_id",
-        "stack(4, 0L, bands[0], 1L, bands[1], 2L, bands[2], 3L, bands[3]) AS (bk, bv)")
+    bandCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", _ => {
+      val d = t(s, dir, "embeddings")
+        .select(col("vec_id"), bands4x16(col("embedding")).as("bands"))
+        .selectExpr("vec_id",
+          "stack(4, 0L, bands[0], 1L, bands[1], 2L, bands[2], 3L, bands[3]) AS (bk, bv)")
+      d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d
+    })
 
   /** Brute-force cosine top-5 for a probe subset (vec_id % 100 == 0). */
   private def q33(s: SparkSession, dir: String): DataFrame = {

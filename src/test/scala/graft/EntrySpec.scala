@@ -116,6 +116,17 @@ class EntrySpec extends AnyFunSuite {
     assert(!entryPlan.contains("Window"), "flagship must not use a Window")
   }
 
+  test("q70 final plan is checkpoint-truncated: bounded exchanges, not the unrolled loop") {
+    // pre-checkpoint, the component loop's final plan embedded every prior
+    // round's join (185 exchanges at this SF; 6693 once pointer doubling
+    // squared the growth); per-round localCheckpoint keeps it O(one round)
+    val df = SparkEntry.queries("q70_dedup_components")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString()
+    val exch = "Exchange".r.findAllIn(plan).size
+    assert(exch <= 40, s"q70 final plan has $exch exchanges — lineage not truncated")
+    assert(df.count() > 0)
+  }
+
   test("kv store: refuse non-empty dir, point lookup, regex listing") {
     val tmp = java.nio.file.Files.createTempDirectory("kvspec_").toString
     new java.io.File(tmp).delete()

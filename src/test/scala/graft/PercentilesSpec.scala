@@ -49,6 +49,34 @@ class PercentilesSpec extends AnyFunSuite {
     }
   }
 
+  test("robustNormalize: approx default stays within rank-error of exact, exact matches q45 arithmetic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val df = (1 to 4000).map(i => (s"v${i % 2}", rnd.nextDouble() * 100)).toDF("vol", "x")
+
+    val ex = Percentiles.robustNormalize(df, "vol", "x", exact = true)
+    // exact path reproduces the inline-q45 normalization bit-for-bit
+    val pp = df.groupBy("vol").agg(
+      expr("percentile(x, 0.02D)").as("plo"), expr("percentile(x, 0.98D)").as("phi"))
+    val want = df.join(pp, "vol")
+      .withColumn("norm", expr("greatest(least((x - plo) / (phi - plo), 1.0D), 0.0D)"))
+    val key = (r: org.apache.spark.sql.Row) => (r.getAs[String]("vol"), r.getAs[Double]("x"))
+    val gotM = ex.collect().map(r => key(r) -> r.getAs[Double]("norm")).toMap
+    want.collect().foreach { r =>
+      assert(gotM(key(r)) == r.getAs[Double]("norm"))
+    }
+
+    // approx default: same clip behavior, bounds within GK rank error
+    val ap = Percentiles.robustNormalize(df, "vol", "x")
+    val diffs = ap.collect().map(r => math.abs(gotM(key(r)) - r.getAs[Double]("norm")))
+    assert(diffs.max < 0.01, s"approx norm drifted ${diffs.max} from exact")
+
+    // degenerate range guard: constant group → norm 1.0 (reference vmax<=vmin+1e-8)
+    val const = Seq(("c", 5.0), ("c", 5.0), ("c", 5.0)).toDF("vol", "x")
+    assert(Percentiles.robustNormalize(const, "vol", "x", exact = true)
+      .collect().forall(_.getAs[Double]("norm") == 1.0))
+  }
+
   test("no window partitions by the bare group (the 100 TB shape guarantee)") {
     import spark.implicits._
     val df = (1 to 500).map(i => (s"g${i % 2}", i.toDouble)).toDF("grp", "v")

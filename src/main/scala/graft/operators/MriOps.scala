@@ -139,7 +139,7 @@ object MriOps {
   private def q45(s: SparkSession, dir: String): DataFrame = {
     val li = t(s, dir, "lineitem")
     val pct = graft.functions.Percentiles.exactByRank(
-      li, "l_returnflag", "l_extendedprice", Seq(0.02, 0.98))
+      li, "l_returnflag", "l_extendedprice", Seq(0.02, 0.98), collapse = false)
     val pp = pct.groupBy("l_returnflag").agg(
       max(when(col("p") === 0.02, col("value"))).as("plo"),
       max(when(col("p") === 0.98, col("value"))).as("phi"))

@@ -108,7 +108,7 @@ object Relational {
     import graft.functions.Percentiles
     val li = t(s, dir, "lineitem")
     val pct = Percentiles.exactByRank(li, "l_returnflag", "l_extendedprice",
-      Seq(0.01, 0.5, 0.99))
+      Seq(0.01, 0.5, 0.99), collapse = false) // prices ~99% unique
     pct.groupBy("l_returnflag").agg(
       max(col("n")).as("n"),
       round(max(when(col("p") === 0.01, col("value"))), 4).as("p01"),

@@ -196,24 +196,43 @@ object TextOps {
     * hash per shingle) instead of min(md5-hex-string) — same one-shuffle
     * shape as q23 but integer min-combine, no 32-char string materialization
     * or lexicographic compares in the agg. DuckDB has no xxhash64, so the
-    * raw signatures can't hash-match; instead the query emits the
-    * self-agreement invariant the signatures must satisfy — within every
-    * exact-duplicate group (same md5(text), DuckDB-computable) all xxhash64
-    * signatures MUST collapse to one distinct value, because the signature
-    * is a pure function of content. A nondeterministic or retry-unstable
-    * signature (the K13 failure mode) flips n_sigs > 1 and breaks the hash
-    * compare. The md5 form (q23) remains the value-level parity variant;
-    * bench both to record the fast-path delta. */
+    * raw signatures can't hash-match; instead the query emits a single
+    * ALWAYS-NONEMPTY invariant row the signatures must satisfy:
+    *  - n_stable == n_docs: the signature recomputed through a SECOND,
+    *    cache-independent derivation (fresh shingle explode from `words`,
+    *    not the shared persisted copy) agrees per doc — a nondeterministic
+    *    or retry-unstable hash (the K13 failure mode) breaks it;
+    *  - n_violations == 0: within every exact-duplicate group (same
+    *    md5(text), DuckDB-computable) all signatures collapse to one value,
+    *    because the signature is a pure function of content. (At sf≤0.01
+    *    the corpus has no exact dups, so this alone would be vacuous —
+    *    hence the determinism leg, which covers every doc at every SF.)
+    * The md5 form (q23) remains the value-level parity variant; bench both
+    * to record the fast-path delta. */
   private def q82(s: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until 8).map(j => min(xxhash64(lit(j.toLong), col("sh"))).as(s"h$j"))
-    val sigs = shingles(s, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), xxhash64((0 until 8).map(j => col(s"h$j")): _*).as("sig"))
-    words(s, dir).select(col("doc_id"), md5(col("text")).as("fp"))
-      .join(sigs, Seq("doc_id"))
-      .groupBy("fp")
-      .agg(count(lit(1)).as("n_docs"), countDistinct("sig").as("n_sigs"))
-      .filter(col("n_docs") >= 2)
-      .orderBy("fp")
+    def sigOf(sh: DataFrame, name: String): DataFrame = {
+      val aggs = (0 until 8).map(j => min(xxhash64(lit(j.toLong), col("sh"))).as(s"h$j"))
+      sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        .select(col("doc_id"), xxhash64((0 until 8).map(j => col(s"h$j")): _*).as(name))
+    }
+    val sig1 = sigOf(shingles(s, dir), "sig")
+    val fresh = words(s, dir) // independent derivation: bypasses the shared cache
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("sh"))
+      .distinct()
+    val sig2 = sigOf(fresh, "sig2")
+    val joined = sig1.join(sig2, Seq("doc_id"))
+      .join(words(s, dir).select(col("doc_id"), md5(col("text")).as("fp")), Seq("doc_id"))
+    val dupViol = joined.groupBy("fp")
+      .agg(count(lit(1)).as("nd"), countDistinct("sig").as("ns"))
+      .agg(
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_groups"),
+        sum(when(col("nd") >= 2 && col("ns") > 1, 1L).otherwise(0L)).as("n_violations"))
+    joined.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("sig") === col("sig2"), 1L).otherwise(0L)).as("n_stable"))
+      .crossJoin(dupViol)
+      .select("n_docs", "n_stable", "n_dup_groups", "n_violations")
   }
 
   /** LSH banding candidate pairs (shuffle on band key only). */
@@ -389,6 +408,33 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Incremental near-dup dedup: dedup an INCOMING batch (doc_id % 3 = 0)
+    * against an EXISTING corpus plus itself — the production crawl-ingest
+    * shape, where the existing side's shingle/signature tables are already
+    * materialized (here: the shared cache) and are NEVER re-deduped. An
+    * incoming doc is dropped if it near-matches (jac ≥ 0.9) any existing
+    * doc, or a lower-id incoming doc. Shuffles on band keys only; at
+    * 100 TB the existing-side signatures are a stored table and each
+    * ingest batch pays only its own banding + candidate joins. */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    val hi = jaccard(s, dir).filter(col("jac") >= 0.9).select(col("a"), col("b_id"))
+    val losers = hi.filter(col("a") % 3 === 0 && col("b_id") % 3 =!= 0)
+      .select(col("a").as("doc_id"))
+      .union(hi.filter(col("b_id") % 3 === 0 && col("a") % 3 =!= 0)
+        .select(col("b_id").as("doc_id")))
+      .union(hi.filter(col("a") % 3 === 0 && col("b_id") % 3 === 0)
+        .select(col("b_id").as("doc_id")))
+      .distinct()
+      .withColumn("lost", lit(1))
+    t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("source"))
+      .join(losers, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_incoming"),
+        sum(when(col("lost").isNull, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** End-to-end LLM training-data pipeline (the text-side flagship),
     * fully oracle-checked: quality score → filter ≥ 0.4 → exact dedup
     * (keep min doc_id per content hash) → near-dup dedup (LSH candidates,
@@ -424,6 +470,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_incremental_dedup" -> (q89 _),
     "q88_llm_pipeline" -> (q88 _),
     "q70_dedup_components" -> (q70 _),
     "q22_dedup_exact" -> (q22 _),
@@ -480,6 +527,19 @@ object TextOps {
       | FROM hs)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q89_incremental_dedup" ->
+      s"""WITH $shingleCte,
+         |hi AS (SELECT a, b_id FROM jac WHERE jac >= 0.9),
+         |losers AS (
+         |  SELECT a AS doc_id FROM hi WHERE a % 3 = 0 AND b_id % 3 <> 0
+         |  UNION
+         |  SELECT b_id FROM hi WHERE b_id % 3 = 0 AND a % 3 <> 0
+         |  UNION
+         |  SELECT b_id FROM hi WHERE a % 3 = 0 AND b_id % 3 = 0),
+         |inc AS (SELECT doc_id, source FROM documents WHERE doc_id % 3 = 0)
+         |SELECT source, count(*) AS n_incoming,
+         |  CAST(sum(CASE WHEN doc_id NOT IN (SELECT doc_id FROM losers) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM inc GROUP BY 1 ORDER BY 1""".stripMargin,
     "q88_llm_pipeline" ->
       s"""WITH $shingleCte,
          |f AS (SELECT doc_id, text, n_chars,
@@ -523,9 +583,13 @@ object TextOps {
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q82_minhash_fast" ->
       """WITH w AS (SELECT doc_id, text, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
-        |wf AS (SELECT * FROM w WHERE len(w) >= 3)
-        |SELECT md5(text) AS fp, count(*) AS n_docs, CAST(1 AS BIGINT) AS n_sigs
-        |FROM wf GROUP BY 1 HAVING count(*) >= 2 ORDER BY fp""".stripMargin,
+        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
+        |g AS (SELECT md5(text) AS fp, count(*) AS nd FROM wf GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(count(*) AS BIGINT) AS n_stable,
+        |       (SELECT CAST(count(*) AS BIGINT) FROM g WHERE nd >= 2) AS n_dup_groups,
+        |       CAST(0 AS BIGINT) AS n_violations
+        |FROM wf""".stripMargin,
     "q23_minhash_sig" ->
       s"""WITH $shingleCte
          |SELECT doc_id, md5(h0||h1||h2||h3||h4||h5||h6||h7) AS sig FROM m ORDER BY doc_id""".stripMargin,

@@ -31,10 +31,14 @@ class PercentilesSpec extends AnyFunSuite {
     } ++ Seq(("solo", 42.5)) ++ (1 to 97).map(_ => ("const", 7.25))
     val df = rows.toDF("grp", "v")
 
-    val got = Percentiles.exactByRank(df, "grp", "v", ps)
+    def run(collapse: Boolean) = Percentiles.exactByRank(df, "grp", "v", ps, collapse)
       .collect()
       .map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2))
       .toMap
+    val got = run(collapse = true)
+    // uncollapsed mode must agree even on this heavily-tied data
+    val gotRaw = run(collapse = false)
+    assert(gotRaw == got)
 
     val aggs = ps.map(p => expr(s"percentile(v, ${p}D)").as(s"p$p"))
     val want = df.groupBy("grp")

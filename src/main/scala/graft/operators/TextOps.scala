@@ -31,12 +31,24 @@ object TextOps {
     * logical subtree. At 100 TB this is the "materialize the signature
     * table once" step every production dedup pipeline has. */
   private val sharedCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def shared(s: SparkSession, dir: String, name: String)(df: => DataFrame): DataFrame =
-    sharedCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir|$name", _ => {
+  private def shared(s: SparkSession, dir: String, name: String)(df: => DataFrame): DataFrame = {
+    // NOT computeIfAbsent: a shared entry may be built FROM another shared
+    // entry (src_grams → shingles), and a nested computeIfAbsent on the
+    // same map throws "Recursive update" when the keys land in one bin.
+    // Build outside the map, then publish with putIfAbsent.
+    val key = s"${System.identityHashCode(s)}|$dir|$name"
+    val existing = sharedCache.get(key)
+    if (existing != null) existing
+    else {
       val d = df
-      d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      d
-    })
+      val prev = sharedCache.putIfAbsent(key, d)
+      if (prev != null) prev
+      else {
+        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        d
+      }
+    }
+  }
 
   /** doc_id + whitespace-tokenized words, docs with >= 3 words.
     * Empty tokens are dropped on BOTH the engine and oracle sides: Java's
@@ -469,7 +481,165 @@ object TextOps {
       .orderBy("split")
   }
 
+  /** Benchmark decontamination: drop training docs sharing any 5-gram with
+    * a held-out eval set (the doc_id % 17 == 0 docs stand in for a
+    * benchmark corpus). The classic n-gram-overlap decontamination pass
+    * every large pretraining pipeline runs (13-grams at production n; 5
+    * here so the synthetic corpus has a non-trivial hit rate). Scale shape:
+    * the eval side's distinct n-grams are TINY relative to the corpus —
+    * broadcast them and left-semi join, so the 100 TB training side is
+    * never shuffled; contaminated-doc ids collapse via groupBy. */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    val g5 = words(s, dir).filter(size(col("w")) >= 5)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, size(w)-5), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))")).as("g"))
+    val evalGrams = g5.filter(col("doc_id") % 17 === 0).select("g").distinct()
+    val train = g5.filter(col("doc_id") % 17 =!= 0)
+    val contaminated = train.join(broadcast(evalGrams), Seq("g"), "left_semi")
+      .select("doc_id").distinct().withColumn("hit", lit(1))
+    words(s, dir).filter(size(col("w")) >= 5 && col("doc_id") % 17 =!= 0)
+      .select("doc_id", "source")
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+      .orderBy("source")
+  }
+
+  /** Gopher-style repetition signals: duplicate-word fraction and
+    * top-2-gram mass per source. All ratios are derived from integer sums
+    * (exact across engines) with ONE final IEEE division + round, so the
+    * hash compare is stable. Per-row feature extraction → one groupBy:
+    * zero extra shuffles at 100 TB. */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val perDoc = words(s, dir)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")).as("g"))
+      .groupBy("doc_id", "source", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "source")
+      .agg(max("c").as("top2"), sum("c").as("n_pairs"))
+    val wordStats = words(s, dir)
+      .select(col("doc_id"), size(col("w")).cast("long").as("nw"),
+        size(array_distinct(col("w"))).cast("long").as("nd"))
+    perDoc.join(wordStats, Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nw").as("tot_words"),
+        sum("nd").as("tot_distinct"),
+        round(lit(1.0) - sum("nd").cast("double") / sum("nw").cast("double"), 4).as("dup_word_frac"),
+        round(sum("top2").cast("double") / sum("n_pairs").cast("double"), 4).as("top2_frac"))
+      .orderBy("source")
+  }
+
+  /** PII scan + redaction audit. The synthetic corpus has no PII, so a
+    * deterministic injection (emails on doc_id % 7, phones on doc_id % 11 —
+    * built identically in the oracle) makes the scan non-vacuous; the regex
+    * machinery (extract_all counts + global replace length delta) is what's
+    * under test. Per-row regex → single groupBy: no shuffle of text. */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    // [.] instead of \. — the pattern goes through BOTH expr() (SQL string
+    // literal, which eats backslash escapes) and the Column API (which
+    // doesn't); a bracket class parses identically everywhere.
+    val emailPat = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z][a-z]+"
+    val phonePat = "5[0-9][0-9]-[0-9][0-9][0-9][0-9]"
+    val aug = t(s, dir, "documents")
+      .withColumn("aug", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit(""))))
+      .withColumn("n_emails", expr(s"size(regexp_extract_all(aug, '$emailPat', 0))").cast("long"))
+      .withColumn("n_phones", expr(s"size(regexp_extract_all(aug, '$phonePat', 0))").cast("long"))
+      .withColumn("red", regexp_replace(regexp_replace(col("aug"), emailPat, "<EMAIL>"), phonePat, "<PHONE>"))
+    aug.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_emails") > 0, 1L).otherwise(0L)).as("n_email_docs"),
+        sum(when(col("n_phones") > 0, 1L).otherwise(0L)).as("n_phone_docs"),
+        sum("n_emails").as("tot_emails"),
+        sum("n_phones").as("tot_phones"),
+        sum(length(col("aug")) - length(col("red"))).cast("long").as("redacted_delta"))
+      .orderBy("source")
+  }
+
+  /** Temperature-scaled domain mixing (α = 0.5): per-source sampling
+    * weights w_s = |s|^α / Σ|t|^α over total chars, and the doc budget each
+    * source gets at B = 1000. The standard multi-source pretraining mix
+    * (upweights small domains, tempers big ones). α = 0.5 so the power is
+    * a single IEEE sqrt — bit-identical across engines, unlike libm pow.
+    * One tiny aggregate (|sources| rows) → driver-size; the 100 TB side
+    * only ever computes per-source sums. */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = t(s, dir, "documents").groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("tot_chars"))
+    val wTot = bySrc.agg(sum(sqrt(col("tot_chars").cast("double"))).as("z"))
+    bySrc.crossJoin(broadcast(wTot))
+      .withColumn("weight", round(sqrt(col("tot_chars").cast("double")) / col("z"), 6))
+      .withColumn("n_target",
+        round(sqrt(col("tot_chars").cast("double")) / col("z") * lit(1000.0), 0).cast("long"))
+      .select("source", "n_docs", "tot_chars", "weight", "n_target")
+      .orderBy("source")
+  }
+
+  /** Sequence packing (concat-then-chunk): within each source, docs in
+    * doc_id order are concatenated and cut into 512-token bins — the
+    * GPT-style pretraining packing pass. Emits per-source bin counts, the
+    * straddler count (docs crossing a bin boundary), and last-bin fill.
+    * All-integer arithmetic → exact hash parity. The running sum windows
+    * by SOURCE (each partition is one domain's stream), not globally —
+    * the global-cumsum single-partition trap; at 100 TB you'd sub-shard
+    * each source by a hash and pack per (source, shard). */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    words(s, dir)
+      .select(col("doc_id"), col("source"), size(col("w")).cast("long").as("tok"))
+      .withColumn("cum", sum("tok").over(w))
+      // `div`, not `/`: Spark's `/` on longs is DOUBLE division — exact
+      // only below 2^53, and this column is a token cumsum at corpus scale
+      .withColumn("start_bin", expr("(cum - tok) div 512L"))
+      .withColumn("end_bin", expr("(cum - 1L) div 512L"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("tok").as("tot_tokens"),
+        (max("end_bin") + 1L).as("n_bins"),
+        sum(when(col("end_bin") > col("start_bin"), 1L).otherwise(0L)).as("n_straddlers"),
+        (max("cum") - max("end_bin") * 512L).as("last_bin_fill"))
+      .orderBy("source")
+  }
+
+  /** Cross-source contamination matrix: 3-gram Jaccard between every
+    * source pair (corpus-level analytics for "how much does domain A leak
+    * into domain B"). Reuses the shared shingle table aggregated to
+    * (source, gram) — the self-join is |sources|², not |docs|², and the
+    * gram-level join shuffles on the gram key only. */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val srcGrams = shared(s, dir, "src_grams") {
+      shingles(s, dir)
+        .join(t(s, dir, "documents").select("doc_id", "source"), Seq("doc_id"))
+        .select("source", "sh").distinct()
+    }
+    val sizes = srcGrams.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = srcGrams.as("x").join(srcGrams.as("y"),
+        col("x.sh") === col("y.sh") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.as("za"), col("src_a") === col("za.source"))
+      .join(sizes.as("zb"), col("src_b") === col("zb.source"))
+      .select(col("src_a"), col("src_b"), col("inter"),
+        round(col("inter").cast("double") /
+          (col("za.n") + col("zb.n") - col("inter")).cast("double"), 6).as("jac"))
+      .orderBy("src_a", "src_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q93_domain_mix" -> (q93 _),
+    "q94_seq_packing" -> (q94 _),
+    "q97_source_overlap" -> (q97 _),
+    "q90_decontaminate" -> (q90 _),
+    "q91_repetition" -> (q91 _),
+    "q92_pii_scan" -> (q92 _),
     "q89_incremental_dedup" -> (q89 _),
     "q88_llm_pipeline" -> (q88 _),
     "q70_dedup_components" -> (q70 _),
@@ -527,6 +697,77 @@ object TextOps {
       | FROM hs)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q93_domain_mix" ->
+      """WITH b AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS tot_chars FROM documents GROUP BY 1),
+        |z AS (SELECT sum(sqrt(CAST(tot_chars AS DOUBLE))) AS z FROM b)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(tot_chars AS BIGINT) AS tot_chars,
+        |  round(sqrt(CAST(tot_chars AS DOUBLE)) / z, 6) AS weight,
+        |  CAST(round(sqrt(CAST(tot_chars AS DOUBLE)) / z * 1000.0, 0) AS BIGINT) AS n_target
+        |FROM b, z ORDER BY source""".stripMargin,
+    "q94_seq_packing" ->
+      """WITH w AS (SELECT doc_id, source, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
+        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
+        |d AS (SELECT doc_id, source, len(w) AS tok FROM wf),
+        |c AS (SELECT doc_id, source, tok,
+        |  sum(tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d),
+        |e AS (SELECT *, (cum - tok) // 512 AS start_bin, (cum - 1) // 512 AS end_bin FROM c)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS tot_tokens,
+        |  CAST(max(end_bin) + 1 AS BIGINT) AS n_bins,
+        |  CAST(sum(CASE WHEN end_bin > start_bin THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
+        |  CAST(max(cum) - max(end_bin) * 512 AS BIGINT) AS last_bin_fill
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q97_source_overlap" ->
+      s"""WITH $shingleCte,
+         |sg AS (SELECT DISTINCT d.source, sh.sh FROM sh JOIN documents d USING (doc_id)),
+         |sz AS (SELECT source, count(*) AS n FROM sg GROUP BY 1),
+         |i AS (SELECT x.source AS src_a, y.source AS src_b, count(*) AS inter
+         |  FROM sg x JOIN sg y ON x.sh = y.sh AND x.source < y.source GROUP BY 1,2)
+         |SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
+         |  round(CAST(inter AS DOUBLE) / CAST(za.n + zb.n - inter AS DOUBLE), 6) AS jac
+         |FROM i JOIN sz za ON src_a = za.source JOIN sz zb ON src_b = zb.source
+         |ORDER BY 1, 2""".stripMargin,
+    "q90_decontaminate" ->
+      """WITH w AS (SELECT doc_id, source, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
+        |wf AS (SELECT * FROM w WHERE len(w) >= 5),
+        |g AS (SELECT doc_id, source, unnest([array_to_string(w[i+1:i+5], ' ') for i in range(len(w)-4)]) AS g FROM wf),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 17 = 0),
+        |cont AS (SELECT DISTINCT doc_id FROM g WHERE doc_id % 17 <> 0 AND g IN (SELECT g FROM ev))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_train,
+        |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM cont) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+        |FROM wf WHERE doc_id % 17 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q91_repetition" ->
+      """WITH w AS (SELECT doc_id, source, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
+        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
+        |g AS (SELECT doc_id, source, unnest([w[i+1]||' '||w[i+2] for i in range(len(w)-1)]) AS g FROM wf),
+        |pc AS (SELECT doc_id, source, g, count(*) AS c FROM g GROUP BY 1,2,3),
+        |pd AS (SELECT doc_id, source, max(c) AS top2, sum(c) AS n_pairs FROM pc GROUP BY 1,2),
+        |ws AS (SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS nd FROM wf)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nw) AS BIGINT) AS tot_words,
+        |  CAST(sum(nd) AS BIGINT) AS tot_distinct,
+        |  round(1.0 - CAST(sum(nd) AS DOUBLE)/CAST(sum(nw) AS DOUBLE), 4) AS dup_word_frac,
+        |  round(CAST(sum(top2) AS DOUBLE)/CAST(sum(n_pairs) AS DOUBLE), 4) AS top2_frac
+        |FROM pd JOIN ws USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q92_pii_scan" ->
+      """WITH a AS (SELECT doc_id, source, text ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS aug
+        | FROM documents),
+        |b AS (SELECT source,
+        |  len(regexp_extract_all(aug, '[a-z0-9._]+@[a-z0-9.-]+[.][a-z][a-z]+')) AS n_emails,
+        |  len(regexp_extract_all(aug, '5[0-9][0-9]-[0-9][0-9][0-9][0-9]')) AS n_phones,
+        |  length(aug) - length(regexp_replace(regexp_replace(aug,
+        |    '[a-z0-9._]+@[a-z0-9.-]+[.][a-z][a-z]+', '<EMAIL>', 'g'),
+        |    '5[0-9][0-9]-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g')) AS delta
+        | FROM a)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs,
+        |  CAST(sum(CASE WHEN n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_docs,
+        |  CAST(sum(n_emails) AS BIGINT) AS tot_emails,
+        |  CAST(sum(n_phones) AS BIGINT) AS tot_phones,
+        |  CAST(sum(delta) AS BIGINT) AS redacted_delta
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q89_incremental_dedup" ->
       s"""WITH $shingleCte,
          |hi AS (SELECT a, b_id FROM jac WHERE jac >= 0.9),

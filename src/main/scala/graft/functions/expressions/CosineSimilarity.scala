@@ -102,7 +102,10 @@ object CosineSimilarity {
   * `spark.sql.extensions=graft.functions.expressions.GraftExtensions`) to
   * expose the engine's native functions in plain SQL sessions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((FunctionIdentifier(CosineSimilarity.name),
       CosineSimilarity.info, CosineSimilarity.builder))
+    e.injectFunction((FunctionIdentifier(ZOrder.name),
+      ZOrder.info, ZOrder.builder))
+  }
 }

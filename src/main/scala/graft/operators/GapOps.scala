@@ -286,7 +286,55 @@ object GapOps {
     }
   }
 
+  /** Z-order clustering audit: Morton-interleave two 16-bit coordinates
+    * with the native `graft_zorder` expression (codegen'd, see
+    * functions/expressions/ZOrder.scala), cut the key space into 16
+    * fixed-width buckets, and emit per-bucket counts + coordinate spans.
+    * The bounded x/y spans per bucket are exactly why a Z-sorted layout
+    * data-skips 2-D range predicates at 100 TB: each file's min/max covers
+    * a small rectangle, not the full domain. Fixed bucket boundaries (no
+    * ntile/range sampling) keep the output deterministic. */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.expressions.ZOrder.register(s)
+    t(s, dir, "part")
+      // both coords spread over the full 16-bit domain, so each of the 16
+      // z-buckets is a bounded RECTANGLE (span_x and span_y both ≤ 16383)
+      .withColumn("x", (col("p_partkey") * 33L + 7L) % 65536L)
+      .withColumn("y", (col("p_partkey") * 769L + col("p_size") * 31L) % 65536L)
+      .withColumn("z", expr("graft_zorder(x, y)"))
+      .withColumn("bucket", expr("z div 268435456L"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"),
+        (max("x") - min("x")).as("span_x"),
+        (max("y") - min("y")).as("span_y"))
+      .orderBy("bucket")
+  }
+
+  /** Partitioned-compaction sink audit: hash-route each partition key to
+    * ONE task (`repartition(pk)`), write `partitionBy(pk)` parquet, read
+    * back with input_file_name, and prove exactly one file per partition
+    * dir with exactly that key's rows — the small-files-compaction
+    * contract. At 100 TB the same shape (one writer task per partition,
+    * maxRecordsPerFile bounding shard size) is what keeps object-store
+    * listings and NameNode metadata sane. */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    t(s, dir, "documents")
+      .withColumn("pk", expr("doc_id div 200L"))
+      .repartition(col("pk"))
+      .write.mode("overwrite").partitionBy("pk").parquet(out)
+    s.read.parquet(out)
+      .withColumn("f", input_file_name())
+      .groupBy(col("pk").cast("long").as("pk"))
+      .agg(countDistinct("f").as("n_files"), count(lit(1)).as("n_rows"))
+      .orderBy("pk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_zorder_cluster" -> (q95 _),
+    "q96_compaction_audit" -> (q96 _),
     "q79_bucketed_join" -> (q79 _),
     "q76_typed_aggregator" -> (q76 _),
     "q74_asof_join" -> (q74 _),
@@ -305,6 +353,21 @@ object GapOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q95_zorder_cluster" ->
+      """WITH c AS (SELECT (p_partkey * 33 + 7) % 65536 AS x,
+        |  (p_partkey * 769 + p_size * 31) % 65536 AS y FROM part),
+        |z AS (SELECT x, y,
+        |  CAST(list_aggregate([(((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i+1)) for i in range(16)], 'sum') AS BIGINT) AS z
+        | FROM c),
+        |b AS (SELECT x, y, z // 268435456 AS bucket FROM z)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+        |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y,
+        |  max(x) - min(x) AS span_x, max(y) - min(y) AS span_y
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q96_compaction_audit" ->
+      """SELECT doc_id // 200 AS pk, CAST(1 AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q59's output is the estimator-recovers-ground-truth proof: the
     // synthetic volumes inject known signal/noise, and the booleans assert
     // the morphology masks and σ/SNR estimators recover them.

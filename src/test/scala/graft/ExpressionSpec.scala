@@ -47,6 +47,36 @@ class ExpressionSpec extends AnyFunSuite {
     assert(!bad.checkInputDataTypes().isSuccess)
   }
 
+  test("graft_zorder: bit interleave correct, SQL-callable, monotone-in-rectangle") {
+    import graft.functions.expressions.ZOrder
+    // exact bit patterns: x fills even positions, y odd
+    assert(ZOrder.interleave16(0xffffL, 0L) == 0x55555555L)
+    assert(ZOrder.interleave16(0L, 0xffffL) == 0xaaaaaaaaL)
+    assert(ZOrder.interleave16(0xffffL, 0xffffL) == 0xffffffffL)
+    assert(ZOrder.interleave16(1L, 0L) == 1L)
+    assert(ZOrder.interleave16(0L, 1L) == 2L)
+    // 16-bit masking: inputs above 2^16 wrap to their low bits
+    assert(ZOrder.interleave16(0x1_0003L, 0L) == ZOrder.interleave16(3L, 0L))
+    // SQL path through the registered function; codegen agrees with eval.
+    // Explicit register: when another suite created the session first,
+    // getOrCreate ignores withExtensions and the injected fn is absent.
+    ZOrder.register(spark)
+    import spark.implicits._
+    val df = Seq((3L, 5L), (1000L, 40000L), (65535L, 65535L)).toDF("x", "y")
+    df.createOrReplaceTempView("zin")
+    val got = spark.sql("SELECT graft_zorder(x, y) AS z FROM zin ORDER BY x").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(
+      ZOrder.interleave16(3, 5), ZOrder.interleave16(1000, 40000),
+      0xffffffffL))
+    // locality: any aligned 2^2k-sized z-range is a rectangle — check the
+    // defining property z(x,y) bits decompose, via a brute 8-bit quadrant
+    for (x <- 0 until 16; y <- 0 until 16) {
+      val z = ZOrder.interleave16(x.toLong, y.toLong)
+      assert((z >> 2) == ZOrder.interleave16(x.toLong >> 1, y.toLong >> 1),
+        s"quadrant property failed at ($x,$y)")
+    }
+  }
+
   test("IVF recall@3 sweep: nprobe in {1,3,5} x kCells in {16,64} — monotone in nprobe, floor at the default") {
     val dir = "/root/testdata/sf0.01"
     // brute-force exact top-3 per probe, computed directly over the vectors

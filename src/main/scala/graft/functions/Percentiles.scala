@@ -119,10 +119,16 @@ object Percentiles {
     // round-3 oracle run: q08 p99 off by 10%).
     val base = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
-    val cnt = (if (collapse)
+    // collapse=true: persist is load-bearing (the sampling job would run
+    // the groupBy twice). collapse=false: cnt is a narrow deterministic
+    // projection of the scan — recomputing it in the sampling pass is
+    // cheaper than materializing a full-data cache, so no persist.
+    val cnt0 = if (collapse)
         base.groupBy("g", "v").agg(count(lit(1)).as("c"))
-      else base.withColumn("c", lit(1L)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base.withColumn("c", lit(1L))
+    val cnt = if (collapse)
+        cnt0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else cnt0
     val ranged = cnt.repartitionByRange(parts, col("g"), col("v"))
       .sortWithinPartitions("g", "v")
       .withColumn("pid", spark_partition_id())

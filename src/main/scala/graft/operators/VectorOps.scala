@@ -161,6 +161,48 @@ object VectorOps {
       .orderBy("label")
   }
 
+  /** SemDeDup-style semantic dedup: assign every vector to its
+    * max-cosine "centroid" (the vec_id < 8 vectors — a deterministic
+    * stand-in for k-means centroids so the oracle can replay the
+    * assignment), generate candidate pairs only within (cluster, LSH band
+    * bucket), and drop the higher id of any pair with cosine ≥ 0.95 — the
+    * "semantically similar, not byte-identical" tier above q36's 0.99
+    * near-dup cut. Scale shape: centroids broadcast (K rows), assignment
+    * is a per-row argmax, and the pair join is scoped to cluster ∩ band
+    * bucket — never a within-cluster quadratic sweep. Full-precision
+    * cosines (identical left-to-right summation in both engines) keep the
+    * argmax and the 0.95 boundary deterministic. */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("label"), col("embedding"))
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val wAsg = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cid"))
+    val asg = emb.crossJoin(broadcast(cents))
+      .withColumn("cs", cosCol(s, "embedding", "cemb"))
+      .withColumn("rk", row_number().over(wAsg))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("label"), col("cid"))
+    val bd = banded(s, dir)
+    val bc = bd.join(asg.select("vec_id", "cid"), Seq("vec_id"))
+    val cand = bc.as("x").join(bc.as("y"),
+        col("x.cid") === col("y.cid") && col("x.bk") === col("y.bk") &&
+          col("x.bv") === col("y.bv") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b_id")).distinct()
+    val losers = cand
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")), Seq("b_id"))
+      .withColumn("cos", cosCol(s, "ea", "eb"))
+      .filter(col("cos") >= 0.95)
+      .select(col("b_id").as("vec_id")).distinct()
+      .withColumn("lost", lit(1))
+    asg.join(losers, Seq("vec_id"), "left")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lost").isNull, 1L).otherwise(0L)).as("n_kept"),
+        countDistinct("cid").as("n_clusters"))
+      .orderBy("label")
+  }
+
   /** IVF-style ANN (the task's named scale path alongside LSH): k-means
     * coarse quantizer (MLlib, seeded) partitions the corpus into cells;
     * each probe searches its `nprobe` nearest cells (multi-probe — the
@@ -221,7 +263,8 @@ object VectorOps {
     "q33_cosine_topk" -> (q33 _),
     "q34_ann_lsh_bucket" -> (q34 _),
     "q35_embedding_stats" -> (q35 _),
-    "q36_embedding_neardup" -> (q36 _)
+    "q36_embedding_neardup" -> (q36 _),
+    "q98_semantic_dedup" -> (q98 _)
   )
 
   private val cosSql =
@@ -277,6 +320,29 @@ object VectorOps {
          |  WHERE $cosSql >= 0.99)
          |SELECT label, count(*) AS n_kept FROM embeddings
          |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
-         |GROUP BY 1 ORDER BY 1""".stripMargin
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q98_semantic_dedup" ->
+      s"""WITH $bandsSql,
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+         |a0 AS (SELECT e.vec_id, e.label, c.cid,
+         |  list_aggregate([CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.cemb[i+1] AS DOUBLE) for i in range(len(e.embedding))], 'sum')
+         |  / sqrt(list_aggregate([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in e.embedding], 'sum')
+         |         * list_aggregate([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in c.cemb], 'sum')) AS cs
+         |  FROM embeddings e, cent c),
+         |asg AS (SELECT vec_id, label, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rk FROM a0)
+         |  WHERE rk = 1),
+         |bc AS (SELECT b.vec_id, b.bk, b.bv, g.cid FROM bands b JOIN asg g USING (vec_id)),
+         |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM bc x JOIN bc y ON x.cid = y.cid AND x.bk = y.bk AND x.bv = y.bv
+         |    AND x.vec_id < y.vec_id),
+         |losers AS (SELECT DISTINCT c.b_id AS vec_id
+         |  FROM cand c JOIN embeddings a ON a.vec_id = c.a_id
+         |              JOIN embeddings b ON b.vec_id = c.b_id
+         |  WHERE $cosSql >= 0.95)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN vec_id NOT IN (SELECT vec_id FROM losers) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(count(DISTINCT cid) AS BIGINT) AS n_clusters
+         |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

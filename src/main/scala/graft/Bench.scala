@@ -15,15 +15,25 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // session/codegen warmup so the first measured query isn't charged for it
     spark.range(1000000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local-dev knobs (driver sets neither): restrict to a comma-separated
+    // query list, and/or repeat each query N times (all runs timed+printed,
+    // summary keeps the LAST — the warm number)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(',').toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+      var sec = 0.0
+      for (r <- 1 to reps) {
       val t0 = System.nanoTime()
       // noop sink materializes every row (count() would let Spark skip
       // sorts/projections and under-measure)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] $name failed: ${e.getMessage}") }
-      val sec = (System.nanoTime() - t0) / 1e9
+      sec = (System.nanoTime() - t0) / 1e9
       // one line per query, greppable, so a truncated tail still carries data
       println(s"""{"query":"$name","sec":${r3(sec)}}""")
+      }
       name -> sec
     }.toMap
     val qs = results.toSeq.sortBy(_._1)

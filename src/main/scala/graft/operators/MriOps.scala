@@ -84,11 +84,21 @@ object MriOps {
         col("iii"), lit("__LRx2_s"), col("snum")))
       .withColumn("hr_norm", regexp_replace(col("hr_key"), "__(HR|LRx\\d+)_(s\\d+)$", "__$2"))
       .withColumn("lr_norm", regexp_replace(col("lr_key"), "__(HR|LRx\\d+)_(s\\d+)$", "__$2"))
-    li.groupBy("orient")
-      .agg(countDistinct("hr_norm").as("n_keys"),
-        sum(when(col("hr_norm") === col("lr_norm"), 1L).otherwise(0L)).as("n_joinable"),
+    // Two branches instead of one mixed distinct/non-distinct agg: the
+    // single-agg form expands every row ×2 WITH the two ~40-char normalized
+    // strings in tow (measured 2× slower at sf0.1). The distinct-count
+    // branch never touches the regex columns — the '__'-joined key is
+    // injective on (base, iii, snum), so counting distinct components is
+    // value-identical — and the simple agg partial-aggregates in one pass.
+    val simple = li.groupBy("orient")
+      .agg(sum(when(col("hr_norm") === col("lr_norm"), 1L).otherwise(0L)).as("n_joinable"),
         count(lit(1)).as("n_rows"),
         min("hr_norm").as("min_key"), max("hr_norm").as("max_key"))
+    val nk = li.select("orient", "base", "iii", "snum").distinct()
+      .groupBy("orient").agg(count(lit(1)).as("n_keys"))
+    simple.join(broadcast(nk), Seq("orient"))
+      .select(col("orient"), col("n_keys"), col("n_joinable"), col("n_rows"),
+        col("min_key"), col("max_key"))
       .orderBy("orient")
   }
 

@@ -633,7 +633,37 @@ object TextOps {
       .orderBy("src_a", "src_b")
   }
 
+  /** Distinctive terms per source — TF-IDF-shaped "what characterizes this
+    * domain" analytics, but scored with the log-free lift ratio
+    * (tf_src/|src|) / (tf_corpus/|corpus|): a single division of exact
+    * integer products, so the score (and therefore the top-5 ranking) is
+    * bit-identical across engines — libm log is NOT correctly rounded and
+    * would make ranks flappy at ties. Two hash aggs + a broadcast of the
+    * per-source/corpus totals; the word-level shuffle is the only big
+    * exchange, exactly as a 100 TB vocabulary statistics job wants. */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = words(s, dir).select(col("source"), explode(col("w")).as("word"))
+    val sw = tok.groupBy("source", "word").agg(count(lit(1)).as("c_sw"))
+    val srcTot = sw.groupBy("source").agg(sum("c_sw").as("tot_s"))
+    val wTot = sw.groupBy("word").agg(sum("c_sw").as("c_w"))
+    val allTot = srcTot.agg(sum("tot_s").as("tot_all"))
+    val scored = sw
+      .join(broadcast(srcTot), Seq("source"))
+      .join(wTot, Seq("word"))
+      .crossJoin(broadcast(allTot))
+      .withColumn("lift", round(
+        (col("c_sw") * col("tot_all")).cast("double") /
+          (col("tot_s") * col("c_w")).cast("double"), 6))
+    val w = Window.partitionBy("source").orderBy(col("lift").desc, col("word"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("source", "rk", "word", "c_sw", "lift")
+      .orderBy("source", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q99_distinctive_terms" -> (q99 _),
     "q93_domain_mix" -> (q93 _),
     "q94_seq_packing" -> (q94 _),
     "q97_source_overlap" -> (q97 _),
@@ -697,6 +727,20 @@ object TextOps {
       | FROM hs)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q99_distinctive_terms" ->
+      """WITH w AS (SELECT doc_id, source, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
+        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
+        |tok AS (SELECT source, unnest(w) AS word FROM wf),
+        |sw AS (SELECT source, word, count(*) AS c_sw FROM tok GROUP BY 1,2),
+        |st AS (SELECT source, sum(c_sw) AS tot_s FROM sw GROUP BY 1),
+        |wt AS (SELECT word, sum(c_sw) AS c_w FROM sw GROUP BY 1),
+        |tt AS (SELECT sum(tot_s) AS tot_all FROM st),
+        |sc AS (SELECT sw.source, sw.word, sw.c_sw,
+        |  round(CAST(sw.c_sw * tt.tot_all AS DOUBLE) / CAST(st.tot_s * wt.c_w AS DOUBLE), 6) AS lift
+        | FROM sw JOIN st USING (source) JOIN wt USING (word), tt),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY lift DESC, word) AS rk FROM sc)
+        |SELECT source, CAST(rk AS BIGINT) AS rk, word, CAST(c_sw AS BIGINT) AS c_sw, lift
+        |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
     "q93_domain_mix" ->
       """WITH b AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS tot_chars FROM documents GROUP BY 1),
         |z AS (SELECT sum(sqrt(CAST(tot_chars AS DOUBLE))) AS z FROM b)

@@ -116,6 +116,33 @@ class EntrySpec extends AnyFunSuite {
     assert(!entryPlan.contains("Window"), "flagship must not use a Window")
   }
 
+  test("curation-tier plans keep their scale shape: broadcast eval side, no global windows") {
+    val dir = "/root/testdata/sf0.001"
+    // q90: the eval-set n-grams must reach the train side as a BROADCAST
+    // (shuffling the 100 TB training corpus against them is the failure
+    // mode); the semi join must not be sort-merge.
+    val p90 = SparkEntry.queries("q90_decontaminate")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(p90.contains("BroadcastExchange"), s"q90 eval side must broadcast:\n$p90")
+    assert(!p90.contains("SortMergeJoin"), s"q90 must not sort-merge:\n$p90")
+    // q94: packing windows by SOURCE — a global (empty-partition-spec)
+    // window would funnel the corpus through one task.
+    val p94 = SparkEntry.queries("q94_seq_packing")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    // physical form: `Window [exprs], [partitionCols], [orderCols]` — a
+    // partitioned window shows `windowspecdefinition(source#N, ...` while
+    // a global one starts the spec directly with the order column
+    assert(p94.contains("windowspecdefinition(source#"),
+      s"q94's window must partition by source:\n$p94")
+    assert(!p94.contains("], [], ["), s"q94 must not use a global window:\n$p94")
+    // q93: the totals join must broadcast (one tiny row), never shuffle
+    // the per-source aggregate.
+    val p93 = SparkEntry.queries("q93_domain_mix")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(p93.contains("BroadcastNestedLoopJoin") || p93.contains("BroadcastExchange"),
+      s"q93 totals must broadcast:\n$p93")
+  }
+
   test("q70 final plan is checkpoint-truncated: bounded exchanges, not the unrolled loop") {
     // pre-checkpoint, the component loop's final plan embedded every prior
     // round's join (185 exchanges at this SF; 6693 once pointer doubling

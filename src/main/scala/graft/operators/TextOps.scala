@@ -447,6 +447,63 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** Stored-signature incremental dedup — q89's semantics with the
+    * existing corpus's MinHash signatures MATERIALIZED to parquet and read
+    * back, which is how a production crawl-ingest actually holds state:
+    * the 100 TB side contributes only its (tiny) signature table; document
+    * content is fetched ONLY for band-collision candidates (the exact-
+    * Jaccard verification join). The incoming batch (doc_id % 3 = 0)
+    * computes fresh signatures; candidates are incoming×stored band
+    * collisions; same oracle as q89 (identical math, different state
+    * management). */
+  private def q100(s: SparkSession, dir: String): DataFrame = {
+    val store = java.nio.file.Files.createTempDirectory("graft_sigstore_").toString
+    minhashes(s, dir).write.mode("overwrite").parquet(store)
+    val stored = s.read.parquet(store)
+    def bandsOf(m: DataFrame): DataFrame = {
+      val b1 = m.select(col("doc_id"), lit(1L).as("k"),
+        md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))).as("b"))
+      val b2 = m.select(col("doc_id"), lit(2L).as("k"),
+        md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))).as("b"))
+      b1.union(b2)
+    }
+    val bd = bandsOf(stored)
+    val cand = bd.as("x").join(bd.as("y"),
+        col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b_id"))
+      // only pairs touching the incoming batch need verification
+      .filter(col("a") % 3 === 0 || col("b_id") % 3 === 0)
+      .distinct()
+    // content fetched ONLY for candidates: exact 3-gram Jaccard verify
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val hi = cand
+      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("a", "b_id").agg(count(lit(1)).as("inter"))
+      .join(sizes.as("za"), col("a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("b_id") === col("zb.doc_id"))
+      .filter(col("inter").cast("double") /
+        (col("za.n") + col("zb.n") - col("inter")).cast("double") >= 0.9)
+      .select(col("a"), col("b_id"))
+    val losers = hi.filter(col("a") % 3 === 0 && col("b_id") % 3 =!= 0)
+      .select(col("a").as("doc_id"))
+      .union(hi.filter(col("b_id") % 3 === 0 && col("a") % 3 =!= 0)
+        .select(col("b_id").as("doc_id")))
+      .union(hi.filter(col("a") % 3 === 0 && col("b_id") % 3 === 0)
+        .select(col("b_id").as("doc_id")))
+      .distinct()
+      .withColumn("lost", lit(1))
+    t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("source"))
+      .join(losers, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_incoming"),
+        sum(when(col("lost").isNull, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
   /** End-to-end LLM training-data pipeline (the text-side flagship),
     * fully oracle-checked: quality score → filter ≥ 0.4 → exact dedup
     * (keep min doc_id per content hash) → near-dup dedup (LSH candidates,
@@ -663,6 +720,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_stored_sig_dedup" -> (q100 _),
     "q99_distinctive_terms" -> (q99 _),
     "q93_domain_mix" -> (q93 _),
     "q94_seq_packing" -> (q94 _),
@@ -812,6 +870,21 @@ object TextOps {
         |  CAST(sum(n_phones) AS BIGINT) AS tot_phones,
         |  CAST(sum(delta) AS BIGINT) AS redacted_delta
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical semantics to q89 — the engine path differs (signatures
+    // round-trip a parquet store), the math doesn't
+    "q100_stored_sig_dedup" ->
+      s"""WITH $shingleCte,
+         |hi AS (SELECT a, b_id FROM jac WHERE jac >= 0.9),
+         |losers AS (
+         |  SELECT a AS doc_id FROM hi WHERE a % 3 = 0 AND b_id % 3 <> 0
+         |  UNION
+         |  SELECT b_id FROM hi WHERE b_id % 3 = 0 AND a % 3 <> 0
+         |  UNION
+         |  SELECT b_id FROM hi WHERE a % 3 = 0 AND b_id % 3 = 0),
+         |inc AS (SELECT doc_id, source FROM documents WHERE doc_id % 3 = 0)
+         |SELECT source, count(*) AS n_incoming,
+         |  CAST(sum(CASE WHEN doc_id NOT IN (SELECT doc_id FROM losers) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM inc GROUP BY 1 ORDER BY 1""".stripMargin,
     "q89_incremental_dedup" ->
       s"""WITH $shingleCte,
          |hi AS (SELECT a, b_id FROM jac WHERE jac >= 0.9),

@@ -192,7 +192,34 @@ object EventStreams {
       .toDF("n_expected", "n_stored", "n_batch0_sample")
   }
 
+  /** Streaming corpus ingest: the curation tier's front door as a stream —
+    * documents arrive as files, are quality-filtered per row, exact-deduped
+    * on (source, content-hash) in streaming state, and counted per source.
+    * Dedup keys scope to the source so the surviving-row choice can never
+    * leak across output groups (survivor-invariant counts → deterministic
+    * oracle). At 100 TB this is the continuous-crawl ingest loop:
+    * per-file micro-batches, dedup state in the state store (RocksDB in
+    * production), counters in complete mode. */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val d = java.nio.file.Files.createTempDirectory("graft_docstream_")
+    d.toFile.deleteOnExit()
+    java.nio.file.Files.createSymbolicLink(d.resolve("documents.parquet"),
+      java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    val agg = s.readStream.schema(schema).parquet(d.toString)
+      .withColumn("nw", size(array_remove(split(col("text"), "\\s+"), "")).cast("long"))
+      .filter(col("nw") >= 5 && col("n_chars") >= 100)
+      .withColumn("fp", md5(col("text")))
+      .dropDuplicates("source", "fp")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("nw").as("sum_tokens"))
+    run(s, agg, "stream_corpus_ingest", OutputMode.Complete())
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q101_stream_corpus_ingest" -> (q101 _),
     "q78_stream_to_kvstore" -> (q78 _),
     "q60_stream_tumbling" -> (q60 _),
     "q61_stream_sliding" -> (q61 _),
@@ -203,6 +230,16 @@ object EventStreams {
   )
 
   val oracles: Map[String, String] = Map(
+    "q101_stream_corpus_ingest" ->
+      """WITH f AS (SELECT source, md5(text) AS fp,
+        |  CAST(len(list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '')) AS BIGINT) AS nw
+        | FROM documents
+        | WHERE len(list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '')) >= 5
+        |   AND n_chars >= 100),
+        |d AS (SELECT source, fp, min(nw) AS nw FROM f GROUP BY 1, 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nw) AS BIGINT) AS sum_tokens
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // the streamed-store invariant is oracle-computable: everything the
     // filter admits must land in the store, and the single replayed batch
     // puts every key under batch000 (listing limit 10)

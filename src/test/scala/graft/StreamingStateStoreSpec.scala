@@ -23,7 +23,7 @@ class StreamingStateStoreSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
   private val stateful = Seq("q60_stream_tumbling", "q61_stream_sliding",
     "q62_stream_session", "q63_stream_dedup", "q64_stream_stateful",
-    "q85_stream_stream_join")
+    "q85_stream_stream_join", "q101_stream_corpus_ingest")
 
   test("q60–q64 + q85 are provider-agnostic: identical results under HDFS and RocksDB state stores") {
     assert(Class.forName(RocksDb) != null) // the provider ships in Spark core

@@ -538,6 +538,27 @@ object TextOps {
       .orderBy("split")
   }
 
+  /** Dedup-cluster size distribution — the curation diagnostic on top of
+    * q70's connected components: how big do near-dup clusters get, and how
+    * much of the corpus is singleton? A power-law tail here is what tells
+    * an operator their crawl has template/boilerplate explosions. One
+    * groupBy over the (tiny) component table plus a scalar count of the
+    * corpus; size-1 row derived as total − in-component (components are
+    * edge-derived, so every real cluster has size ≥ 2 — no collision). */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val comp = q70Loop(s, dir)
+      val hist = comp.groupBy("component").agg(count(lit(1)).as("sz"))
+        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+      val singles = t(s, dir, "documents").agg(count(lit(1)).as("n_all"))
+        .crossJoin(comp.agg(count(lit(1)).as("n_in")))
+        .select(lit(1L).as("sz"), (col("n_all") - col("n_in")).as("n_clusters"))
+      hist.unionByName(singles).orderBy("sz")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
+
   /** Benchmark decontamination: drop training docs sharing any 5-gram with
     * a held-out eval set (the doc_id % 17 == 0 docs stand in for a
     * benchmark corpus). The classic n-gram-overlap decontamination pass
@@ -720,6 +741,7 @@ object TextOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q102_cluster_sizes" -> (q102 _),
     "q100_stored_sig_dedup" -> (q100 _),
     "q99_distinctive_terms" -> (q99 _),
     "q93_domain_mix" -> (q93 _),
@@ -870,6 +892,26 @@ object TextOps {
         |  CAST(sum(n_phones) AS BIGINT) AS tot_phones,
         |  CAST(sum(delta) AS BIGINT) AS redacted_delta
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q102_cluster_sizes" ->
+      s"""WITH $shingleCte,
+         |e0 AS (SELECT a AS u, b_id AS v FROM jac WHERE jac >= 0.8),
+         |edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+         |reach AS (
+         |  WITH RECURSIVE r(src, dst) AS (
+         |    SELECT u, v FROM edges
+         |    UNION
+         |    SELECT r.src, e.v FROM r JOIN edges e ON r.dst = e.u
+         |  ) SELECT src, dst FROM r),
+         |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+         |  FROM reach GROUP BY src),
+         |cs AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1),
+         |h AS (SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM cs GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_all FROM documents),
+         |ic AS (SELECT count(*) AS n_in FROM comp)
+         |SELECT sz, n_clusters FROM h
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT) AS sz, CAST(tot.n_all - ic.n_in AS BIGINT) AS n_clusters FROM tot, ic
+         |ORDER BY sz""".stripMargin,
     // identical semantics to q89 — the engine path differs (signatures
     // round-trip a parquet store), the math doesn't
     "q100_stored_sig_dedup" ->

@@ -151,6 +151,28 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Image-curation filter over the REAL decoded corpus — the multimodal
+    * twin of the text quality gate: drop images whose short side is under
+    * 24 px or whose mean luminance is not strictly above the ramp median
+    * 127.5. Both cuts are integer cross-multiplications (2·sum_lum vs
+    * 255·n_px — no float mean, so the boundary is exact in both engines),
+    * and both discriminate on this corpus: heights split 16/24/32, and the
+    * h=24 class's partial mod-256 ramp cycle scatters means around the
+    * median while full-cycle classes sit exactly ON it (strictness matters
+    * — every counter is exercised). Per-row decode + one groupBy over the
+    * geometry classes: the 100 TB shape is a full scan with nothing
+    * shuffled but per-class counters. */
+  private def q103(s: SparkSession, dir: String): DataFrame =
+    decodedPng(s, dir)
+      .withColumn("ok_dim", col("height") >= 24L)
+      .withColumn("ok_lum", lit(2L) * col("sum_lum") > lit(255L) * col("n_px"))
+      .groupBy("height", "width")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("ok_dim") && col("ok_lum"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(!col("ok_dim"), 1L).otherwise(0L)).as("n_small"),
+        sum(when(col("ok_dim") && !col("ok_lum"), 1L).otherwise(0L)).as("n_offlum"))
+      .orderBy("height", "width")
+
   /** REAL video-frame sampling: multi-frame animated-GIF payloads opened
     * with an ImageIO reader, every 3rd frame decoded (the reference
     * frame-sample pattern — unsampled frames are never decoded). Emits the
@@ -253,7 +275,8 @@ object Multimodal {
     "q55_multimodal_agg" -> (q55 _),
     "q84_multimodal_imageio" -> (q84 _),
     "q86_multimodal_frames" -> (q86 _),
-    "q87_multimodal_audio" -> (q87 _)
+    "q87_multimodal_audio" -> (q87 _),
+    "q103_image_curation" -> (q103 _)
   )
 
   // Shared CTE: the exact pixel-synthesis formula over part keys. list sums
@@ -286,6 +309,18 @@ object Multimodal {
          |SELECT media_id, CAST(h AS BIGINT) AS height, CAST(w AS BIGINT) AS width,
          |  sum_lum, sum_lum AS thumb_mass
          |FROM px ORDER BY media_id""".stripMargin,
+    "q103_image_curation" ->
+      s"""WITH $pngCte,
+         |f AS (SELECT h, w, sum_lum,
+         |  h >= 24 AS ok_dim,
+         |  2 * sum_lum > 255 * h * w AS ok_lum
+         | FROM px)
+         |SELECT CAST(h AS BIGINT) AS height, CAST(w AS BIGINT) AS width,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN ok_dim AND ok_lum THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN NOT ok_dim THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+         |  CAST(sum(CASE WHEN ok_dim AND NOT ok_lum THEN 1 ELSE 0 END) AS BIGINT) AS n_offlum
+         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q86_multimodal_frames" ->
       """WITH c AS (SELECT s_suppkey AS clip_id, 4 + s_suppkey % 5 AS nf FROM supplier)
         |SELECT clip_id, CAST(nf AS BIGINT) AS n_frames,

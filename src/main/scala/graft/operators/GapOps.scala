@@ -332,7 +332,29 @@ object GapOps {
       .orderBy("pk")
   }
 
+  /** JSONL interchange roundtrip — the pretraining-corpus wire format:
+    * export documents as gzip JSONL (one object per line, the format every
+    * crawl pipeline emits), read it back with an explicit schema (never
+    * inference — a schema-inference pass doubles the 100 TB read), and
+    * prove content integrity: per-source counts, char sums, and the
+    * distinct-content-hash count all survive the roundtrip. Text goes
+    * through JSON string escaping both ways — exactly where a naive
+    * exporter corrupts newlines/quotes/unicode. */
+  private def q105(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+    val docs = t(s, dir, "documents")
+    docs.write.mode("overwrite").option("compression", "gzip").json(out)
+    s.read.schema(docs.schema).json(out)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        countDistinct(md5(col("text"))).as("n_contents"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q105_jsonl_roundtrip" -> (q105 _),
     "q95_zorder_cluster" -> (q95 _),
     "q96_compaction_audit" -> (q96 _),
     "q79_bucketed_join" -> (q79 _),
@@ -367,6 +389,12 @@ object GapOps {
     "q96_compaction_audit" ->
       """SELECT doc_id // 200 AS pk, CAST(1 AS BIGINT) AS n_files,
         |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q105_jsonl_roundtrip" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_contents,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // q59's output is the estimator-recovers-ground-truth proof: the
     // synthetic volumes inject known signal/noise, and the booleans assert

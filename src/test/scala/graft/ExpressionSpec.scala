@@ -14,6 +14,9 @@ class ExpressionSpec extends AnyFunSuite {
     .getOrCreate()
 
   test("graft_cosine native expression: correct value, SQL-callable, null-safe") {
+    // explicit register: if another suite created the session first,
+    // getOrCreate ignores withExtensions and the injected fn is absent
+    CosineSimilarity.register(spark)
     import spark.implicits._
     val df = Seq(
       (1L, Array(1f, 0f, 0f), Array(1f, 0f, 0f)),
@@ -68,6 +71,9 @@ class ExpressionSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(
       ZOrder.interleave16(3, 5), ZOrder.interleave16(1000, 40000),
       0xffffffffL))
+    // null propagation (BinaryExpression null-safe contract)
+    assert(spark.sql("SELECT graft_zorder(NULL, 5L) AS z").collect()(0).isNullAt(0))
+    assert(spark.sql("SELECT graft_zorder(5L, NULL) AS z").collect()(0).isNullAt(0))
     // locality: any aligned 2^2k-sized z-range is a rectangle — check the
     // defining property z(x,y) bits decompose, via a brute 8-bit quadrant
     for (x <- 0 until 16; y <- 0 until 16) {

@@ -21,6 +21,23 @@ class PercentilesSpec extends AnyFunSuite {
 
   private val ps = Seq(0.0, 0.01, 0.25, 0.5, 0.9, 0.99, 1.0)
 
+  test("exactByRank edge inputs: empty frame, all-null group, single row") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Double)].toDF("grp", "v")
+    for (collapse <- Seq(true, false)) {
+      assert(Percentiles.exactByRank(empty, "grp", "v", Seq(0.5), collapse).count() == 0)
+    }
+    // a group whose every value is null contributes no rows; a single-row
+    // group returns its value at every p
+    val mixed = Seq(("a", Some(5.0)), ("b", None), ("b", None)).toDF("grp", "v")
+    for (collapse <- Seq(true, false)) {
+      val got = Percentiles.exactByRank(mixed, "grp", "v", Seq(0.0, 0.5, 1.0), collapse)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      assert(got.forall(_._1 == "a"), s"null-only group leaked: ${got.mkString(",")}")
+      assert(got.length == 3 && got.forall(_._3 == 5.0))
+    }
+  }
+
   test("exactByRank matches the percentile sort-agg bit-for-bit") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)

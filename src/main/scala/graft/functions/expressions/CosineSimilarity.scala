@@ -107,5 +107,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CosineSimilarity.info, CosineSimilarity.builder))
     e.injectFunction((FunctionIdentifier(ZOrder.name),
       ZOrder.info, ZOrder.builder))
+    e.injectOptimizerRule(_ => RegexCountToRLike)
   }
 }

@@ -615,6 +615,9 @@ object TextOps {
     * machinery (extract_all counts + global replace length delta) is what's
     * under test. Per-row regex → single groupBy: no shuffle of text. */
   private def q92(s: SparkSession, dir: String): DataFrame = {
+    // the n_emails/n_phones > 0 predicates optimize to RLIKE early-exit
+    // probes (RegexCountToRLike) once projection collapse inlines them
+    graft.functions.expressions.RegexCountToRLike.register(s)
     // [.] instead of \. — the pattern goes through BOTH expr() (SQL string
     // literal, which eats backslash escapes) and the Column API (which
     // doesn't); a bracket class parses identically everywhere.

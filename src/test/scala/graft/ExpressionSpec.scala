@@ -83,6 +83,32 @@ class ExpressionSpec extends AnyFunSuite {
     }
   }
 
+  test("RegexCountToRLike rule: fires through projection inlining, preserves values and nulls") {
+    import graft.functions.expressions.RegexCountToRLike
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    RegexCountToRLike.register(spark)
+    RegexCountToRLike.register(spark) // idempotent
+    assert(spark.experimental.extraOptimizations.count(_ == RegexCountToRLike) == 1)
+    // parquet source, not a local Seq: ConvertToLocalRelation would
+    // otherwise evaluate the whole projection at optimization time and
+    // leave nothing for the rule to rewrite
+    val dir = java.nio.file.Files.createTempDirectory("rlike_rule_").toString
+    Seq(Some("a b c@d.io e"), Some("no match"), None).toDF("s")
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .withColumn("n", expr("size(regexp_extract_all(s, '[a-z]+@[a-z.]+', 0))").cast("long"))
+      .withColumn("hit", col("n") > 0)
+      .select("s", "hit")
+    val opt = df.queryExecution.optimizedPlan.toString()
+    assert(opt.contains("RLIKE"), s"rule did not fire:\n$opt")
+    assert(!opt.toLowerCase.contains("regexp_extract_all"),
+      s"extract_all survived in the predicate:\n$opt")
+    val got = df.collect().map(r => (r.getAs[String]("s"), if (r.isNullAt(1)) null else r.getBoolean(1)))
+    assert(got.toMap == Map("a b c@d.io e" -> true, "no match" -> false, (null: String) -> null),
+      s"values diverged: ${got.mkString(",")}")
+  }
+
   test("IVF recall@3 sweep: nprobe in {1,3,5} x kCells in {16,64} — monotone in nprobe, floor at the default") {
     val dir = "/root/testdata/sf0.01"
     // brute-force exact top-3 per probe, computed directly over the vectors

@@ -213,7 +213,7 @@ object VectorOps {
     * deterministic via fixed seed; recall vs brute force asserted in
     * ExpressionSpec. */
   private[graft] def ivfTopK(s: SparkSession, dir: String,
-      nprobe: Int = 3, topK: Int = 3, kCells: Int = 16): DataFrame = {
+      nprobe: Int = 3, topK: Int = 3, kCells: Int = 16, maxIter: Int = 5): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     val toVec = udf { (a: Seq[Float]) =>
       org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble).toArray)
@@ -222,7 +222,7 @@ object VectorOps {
       .select(col("vec_id"), col("embedding"))
       .withColumn("features", toVec(col("embedding")))
       .persist()
-    val model = new KMeans().setK(kCells).setSeed(42).setMaxIter(5)
+    val model = new KMeans().setK(kCells).setSeed(42).setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("cell")
       .fit(emb)
     val assigned = model.transform(emb).select(col("vec_id"), col("embedding"), col("cell"))

@@ -203,6 +203,66 @@ object VectorOps {
       .orderBy("label")
   }
 
+  /** Cross-modal curation capstone: one gate over BOTH modalities — a doc
+    * survives iff its TEXT passes the q88 quality score at ≥ 0.7 AND its
+    * EMBEDDING is not a semantic duplicate under the q98 rule (cluster ∩
+    * band candidates, higher id of a too-similar pair drops). Thresholds
+    * sit where THIS corpus splits: scores span [0.52, 0.93] (0.7 ≈ the
+    * median) and the synthetic random embeddings top out at cosine 0.51,
+    * so the similarity cut is 0.3 — a production corpus with genuine
+    * duplicates would use q98's 0.95; the machinery is identical and the
+    * counters are all exercised. Docs without an embedding (the corpus is
+    * only partially embedded at sf0.1, as real corpora are) pass the
+    * semantic leg trivially via the left join. The text leg is per-row;
+    * the semantic leg reuses the banded machinery — joining the two
+    * verdicts shuffles only (doc_id, flags). */
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    // text leg — the q88 scoring formula verbatim
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"), col("text"),
+        array_remove(split(col("text"), "\\s+"), "").as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("nw", size(col("w")).cast("long"))
+      .withColumn("n_stop", expr("size(filter(w, t -> t IN ('the','a','of','and','to','is','in')))").cast("long"))
+      .withColumn("n_punct", expr("size(regexp_extract_all(text, '[^a-z0-9 ]', 0))").cast("long"))
+      .withColumn("sum_wl", expr("aggregate(w, 0L, (acc, t) -> acc + length(t))"))
+      .withColumn("score", expr(
+        """0.4 * least(cast(nw as double) / 100.0, 1.0)
+          |+ 0.3 * (1.0 - cast(n_stop as double) / cast(nw as double))
+          |+ 0.2 * (1.0 - least(cast(n_punct as double) / cast(n_chars as double), 1.0))
+          |+ 0.1 * least(cast(sum_wl as double) / cast(nw as double) / 10.0, 1.0)""".stripMargin))
+      .withColumn("text_pass", col("score") >= 0.7)
+    // semantic leg — q98's loser set at this corpus's similarity tail
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
+    val wAsg = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cid"))
+    val asg = emb.crossJoin(broadcast(cents))
+      .withColumn("cs", cosCol(s, "embedding", "cemb"))
+      .withColumn("rk", row_number().over(wAsg))
+      .filter(col("rk") === 1)
+      .select(col("vec_id"), col("cid"))
+    val bc = banded(s, dir).join(asg, Seq("vec_id"))
+    val cand = bc.as("x").join(bc.as("y"),
+        col("x.cid") === col("y.cid") && col("x.bk") === col("y.bk") &&
+          col("x.bv") === col("y.bv") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b_id")).distinct()
+    val losers = cand
+      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")), Seq("b_id"))
+      .withColumn("cos", cosCol(s, "ea", "eb"))
+      .filter(col("cos") >= 0.3)
+      .select(col("b_id").as("doc_id")).distinct()
+      .withColumn("sem_dup", lit(1))
+    docs.join(losers, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("text_pass"), 1L).otherwise(0L)).as("n_text_pass"),
+        sum(when(col("sem_dup").isNotNull, 1L).otherwise(0L)).as("n_sem_dup"),
+        sum(when(col("text_pass") && col("sem_dup").isNull, 1L).otherwise(0L)).as("n_final"))
+      .orderBy("source")
+  }
+
   /** IVF-style ANN (the task's named scale path alongside LSH): k-means
     * coarse quantizer (MLlib, seeded) partitions the corpus into cells;
     * each probe searches its `nprobe` nearest cells (multi-probe — the
@@ -264,7 +324,8 @@ object VectorOps {
     "q34_ann_lsh_bucket" -> (q34 _),
     "q35_embedding_stats" -> (q35 _),
     "q36_embedding_neardup" -> (q36 _),
-    "q98_semantic_dedup" -> (q98 _)
+    "q98_semantic_dedup" -> (q98 _),
+    "q106_crossmodal_curation" -> (q106 _)
   )
 
   private val cosSql =
@@ -343,6 +404,45 @@ object VectorOps {
          |SELECT label, CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum(CASE WHEN vec_id NOT IN (SELECT vec_id FROM losers) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  CAST(count(DISTINCT cid) AS BIGINT) AS n_clusters
-         |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q106_crossmodal_curation" ->
+      s"""WITH $bandsSql,
+         |w AS (SELECT doc_id, source, n_chars, text,
+         |  list_filter(regexp_split_to_array(text,'\\s+'), t -> t <> '') AS w FROM documents),
+         |wf AS (SELECT * FROM w WHERE len(w) >= 3),
+         |f AS (SELECT doc_id, source,
+         |  CAST(len(w) AS BIGINT) AS nw,
+         |  CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','is','in'))) AS BIGINT) AS n_stop,
+         |  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct,
+         |  CAST(list_aggregate([CAST(length(t) AS BIGINT) for t in w], 'sum') AS BIGINT) AS sum_wl,
+         |  n_chars FROM wf),
+         |scored AS (SELECT doc_id, source,
+         |  0.4 * least(CAST(nw AS DOUBLE) / 100.0, 1.0)
+         |  + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(nw AS DOUBLE))
+         |  + 0.2 * (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 1.0))
+         |  + 0.1 * least(CAST(sum_wl AS DOUBLE) / CAST(nw AS DOUBLE) / 10.0, 1.0) >= 0.7 AS text_pass
+         | FROM f),
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+         |a0 AS (SELECT e.vec_id, c.cid,
+         |  list_aggregate([CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.cemb[i+1] AS DOUBLE) for i in range(len(e.embedding))], 'sum')
+         |  / sqrt(list_aggregate([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in e.embedding], 'sum')
+         |         * list_aggregate([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in c.cemb], 'sum')) AS cs
+         |  FROM embeddings e, cent c),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rk FROM a0)
+         |  WHERE rk = 1),
+         |bc AS (SELECT b.vec_id, b.bk, b.bv, g.cid FROM bands b JOIN asg g USING (vec_id)),
+         |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM bc x JOIN bc y ON x.cid = y.cid AND x.bk = y.bk AND x.bv = y.bv
+         |    AND x.vec_id < y.vec_id),
+         |losers AS (SELECT DISTINCT c.b_id AS doc_id
+         |  FROM cand c JOIN embeddings a ON a.vec_id = c.a_id
+         |              JOIN embeddings b ON b.vec_id = c.b_id
+         |  WHERE $cosSql >= 0.3)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN text_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_text_pass,
+         |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM losers) THEN 1 ELSE 0 END) AS BIGINT) AS n_sem_dup,
+         |  CAST(sum(CASE WHEN text_pass AND doc_id NOT IN (SELECT doc_id FROM losers) THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

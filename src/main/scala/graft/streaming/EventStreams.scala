@@ -218,7 +218,69 @@ object EventStreams {
       .orderBy("source")
   }
 
+  /** Write `df` as a single parquet file at `dest` with a forced modification
+    * time, so the file stream source (which orders by modTime) sees a
+    * deterministic arrival order. */
+  private def writeBatchFile(df: DataFrame, dest: java.nio.file.Path, modTime: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wmbatch_")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = new java.io.File(tmp.toString).listFiles()
+      .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
+    java.nio.file.Files.move(part.toPath, dest,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dest.toFile.setLastModified(modTime)
+    ()
+  }
+
+  /** Watermark late-data semantics across real micro-batches (§2.11): the
+    * one streaming behavior a single replayed batch can't exercise. Files
+    * arrive one at a time with the stream drained between arrivals (the
+    * continuous-ingest shape): even-id events first — advancing the
+    * watermark to max(even ts) − 10 min — then the odd-id events, now LATE,
+    * then a far-future sentinel that pushes the watermark past every real
+    * window so append mode finalizes them. Spark filters a late row iff its
+    * window end ≤ the watermark of the previously executed batch (the
+    * post-3.4 two-watermark rule; draining between arrivals runs the
+    * zero-data promotion batch, making that watermark deterministic); the
+    * oracle replays exactly that rule in SQL. The sentinel's own window
+    * never closes, so it never reaches the sink. */
+  private def q107(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events").select("event_id", "ts", "event_type")
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val sentinel = Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 1000L * 3600 * 1000), "sentinel"))
+      .toDF("event_id", "ts", "event_type")
+    val d = java.nio.file.Files.createTempDirectory("graft_late_")
+    d.toFile.deleteOnExit()
+    val t0 = System.currentTimeMillis() - 120000
+    writeBatchFile(ev.filter(col("event_id") % 2 === 0), d.resolve("b0.parquet"), t0)
+    val schema = s.read.parquet(d.resolve("b0.parquet").toString).schema
+    val agg = s.readStream.schema(schema)
+      .parquet(d.toString)
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = agg.writeStream.format("memory").queryName("stream_late_data")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable() // batch(evens) + zero-data watermark promotion
+        writeBatchFile(ev.filter(col("event_id") % 2 === 1), d.resolve("b1.parquet"), t0 + 30000)
+        q.processAllAvailable() // batch(odds): late filter vs max(even)−10min
+        writeBatchFile(sentinel, d.resolve("b2.parquet"), t0 + 60000)
+        q.processAllAvailable() // sentinel advances watermark → all real windows emit
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table("stream_late_data")
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("id_sum"))
+      .filter(col("event_type") =!= "sentinel")
+      .orderBy("hour", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q107_stream_late_data" -> (q107 _),
     "q101_stream_corpus_ingest" -> (q101 _),
     "q78_stream_to_kvstore" -> (q78 _),
     "q60_stream_tumbling" -> (q60 _),
@@ -230,6 +292,19 @@ object EventStreams {
   )
 
   val oracles: Map[String, String] = Map(
+    // replay of the engine's late-data rule: watermark after the even-id
+    // batch is max(even ts) floored to ms minus 10 min; an odd-id (late)
+    // row survives iff its hour-window end is strictly above that watermark
+    "q107_stream_late_data" ->
+      """WITH a AS (SELECT event_id, ts, event_type FROM events WHERE event_id % 2 = 0),
+        |wm AS (SELECT date_trunc('millisecond', max(ts)) - INTERVAL 10 MINUTE AS w FROM a),
+        |b AS (SELECT e.event_id, e.ts, e.event_type FROM events e, wm
+        |      WHERE e.event_id % 2 = 1
+        |        AND date_trunc('hour', e.ts) + INTERVAL 1 HOUR > wm.w),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM u GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q101_stream_corpus_ingest" ->
       """WITH f AS (SELECT source, md5(text) AS fp,
         |  CAST(len(list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '')) AS BIGINT) AS nw

@@ -23,7 +23,8 @@ class StreamingStateStoreSpec extends AnyFunSuite {
   private val dir = "/root/testdata/sf0.001"
   private val stateful = Seq("q60_stream_tumbling", "q61_stream_sliding",
     "q62_stream_session", "q63_stream_dedup", "q64_stream_stateful",
-    "q85_stream_stream_join", "q101_stream_corpus_ingest")
+    "q85_stream_stream_join", "q101_stream_corpus_ingest",
+    "q107_stream_late_data")
 
   test("q60–q64 + q85 are provider-agnostic: identical results under HDFS and RocksDB state stores") {
     assert(Class.forName(RocksDb) != null) // the provider ships in Spark core
@@ -46,5 +47,17 @@ class StreamingStateStoreSpec extends AnyFunSuite {
           s"$name differs across state-store providers")
       }
     } finally spark.conf.unset(conf)
+  }
+
+  test("q107 actually drops late data: fewer groups than the batch aggregation") {
+    import org.apache.spark.sql.functions._
+    val streamed = streaming.EventStreams.queries("q107_stream_late_data")(spark, dir)
+    val batchGroups = Tables(spark, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")), col("event_type")).count().count()
+    val n = streamed.count()
+    assert(n > 0, "q107 returned no rows")
+    assert(n < batchGroups,
+      s"no late-only groups were dropped (streamed=$n batch=$batchGroups) — " +
+        "the watermark demo is vacuous")
   }
 }

@@ -743,7 +743,53 @@ object TextOps {
       .orderBy("source", "rk")
   }
 
+  /** Hashed-feature linear scorer: unigram+bigram grams → 2^16 buckets via
+    * the first 4 md5 bytes, bucket → fixed weight in [−1.000, 1.000] via a
+    * Knuth-multiplicative mix — the fastText/"quality classifier" shape
+    * every production corpus filter runs, with the model folded into the
+    * hash so there is nothing to broadcast. All arithmetic up to the final
+    * division is exact integers (weights are integer millis summed as
+    * BIGINT), so the score and the pass/fail cut are bit-identical across
+    * engines and task retries. Compiled UDF for the md5-per-gram loop (the
+    * q27-simhash lesson: interpreted HOF lambdas dominate at sf0.1). */
+  private val hashedScoreRaw = udf { (w: Seq[String]) =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def weight(g: String): Long = {
+      val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.reset()
+      val h4 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      ((h4 % 65536L) * 2654435761L) % 2001L - 1000L
+    }
+    var s = 0L
+    var i = 0
+    while (i < w.length) {
+      s += weight(w(i))
+      if (i + 1 < w.length) s += weight(w(i) + " " + w(i + 1))
+      i += 1
+    }
+    s
+  }
+
+  /** Per-source classifier report: docs scored by the hashed linear model,
+    * pass = raw score > 0 (exact integer test). Per-row map + one tiny
+    * aggregation — the zero-shuffle shape a 100 TB quality-filter pass
+    * needs; mean score is a single division of exact integer sums. */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    words(s, dir)
+      .withColumn("raw", hashedScoreRaw(col("w")))
+      .withColumn("n_grams", (size(col("w")) * 2 - 1).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("raw") > 0, 1L).otherwise(0L)).as("n_pass"),
+        sum("raw").as("sum_raw"),
+        round(sum(col("raw")).cast("double") /
+          (sum(col("n_grams")) * 1000L).cast("double"), 6).as("mean_score"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q108_hashed_classifier" -> (q108 _),
     "q102_cluster_sizes" -> (q102 _),
     "q100_stored_sig_dedup" -> (q100 _),
     "q99_distinctive_terms" -> (q99 _),
@@ -810,6 +856,23 @@ object TextOps {
       | FROM hs)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q108_hashed_classifier" ->
+      """WITH wf AS (SELECT source, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w
+        |  FROM documents
+        |  WHERE len(list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '')) >= 3),
+        |g AS (SELECT source, len(w) AS nw,
+        |    list_concat(w, [w[i+1] || ' ' || w[i+2] for i in range(len(w)-1)]) AS grams
+        |  FROM wf),
+        |r AS (SELECT source, CAST(2*nw - 1 AS BIGINT) AS n_grams,
+        |    CAST(list_aggregate(
+        |      [ (CAST(('0x'||substr(md5(gr),1,8)) AS BIGINT) % 65536 * 2654435761 % 2001) - 1000
+        |        for gr in grams], 'sum') AS BIGINT) AS raw
+        |  FROM g)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN raw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST(sum(raw) AS BIGINT) AS sum_raw,
+        |  round(CAST(sum(raw) AS DOUBLE) / CAST(sum(n_grams) * 1000 AS DOUBLE), 6) AS mean_score
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "q99_distinctive_terms" ->
       """WITH w AS (SELECT doc_id, source, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
         |wf AS (SELECT * FROM w WHERE len(w) >= 3),

@@ -318,6 +318,46 @@ object VectorOps {
 
   private def q77(s: SparkSession, dir: String): DataFrame = ivfTopK(s, dir)
 
+  /** Int8 scalar quantization (SQ8) of the embedding column — the 4×
+    * memory/bandwidth cut a 100 TB ANN index takes before anything else:
+    * per-vector min/max → 0..255 codes → dequantize → error audit. The
+    * query PROVES the compression contract in-query: every code lands in
+    * [0,255] with the full range used, the reconstruction error of every
+    * element is within the half-step bound scale/2, and the worst per-vector
+    * cosine(original, reconstruction) stays ≈ 1. Per-row transform + a tiny
+    * exact aggregation (counts, min/max of per-row values — no cross-row
+    * double sums, so the reduction is order-insensitive and retry-stable).
+    * Folds are sequential on both engines (the q33 cosSql precedent), so
+    * rounded doubles hash-match. */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, v -> cast(v as double))").as("xd"))
+      .withColumn("mn", expr("array_min(xd)"))
+      .withColumn("mx", expr("array_max(xd)"))
+      .filter(col("mx") > col("mn"))
+      .withColumn("sc", expr("(mx - mn) / 255.0D"))
+      .withColumn("qs", expr("transform(xd, v -> cast(round((v - mn) / sc, 0) as bigint))"))
+      .withColumn("rec", expr("transform(qs, c -> mn + cast(c as double) * sc)"))
+      .withColumn("q_min", expr("array_min(qs)"))
+      .withColumn("q_max", expr("array_max(qs)"))
+      .withColumn("max_err", expr(
+        "aggregate(zip_with(xd, rec, (a, b) -> abs(a - b)), 0D, (acc, v) -> greatest(acc, v))"))
+      .withColumn("mse", expr(
+        "round(aggregate(zip_with(xd, rec, (a, b) -> (a-b)*(a-b)), 0D, (acc, v) -> acc + v) / cast(size(xd) as double), 9)"))
+      .withColumn("cos_rec", expr(
+        """round(aggregate(zip_with(xd, rec, (a, b) -> a*b), 0D, (acc, v) -> acc + v)
+          | / sqrt(aggregate(xd, 0D, (acc, v) -> acc + v*v)
+          |        * aggregate(rec, 0D, (acc, v) -> acc + v*v)), 6)""".stripMargin))
+    e.groupBy((col("vec_id") % 10).as("bucket"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("max_err") <= col("sc") * 0.500000001, 1L).otherwise(0L)).as("n_bound_ok"),
+        min("q_min").as("min_code"),
+        max("q_max").as("max_code"),
+        max("mse").as("worst_mse"),
+        min("cos_rec").as("worst_cos"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q77_ann_ivf" -> (q77 _),
     "q33_cosine_topk" -> (q33 _),
@@ -325,7 +365,8 @@ object VectorOps {
     "q35_embedding_stats" -> (q35 _),
     "q36_embedding_neardup" -> (q36 _),
     "q98_semantic_dedup" -> (q98 _),
-    "q106_crossmodal_curation" -> (q106 _)
+    "q106_crossmodal_curation" -> (q106 _),
+    "q109_sq8_quantize" -> (q109 _)
   )
 
   private val cosSql =
@@ -443,6 +484,28 @@ object VectorOps {
          |  CAST(sum(CASE WHEN text_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_text_pass,
          |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM losers) THEN 1 ELSE 0 END) AS BIGINT) AS n_sem_dup,
          |  CAST(sum(CASE WHEN text_pass AND doc_id NOT IN (SELECT doc_id FROM losers) THEN 1 ELSE 0 END) AS BIGINT) AS n_final
-         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q109_sq8_quantize" ->
+      """WITH e AS (SELECT vec_id, [CAST(v AS DOUBLE) for v in embedding] AS xd FROM embeddings),
+        |p AS (SELECT vec_id, xd, list_min(xd) AS mn, list_max(xd) AS mx FROM e),
+        |f AS (SELECT vec_id, xd, mn, (mx - mn) / 255.0 AS sc FROM p WHERE mx > mn),
+        |q AS (SELECT vec_id, xd, mn, sc,
+        |    [CAST(round((v - mn) / sc, 0) AS BIGINT) for v in xd] AS qs FROM f),
+        |r AS (SELECT vec_id, xd, sc, qs,
+        |    [mn + CAST(c AS DOUBLE) * sc for c in qs] AS rec FROM q),
+        |m AS (SELECT vec_id, sc,
+        |    list_min(qs) AS q_min, list_max(qs) AS q_max,
+        |    list_max([abs(xd[i+1] - rec[i+1]) for i in range(len(xd))]) AS max_err,
+        |    round(list_aggregate([(xd[i+1]-rec[i+1])*(xd[i+1]-rec[i+1]) for i in range(len(xd))], 'sum')
+        |      / CAST(len(xd) AS DOUBLE), 9) AS mse,
+        |    round(list_aggregate([xd[i+1]*rec[i+1] for i in range(len(xd))], 'sum')
+        |      / sqrt(list_aggregate([v*v for v in xd], 'sum')
+        |             * list_aggregate([v*v for v in rec], 'sum')), 6) AS cos_rec
+        |  FROM r)
+        |SELECT vec_id % 10 AS bucket, count(*) AS n_vecs,
+        |  CAST(sum(CASE WHEN max_err <= sc * 0.500000001 THEN 1 ELSE 0 END) AS BIGINT) AS n_bound_ok,
+        |  min(q_min) AS min_code, max(q_max) AS max_code,
+        |  max(mse) AS worst_mse, min(cos_rec) AS worst_cos
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -40,6 +40,27 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
+  test("SQ8 quantization contract holds: full code range, half-step bound, cosine ≈ 1") {
+    val rows = SparkEntry.queries("q109_sq8_quantize")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_bound_ok") == r.getAs[Long]("n_vecs"),
+        s"reconstruction error exceeded scale/2 in bucket ${r.getAs[Long]("bucket")}")
+      assert(r.getAs[Long]("min_code") == 0L && r.getAs[Long]("max_code") == 255L,
+        "quantizer does not use the full int8 code range")
+      assert(r.getAs[Double]("worst_cos") > 0.999, "quantization destroyed similarity structure")
+    }
+  }
+
+  test("hashed classifier: exact integer scoring splits the corpus non-vacuously") {
+    val rows = SparkEntry.queries("q108_hashed_classifier")(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    val docs = rows.map(_.getAs[Long]("n_docs")).sum
+    val pass = rows.map(_.getAs[Long]("n_pass")).sum
+    assert(pass > 0 && pass < docs,
+      s"classifier is vacuous: $pass of $docs pass — both classes must be exercised")
+  }
+
   test("multimodal ImageIO decode is lossless and K18 area-resize conserves luminance mass") {
     val dir = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("q84_multimodal_imageio")(spark, dir).collect()

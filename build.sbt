@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the full 110-query bench sweep at sf0.1 holds the shared
+  // signature/band caches plus streaming state in one JVM; at 8g the heap
+  // ran close enough to full that GC stalls leaked into unrelated query
+  // timings (q40 27s in BENCH_r03). The host has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -10,7 +10,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh_").toString)
+        graft.Scratch.fresh("wh_"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // session/codegen warmup so the first measured query isn't charged for it
@@ -36,12 +36,15 @@ object Bench {
       }
       name -> sec
     }.toMap
+    // LAST line is the machine-readable summary. SHORT query keys (the qNN
+    // prefix, the contract's own example shape): with 100+ full-length
+    // names the line ran ~5 KB and the driver's fixed-size tail capture cut
+    // it mid-JSON ("parsed": null in BENCH_r03) — the per-query greppable
+    // lines above carry the full names.
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // LAST line is the machine-readable summary: compact (3-decimal values,
-    // no spaces) so the driver's tail capture never cuts it mid-JSON
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries_n":${results.size},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,33 @@
+package graft
+
+/** One per-JVM scratch root for every temp store the operators write
+  * (signature stores, KV shards, stream source/sink dirs, bucketed-table
+  * roots, session warehouses). All of it is deleted recursively by a
+  * shutdown hook — `File.deleteOnExit` is a no-op on non-empty dirs, so
+  * before this existed repeated Verify/Bench JVMs accumulated full parquet
+  * copies under /tmp (round-3 ADVICE). Dirs stay unique per call (append
+  * sinks and idempotency probes must not see a previous rep's files), so
+  * within one JVM the footprint is bounded by that run's own writes. */
+object Scratch {
+
+  private lazy val root: java.nio.file.Path = {
+    val r = java.nio.file.Files.createTempDirectory("graft_scratch_")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => deleteRecursively(r.toFile)))
+    r
+  }
+
+  /** A fresh unique dir under the cleaned-at-exit root. */
+  def fresh(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(root, prefix).toString
+
+  /** Same, as a Path (for call sites that resolve children). */
+  def freshPath(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(root, prefix)
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete()
+    ()
+  }
+}

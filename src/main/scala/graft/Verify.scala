@@ -18,7 +18,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       // saveAsTable-based queries (bucketing) must not depend on cwd writability
       .config("spark.sql.warehouse.dir",
-        Files.createTempDirectory("graft_wh_").toString)
+        graft.Scratch.fresh("wh_"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -108,6 +108,23 @@ object Percentiles {
     * interval carrying the same value). */
   def exactByRank(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double], collapse: Boolean = true): DataFrame = {
+    val (out, pinned) = exactByRankPlan(df, groupCol, valueCol, ps, collapse)
+    // The result is G×P rows — eagerly checkpoint it (truncating lineage so
+    // the full-data intermediates are no longer reachable) and unpersist
+    // them NOW. Without this every q08/q45/bench rep left a cached copy of
+    // the input in the block manager for the session lifetime (round-3
+    // ADVICE; at sf0.1 that heap creep showed up as multi-second GC stalls
+    // on unrelated queries later in the bench sweep).
+    val result = out.localCheckpoint(true)
+    pinned.foreach(_.unpersist())
+    result
+  }
+
+  /** The un-checkpointed plan plus the persisted intermediates it pins —
+    * exposed so the plan-shape spec can inspect the window keying (the
+    * public method returns a checkpointed LogicalRDD, which hides it). */
+  private[graft] def exactByRankPlan(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double], collapse: Boolean = true): (DataFrame, Seq[DataFrame]) = {
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     // BOTH persists are load-bearing. cnt: the range partitioner's SAMPLING
@@ -154,7 +171,7 @@ object Percentiles {
       .withColumn("idx", col("p") * (col("n") - 1))
       .withColumn("klo", floor(col("idx")))
       .withColumn("khi", ceil(col("idx")))
-    cum.as("cm").join(broadcast(targets.as("tg")),
+    val out = cum.as("cm").join(broadcast(targets.as("tg")),
         col("cm.g") === col("tg.g") &&
           ((col("klo") >= col("prev") && col("klo") < col("cum")) ||
             (col("khi") >= col("prev") && col("khi") < col("cum"))))
@@ -167,5 +184,6 @@ object Percentiles {
           .otherwise(col("vlo") * (col("khi") - col("idx")) +
             col("vhi") * (col("idx") - col("klo"))))
       .select(col("g").as(groupCol), col("p"), col("value"), col("n"))
+    (out, (if (collapse) Seq(cnt) else Nil) :+ ranged)
   }
 }

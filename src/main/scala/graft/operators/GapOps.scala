@@ -125,7 +125,7 @@ object GapOps {
     * hash-match the oracle's expectation (2× the sampled rows, 3 cols). */
   private def q66(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val logDir = java.nio.file.Files.createTempDirectory("graft_audit_").toString
+    val logDir = graft.Scratch.fresh("audit_")
     val sample = t(s, dir, "events").filter(col("event_id") % 100 === 0)
       .select(date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("timestamp"),
         concat(lit("slice_"), col("event_id")).as("file"),
@@ -263,7 +263,7 @@ object GapOps {
     * Result must equal the plain-join oracle. */
   private def q79(s: SparkSession, dir: String): DataFrame = {
     val suffix = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
-    val base = java.nio.file.Files.createTempDirectory("graft_buckets_").toString
+    val base = graft.Scratch.fresh("buckets_")
     val liTbl = s"li_b_$suffix"; val oTbl = s"o_b_$suffix"
     try {
       t(s, dir, "lineitem")
@@ -320,7 +320,7 @@ object GapOps {
     * maxRecordsPerFile bounding shard size) is what keeps object-store
     * listings and NameNode metadata sane. */
   private def q96(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_compact_").toString
+    val out = graft.Scratch.fresh("compact_")
     t(s, dir, "documents")
       .withColumn("pk", expr("doc_id div 200L"))
       .repartition(col("pk"))
@@ -341,7 +341,7 @@ object GapOps {
     * through JSON string escaping both ways — exactly where a naive
     * exporter corrupts newlines/quotes/unicode. */
   private def q105(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files.createTempDirectory("graft_jsonl_").toString
+    val out = graft.Scratch.fresh("jsonl_")
     val docs = t(s, dir, "documents")
     docs.write.mode("overwrite").option("compression", "gzip").json(out)
     s.read.schema(docs.schema).json(out)

@@ -32,7 +32,10 @@ object Multimodal {
       .repartition(s.sparkContext.defaultParallelism)
       .map { pk =>
         val h = 16 + (pk % 3).toInt * 8 // 16 | 24 | 32
-        val w = 16 + (pk % 2).toInt * 8 // 16 | 24
+        // (pk/8) parity, NOT pk parity: media ids are the pk % 8 == 0 keys,
+        // all even, so pk % 2 would pin every width to 16 and a short-side
+        // cut could never discriminate on width (round-3 ADVICE on q103)
+        val w = 16 + ((pk / 8) % 2).toInt * 8 // 16 | 24
         val px = Array.tabulate(h * w)(i => ((pk * 31 + i * 7) % 256).toInt)
         (pk, graft.sinks.Png.encodeGray8(px, h, w))
       }.toDF("media_id", "payload")
@@ -152,19 +155,20 @@ object Multimodal {
   }
 
   /** Image-curation filter over the REAL decoded corpus — the multimodal
-    * twin of the text quality gate: drop images whose short side is under
-    * 24 px or whose mean luminance is not strictly above the ramp median
-    * 127.5. Both cuts are integer cross-multiplications (2·sum_lum vs
-    * 255·n_px — no float mean, so the boundary is exact in both engines),
-    * and both discriminate on this corpus: heights split 16/24/32, and the
-    * h=24 class's partial mod-256 ramp cycle scatters means around the
-    * median while full-cycle classes sit exactly ON it (strictness matters
-    * — every counter is exercised). Per-row decode + one groupBy over the
+    * twin of the text quality gate: drop images whose SHORT SIDE
+    * (least of height and width — both vary on this corpus: h 16/24/32,
+    * w 16/24) is under 24 px, or whose mean luminance is not strictly
+    * above the ramp median 127.5. Both cuts are integer
+    * cross-multiplications (2·sum_lum vs 255·n_px — no float mean, so the
+    * boundary is exact in both engines), and both discriminate: the
+    * partial mod-256 ramp cycles scatter means around the median while
+    * full-cycle classes sit exactly ON it (strictness matters — every
+    * counter is exercised). Per-row decode + one groupBy over the
     * geometry classes: the 100 TB shape is a full scan with nothing
     * shuffled but per-class counters. */
   private def q103(s: SparkSession, dir: String): DataFrame =
     decodedPng(s, dir)
-      .withColumn("ok_dim", col("height") >= 24L)
+      .withColumn("ok_dim", least(col("height"), col("width")) >= 24L)
       .withColumn("ok_lum", lit(2L) * col("sum_lum") > lit(255L) * col("n_px"))
       .groupBy("height", "width")
       .agg(count(lit(1)).as("n"),
@@ -285,7 +289,7 @@ object Multimodal {
   private val pngCte =
     """m AS (SELECT p_partkey AS media_id,
       |  16 + (p_partkey % 3) * 8 AS h,
-      |  16 + (p_partkey % 2) * 8 AS w
+      |  16 + ((p_partkey // 8) % 2) * 8 AS w
       | FROM part WHERE p_partkey % 8 = 0),
       |px AS (SELECT media_id, h, w,
       |  CAST(list_aggregate([(media_id * 31 + i * 7) % 256 for i in range(h * w)], 'sum') AS BIGINT) AS sum_lum
@@ -312,7 +316,7 @@ object Multimodal {
     "q103_image_curation" ->
       s"""WITH $pngCte,
          |f AS (SELECT h, w, sum_lum,
-         |  h >= 24 AS ok_dim,
+         |  least(h, w) >= 24 AS ok_dim,
          |  2 * sum_lum > 255 * h * w AS ok_lum
          | FROM px)
          |SELECT CAST(h AS BIGINT) AS height, CAST(w AS BIGINT) AS width,

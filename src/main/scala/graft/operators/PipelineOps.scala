@@ -87,7 +87,7 @@ object PipelineOps {
     * (binary sink, not SQL-expressible). */
   private def q53(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tmp = java.nio.file.Files.createTempDirectory("graft_kv_").toString
+    val tmp = graft.Scratch.fresh("kv_")
     new java.io.File(tmp).delete() // KvStore.create remakes it
     // explicit file:// URI: exercises the Hadoop FileSystem codepath the
     // sink uses for hdfs:// and s3a:// store locations
@@ -128,7 +128,7 @@ object PipelineOps {
     * Second write without force is a no-op (P4 idempotency). Rows-only. */
   private def q71(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft_png_").toString
+    val root = graft.Scratch.fresh("png_")
 
     val slices = Tables(s, dir, "supplier").select(col("s_suppkey"))
       .repartition(s.sparkContext.defaultParallelism) // CPU-bound kernel, small scan
@@ -173,7 +173,7 @@ object PipelineOps {
     * right plane at the right offsets can produce. */
   private def q81(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft_dsv2_").toString
+    val root = graft.Scratch.fresh("dsv2_")
     val vols = synthVolumes(8)
     vols.foreach { case (base, bytes) =>
       java.nio.file.Files.write(java.nio.file.Paths.get(root, s"$base.nii"), bytes)

@@ -30,25 +30,8 @@ object TextOps {
     * cache manager then substitutes it into any plan that embeds the same
     * logical subtree. At 100 TB this is the "materialize the signature
     * table once" step every production dedup pipeline has. */
-  private val sharedCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def shared(s: SparkSession, dir: String, name: String)(df: => DataFrame): DataFrame = {
-    // NOT computeIfAbsent: a shared entry may be built FROM another shared
-    // entry (src_grams → shingles), and a nested computeIfAbsent on the
-    // same map throws "Recursive update" when the keys land in one bin.
-    // Build outside the map, then publish with putIfAbsent.
-    val key = s"${System.identityHashCode(s)}|$dir|$name"
-    val existing = sharedCache.get(key)
-    if (existing != null) existing
-    else {
-      val d = df
-      val prev = sharedCache.putIfAbsent(key, d)
-      if (prev != null) prev
-      else {
-        d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        d
-      }
-    }
-  }
+  private def shared(s: SparkSession, dir: String, name: String)(df: => DataFrame): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"text|$dir|$name")(df)
 
   /** doc_id + whitespace-tokenized words, docs with >= 3 words.
     * Empty tokens are dropped on BOTH the engine and oracle sides: Java's
@@ -70,6 +53,22 @@ object TextOps {
           "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("sh"))
         .distinct()
     }
+
+  /** The same shingle set derived through a STRUCTURALLY DISTINCT plan —
+    * descending index walk + plain concat instead of ascending +
+    * concat_ws — for q82's determinism invariant. Distinctness is the
+    * point, not style: Spark's CacheManager substitutes a cached
+    * InMemoryRelation into any plan whose logical subtree exactly matches
+    * the persisted one (round-3 ADVICE), so an identical re-derivation
+    * would silently READ the shared `shingles` cache and the "independent
+    * second derivation" would exercise nothing. A different expression
+    * tree can never plan-match. EntrySpec asserts no InMemoryRelation
+    * appears under this plan even with the shared cache materialized. */
+  private[graft] def freshShingles(s: SparkSession, dir: String): DataFrame =
+    words(s, dir)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(size(w)-3, 0, -1), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("sh"))
+      .distinct()
 
   /** 8 salted MinHash values per doc (min of md5 over salted shingles);
     * shared so the 2-band unpivot and the candidate self-join never re-run
@@ -100,21 +99,26 @@ object TextOps {
       .distinct()
   }
 
-  /** Exact 3-gram Jaccard for the LSH candidates. */
-  private def jaccard(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = candidates(s, dir)
-      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy("a", "b_id").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("za"), col("a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("b_id") === col("zb.doc_id"))
-      .select(col("a"), col("b_id"), col("inter"),
-        (col("inter").cast("double") /
-          (col("za.n") + col("zb.n") - col("inter")).cast("double")).as("jac"))
-  }
+  /** Exact 3-gram Jaccard for the LSH candidates. Shared/persisted: the
+    * verified-pair table is the convergence point of the whole near-dup
+    * tier (q25/q26/q70/q88/q89/q102 all start from it) and is tiny —
+    * candidate pairs only — so one materialization replaces up to six
+    * re-runs of the two shingle self-joins per session. */
+  private def jaccard(s: SparkSession, dir: String): DataFrame =
+    shared(s, dir, "jaccard") {
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = candidates(s, dir)
+        .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+        .groupBy("a", "b_id").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.as("za"), col("a") === col("za.doc_id"))
+        .join(sizes.as("zb"), col("b_id") === col("zb.doc_id"))
+        .select(col("a"), col("b_id"), col("inter"),
+          (col("inter").cast("double") /
+            (col("za.n") + col("zb.n") - col("inter")).cast("double")).as("jac"))
+    }
 
   /** Per-row 32-bit SimHash from word-frequency-weighted md5 bits.
     * Compiled Scala UDF rather than nested Catalyst HOFs: higher-order
@@ -228,11 +232,7 @@ object TextOps {
         .select(col("doc_id"), xxhash64((0 until 8).map(j => col(s"h$j")): _*).as(name))
     }
     val sig1 = sigOf(shingles(s, dir), "sig")
-    val fresh = words(s, dir) // independent derivation: bypasses the shared cache
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("sh"))
-      .distinct()
-    val sig2 = sigOf(fresh, "sig2")
+    val sig2 = sigOf(freshShingles(s, dir), "sig2")
     val joined = sig1.join(sig2, Seq("doc_id"))
       .join(words(s, dir).select(col("doc_id"), md5(col("text")).as("fp")), Seq("doc_id"))
     val dupViol = joined.groupBy("fp")
@@ -362,33 +362,45 @@ object TextOps {
     * that is the difference between ~6 and hundreds of shuffle rounds. Each
     * round shuffles only the edge list and the label table, never
     * materializing components on the driver. */
-  private def q70(s: SparkSession, dir: String): DataFrame = {
-    // the label/edge tables are near-dup pairs — orders of magnitude
-    // smaller than the corpus — and the loop runs several shuffle rounds,
-    // so per-round task-scheduling overhead dominates at the default
-    // partition count; scope it down for the loop (a production run sizes
-    // it to the edge count; AQE coalesces but can't merge the per-round
-    // job overhead)
+  private def q70(s: SparkSession, dir: String): DataFrame =
+    withLoopParallelism(s)(q70Loop(s, dedupEdges(s, dir)))
+
+  /** Symmetrized near-dup edge list (jac ≥ 0.8), EAGERLY checkpointed
+    * BEFORE any partition narrowing. Two reasons, both from audits:
+    *  - checkpoint (vs persist): the logical plan would otherwise embed the
+    *    whole jaccard chain into EVERY loop round — with pointer doubling
+    *    each round references the previous one TWICE, so an un-truncated
+    *    loop plan grows exponentially (round 2: 185 exchanges; a doubling
+    *    variant hit 6693). One checkpoint keeps every round's plan O(1) and
+    *    bounds executor-loss recovery to the last round.
+    *  - eager (vs lazy, round-3 ADVICE): a lazy checkpoint would first
+    *    materialize inside the narrowed-partitions loop — and with it the
+    *    SHARED shingle/minhash/jaccard caches, which every later query in
+    *    the session would then re-read at 8-partition parallelism. Forcing
+    *    materialization here runs the corpus-scale work at the session's
+    *    full partition count; only the tiny label loop runs narrowed. */
+  private def dedupEdges(s: SparkSession, dir: String): DataFrame = {
+    val edges0 = jaccard(s, dir).filter(col("jac") >= 0.8)
+      .select(col("a").as("u"), col("b_id").as("v"))
+    edges0.union(edges0.select(col("v").as("u"), col("u").as("v")))
+      .distinct().localCheckpoint(true)
+  }
+
+  /** The label/edge tables are near-dup pairs — orders of magnitude smaller
+    * than the corpus — and the loop runs several shuffle rounds, so
+    * per-round task-scheduling overhead dominates at the default partition
+    * count; scope it down for the loop only (a production run sizes it to
+    * the edge count; AQE coalesces but can't merge per-round job overhead).
+    * NOT safe under concurrent queries on the same session — the conf is
+    * session-global; the driver contract runs queries sequentially. */
+  private def withLoopParallelism[T](s: SparkSession)(body: => T): T = {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
-    try q70Loop(s, dir)
+    try body
     finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
-  private def q70Loop(s: SparkSession, dir: String): DataFrame = {
-    val edges0 = jaccard(s, dir).filter(col("jac") >= 0.8)
-      .select(col("a").as("u"), col("b_id").as("v"))
-    // localCheckpoint (lazy) instead of persist: persist caches DATA but the
-    // logical plan still embeds the whole jaccard chain into EVERY round —
-    // and with pointer doubling each round references the previous round
-    // TWICE, so an un-truncated loop plan grows exponentially (round 2's
-    // audit showed 185 exchanges; a doubling variant hit 6693). Checkpointing
-    // edges once and each round's labels keeps every plan O(one round), and
-    // bounds the recovery path after an executor loss to the last round.
-    // Lazy (eager=false): the changed-count action below materializes each
-    // round anyway, so an eager extra job would be pure overhead.
-    val edges = edges0.union(edges0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(false)
+  private def q70Loop(s: SparkSession, edges: DataFrame): DataFrame = {
     val nodes = edges.select(col("u").as("node")).distinct()
     var labels = nodes.withColumn("label", col("node")).localCheckpoint(false)
     var converged = false
@@ -457,7 +469,7 @@ object TextOps {
     * collisions; same oracle as q89 (identical math, different state
     * management). */
   private def q100(s: SparkSession, dir: String): DataFrame = {
-    val store = java.nio.file.Files.createTempDirectory("graft_sigstore_").toString
+    val store = graft.Scratch.fresh("sigstore_")
     minhashes(s, dir).write.mode("overwrite").parquet(store)
     val stored = s.read.parquet(store)
     def bandsOf(m: DataFrame): DataFrame = {
@@ -546,17 +558,14 @@ object TextOps {
     * corpus; size-1 row derived as total − in-component (components are
     * edge-derived, so every real cluster has size ≥ 2 — no collision). */
   private def q102(s: SparkSession, dir: String): DataFrame = {
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val comp = q70Loop(s, dir)
-      val hist = comp.groupBy("component").agg(count(lit(1)).as("sz"))
-        .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
-      val singles = t(s, dir, "documents").agg(count(lit(1)).as("n_all"))
-        .crossJoin(comp.agg(count(lit(1)).as("n_in")))
-        .select(lit(1L).as("sz"), (col("n_all") - col("n_in")).as("n_clusters"))
-      hist.unionByName(singles).orderBy("sz")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val edges = dedupEdges(s, dir) // materialized at full parallelism
+    val comp = withLoopParallelism(s)(q70Loop(s, edges))
+    val hist = comp.groupBy("component").agg(count(lit(1)).as("sz"))
+      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
+    val singles = t(s, dir, "documents").agg(count(lit(1)).as("n_all"))
+      .crossJoin(comp.agg(count(lit(1)).as("n_in")))
+      .select(lit(1L).as("sz"), (col("n_all") - col("n_in")).as("n_clusters"))
+    hist.unionByName(singles).orderBy("sz")
   }
 
   /** Benchmark decontamination: drop training docs sharing any 5-gram with

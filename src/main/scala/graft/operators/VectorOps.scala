@@ -76,16 +76,13 @@ object VectorOps {
     * (session, sfDir): the ANN candidate join reads it on both sides and
     * the near-dup query reuses it, so the 64-plane hyperplane projection
     * runs once per corpus (the TextOps.shared pattern). */
-  private val bandCache = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def banded(s: SparkSession, dir: String): DataFrame =
-    bandCache.computeIfAbsent(s"${System.identityHashCode(s)}|$dir", _ => {
-      val d = t(s, dir, "embeddings")
+    graft.SessionCache.getOrBuild(s, s"vec|$dir|banded") {
+      t(s, dir, "embeddings")
         .select(col("vec_id"), bands4x16(col("embedding")).as("bands"))
         .selectExpr("vec_id",
           "stack(4, 0L, bands[0], 1L, bands[1], 2L, bands[2], 3L, bands[3]) AS (bk, bv)")
-      d.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      d
-    })
+    }
 
   /** Brute-force cosine top-5 for a probe subset (vec_id % 100 == 0). */
   private def q33(s: SparkSession, dir: String): DataFrame = {
@@ -316,7 +313,39 @@ object VectorOps {
     s.createDataFrame(s.sparkContext.parallelize(materialized.toIndexedSeq, 1), out.schema)
   }
 
-  private def q77(s: SparkSession, dir: String): DataFrame = ivfTopK(s, dir)
+  /** Declared IVF query: the invariant report over [[ivfTopK]], fully
+    * hash-checked (the round-2 "invariant trick" that retired the
+    * rows-only class). k-means cell assignments aren't DuckDB-expressible,
+    * but three things about the RESULT are exactly checkable:
+    *  - n_probes: the probe count, straight off the base table;
+    *  - n_results = 3 × n_probes: every probe's nprobe=3 searched cells
+    *    hold at least topK non-probe vectors (a thin-index regression —
+    *    e.g. a cell-key bug emptying the inverted lists — breaks it);
+    *  - recall_ok: recall@3 against the brute-force exact top-3 (computed
+    *    in-query, same cosine rounding and tie order) clears the 0.7
+    *    floor the ExpressionSpec sweep established — the oracle emits
+    *    literal TRUE, so a recall collapse is a hash mismatch.
+    * The raw neighbor rows remain available via ivfTopK (spec surface). */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val ivf = ivfTopK(s, dir).select("probe_id", "vec_id")
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    val exact = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(cosCol(s, "pe", "embedding"), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("probe_id", "vec_id")
+    val hits = ivf.intersect(exact)
+    probes.agg(count(lit(1)).as("n_probes"))
+      .crossJoin(ivf.agg(count(lit(1)).as("n_results")))
+      .crossJoin(
+        hits.agg(count(lit(1)).as("nh"))
+          .crossJoin(exact.agg(count(lit(1)).as("ne")))
+          .select((col("nh").cast("double") >= col("ne").cast("double") * 0.7).as("recall_ok")))
+  }
 
   /** Int8 scalar quantization (SQ8) of the embedding column — the 4×
     * memory/bandwidth cut a 100 TB ANN index takes before anything else:
@@ -387,6 +416,13 @@ object VectorOps {
       |  FROM embeddings, (SELECT unnest([0,1,2,3]) AS k) ks)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q77's oracle pins the exactly-computable legs (probe count, result
+    // cardinality) and the recall invariant as a literal — see q77 doc.
+    "q77_ann_ivf" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_probes,
+        |  CAST(3 * count(*) AS BIGINT) AS n_results,
+        |  TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
     "q33_cosine_topk" ->
       s"""WITH sc AS (
          |  SELECT a.vec_id AS probe_id, b.vec_id AS vec_id, round($cosSql, 6) AS cos

@@ -20,8 +20,7 @@ object EventStreams {
   /** The file stream source requires a directory; expose the single
     * events.parquet through a temp dir symlink (testdata is read-only). */
   private def streamDir(dir: String): String = {
-    val d = java.nio.file.Files.createTempDirectory("graft_stream_")
-    d.toFile.deleteOnExit()
+    val d = graft.Scratch.freshPath("stream_")
     val link = d.resolve("events.parquet")
     java.nio.file.Files.createSymbolicLink(link,
       java.nio.file.Paths.get(s"$dir/events.parquet"))
@@ -158,7 +157,7 @@ object EventStreams {
     * scan-back. Rows-only (binary sink). */
   private def q78(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val store = java.nio.file.Files.createTempDirectory("graft_stream_kv_").toString
+    val store = graft.Scratch.fresh("stream_kv_")
     new java.io.File(store).delete()
     graft.sinks.KvStore.create(store)
     val q = stream(s, dir)
@@ -203,8 +202,7 @@ object EventStreams {
   private def q101(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
-    val d = java.nio.file.Files.createTempDirectory("graft_docstream_")
-    d.toFile.deleteOnExit()
+    val d = graft.Scratch.freshPath("docstream_")
     java.nio.file.Files.createSymbolicLink(d.resolve("documents.parquet"),
       java.nio.file.Paths.get(s"$dir/documents.parquet"))
     val agg = s.readStream.schema(schema).parquet(d.toString)
@@ -222,7 +220,7 @@ object EventStreams {
     * time, so the file stream source (which orders by modTime) sees a
     * deterministic arrival order. */
   private def writeBatchFile(df: DataFrame, dest: java.nio.file.Path, modTime: Long): Unit = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_wmbatch_")
+    val tmp = graft.Scratch.freshPath("wmbatch_")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = new java.io.File(tmp.toString).listFiles()
       .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_")).get
@@ -250,8 +248,7 @@ object EventStreams {
     val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
     val sentinel = Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 1000L * 3600 * 1000), "sentinel"))
       .toDF("event_id", "ts", "event_type")
-    val d = java.nio.file.Files.createTempDirectory("graft_late_")
-    d.toFile.deleteOnExit()
+    val d = graft.Scratch.freshPath("late_")
     val t0 = System.currentTimeMillis() - 120000
     writeBatchFile(ev.filter(col("event_id") % 2 === 0), d.resolve("b0.parquet"), t0)
     val schema = s.read.parquet(d.resolve("b0.parquet").toString).schema

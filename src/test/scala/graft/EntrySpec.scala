@@ -67,7 +67,9 @@ class EntrySpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val pk = r.getAs[Long]("media_id")
-      val h = 16 + (pk % 3).toInt * 8; val w = 16 + (pk % 2).toInt * 8
+      // geometry must mirror Multimodal.pngCorpus: width keys on (pk/8)
+      // parity because media ids are all multiples of 8
+      val h = 16 + (pk % 3).toInt * 8; val w = 16 + ((pk / 8) % 2).toInt * 8
       assert(r.getAs[Long]("height") == h && r.getAs[Long]("width") == w)
       val sum = Array.tabulate(h * w)(i => ((pk * 31 + i * 7) % 256)).sum
       assert(r.getAs[Long]("sum_lum") == sum, s"media $pk decoded sum mismatch")
@@ -173,6 +175,31 @@ class EntrySpec extends AnyFunSuite {
     val exch = "Exchange".r.findAllIn(plan).size
     assert(exch <= 40, s"q70 final plan has $exch exchanges — lineage not truncated")
     assert(df.count() > 0)
+  }
+
+  test("q82's second derivation is cache-independent: no InMemoryRelation under freshShingles") {
+    // Spark's CacheManager substitutes a cached InMemoryRelation into any
+    // plan whose logical subtree exactly matches the persisted one — so if
+    // freshShingles were an identical re-derivation, its "independent"
+    // recompute would silently read the shared shingle cache and the K13
+    // determinism invariant would exercise nothing (round-3 ADVICE).
+    val dir = "/root/testdata/sf0.001"
+    // force the shared shingle cache to exist and be materialized
+    assert(SparkEntry.queries("q23_minhash_sig")(spark, dir).count() > 0)
+    val cachedPlan = SparkEntry.queries("q23_minhash_sig")(spark, dir)
+      .queryExecution.withCachedData.toString()
+    assert(cachedPlan.contains("InMemoryRelation"),
+      s"positive control: q23 should read the shared cache:\n$cachedPlan")
+    val freshPlan = graft.operators.TextOps.freshShingles(spark, dir)
+      .queryExecution.withCachedData.toString()
+    assert(!freshPlan.contains("InMemoryRelation"),
+      s"freshShingles must not plan-match the shared cache:\n$freshPlan")
+    // and the two derivations agree row-for-row (the invariant q82 relies on)
+    val a = graft.operators.TextOps.freshShingles(spark, dir)
+    val shared = SparkEntry.queries("q82_minhash_fast")(spark, dir).collect().head
+    assert(shared.getAs[Long]("n_docs") == shared.getAs[Long]("n_stable"),
+      "fresh vs shared signatures must agree per doc")
+    assert(a.count() > 0)
   }
 
   test("kv store: refuse non-empty dir, point lookup, regex listing") {

@@ -101,7 +101,9 @@ class PercentilesSpec extends AnyFunSuite {
   test("no window partitions by the bare group (the 100 TB shape guarantee)") {
     import spark.implicits._
     val df = (1 to 500).map(i => (s"g${i % 2}", i.toDouble)).toDF("grp", "v")
-    val plan = Percentiles.exactByRank(df, "grp", "v", Seq(0.5))
+    // inspect the pre-checkpoint plan: the public method returns a
+    // checkpointed LogicalRDD that hides the window keying
+    val plan = Percentiles.exactByRankPlan(df, "grp", "v", Seq(0.5))._1
       .queryExecution.optimizedPlan.toString()
     // the running-count window must be keyed by (partition id, group) —
     // a bare-group window would put an entire group in one task

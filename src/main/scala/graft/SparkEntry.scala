@@ -26,6 +26,7 @@ object SparkEntry {
       operators.Multimodal.queries ++
       operators.PipelineOps.queries ++
       operators.GapOps.queries ++
+      operators.ScaleOps.queries ++
       streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -38,5 +39,6 @@ object SparkEntry {
       operators.Multimodal.oracles ++
       operators.PipelineOps.oracles ++
       operators.GapOps.oracles ++
+      operators.ScaleOps.oracles ++
       streaming.EventStreams.oracles
 }

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ScaleOps
+
+/** Round-4 scale tier: Bloom semi-join reduction guarantees (no false
+  * negatives, real pruning), CDC chunking shift-invariance, and the
+  * storage-roundtrip / outlier-gate surfaces running non-vacuously.
+  */
+class ScaleOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bloom prune: no false negatives, real pruning, bounded false positives") {
+    import spark.implicits._
+    val mBits = 1 << 16
+    val keys = Tables(spark, dir, "customer")
+      .filter(col("c_acctbal") > 9000).select("c_custkey")
+    val bf = ScaleOps.bloomBits(keys, "c_custkey", mBits)
+    assert(bf.length == mBits / 64)
+    val orders = Tables(spark, dir, "orders")
+    val pruned = ScaleOps.bloomPrune(orders, "o_custkey", bf, mBits)
+
+    val trueMatches = orders.join(keys,
+      orders("o_custkey") === keys("c_custkey"), "left_semi").count()
+    val prunedN = pruned.count()
+    val total = orders.count()
+    // a Bloom filter can only over-approximate the member set
+    assert(prunedN >= trueMatches, "bloom dropped a true match (false negative)")
+    // and at this key density it must actually prune (fpr ~0.02% at k=3)
+    assert(prunedN < total, "bloom pruned nothing")
+    assert(prunedN <= trueMatches + math.max(10L, total / 100),
+      s"false-positive rate implausibly high: $prunedN candidates for $trueMatches matches")
+    // every member key must test positive — directly, not via orders
+    val misses = ScaleOps.bloomPrune(keys.select(col("c_custkey").as("k")), "k", bf, mBits)
+    assert(misses.count() == keys.count(), "a member key failed its own bloom test")
+  }
+
+  test("CDC chunking is shift-invariant: shared paragraph chunks identically at different offsets") {
+    import spark.implicits._
+    // the same 200-char "paragraph" embedded after different-length prefixes;
+    // deterministic pseudo-random chars so boundaries appear (~1/16 rate)
+    val shared = (0 until 200).map(i => ('a' + (i * 7 + 3) % 26).toChar).mkString
+    val prefixA = (0 until 37).map(i => ('a' + (i * 11 + 5) % 26).toChar).mkString
+    val prefixB = (0 until 101).map(i => ('a' + (i * 13 + 1) % 26).toChar).mkString
+    val docs = Seq((1L, prefixA + shared), (2L, prefixB + shared))
+      .toDF("doc_id", "text")
+      .withColumn("slen", length(col("text")).cast("long"))
+    val chunks = ScaleOps.withChunkHashes(docs)
+      .select("doc_id", "h").collect()
+      .groupBy(_.getLong(0)).map { case (k, rs) => k -> rs.map(_.getString(1)).toSet }
+    val common = chunks(1L).intersect(chunks(2L))
+    // interior chunks of the shared paragraph must collide despite the
+    // offset shift — the property fixed-size blocking does NOT have
+    assert(common.nonEmpty,
+      s"no shared chunks across shifted copies (doc1 ${chunks(1L).size}, doc2 ${chunks(2L).size})")
+    // sanity: chunking covers the text (chunk count > 1 per doc at 1/16 cut rate)
+    assert(chunks(1L).size > 1 && chunks(2L).size > 1)
+  }
+
+  test("q110/q112 run non-vacuously on sf0.001") {
+    val rt = SparkEntry.queries("q110_storage_roundtrip")(spark, dir).collect()
+    assert(rt.map(_.getAs[String]("format")).toSet == Set("orc", "csv"))
+    // both formats must agree on every integrity statistic
+    assert(rt.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).distinct.length == 1)
+    val out = SparkEntry.queries("q112_robust_outliers")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val n = out.map(_.getAs[Long]("n")).sum
+    val k = out.map(_.getAs[Long]("n_outliers")).sum
+    assert(k > 0 && k < n / 10, s"outlier gate vacuous or wild: $k of $n")
+  }
+}

@@ -212,7 +212,114 @@ object ScaleOps {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------------
+  // q113 — deterministic weighted sampling (priority rule)
+  // ---------------------------------------------------------------------
+
+  /** Deterministic weighted sampling: top-5 docs per source by the
+    * priority h/w, where h is a 32-bit uniform drawn from md5(text) and
+    * w = n_chars — longer documents proportionally likelier, yet the draw
+    * is a pure function of content, so it is identical across retries,
+    * executors, and engines (the property `rand()`-based sampling lacks:
+    * any task retry or partition change redraws the sample and breaks
+    * idempotent re-runs of a curation pipeline). One IEEE double division
+    * per row (correctly rounded, so cross-engine exact) and a per-source
+    * top-k — the 100 TB shape is hash-partition by source + per-task heaps,
+    * never a global sort. */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("pri").asc, col("doc_id").asc)
+    t(s, dir, "documents")
+      .withColumn("h", expr("cast(conv(substring(md5(text), 1, 8), 16, 10) as bigint)"))
+      .withColumn("pri", col("h").cast("double") / col("n_chars"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("rk"), col("doc_id"), col("n_chars"),
+        round(col("pri"), 4).as("pri"))
+      .orderBy("source", "rk")
+  }
+
+  // ---------------------------------------------------------------------
+  // q114 — funnel analysis over the event stream
+  // ---------------------------------------------------------------------
+
+  /** Ordered funnel over the events table: users who viewed, then clicked
+    * within 2 h AFTER their first view, then purchased within 24 h AFTER
+    * that first click — the sequential-constraint analytics query (not
+    * just set intersection: each stage's timestamp must follow the
+    * previous stage's, inside a conversion window that makes every stage
+    * discriminating — unwindowed, every user of this corpus eventually
+    * reaches every stage and the funnel measures nothing).
+    *
+    * Three min-aggregations chained by broadcast-joined per-user
+    * timestamps — each stage is one map-side-combinable groupBy on
+    * user_id, no windows, no self-join explosion; at 100 TB everything
+    * shuffles once on user_id. All time comparisons run on integer
+    * microseconds in BOTH engines (the raw parquet is nanos; comparing
+    * truncated µs on one side and raw ns on the other could order two
+    * near-simultaneous events differently). */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_type"))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("us").as("t_view"))
+    val clickW = 7200L * 1000000L   // 2 h in µs
+    val buyW = 86400L * 1000000L    // 24 h in µs
+    val clicks = ev.filter(col("event_type") === "click")
+      .join(broadcast(views), Seq("user_id"))
+      .filter(col("us") > col("t_view") && col("us") <= col("t_view") + lit(clickW))
+      .groupBy("user_id").agg(min("us").as("t_click"), min("t_view").as("t_view"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .join(broadcast(clicks), Seq("user_id"))
+      .filter(col("us") > col("t_click") && col("us") <= col("t_click") + lit(buyW))
+      .groupBy("user_id").agg(min("us").as("t_buy"), min("t_view").as("t_view"))
+    ev.agg(countDistinct("user_id").as("n_users"))
+      .crossJoin(views.agg(count(lit(1)).as("n_viewed")))
+      .crossJoin(clicks.agg(count(lit(1)).as("n_clicked_after_view")))
+      .crossJoin(purchases.agg(
+        count(lit(1)).as("n_purchased_after_click"),
+        // integer µs sum first, ONE division pair at the end: a per-row
+        // double division + double-sum avg() is partition-order-dependent
+        round(sum(col("t_buy") - col("t_view")).cast("double")
+          / count(lit(1)) / lit(1000000.0), 4).as("avg_view_to_buy_secs")))
+  }
+
+  // ---------------------------------------------------------------------
+  // q115 — schema evolution across ingest batches
+  // ---------------------------------------------------------------------
+
+  /** Schema drift across ingest batches: an early batch lands with a
+    * 2-column schema, a later batch adds columns; `mergeSchema` reads the
+    * union with nulls filling the early batch's missing columns. The
+    * integrity aggregate distinguishes genuinely-missing (early batch)
+    * from present-but-null — a broken merge that drops or misaligns
+    * columns breaks counts and sums the oracle recomputes from the source
+    * of truth. This is the data-lake reality every long-lived 100 TB
+    * corpus hits: schemas evolve, history does not get rewritten. */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val root = graft.Scratch.fresh("evo_")
+    docs.filter(col("doc_id") % 2 === 0)
+      .select("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$root/batch=1")
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .select("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$root/batch=2")
+    s.read.option("mergeSchema", "true")
+      .parquet(s"$root/batch=1", s"$root/batch=2")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(length(col("text"))).as("sum_len"),
+        sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_lang_null"),
+        sum(coalesce(col("n_chars"), lit(0L))).as("sum_chars_present"),
+        countDistinct(col("lang")).as("n_langs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q113_weighted_sample" -> (q113 _),
+    "q114_funnel" -> (q114 _),
+    "q115_schema_evolution" -> (q115 _),
     "q104_bloom_prune" -> (q104 _),
     "q110_storage_roundtrip" -> (q110 _),
     "q111_cdc_chunking" -> (q111 _),
@@ -220,6 +327,39 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q113_weighted_sample" ->
+      """WITH p AS (SELECT source, doc_id, n_chars,
+        |  CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS DOUBLE) / n_chars AS pri
+        |  FROM documents),
+        |r AS (SELECT source, doc_id, n_chars, pri,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY pri ASC, doc_id ASC) AS BIGINT) AS rk
+        |  FROM p)
+        |SELECT source, rk, doc_id, n_chars, round(pri, 4) AS pri
+        |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+    "q114_funnel" ->
+      """WITH ev AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type FROM events),
+        |v AS (SELECT user_id, min(us) AS t_view FROM ev WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT ev.user_id, min(us) AS t_click, min(t_view) AS t_view
+        |  FROM ev JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND us > t_view
+        |    AND us <= t_view + 7200000000 GROUP BY ev.user_id),
+        |p AS (SELECT ev.user_id, min(us) AS t_buy, min(t_view) AS t_view
+        |  FROM ev JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > t_click
+        |    AND us <= t_click + 86400000000 GROUP BY ev.user_id)
+        |SELECT (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM ev) AS n_users,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewed,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_clicked_after_view,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_purchased_after_click,
+        |  (SELECT round(CAST(CAST(sum(t_buy - t_view) AS BIGINT) AS DOUBLE)
+        |     / count(*) / 1000000.0, 4) FROM p) AS avg_view_to_buy_secs""".stripMargin,
+    "q115_schema_evolution" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_len,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_null,
+        |  CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN n_chars ELSE 0 END) AS BIGINT) AS sum_chars_present,
+        |  CAST(count(DISTINCT CASE WHEN doc_id % 2 <> 0 THEN lang END) AS BIGINT) AS n_langs
+        |FROM documents""".stripMargin,
     "q104_bloom_prune" ->
       """SELECT o_orderpriority,
         |  CAST(count(*) AS BIGINT) AS n_orders,

@@ -67,7 +67,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(chunks(1L).size > 1 && chunks(2L).size > 1)
   }
 
-  test("q110/q112 run non-vacuously on sf0.001") {
+  test("weighted sample is content-deterministic and weight-biased") {
+    val a = SparkEntry.queries("q113_weighted_sample")(spark, dir).collect()
+    val b = SparkEntry.queries("q113_weighted_sample")(spark, dir).collect()
+    // a rerun (= a retry) draws the identical sample — the rand() failure mode
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    // weight bias: sampled docs skew longer than the corpus average
+    val corpusAvg = Tables(spark, dir, "documents")
+      .agg(avg("n_chars")).head().getDouble(0)
+    val sampleAvg = a.map(_.getAs[Long]("n_chars")).sum.toDouble / a.length
+    assert(sampleAvg > corpusAvg,
+      s"weighting had no effect: sample avg $sampleAvg vs corpus $corpusAvg")
+  }
+
+  test("funnel stages are monotone and discriminating") {
+    val r = SparkEntry.queries("q114_funnel")(spark, dir).head()
+    val (nu, nv, nc, np) = (r.getAs[Long]("n_users"), r.getAs[Long]("n_viewed"),
+      r.getAs[Long]("n_clicked_after_view"), r.getAs[Long]("n_purchased_after_click"))
+    assert(nu >= nv && nv >= nc && nc >= np, s"funnel not monotone: $nu/$nv/$nc/$np")
+    assert(nc < nv, "click window does not discriminate")
+  }
+
+  test("q110/q112/q115 run non-vacuously on sf0.001") {
+    val evo = SparkEntry.queries("q115_schema_evolution")(spark, dir).head()
+    assert(evo.getAs[Long]("n_rows") > 0)
+    assert(evo.getAs[Long]("n_lang_null") > 0, "schema merge produced no null-filled rows")
+    assert(evo.getAs[Long]("n_langs") > 0, "late-batch columns lost in merge")
     val rt = SparkEntry.queries("q110_storage_roundtrip")(spark, dir).collect()
     assert(rt.map(_.getAs[String]("format")).toSet == Set("orc", "csv"))
     // both formats must agree on every integrity statistic

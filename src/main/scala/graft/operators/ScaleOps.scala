@@ -316,7 +316,81 @@ object ScaleOps {
         countDistinct(col("lang")).as("n_langs"))
   }
 
+  // ---------------------------------------------------------------------
+  // q117 — lexical diversity scoring
+  // ---------------------------------------------------------------------
+
+  /** Lexical diversity per source: macro type-token ratio (distinct
+    * words / total words) and hapax fraction (words occurring once in
+    * their document), the repetitiveness signals orthogonal to q91's
+    * Gopher duplicate-fraction cuts — template spam shows high word
+    * counts with low TTR and almost no hapaxes.
+    *
+    * Shape: one shuffle on (doc_id, word) for in-document counts, then
+    * per-source integer rollups; every ratio is a SINGLE division of two
+    * exact integer sums (micro-averaged per-doc double ratios would be a
+    * partition-order-dependent double sum). The per-doc diversity flag
+    * (2·distinct > total) is an exact integer comparison, so the
+    * discriminating count is bit-identical across engines. */
+  private def q117(s: SparkSession, dir: String): DataFrame = {
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(array_remove(split(lower(col("text")), "\\s+"), "")).as("word"))
+    val perDoc = words.groupBy("doc_id", "source", "word")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "source")
+      .agg(sum("c").as("nw"),
+        count(lit(1)).as("ndist"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("nw").as("n_words"),
+        sum("ndist").as("n_distinct"),
+        sum("hapax").as("n_hapax"),
+        sum(when(col("ndist") * 2 > col("nw"), 1L).otherwise(0L)).as("n_diverse"))
+      .withColumn("macro_ttr",
+        round(col("n_distinct").cast("double") / col("n_words"), 6))
+      .withColumn("hapax_frac",
+        round(col("n_hapax").cast("double") / col("n_words"), 6))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------------
+  // q118 — snapshot diff (full-outer reconcile)
+  // ---------------------------------------------------------------------
+
+  /** Snapshot reconciliation: classify every doc_id across two corpus
+    * snapshots as added / removed / changed / unchanged by full-outer
+    * join on the key and content-fingerprint comparison — the audit every
+    * periodic 100 TB re-crawl runs before promoting a new snapshot (row
+    * counts alone can't tell silent content drift from churn).
+    *
+    * Snapshots are derived deterministically from the corpus (old: id%7≠0;
+    * new: id%5≠0 with id%3=0 docs mutated), so both engines construct the
+    * identical diff problem. One shuffle on doc_id; fingerprints are md5,
+    * compared — never materialized content-side-by-side. */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("fp_old"))
+    val nw = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 3 === 0, concat(col("text"), lit("!")))
+          .otherwise(col("text"))).as("fp_new"))
+    old.join(nw, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp_old").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp_old") =!= col("fp_new"), "changed")
+          .otherwise("unchanged"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n"), sum("doc_id").as("id_checksum"))
+      .orderBy("status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q117_lexical_diversity" -> (q117 _),
+    "q118_snapshot_diff" -> (q118 _),
     "q113_weighted_sample" -> (q113 _),
     "q114_funnel" -> (q114 _),
     "q115_schema_evolution" -> (q115 _),
@@ -327,6 +401,37 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q117_lexical_diversity" ->
+      """WITH w AS (SELECT doc_id, source, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+        |  FROM documents),
+        |wc AS (SELECT doc_id, source, word, CAST(count(*) AS BIGINT) AS c
+        |  FROM w WHERE word <> '' GROUP BY doc_id, source, word),
+        |pd AS (SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS nw,
+        |  CAST(count(*) AS BIGINT) AS ndist,
+        |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax
+        |  FROM wc GROUP BY doc_id, source)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nw) AS BIGINT) AS n_words,
+        |  CAST(sum(ndist) AS BIGINT) AS n_distinct,
+        |  CAST(sum(hapax) AS BIGINT) AS n_hapax,
+        |  CAST(sum(CASE WHEN ndist * 2 > nw THEN 1 ELSE 0 END) AS BIGINT) AS n_diverse,
+        |  round(CAST(CAST(sum(ndist) AS BIGINT) AS DOUBLE) / CAST(sum(nw) AS BIGINT), 6) AS macro_ttr,
+        |  round(CAST(CAST(sum(hapax) AS BIGINT) AS DOUBLE) / CAST(sum(nw) AS BIGINT), 6) AS hapax_frac
+        |FROM pd GROUP BY source ORDER BY source""".stripMargin,
+    "q118_snapshot_diff" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS fp_old FROM documents WHERE doc_id % 7 <> 0),
+        |n AS (SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 3 = 0 THEN text || '!' ELSE text END) AS fp_new
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |j AS (SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN fp_old IS NULL THEN 'added'
+        |       WHEN fp_new IS NULL THEN 'removed'
+        |       WHEN fp_old <> fp_new THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
     "q113_weighted_sample" ->
       """WITH p AS (SELECT source, doc_id, n_chars,
         |  CAST(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS DOUBLE) / n_chars AS pri

@@ -281,9 +281,9 @@ object VectorOps {
     * to the nearest center (ties → lower cell id) and re-centers on the
     * normalized mean; empty cells keep their previous center. */
   private[graft] def lloydCodebook(train0: Array[Array[Double]], k: Int,
-      maxIter: Int): Array[Array[Double]] = {
+      maxIter: Int, spherical: Boolean = true): Array[Array[Double]] = {
     require(train0.nonEmpty, "empty codebook training set")
-    val train = train0.map(v => normalize(v.clone()))
+    val train = if (spherical) train0.map(v => normalize(v.clone())) else train0
     val n = train.length
     val dim = train(0).length
     val kEff = math.min(k, n)
@@ -315,7 +315,7 @@ object VectorOps {
         if (counts(c) > 0) {
           var j = 0
           while (j < dim) { centers(c)(j) = sums(c)(j) / counts(c); j += 1 }
-          normalize(centers(c))
+          if (spherical) normalize(centers(c))
         } // empty cell: keep previous center
         c += 1
       }
@@ -467,7 +467,89 @@ object VectorOps {
       .orderBy("bucket")
   }
 
+  /** Product quantization (PQ) of the embedding column — the compression
+    * step AFTER SQ8 (q109) on the 100 TB ANN path: m=8 subspaces × 8 dims,
+    * each with its own 16-centroid codebook, encode 64 float32 (256 B) as
+    * 8 nibble codes (≈4 B with packing) — a 64× cut vs the 4× of SQ8.
+    * Codebooks train per subspace on the same bounded xxhash-ordered
+    * sample as the IVF coarse quantizer, with PLAIN-L2 Lloyd's (subvectors
+    * are reconstruction targets, not directions — spherical normalization
+    * would distort them); encoding is an embarrassingly-parallel per-row
+    * argmin over 16×8 doubles. The query PROVES the contract in-query:
+    * every code in [0,16), ≥ half of each codebook actually used (a
+    * degenerate codebook collapses codes), and the worst
+    * cosine(original, reconstruction) above a floor — the oracle emits
+    * the exactly-computable counts and literal TRUEs, so a codebook or
+    * encoder regression is a hash mismatch. Only order-insensitive
+    * reductions (counts, min/max) cross rows. */
+  /** Per-vector PQ audit rows (vec_id, cmin, cmax, codes, cos) — the
+    * pre-aggregation surface q116 rolls up; spec-visible so the
+    * reconstruction-quality floor can be measured, not just asserted. */
+  private[graft] def pqAudit(s: SparkSession, dir: String): DataFrame = {
+    val m = 8; val ksub = 16
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val train = emb.orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(256 * ksub)
+      .collect().map(_.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray)
+    val dim = train(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      lloydCodebook(train.map(_.slice(j * dsub, (j + 1) * dsub)),
+        ksub, maxIter = 10, spherical = false)
+    }
+    val bc = s.sparkContext.broadcast(books)
+    val audit = udf { (e: Seq[Float]) =>
+      val bks = bc.value
+      val x = e.map(_.toDouble).toArray
+      val codes = new Array[Int](m)
+      val rec = new Array[Double](x.length)
+      var j = 0
+      while (j < m) {
+        val book = bks(j)
+        var best = 0; var bd = Double.MaxValue
+        var c = 0
+        while (c < book.length) {
+          var d2 = 0.0; var i = 0
+          while (i < dsub) { val d = x(j * dsub + i) - book(c)(i); d2 += d * d; i += 1 }
+          if (d2 < bd) { bd = d2; best = c }
+          c += 1
+        }
+        codes(j) = best
+        var i = 0
+        while (i < dsub) { rec(j * dsub + i) = book(best)(i); i += 1 }
+        j += 1
+      }
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < x.length) { dot += x(i) * rec(i); na += x(i) * x(i); nb += rec(i) * rec(i); i += 1 }
+      val cos = if (na > 0 && nb > 0) dot / math.sqrt(na * nb) else 0.0
+      (codes.min, codes.max, codes.toSeq, cos)
+    }
+    emb.withColumn("r", audit(col("embedding")))
+      .select(col("vec_id"), col("r._1").as("cmin"), col("r._2").as("cmax"),
+        col("r._3").as("codes"), col("r._4").as("cos"))
+  }
+
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val m = 8; val ksub = 16
+    val a = pqAudit(s, dir).persist()
+    // distinct codes actually used, per subspace
+    val usage = a.select(posexplode(col("codes")).as(Seq("sub", "code")))
+      .groupBy("sub").agg(countDistinct("code").as("used"))
+      .agg(min("used").as("min_used")).head().getLong(0)
+    val out = a.agg(
+      count(lit(1)).as("n_vecs"),
+      (count(lit(1)) * m).as("n_codes"),
+      (min("cmin") >= 0 && max("cmax") < ksub).as("codes_in_range"),
+      lit(usage >= ksub / 2).as("codebooks_used"),
+      (min("cos") >= 0.45).as("recon_cos_floor_ok"))
+    val materialized = out.collect()
+    a.unpersist()
+    s.createDataFrame(s.sparkContext.parallelize(materialized.toIndexedSeq, 1), out.schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_pq_quantize" -> (q116 _),
     "q77_ann_ivf" -> (q77 _),
     "q33_cosine_topk" -> (q33 _),
     "q34_ann_lsh_bucket" -> (q34 _),
@@ -496,6 +578,15 @@ object VectorOps {
       |  FROM embeddings, (SELECT unnest([0,1,2,3]) AS k) ks)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q116: exactly-computable counts + the in-query contract booleans as
+    // literals (same pattern as q77/q109's invariant oracles)
+    "q116_pq_quantize" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(8 * count(*) AS BIGINT) AS n_codes,
+        |  TRUE AS codes_in_range,
+        |  TRUE AS codebooks_used,
+        |  TRUE AS recon_cos_floor_ok
+        |FROM embeddings""".stripMargin,
     // q77's oracle pins the exactly-computable legs (probe count, result
     // cardinality) and the recall invariant as a literal — see q77 doc.
     "q77_ann_ivf" ->

@@ -88,6 +88,25 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(nc < nv, "click window does not discriminate")
   }
 
+  test("PQ reconstruction quality clears the floor with real margin; codebooks all used") {
+    val a = graft.operators.VectorOps.pqAudit(spark, dir).collect()
+    assert(a.nonEmpty)
+    val worst = a.map(_.getAs[Double]("cos")).min
+    info(f"PQ worst recon cosine: $worst%.4f (declared floor 0.45)")
+    // the declared q116 floor must hold with margin, not by luck
+    assert(worst >= 0.50, f"PQ floor margin too thin: worst cos $worst%.4f")
+    val codes = a.flatMap(_.getAs[scala.collection.Seq[Int]]("codes"))
+    assert(codes.min >= 0 && codes.max < 16)
+    assert(codes.distinct.length == 16, "some PQ codes never used on sf0.001")
+  }
+
+  test("snapshot diff classifies all four states non-vacuously") {
+    val rows = SparkEntry.queries("q118_snapshot_diff")(spark, dir).collect()
+    val byStatus = rows.map(r => r.getAs[String]("status") -> r.getAs[Long]("n")).toMap
+    assert(byStatus.keySet == Set("added", "removed", "changed", "unchanged"))
+    assert(byStatus.values.forall(_ > 0), s"some diff state vacuous: $byStatus")
+  }
+
   test("q110/q112/q115 run non-vacuously on sf0.001") {
     val evo = SparkEntry.queries("q115_schema_evolution")(spark, dir).head()
     assert(evo.getAs[Long]("n_rows") > 0)

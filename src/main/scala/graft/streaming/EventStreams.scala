@@ -276,7 +276,27 @@ object EventStreams {
       .orderBy("hour", "event_type")
   }
 
+  /** Stream-static join: the streaming event flow enriched with a static
+    * dimension (customer market segment keyed by user id) before a
+    * windowless running aggregation — the enrichment topology every
+    * production stream runs (fact stream + slowly-changing dim). The
+    * static side is broadcast and re-resolved per micro-batch (Spark's
+    * stream-static contract — a dim update is picked up by the next
+    * batch with no restart); no state is keyed on the dim, so dim size
+    * never bloats the state store. */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val dim = Tables(s, dir, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+    val agg = stream(s, dir)
+      .join(broadcast(dim), Seq("user_id"))
+      .groupBy("segment", "event_type")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
+    run(s, agg, "stream_static_join", OutputMode.Complete())
+      .orderBy("segment", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q119_stream_static_join" -> (q119 _),
     "q107_stream_late_data" -> (q107 _),
     "q101_stream_corpus_ingest" -> (q101 _),
     "q78_stream_to_kvstore" -> (q78 _),
@@ -289,6 +309,11 @@ object EventStreams {
   )
 
   val oracles: Map[String, String] = Map(
+    "q119_stream_static_join" ->
+      """SELECT c_mktsegment AS segment, event_type,
+        |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 3) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // replay of the engine's late-data rule: watermark after the even-id
     // batch is max(even ts) floored to ms minus 10 min; an odd-id (late)
     // row survives iff its hour-window end is strictly above that watermark

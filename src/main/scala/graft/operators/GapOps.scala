@@ -353,7 +353,30 @@ object GapOps {
       .orderBy("source")
   }
 
+  /** §2.12 pivot/unpivot: per-nation revenue pivoted to one column per
+    * order year (groupBy().pivot() with EXPLICIT values — open-ended
+    * pivot first runs a distinct-values job and caps at
+    * spark.sql.pivotMaxValues; at 100 TB you always pin the columns),
+    * then melted back to long form with unpivot(). The oracle is the
+    * plain long-form aggregate, so the query proves the two operators
+    * are mutual inverses — a column-value misalignment in either
+    * direction (the classic pivot bug) breaks the hash. */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val years = (1995 to 2001).map(_.toString) // the testdata's order-date span
+    val base = t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(t(s, dir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), year(col("o_orderdate")).cast("string").as("yr"),
+        expr("cast(round(o_totalprice * 100) as bigint)").as("cents"))
+    val wide = base.groupBy("n_name").pivot("yr", years).agg(sum("cents"))
+    wide.unpivot(Array(col("n_name")), years.map(col).toArray, "yr", "rev_cents")
+      .filter(col("rev_cents").isNotNull)
+      .select(col("n_name"), col("yr").cast("long").as("yr"), col("rev_cents"))
+      .orderBy("n_name", "yr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q120_pivot_unpivot" -> (q120 _),
     "q105_jsonl_roundtrip" -> (q105 _),
     "q95_zorder_cluster" -> (q95 _),
     "q96_compaction_audit" -> (q96 _),
@@ -375,6 +398,12 @@ object GapOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q120_pivot_unpivot" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, yr ORDER BY n_name, yr""".stripMargin,
     "q95_zorder_cluster" ->
       """WITH c AS (SELECT (p_partkey * 33 + 7) % 65536 AS x,
         |  (p_partkey * 769 + p_size * 31) % 65536 AS y FROM part),

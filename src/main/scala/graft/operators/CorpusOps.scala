@@ -227,12 +227,142 @@ object CorpusOps {
       .limit(20)
   }
 
+  // ---------------------------------------------------------------------
+  // q127 — TextRank keyword extraction (PageRank on the word graph)
+  // ---------------------------------------------------------------------
+
+  /** TextRank: PageRank (d=0.85, 5 iterations) over the corpus word
+    * co-occurrence graph — nodes are words, undirected edges weighted by
+    * adjacent-bigram counts — the graph-centrality keyword extractor.
+    * This is the engine's iterative-graph-analytics exemplar alongside
+    * q70's connected components.
+    *
+    * Scale shape: the edge table is vocabulary², typically ≪ corpus, and
+    * each iteration is ONE shuffle (edges ⋈ ranks on the source key,
+    * re-aggregated on the destination); 5 iterations = 5 bounded shuffle
+    * rounds with no plan blowup (the rank table is re-derived, never
+    * lineage-looped — at a real 10⁷-node vocabulary you'd localCheckpoint
+    * every few rounds exactly as q70 does). Self-loops excluded (classic
+    * TextRank); the symmetric edge build means no dangling nodes.
+    *
+    * Determinism: ranks are 5-deep double sums (~1e-14 jitter); output is
+    * round(,6) and ordering uses the ROUNDED rank. */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val bi = t(s, dir, "documents")
+      .select(array_remove(split(lower(col("text")), "\\s+"), "").as("ws"))
+      .select(explode(expr(
+        """CASE WHEN size(ws) >= 2
+           THEN transform(sequence(1, size(ws) - 1),
+                          i -> struct(ws[i-1] AS a, ws[i] AS b))
+           ELSE array() END""")).as("p"))
+      .select(col("p.a"), col("p.b"))
+      .filter(col("a") =!= col("b"))
+    val edges = bi.union(bi.select(col("b").as("a"), col("a").as("b")))
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+    val outw = edges.groupBy("a").agg(sum("w").as("s"))
+    val n = outw.count().toDouble
+    var rank = outw.select(col("a").as("word"), (lit(1.0) / lit(n)).as("r"))
+    for (_ <- 1 to 5) {
+      rank = edges.join(rank, edges("a") === rank("word"))
+        .join(outw, "a")
+        .select(col("b"), (col("r") * col("w") / col("s")).as("flow"))
+        .groupBy("b").agg(sum("flow").as("inflow"))
+        .select(col("b").as("word"),
+          (lit(0.15) / lit(n) + lit(0.85) * col("inflow")).as("r"))
+    }
+    rank.select(col("word"), round(col("r"), 6).as("rank"))
+      .orderBy(col("rank").desc, col("word"))
+      .limit(25)
+  }
+
+  // ---------------------------------------------------------------------
+  // q128 — BPE merge induction (step 1: character-pair frequencies)
+  // ---------------------------------------------------------------------
+
+  /** The first step of BPE tokenizer training: corpus-wide frequencies of
+    * adjacent character pairs inside word occurrences, top-10 merge
+    * candidates. A full BPE trainer iterates this (merge → re-pair);
+    * each round is exactly this one map-side-combinable aggregation, so
+    * the single round IS the scale shape — corpus-linear explode, one
+    * shuffle onto a key space bounded by |alphabet|². Counts are exact
+    * integers (hash-perfect). */
+  private def q128(s: SparkSession, dir: String): DataFrame =
+    tokens(s, dir)
+      .filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(10)
+
+  // ---------------------------------------------------------------------
+  // q129 — hourly volume anomaly detection (z-score)
+  // ---------------------------------------------------------------------
+
+  /** Per-event-type hourly volume anomalies: hours whose event count sits
+    * more than 2 population-σ from that type's mean hourly count — the
+    * ingest-monitoring query a pipeline runs to catch crawler outages and
+    * traffic spikes before they skew the corpus.
+    *
+    * Scale shape: hourly rollup is one map-side-combinable aggregation;
+    * the per-type stats table is |event_types| rows → broadcast back.
+    * Hours with zero events of a type contribute no row (documented:
+    * stats are over PRESENT hours). The z threshold compares values with
+    * ~1e-15 engine jitter; z itself is emitted rounded. */
+  private def q129(s: SparkSession, dir: String): DataFrame = {
+    val hourly = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val stats = hourly.groupBy("event_type")
+      .agg(avg("n").as("mu"), stddev_pop("n").as("sd"))
+    hourly.join(broadcast(stats), "event_type")
+      .withColumn("z", (col("n") - col("mu")) / col("sd"))
+      .filter(abs(col("z")) > 2.0)
+      .select(col("hour"), col("event_type"), col("n"), round(col("z"), 4).as("z"))
+      .orderBy("event_type", "hour")
+  }
+
+  // ---------------------------------------------------------------------
+  // q130 — event-type transition matrix (Markov chain)
+  // ---------------------------------------------------------------------
+
+  /** First-order Markov transition probabilities between event types per
+    * user stream: P(next | current) from consecutive same-user events —
+    * session-behavior modeling (and the synthetic-sequence generator's
+    * fit target). Ordering uses event_id (the ingestion sequence) as the
+    * sole sort key: the timestamp is nanos in parquet and micros in
+    * Spark, so ts-based ordering would tie-break differently across
+    * engines; event_id is unambiguous in both.
+    *
+    * Scale shape: ONE window over user_id partitions — bounded by
+    * per-user event counts (sessions), never corpus-wide — then an
+    * integer aggregation onto |types|² keys. */
+  private def q130(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    val trans = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("nxt", lead("event_type", 1).over(w))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy("cur").agg(sum("n").as("tot"))
+    trans.join(broadcast(totals), "cur")
+      .withColumn("p", round(col("n").cast("double") / col("tot"), 6))
+      .select("cur", "nxt", "n", "p")
+      .orderBy("cur", "nxt")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q122_unigram_lm" -> (q122 _),
     "q123_span_dedup" -> (q123 _),
     "q124_fuzzy_join" -> (q124 _),
     "q125_countmin" -> (q125 _),
-    "q126_bm25" -> (q126 _)
+    "q126_bm25" -> (q126 _),
+    "q127_textrank" -> (q127 _),
+    "q128_bpe_merges" -> (q128 _),
+    "q129_anomaly_hours" -> (q129 _),
+    "q130_markov_transitions" -> (q130 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -311,6 +441,51 @@ object CorpusOps {
         |FROM tf JOIN df USING (word) JOIN dl USING (doc_id) CROSS JOIN tot
         |WHERE word IN ('table', 'spark', 'fast')
         |GROUP BY doc_id, source
-        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q127_textrank" -> {
+      val iter = (k: Int) =>
+        s"""r$k AS (SELECT e.b AS word, 0.15 / max(nn.n) + 0.85 * sum(r${k - 1}.r * e.w / o.s) AS r
+           |  FROM e JOIN r${k - 1} ON e.a = r${k - 1}.word JOIN o ON e.a = o.a CROSS JOIN nn
+           |  GROUP BY e.b)""".stripMargin
+      s"""WITH d AS (SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ws
+         |  FROM documents),
+         |bi AS (SELECT ws[i] AS a, ws[i + 1] AS b
+         |  FROM d, unnest(range(1, len(ws))) AS t(i)
+         |  WHERE len(ws) >= 2 AND ws[i] <> ws[i + 1]),
+         |e AS (SELECT a, b, CAST(count(*) AS BIGINT) AS w
+         |  FROM (SELECT a, b FROM bi UNION ALL SELECT b AS a, a AS b FROM bi)
+         |  GROUP BY a, b),
+         |o AS (SELECT a, CAST(sum(w) AS BIGINT) AS s FROM e GROUP BY a),
+         |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM o),
+         |r0 AS (SELECT o.a AS word, 1.0 / nn.n AS r FROM o CROSS JOIN nn),
+         |${(1 to 5).map(iter).mkString(",\n")}
+         |SELECT word, round(r, 6) AS rank FROM r5
+         |ORDER BY rank DESC, word LIMIT 25""".stripMargin
+    },
+    "q128_bpe_merges" ->
+      """WITH tok AS (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+        |  FROM documents),
+        |p AS (SELECT substr(word, CAST(i AS INT), 2) AS pair
+        |  FROM tok, unnest(range(1, length(word))) AS t(i)
+        |  WHERE length(word) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS n FROM p
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 10""".stripMargin,
+    "q129_anomaly_hours" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sd FROM h GROUP BY 1)
+        |SELECT hour, event_type, n, round((n - mu) / sd, 4) AS z
+        |FROM h JOIN s USING (event_type)
+        |WHERE abs((n - mu) / sd) > 2.0
+        |ORDER BY event_type, hour""".stripMargin,
+    "q130_markov_transitions" ->
+      """WITH t AS (SELECT user_id, event_id, event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS nxt
+        |  FROM events),
+        |tr AS (SELECT event_type AS cur, nxt, CAST(count(*) AS BIGINT) AS n
+        |  FROM t WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS tot FROM tr GROUP BY 1)
+        |SELECT cur, nxt, n, round(CAST(n AS DOUBLE) / tot, 6) AS p
+        |FROM tr JOIN tot USING (cur) ORDER BY cur, nxt""".stripMargin
   )
 }

@@ -91,6 +91,52 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(scores.sameElements(scores.sortBy(-_)), "not sorted by score desc")
   }
 
+  test("q127 textrank: ranks form a probability-mass-conserving distribution") {
+    val rows = run("q127_textrank")
+    assert(rows.nonEmpty && rows.length <= 25)
+    rows.foreach(r => assert(r.getAs[Double]("rank") > 0.0))
+    // PageRank on a connected symmetric graph conserves total mass ≈ 1;
+    // the top-25 cut means the visible sum is ≤ 1 but must carry most of it
+    val mass = rows.map(_.getAs[Double]("rank")).sum
+    assert(mass > 0.3 && mass <= 1.0 + 1e-6, s"rank mass $mass implausible")
+    val ranks = rows.map(_.getAs[Double]("rank"))
+    assert(ranks.sameElements(ranks.sortBy(-_)), "not sorted by rank desc")
+  }
+
+  test("q130 markov: per-state outgoing probabilities sum to 1") {
+    val rows = run("q130_markov_transitions")
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("cur")).foreach { case (cur, rs) =>
+      val psum = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(psum - 1.0) < 1e-4, s"$cur rows sum to $psum")
+      val n = rs.map(_.getAs[Long]("n")).sum
+      assert(n > 0)
+    }
+  }
+
+  test("q129 anomaly: every emitted row is beyond the 2-sigma gate") {
+    val rows = run("q129_anomaly_hours")
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("z")) > 2.0 - 1e-4,
+        s"row inside the gate: z=${r.getAs[Double]("z")}")
+    }
+  }
+
+  test("q128 bpe merges: pair counts match a hand count on a probe corpus") {
+    import spark.implicits._
+    // "abab" contributes ab, ba, ab; "abc" contributes ab, bc
+    val probe = Seq("abab", "abc").toDF("word")
+      .select(explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")).as("pair"))
+      .groupBy("pair").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(probe == Map("ab" -> 3L, "ba" -> 1L, "bc" -> 1L))
+    val rows = run("q128_bpe_merges")
+    assert(rows.length == 10)
+    val ns = rows.map(_.getAs[Long]("n"))
+    assert(ns.sameElements(ns.sortBy(-_)))
+  }
+
   test("q124 fuzzy join: pairs are deduped (a<b), distances within [1,2]") {
     val rows = run("q124_fuzzy_join")
     rows.foreach { r =>

@@ -107,6 +107,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       CosineSimilarity.info, CosineSimilarity.builder))
     e.injectFunction((FunctionIdentifier(ZOrder.name),
       ZOrder.info, ZOrder.builder))
+    e.injectFunction((FunctionIdentifier(LevenshteinWithin.name),
+      LevenshteinWithin.info, LevenshteinWithin.builder))
     e.injectOptimizerRule(_ => RegexCountToRLike)
   }
 }

@@ -24,7 +24,7 @@ object VectorOps {
     * native codegen'd Catalyst expression (graft_cosine) — no Row boxing,
     * stays inside whole-stage codegen in the pair-join hot path. The
     * accumulation order matches the DuckDB oracle expression exactly. */
-  private def cosCol(s: SparkSession, a: String, b: String) = {
+  private[graft] def cosCol(s: SparkSession, a: String, b: String) = {
     graft.functions.expressions.CosineSimilarity.register(s)
     expr(s"graft_cosine($a, $b)")
   }
@@ -340,7 +340,7 @@ object VectorOps {
     * init, no RNG); recall vs brute force asserted in ExpressionSpec and
     * hash-gated by the q77 oracle's recall invariant. */
   private[graft] def ivfTopK(s: SparkSession, dir: String,
-      nprobe: Int = 3, topK: Int = 3, kCells: Int = 16, maxIter: Int = 5): DataFrame = {
+      nprobe: Int = 5, topK: Int = 3, kCells: Int = 16, maxIter: Int = 5): DataFrame = {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val train = emb
       .select(col("vec_id"), col("embedding"))
@@ -398,7 +398,7 @@ object VectorOps {
     * rows-only class). k-means cell assignments aren't DuckDB-expressible,
     * but three things about the RESULT are exactly checkable:
     *  - n_probes: the probe count, straight off the base table;
-    *  - n_results = 3 × n_probes: every probe's nprobe=3 searched cells
+    *  - n_results = 3 × n_probes: every probe's nprobe=5 searched cells
     *    hold at least topK non-probe vectors (a thin-index regression —
     *    e.g. a cell-key bug emptying the inverted lists — breaks it);
     *  - recall_ok: recall@3 against the brute-force exact top-3 (computed

@@ -174,6 +174,9 @@ object Relational {
         .cast("long").as("level"))
       .groupBy("level").agg(count(lit(1)).as("cnt"))
     val tot = hist.agg(sum("cnt").as("n"), sum(col("level") * col("cnt")).as("s_all"))
+    // These two un-partitioned windows run over the 256-row HISTOGRAM (the
+    // bounded level domain), never the corpus — the single partition Spark
+    // warns about holds <= 256 rows at any data scale by construction.
     val wCum = Window.orderBy("level").rowsBetween(Window.unboundedPreceding, 0)
     val cum = hist.crossJoin(tot)
       .withColumn("w0", sum("cnt").over(wCum))

@@ -137,6 +137,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(ns.sameElements(ns.sortBy(-_)))
   }
 
+  test("degenerate inputs: short docs produce no spans/bigrams instead of descending-sequence blowups") {
+    import spark.implicits._
+    // sequence(1, 0) in Spark STEPS DOWNWARD — the CASE guards in q123/q127
+    // exist to keep sub-window docs from exploding into phantom rows
+    val short = Seq("one two three four five", "solo", "").toDF("text")
+      .select(array_remove(split(lower(col("text")), "\\s+"), "").as("ws"))
+    val spans = short.select(expr(
+      """CASE WHEN size(ws) >= 8
+         THEN transform(sequence(0, size(ws) div 8 - 1), i -> array_join(slice(ws, i*8+1, 8), ' '))
+         ELSE array() END""").as("sp"))
+      .select(explode(col("sp"))).count()
+    assert(spans == 0L, "sub-8-word docs must contribute zero spans")
+    val bigrams = short.select(expr(
+      """CASE WHEN size(ws) >= 2
+         THEN transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS a, ws[i] AS b))
+         ELSE array() END""").as("p"))
+      .select(explode(col("p"))).count()
+    assert(bigrams == 4L, "5-word doc has 4 bigrams; 1- and 0-word docs none")
+  }
+
   test("q124 fuzzy join: pairs are deduped (a<b), distances within [1,2]") {
     val rows = run("q124_fuzzy_join")
     rows.foreach { r =>

@@ -425,7 +425,144 @@ object ScaleOps {
       .orderBy(col("n").desc, col("item"))
   }
 
+  // ---------------------------------------------------------------------
+  // q131 — inverted index build + conjunctive query answering
+  // ---------------------------------------------------------------------
+
+  /** Search-index surface: build word → sorted-posting-list postings from
+    * the corpus, MATERIALIZE them to parquet (the stored index a corpus
+    * search service actually serves from), read the index back, and answer
+    * a two-term conjunctive query by posting intersection — never touching
+    * document content at query time.
+    *
+    * Scale shape: the postings build is one (doc, word)-distinct shuffle +
+    * one groupBy(word) with sort_array inside the aggregate (no window);
+    * at 100 TB stop-word posting lists get df-capped/sharded — here df is
+    * emitted so the oracle pins list sizes. Query answering joins TWO
+    * posting rows — index-backed, corpus-independent. The oracle computes
+    * the same answer straight from `documents`, so a corrupt store, a
+    * truncated list, or a bad intersection all break the hash. */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val store = graft.Scratch.fresh("invidx_")
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(array_distinct(array_remove(split(lower(col("text")), "\\s+"), ""))).as("word"))
+      .groupBy("word")
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"),
+        count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(store)
+    val idx = s.read.parquet(store)
+    val t1 = idx.filter(col("word") === "table")
+      .select(col("postings").as("p1"), col("df").as("df_table"))
+    val t2 = idx.filter(col("word") === "window")
+      .select(col("postings").as("p2"), col("df").as("df_window"))
+    t1.crossJoin(t2)
+      .select(
+        lit("table AND window").as("query"),
+        col("df_table"), col("df_window"),
+        size(array_intersect(col("p1"), col("p2"))).cast("long").as("n_hits"),
+        aggregate(array_intersect(col("p1"), col("p2")), lit(0L), (acc, x) => acc + x)
+          .as("hits_checksum"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q132 — SCD type-2 history collapse
+  // ---------------------------------------------------------------------
+
+  /** Slowly-changing-dimension type-2 build: collapse each user's event
+    * stream into versioned attribute history — a new version exactly when
+    * event_type differs from the previous event (lag over the per-user
+    * stream, ordered by event_id: the ingestion sequence, identical in
+    * both engines where the nanos-vs-micros timestamp is not). Emits the
+    * per-user version count and the first/last attribute values — the
+    * dimension-table maintenance every warehouse load runs.
+    *
+    * Scale shape: one window over user_id partitions (bounded by per-user
+    * history length), one integer aggregation. */
+  private def q132(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .withColumn("is_new_version",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("is_new_version").as("n_versions"),
+        count(lit(1)).as("n_events"),
+        min_by(col("event_type"), col("event_id")).as("first_type"),
+        max_by(col("event_type"), col("event_id")).as("last_type"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // q133 — cohort retention matrix
+  // ---------------------------------------------------------------------
+
+  /** Weekly cohort retention: users grouped by first-seen ISO week, the
+    * matrix counting distinct users from each cohort active k weeks later
+    * — the engagement analysis every event pipeline serves. Weeks are
+    * date_trunc('week') in both engines (ISO Monday); the cohort label is
+    * emitted as a yyyy-MM-dd STRING so timestamp-precision differences
+    * cannot leak into the hash; offsets are exact integer day-diffs / 7.
+    *
+    * Scale shape: first-seen is a min-aggregate per user (map-side
+    * combinable), the matrix a distinct-count on (cohort, offset) — no
+    * windows, no self-joins. */
+  private def q133(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), to_date(date_trunc("week", col("ts"))).as("wk"))
+    val cohort = ev.groupBy("user_id").agg(min("wk").as("cw"))
+    ev.join(cohort, "user_id")
+      .groupBy(col("cw"), (datediff(col("wk"), col("cw")) / 7).cast("long").as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  // ---------------------------------------------------------------------
+  // q134 — incremental materialized-view refresh
+  // ---------------------------------------------------------------------
+
+  /** Incremental view maintenance: a stored per-customer order aggregate
+    * (the materialized view, built from the base 90% of orders and
+    * persisted to parquet) merged with a delta batch's partial aggregate —
+    * the output is the REFRESHED view, and the oracle recomputes it from
+    * scratch over all orders, so any merge bug (lost deltas, double
+    * counts, missed new-customer rows) is a hash mismatch. This is the
+    * correctness contract of every incremental ETL: merge(base, delta) ≡
+    * full recompute.
+    *
+    * Scale shape: the delta aggregation touches only the delta; the merge
+    * is a groupBy-sum over (|view| + |delta-agg|) rows keyed on the view
+    * key — never re-reads the base fact table. Money sums in exact integer
+    * cents. */
+  private def q134(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val store = graft.Scratch.fresh("mv_")
+    val orders = t(s, dir, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    def agg(df: DataFrame) = df.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
+    agg(orders.filter(col("o_orderkey") % 10 =!= 0))
+      .write.mode("overwrite").parquet(store) // the stored MV
+    val delta = agg(orders.filter(col("o_orderkey") % 10 === 0))
+    s.read.parquet(store).union(delta)
+      .groupBy("o_custkey")
+      .agg(sum("n_orders").as("n_orders"), sum("sum_cents").as("sum_cents"))
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_inverted_index" -> (q131 _),
+    "q132_scd2_history" -> (q132 _),
+    "q133_cohort_retention" -> (q133 _),
+    "q134_mv_refresh" -> (q134 _),
     "q121_heavy_hitters" -> (q121 _),
     "q117_lexical_diversity" -> (q117 _),
     "q118_snapshot_diff" -> (q118 _),
@@ -439,6 +576,41 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q131_inverted_index" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))) AS word
+        |  FROM documents),
+        |dfs AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY word),
+        |hits AS (SELECT a.doc_id FROM (SELECT doc_id FROM tok WHERE word = 'table') a
+        |  JOIN (SELECT doc_id FROM tok WHERE word = 'window') b USING (doc_id))
+        |SELECT 'table AND window' AS query,
+        |  (SELECT df FROM dfs WHERE word = 'table') AS df_table,
+        |  (SELECT df FROM dfs WHERE word = 'window') AS df_window,
+        |  CAST(count(*) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(sum(doc_id), 0) AS BIGINT) AS hits_checksum
+        |FROM hits""".stripMargin,
+    "q132_scd2_history" ->
+      """WITH t AS (SELECT user_id, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type THEN 1 ELSE 0 END) AS BIGINT) AS n_versions,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  min_by(event_type, event_id) AS first_type,
+        |  max_by(event_type, event_id) AS last_type
+        |FROM t GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q133_cohort_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cw FROM ev GROUP BY user_id)
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+        |  CAST(date_diff('day', cw, wk) // 7 AS BIGINT) AS week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM ev JOIN c USING (user_id)
+        |GROUP BY cw, week_offset ORDER BY cohort_week, week_offset""".stripMargin,
+    "q134_mv_refresh" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q121_heavy_hitters" ->
       """WITH it AS (SELECT CASE WHEN event_id % 3 <> 0 THEN 'hot_' || (event_id % 7)
         |                        ELSE 'cold_' || (event_id % 4096) END AS item

@@ -146,4 +146,45 @@ class ScaleOpsSpec extends AnyFunSuite {
     val k = out.map(_.getAs[Long]("n_outliers")).sum
     assert(k > 0 && k < n / 10, s"outlier gate vacuous or wild: $k of $n")
   }
+
+  test("q134 MV refresh: merged view is identical to a from-scratch recompute") {
+    import org.apache.spark.sql.functions._
+    val merged = SparkEntry.queries("q134_mv_refresh")(spark, dir).collect()
+    val full = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("sum_cents"))
+      .orderBy("o_custkey").collect()
+    assert(merged.length == full.length)
+    merged.zip(full).foreach { case (m, f) =>
+      assert(m.getLong(0) == f.getLong(0) && m.getLong(1) == f.getLong(1) &&
+        m.getLong(2) == f.getLong(2), s"merge drift at custkey ${m.getLong(0)}")
+    }
+  }
+
+  test("q131 inverted index: intersection equals a direct both-terms scan") {
+    import org.apache.spark.sql.functions._
+    val r = SparkEntry.queries("q131_inverted_index")(spark, dir).collect()(0)
+    val direct = Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        array_contains(split(lower(col("text")), "\\s+"), "table").as("a"),
+        array_contains(split(lower(col("text")), "\\s+"), "window").as("b"))
+      .filter(col("a") && col("b"))
+      .agg(count(lit(1)).cast("long"), coalesce(sum("doc_id"), lit(0L))).collect()(0)
+    assert(r.getAs[Long]("n_hits") == direct.getLong(0))
+    assert(r.getAs[Long]("hits_checksum") == direct.getLong(1))
+    assert(r.getAs[Long]("n_hits") <= math.min(r.getAs[Long]("df_table"), r.getAs[Long]("df_window")))
+  }
+
+  test("q132 SCD2: version counts bounded by events, non-vacuous collapse") {
+    val rows = SparkEntry.queries("q132_scd2_history")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, e) = (r.getAs[Long]("n_versions"), r.getAs[Long]("n_events"))
+      assert(v >= 1 && v <= e, s"user ${r.getLong(0)}: $v versions of $e events")
+    }
+    // the collapse must actually merge something somewhere
+    assert(rows.exists(r => r.getAs[Long]("n_versions") < r.getAs[Long]("n_events")),
+      "no user ever repeated an event type — collapse untested")
+  }
 }

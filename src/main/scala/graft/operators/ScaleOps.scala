@@ -558,7 +558,112 @@ object ScaleOps {
       .orderBy("o_custkey")
   }
 
+  // ---------------------------------------------------------------------
+  // q135 — mergeable distinct-count state (HLL sketch store)
+  // ---------------------------------------------------------------------
+
+  /** Persisted, mergeable cardinality state: per-(type, ingest-batch) HLL
+    * sketches (Spark's DataSketches `hll_sketch_agg`) written to parquet —
+    * the distinct-count analog of q134's materialized view — then read
+    * back and `hll_union_agg`-merged across batches, with the estimate
+    * checked against the exact distinct count in-query. This is how a
+    * 100 TB pipeline answers "distinct users ever" without re-scanning
+    * history: each batch contributes a ~KB sketch, merge is associative,
+    * and the raw stream is never re-read.
+    *
+    * The estimate value is implementation-defined (DataSketches), so the
+    * output exposes the exact count plus the ±5 % acceptance boolean
+    * (lgK=12's error is ~1 %); the oracle emits the exact count and
+    * literal TRUE — an estimator regression is a hash mismatch, and
+    * nothing impl-specific leaks into the hash. */
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val store = graft.Scratch.fresh("hll_")
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("user_id"), (col("event_id") % 4).as("batch"))
+    ev.groupBy("event_type", "batch")
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .write.mode("overwrite").parquet(store)
+    val merged = s.read.parquet(store)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_batches"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+    val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("n_exact"))
+    merged.join(exact, "event_type")
+      .select(col("event_type"), col("n_batches"), col("n_exact"),
+        (abs(col("est") - col("n_exact")) <= col("n_exact") * 0.05).as("est_ok"))
+      .orderBy("event_type")
+  }
+
+  // ---------------------------------------------------------------------
+  // q136 — equi-depth binning (distributed exact percentiles as cuts)
+  // ---------------------------------------------------------------------
+
+  /** Equi-depth (equal-frequency) binning of a skewed numeric column: the
+    * 7 octile boundaries come from `Percentiles.exactByRank` (the
+    * distributed rank-selection — no global sort window at any scale),
+    * rows are assigned by comparison against the boundary literals, and
+    * each bin reports its exact count and value range — the feature
+    * binning / histogram-equalization primitive.
+    *
+    * Boundaries are rounded to cents BEFORE comparison in both engines:
+    * interpolated quantiles of duplicate-heavy 2-decimal data frequently
+    * land exactly ON a data value, where a last-ulp difference in
+    * interpolation arithmetic would flip every tied row's bin; rounding
+    * to the data's own granularity makes the cuts engine-identical. */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val li = t(s, dir, "lineitem")
+      .select(col("l_extendedprice").as("price"), lit("all").as("g"))
+    val cuts = Percentiles.exactByRank(li, "g", "price", (1 to 7).map(_ / 8.0))
+      .select(round(col("value"), 2).as("b"), col("p"))
+      .orderBy("p").collect().map(_.getAs[Double]("b"))
+    val bin = cuts.foldLeft(lit(0L))((acc, b) =>
+      acc + when(col("price") > b, 1L).otherwise(0L))
+    li.withColumn("bin", bin)
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(min("price"), 2).as("lo"),
+        round(max("price"), 2).as("hi"))
+      .orderBy("bin")
+  }
+
+  // ---------------------------------------------------------------------
+  // q137 — per-group linear regression (sufficient statistics)
+  // ---------------------------------------------------------------------
+
+  /** Per-event-type OLS fit of value against event_id, computed from the
+    * five sufficient statistics (n, Σx, Σx², Σy, Σxy) in ONE map-side-
+    * combinable aggregation — the scalable form of regression: no matrix
+    * library, no second pass, merge = plain addition (the same shape a
+    * 1000-executor fit uses). x is the integer event_id so Σx/Σx² are
+    * EXACT (int64); only the y-moments are floating, and both engines
+    * evaluate the identical closed-form slope/intercept/R² expressions,
+    * emitted rounded. */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    t(s, dir, "events")
+      .select(col("event_type"), col("event_id").as("x"), col("value").as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"),
+        sum("y").as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .withColumn("den_x", (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("slope", col("num") / col("den_x"))
+      .select(col("event_type"), col("n"),
+        round(col("slope"), 10).as("slope"),
+        round((col("sy") - col("slope") * col("sx")) / col("n"), 6).as("intercept"),
+        round(col("num") * col("num") /
+          (col("den_x") * (col("n") * col("syy") - col("sy") * col("sy"))), 8).as("r2"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_hll_merge" -> (q135 _),
+    "q136_equidepth_bins" -> (q136 _),
+    "q137_group_regression" -> (q137 _),
     "q131_inverted_index" -> (q131 _),
     "q132_scd2_history" -> (q132 _),
     "q133_cohort_retention" -> (q133 _),
@@ -576,6 +681,44 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q135_hll_merge" ->
+      """SELECT event_type, CAST(4 AS BIGINT) AS n_batches,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+        |  TRUE AS est_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q136_equidepth_bins" ->
+      """WITH b AS (SELECT round(quantile_cont(l_extendedprice, 0.125), 2) AS b1,
+        |  round(quantile_cont(l_extendedprice, 0.25), 2) AS b2,
+        |  round(quantile_cont(l_extendedprice, 0.375), 2) AS b3,
+        |  round(quantile_cont(l_extendedprice, 0.5), 2) AS b4,
+        |  round(quantile_cont(l_extendedprice, 0.625), 2) AS b5,
+        |  round(quantile_cont(l_extendedprice, 0.75), 2) AS b6,
+        |  round(quantile_cont(l_extendedprice, 0.875), 2) AS b7
+        |  FROM lineitem)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |  round(min(price), 2) AS lo, round(max(price), 2) AS hi
+        |FROM (SELECT l_extendedprice AS price,
+        |    CAST((CASE WHEN l_extendedprice > b1 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN l_extendedprice > b2 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN l_extendedprice > b3 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN l_extendedprice > b4 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN l_extendedprice > b5 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN l_extendedprice > b6 THEN 1 ELSE 0 END)
+        |       + (CASE WHEN l_extendedprice > b7 THEN 1 ELSE 0 END) AS BIGINT) AS bin
+        |  FROM lineitem, b)
+        |GROUP BY bin ORDER BY bin""".stripMargin,
+    "q137_group_regression" ->
+      """WITH s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(event_id) AS BIGINT) AS sx,
+        |    CAST(sum(event_id * event_id) AS BIGINT) AS sxx,
+        |    sum(value) AS sy, sum(event_id * value) AS sxy, sum(value * value) AS syy
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, n,
+        |  round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 10) AS slope,
+        |  round((sy - ((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE)) * sx) / n, 6) AS intercept,
+        |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+        |    / (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 8) AS r2
+        |FROM s ORDER BY event_type""".stripMargin,
     "q131_inverted_index" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))) AS word

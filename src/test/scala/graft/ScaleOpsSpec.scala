@@ -147,6 +147,49 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(k > 0 && k < n / 10, s"outlier gate vacuous or wild: $k of $n")
   }
 
+  test("q136 equi-depth bins: near-equal counts, contiguous non-overlapping ranges") {
+    val rows = SparkEntry.queries("q136_equidepth_bins")(spark, dir).collect()
+    assert(rows.length == 8)
+    val counts = rows.map(_.getAs[Long]("n"))
+    val total = counts.sum
+    counts.foreach(c => assert(math.abs(c - total / 8.0) <= total * 0.05 + 8,
+      s"bin far from equi-depth: $c of $total"))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo") + 1e-9,
+        "bin ranges overlap or out of order")
+    }
+  }
+
+  test("q137 regression: per-group OLS matches a driver-side fit") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q137_group_regression")(spark, dir).collect()
+    assert(rows.length == 5)
+    val raw = Tables(spark, dir, "events")
+      .select(col("event_type"), col("event_id").cast("double"), col("value")).collect()
+      .groupBy(_.getString(0))
+    rows.foreach { r =>
+      val pts = raw(r.getString(0)).map(x => (x.getDouble(1), x.getDouble(2)))
+      val n = pts.length.toDouble
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum; val sxy = pts.map(p => p._1 * p._2).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      assert(math.abs(r.getAs[Double]("slope") - slope) < 1e-8,
+        s"${r.getString(0)}: spark=${r.getAs[Double]("slope")} local=$slope")
+      val r2 = r.getAs[Double]("r2")
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
+  test("q135 HLL merge: estimate bound holds and batches are all present") {
+    val rows = SparkEntry.queries("q135_hll_merge")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_batches") == 4L)
+      assert(r.getAs[Boolean]("est_ok"), s"${r.getString(0)}: estimate outside 5%")
+      assert(r.getAs[Long]("n_exact") > 0)
+    }
+  }
+
   test("q134 MV refresh: merged view is identical to a from-scratch recompute") {
     import org.apache.spark.sql.functions._
     val merged = SparkEntry.queries("q134_mv_refresh")(spark, dir).collect()

@@ -363,7 +363,58 @@ object CorpusOps {
       .orderBy("cur", "nxt")
   }
 
+  // ---------------------------------------------------------------------
+  // q138 — character-distribution entropy (gibberish signal)
+  // ---------------------------------------------------------------------
+
+  /** Shannon entropy of the character distribution per source — the
+    * compression-adjacent gibberish detector: natural text sits in a
+    * narrow entropy band, while base64 blobs, minified code, and
+    * key-mashing fall outside it. One explode to characters, one
+    * map-side-combinable (source, char) count, a per-source rollup of
+    * |alphabet| rows. Entropy is a ≤-|alphabet|-term double sum, emitted
+    * rounded. */
+  private def q138(s: SparkSession, dir: String): DataFrame = {
+    val cc = t(s, dir, "documents")
+      .select(col("source"), explode(split(lower(col("text")), "")).as("ch"))
+      .filter(col("ch") =!= "")
+      .groupBy("source", "ch").agg(count(lit(1)).as("c"))
+    cc.groupBy("source")
+      .agg(sum("c").as("n_chars"),
+        count(lit(1)).as("n_distinct_chars"),
+        round(-sum(col("c") * log2(col("c"))).cast("double") / sum("c")
+          + log2(sum("c")), 6).as("entropy_bits"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------------
+  // q139 — source-vs-corpus KL divergence (domain drift)
+  // ---------------------------------------------------------------------
+
+  /** KL(source ‖ corpus) over word distributions — the distribution-shift
+    * monitor a mixed-corpus pipeline runs to spot a source drifting from
+    * the blend (a crawler gone off-domain, an ingest bug flooding one
+    * template). No smoothing needed: every source word is by construction
+    * in the corpus distribution, so p_corpus > 0 wherever p_source > 0.
+    * The corpus word-count table is vocabulary-sized → broadcast; counts
+    * ride the same (source, word) shuffle as the other text queries. */
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val sw = tokens(s, dir).groupBy("source", "word").agg(count(lit(1)).as("cs"))
+    val cw = sw.groupBy("word").agg(sum("cs").as("cc"))
+    val totc = cw.agg(sum("cc")).collect()(0).getLong(0).toDouble
+    val tots = sw.groupBy("source").agg(sum("cs").as("ns"))
+    sw.join(broadcast(cw), "word")
+      .join(broadcast(tots), "source")
+      .withColumn("term",
+        (col("cs") / col("ns")) * log2((col("cs") / col("ns")) / (col("cc") / lit(totc))))
+      .groupBy("source")
+      .agg(max("ns").as("n_words"), round(sum("term"), 6).as("kl_bits"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_char_entropy" -> (q138 _),
+    "q139_source_divergence" -> (q139 _),
     "q122_unigram_lm" -> (q122 _),
     "q123_span_dedup" -> (q123 _),
     "q124_fuzzy_join" -> (q124 _),
@@ -376,6 +427,27 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q138_char_entropy" ->
+      """WITH ch AS (SELECT source, substr(lower(text), CAST(i AS INT), 1) AS ch
+        |  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)),
+        |cc AS (SELECT source, ch, CAST(count(*) AS BIGINT) AS c
+        |  FROM ch WHERE ch <> '' GROUP BY source, ch)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_chars,
+        |  CAST(count(*) AS BIGINT) AS n_distinct_chars,
+        |  round(-sum(c * log2(c)) / sum(c) + log2(sum(c)), 6) AS entropy_bits
+        |FROM cc GROUP BY source ORDER BY source""".stripMargin,
+    "q139_source_divergence" ->
+      """WITH tok AS (SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+        |  FROM documents),
+        |sw AS (SELECT source, word, CAST(count(*) AS BIGINT) AS cs
+        |  FROM tok WHERE word <> '' GROUP BY source, word),
+        |cw AS (SELECT word, CAST(sum(cs) AS BIGINT) AS cc FROM sw GROUP BY word),
+        |tc AS (SELECT CAST(sum(cc) AS DOUBLE) AS totc FROM cw),
+        |ts AS (SELECT source, CAST(sum(cs) AS BIGINT) AS ns FROM sw GROUP BY source)
+        |SELECT source, CAST(max(ns) AS BIGINT) AS n_words,
+        |  round(sum((cs / ns) * log2((cs / ns) / (cc / totc))), 6) AS kl_bits
+        |FROM sw JOIN cw USING (word) JOIN ts USING (source) CROSS JOIN tc
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q122_unigram_lm" ->
       """WITH tok AS (SELECT doc_id, source, unnest(regexp_split_to_array(lower(text), '\s+')) AS word
         |  FROM documents),

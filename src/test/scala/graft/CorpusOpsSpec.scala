@@ -137,6 +137,27 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(ns.sameElements(ns.sortBy(-_)))
   }
 
+  test("q138 entropy: within [0, log2(alphabet)]; uniform text maximizes") {
+    val rows = run("q138_char_entropy")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (h, k) = (r.getAs[Double]("entropy_bits"), r.getAs[Long]("n_distinct_chars"))
+      assert(h >= 0.0 && h <= math.log(k.toDouble) / math.log(2.0) + 1e-9,
+        s"${r.getString(0)}: H=$h outside [0, log2($k)]")
+    }
+  }
+
+  test("q139 KL divergence: non-negative everywhere (Gibbs), zero only for the corpus itself") {
+    val rows = run("q139_source_divergence")
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("kl_bits") >= -1e-9,
+        s"${r.getString(0)}: negative KL ${r.getAs[Double]("kl_bits")}")
+    }
+    // sources are distinct slices of the blend, so at least one diverges
+    assert(rows.exists(_.getAs[Double]("kl_bits") > 1e-4), "all-zero KL — vacuous")
+  }
+
   test("degenerate inputs: short docs produce no spans/bigrams instead of descending-sequence blowups") {
     import spark.implicits._
     // sequence(1, 0) in Spark STEPS DOWNWARD — the CASE guards in q123/q127

@@ -660,7 +660,110 @@ object ScaleOps {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------------
+  // q140 — time-spine gap filling
+  // ---------------------------------------------------------------------
+
+  /** Dense hourly series: generate the full hour spine between the
+    * corpus's min and max hour, cross it with the event-type dimension,
+    * and left-join the observed hourly counts with zero-fill — the gap
+    * filling every time-series consumer (forecasting, anomaly baselines,
+    * the q129 gate) needs before it can trust "no data" to mean zero
+    * rather than missing.
+    *
+    * Scale shape: the spine is |hours| × |types| rows — calendar-sized,
+    * not corpus-sized — built with `sequence()` from two scalar
+    * aggregates; the observed-counts side is the usual map-side-combined
+    * rollup, joined on (hour, type). */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hourly = t(s, dir, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val spine = t(s, dir, "events")
+      .agg(date_trunc("hour", min("ts")).as("lo"), date_trunc("hour", max("ts")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+      .crossJoin(t(s, dir, "events").select("event_type").distinct())
+    spine.join(hourly, Seq("hour", "event_type"), "left")
+      .select(col("hour"), col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        col("n").isNull.as("was_gap"))
+      .orderBy("event_type", "hour")
+  }
+
+  // ---------------------------------------------------------------------
+  // q141 — data-quality assertion report
+  // ---------------------------------------------------------------------
+
+  /** Declarative data-quality report — the dbt-test / expectations
+    * analog: key uniqueness, referential integrity (FK orphans via anti
+    * join), null-fraction, and domain checks, one row per assertion with
+    * checked/violation counts and a pass flag. Every check is an
+    * aggregate or an anti join (broadcast when the parent side is a
+    * dimension); the report is the gate a 100 TB load runs before
+    * promoting a batch.
+    *
+    * All counts are exact integers, so the whole report — including the
+    * booleans — hash-checks. */
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val orders = t(s, dir, "orders")
+    val customer = t(s, dir, "customer")
+    val lineitem = t(s, dir, "lineitem")
+    val docs = t(s, dir, "documents")
+    def report(name: String, checked: Long, violations: Long) = {
+      import s.implicits._
+      Seq((name, checked, violations, violations == 0L))
+        .toDF("check_name", "n_checked", "n_violations", "pass")
+    }
+    val cCnt = customer.count()
+    val cDist = customer.select("c_custkey").distinct().count()
+    val oCnt = orders.count()
+    val oOrphans = orders.join(customer,
+      orders("o_custkey") === customer("c_custkey"), "left_anti").count()
+    val lCnt = lineitem.count()
+    val lOrphans = lineitem.join(orders,
+      lineitem("l_orderkey") === orders("o_orderkey"), "left_anti").count()
+    val dCnt = docs.count()
+    val dNull = docs.filter(col("text").isNull || col("text") === "").count()
+    val lNeg = lineitem.filter(col("l_quantity") <= 0).count()
+    report("customer.c_custkey.unique", cCnt, cCnt - cDist)
+      .union(report("orders.o_custkey.fk_customer", oCnt, oOrphans))
+      .union(report("lineitem.l_orderkey.fk_orders", lCnt, lOrphans))
+      .union(report("documents.text.nonempty", dCnt, dNull))
+      .union(report("lineitem.l_quantity.positive", lCnt, lNeg))
+      .orderBy("check_name")
+  }
+
+  // ---------------------------------------------------------------------
+  // q142 — time-range rolling window (peak hourly rate per user)
+  // ---------------------------------------------------------------------
+
+  /** Sliding one-hour event rate per user via a RANGE window frame over
+    * integer epoch-seconds (3599 PRECEDING .. CURRENT ROW), reporting
+    * each user's peak — the rate-limiting / burst-detection primitive
+    * that a ROWS frame cannot express (rows ≠ time).
+    *
+    * Ordering is on whole epoch SECONDS: flooring nanos or micros to
+    * seconds yields the identical integer, and RANGE frames treat tied
+    * ordering values as peers in both engines, so no tiebreak column is
+    * needed. Partitions are per-user — bounded — never corpus-wide. */
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("es").rangeBetween(-3599L, 0L)
+    t(s, dir, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"))
+      .withColumn("rolling_n", count(lit(1)).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max("rolling_n").as("peak_hourly"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_time_spine" -> (q140 _),
+    "q141_dq_report" -> (q141 _),
+    "q142_rolling_peak" -> (q142 _),
     "q135_hll_merge" -> (q135 _),
     "q136_equidepth_bins" -> (q136 _),
     "q137_group_regression" -> (q137 _),
@@ -681,6 +784,47 @@ object ScaleOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q140_time_spine" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour, event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds),
+        |grid AS (SELECT hour, event_type FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM events))
+        |SELECT g.hour, g.event_type, coalesce(n, 0) AS n, n IS NULL AS was_gap
+        |FROM grid g LEFT JOIN h ON g.hour = h.hour AND g.event_type = h.event_type
+        |ORDER BY g.event_type, g.hour""".stripMargin,
+    "q141_dq_report" ->
+      """WITH checks AS (
+        |  SELECT 'customer.c_custkey.unique' AS check_name,
+        |    CAST(count(*) AS BIGINT) AS n_checked,
+        |    CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT) AS n_violations
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey.fk_customer', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT 'lineitem.l_orderkey.fk_orders', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN ord.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem l LEFT JOIN orders ord ON l.l_orderkey = ord.o_orderkey
+        |  UNION ALL
+        |  SELECT 'documents.text.nonempty', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lineitem.l_quantity.positive', CAST(count(*) AS BIGINT),
+        |    CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  FROM lineitem)
+        |SELECT check_name, n_checked, n_violations, n_violations = 0 AS pass
+        |FROM checks ORDER BY check_name""".stripMargin,
+    "q142_rolling_peak" ->
+      """WITH e AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+        |r AS (SELECT user_id, CAST(count(*) OVER (PARTITION BY user_id ORDER BY es
+        |    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_n
+        |  FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(rolling_n) AS BIGINT) AS peak_hourly
+        |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q135_hll_merge" ->
       """SELECT event_type, CAST(4 AS BIGINT) AS n_batches,
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,

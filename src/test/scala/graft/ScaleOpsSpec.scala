@@ -147,6 +147,45 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(k > 0 && k < n / 10, s"outlier gate vacuous or wild: $k of $n")
   }
 
+  test("q140 time spine: dense grid, zero-filled gaps, totals preserved") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q140_time_spine")(spark, dir).collect()
+    val types = rows.map(_.getAs[String]("event_type")).distinct
+    val hours = rows.map(_.getAs[java.sql.Timestamp]("hour")).distinct
+    assert(rows.length == types.length * hours.length, "grid not dense")
+    val filledTotal = rows.map(_.getAs[Long]("n")).sum
+    val rawTotal = Tables(spark, dir, "events").count()
+    assert(filledTotal == rawTotal, "zero-fill changed the total")
+    assert(rows.exists(_.getAs[Boolean]("was_gap")), "no gaps at this sf — vacuous fill")
+    rows.filter(_.getAs[Boolean]("was_gap")).foreach(r => assert(r.getAs[Long]("n") == 0L))
+  }
+
+  test("q141 DQ report: clean synthetic data passes; a planted orphan is caught") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = SparkEntry.queries("q141_dq_report")(spark, dir).collect()
+    assert(rows.length == 5)
+    rows.foreach(r => assert(r.getAs[Boolean]("pass"),
+      s"${r.getString(0)}: ${r.getAs[Long]("n_violations")} violations on clean data"))
+    // the FK check machinery must actually catch an orphan
+    val orders = Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_custkey")
+      .union(Seq((-1L, -999999L)).toDF("o_orderkey", "o_custkey"))
+    val orphans = orders.join(Tables(spark, dir, "customer"),
+      orders("o_custkey") === col("c_custkey"), "left_anti").count()
+    assert(orphans == 1L, "planted FK orphan not detected")
+  }
+
+  test("q142 rolling peak: bounded by event count, at least 1, and a burst is seen") {
+    val rows = SparkEntry.queries("q142_rolling_peak")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, p) = (r.getAs[Long]("n_events"), r.getAs[Long]("peak_hourly"))
+      assert(p >= 1 && p <= n, s"user ${r.getLong(0)}: peak $p outside [1, $n]")
+    }
+    assert(rows.exists(_.getAs[Long]("peak_hourly") > 1), "no user ever had 2 events in an hour")
+  }
+
   test("q136 equi-depth bins: near-equal counts, contiguous non-overlapping ranges") {
     val rows = SparkEntry.queries("q136_equidepth_bins")(spark, dir).collect()
     assert(rows.length == 8)

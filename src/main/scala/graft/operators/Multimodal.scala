@@ -274,7 +274,72 @@ object Multimodal {
     }
   }
 
+  // ---------------------------------------------------------------------
+  // q143 — perceptual-hash (aHash) image dedup over REAL decoded pixels
+  // ---------------------------------------------------------------------
+
+  /** Perceptual-hash image dedup: 8×8 block-average hash (aHash) computed
+    * from REALLY-decoded PNG rasters, grouped to find visually-identical
+    * media — the image-side near-dup operator (the multimodal sibling of
+    * the MinHash text tier). The corpus plants exact duplicates (pixel
+    * seed has period 6 in pk/8, aligned with the dims cycle) so the dedup
+    * is non-vacuous and its group sizes are known analytically.
+    *
+    * Exactness: dims are multiples of 8, so each of the 64 cells is an
+    * exact integer block; bit j = (cell_sum·64 > total_sum) is a pure
+    * integer comparison (equivalent to cell_mean > image_mean with no
+    * division), and the hash is the 64-char bit string — the oracle
+    * replays the whole construction from the pixel formula while Spark
+    * goes through a real encode→PNG→decode roundtrip, so any codec or
+    * hashing bug breaks the hash compare.
+    *
+    * Scale shape: one map over media (decode + 64 integer sums), one
+    * groupBy on the hash value. At 100 TB the same plan holds; pHash
+    * buckets are bounded by true visual-duplicate multiplicity. */
+  private def q143(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables(s, dir, "part").select(col("p_partkey")).as[Long]
+      .filter(_ % 8 == 0)
+      .repartition(s.sparkContext.defaultParallelism)
+      .map { pk =>
+        val t = pk / 8
+        val h = 16 + (t % 3).toInt * 8
+        val w = 16 + (t % 2).toInt * 8
+        // mostly-unique seeds with planted dup groups: every 5th media
+        // collapses to one of 6 shared seeds (t ≡ r mod 30 ⇒ same seed AND
+        // same dims ⇒ exact pixel duplicates); the rest stay singletons
+        val seed = if (t % 5 == 0) t % 6 else t
+        val px = Array.tabulate(h * w)(i => ((seed * 31 + i * 7) % 256).toInt)
+        val bytes = graft.sinks.Png.encodeGray8(px, h, w)
+        // REAL decode — the roundtrip under test
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        val raster = img.getRaster
+        val (hh, ww) = (img.getHeight, img.getWidth)
+        val bh = hh / 8; val bw = ww / 8
+        val cells = new Array[Long](64)
+        var total = 0L
+        var y = 0
+        while (y < hh) {
+          var x = 0
+          while (x < ww) {
+            val v = raster.getSample(x, y, 0).toLong
+            cells((y / bh) * 8 + (x / bw)) += v
+            total += v
+            x += 1
+          }
+          y += 1
+        }
+        val bits = cells.map(c => if (c * 64 > total) '1' else '0').mkString
+        (pk, bits)
+      }.toDF("media_id", "ahash")
+    val groups = hashed.groupBy("ahash").agg(count(lit(1)).as("n_same"))
+    hashed.join(groups, "ahash")
+      .select(col("media_id"), col("ahash"), col("n_same"))
+      .orderBy("media_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_phash_dedup" -> (q143 _),
     "q54_multimodal_decode" -> (q54 _),
     "q55_multimodal_agg" -> (q55 _),
     "q84_multimodal_imageio" -> (q84 _),
@@ -296,6 +361,22 @@ object Multimodal {
       | FROM m)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q143_phash_dedup" ->
+      """WITH m AS (SELECT p_partkey AS media_id, p_partkey // 8 AS t FROM part WHERE p_partkey % 8 = 0),
+        |d AS (SELECT media_id, 16 + (t % 3) * 8 AS h, 16 + (t % 2) * 8 AS w,
+        |    CASE WHEN t % 5 = 0 THEN t % 6 ELSE t END AS seed FROM m),
+        |px AS (SELECT media_id,
+        |    (seed * 31 + (y * w + x) * 7) % 256 AS v,
+        |    (y // (h // 8)) * 8 + (x // (w // 8)) AS cell
+        |  FROM d, unnest(range(0, h)) AS ty(y), unnest(range(0, w)) AS tx(x)),
+        |cs AS (SELECT media_id, cell, sum(v) AS cell_sum FROM px GROUP BY media_id, cell),
+        |tot AS (SELECT media_id, sum(cell_sum) AS total FROM cs GROUP BY media_id),
+        |bits AS (SELECT cs.media_id,
+        |    string_agg(CASE WHEN cell_sum * 64 > total THEN '1' ELSE '0' END, '' ORDER BY cell) AS ahash
+        |  FROM cs JOIN tot USING (media_id) GROUP BY cs.media_id),
+        |g AS (SELECT ahash, CAST(count(*) AS BIGINT) AS n_same FROM bits GROUP BY ahash)
+        |SELECT media_id, b.ahash, n_same FROM bits b JOIN g USING (ahash)
+        |ORDER BY media_id""".stripMargin,
     "q54_multimodal_decode" ->
       s"""WITH $pngCte
          |SELECT media_id, CAST(h AS BIGINT) AS height, CAST(w AS BIGINT) AS width,

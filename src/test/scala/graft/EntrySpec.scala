@@ -78,6 +78,28 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
+  test("q143 aHash dedup: planted duplicates collide, singleton majority, hash structure sane") {
+    // sf0.01: sf0.001's 13 media hold no two planted seeds with equal dims
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q143_phash_dedup")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[String]("ahash")
+      assert(h.length == 64 && h.forall(c => c == '0' || c == '1'), s"malformed hash $h")
+    }
+    val byId = rows.map(r => r.getAs[Long]("media_id") -> r.getAs[String]("ahash")).toMap
+    // planted: media with (pk/8) % 5 == 0 and equal (pk/8) % 6 share pixels
+    val planted = byId.keys.filter(pk => (pk / 8) % 5 == 0).groupBy(pk => (pk / 8) % 6)
+    planted.values.filter(_.size > 1).foreach { g =>
+      val hashes = g.map(byId).toSet
+      assert(hashes.size == 1, s"planted duplicate group split across hashes: $g")
+    }
+    assert(planted.values.exists(_.size > 1), "no planted group present at this sf")
+    // unique-seed images must mostly stay singletons (aHash is coarse but not blind)
+    val singles = rows.count(_.getAs[Long]("n_same") == 1L)
+    assert(singles * 2 > rows.length, s"only $singles of ${rows.length} singletons")
+  }
+
   test("multimodal GIF and WAV codecs roundtrip losslessly") {
     val h = 6; val w = 5
     val frames = (0 until 4).map(f => Array.tabulate(h * w)(i => (f * 50 + i * 3) % 256))

@@ -296,6 +296,7 @@ object EventStreams {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_stream_trending" -> (q144 _),
     "q119_stream_static_join" -> (q119 _),
     "q107_stream_late_data" -> (q107 _),
     "q101_stream_corpus_ingest" -> (q101 _),
@@ -308,7 +309,37 @@ object EventStreams {
     "q85_stream_stream_join" -> (q85 _)
   )
 
+  /** Streaming trending top-k: tumbling 6-hour windows aggregated IN the
+    * stream (complete mode), then the serving-side rank over the
+    * materialized state — the lambda-architecture split every trending
+    * dashboard uses (streams aggregate, the serving layer ranks; ranking
+    * inside the stream would need per-trigger re-sorts of all state).
+    * Window starts align to the epoch in both engines (floor of epoch
+    * seconds to 21600), and the rank breaks count-ties by event_type, so
+    * the top-2 cut is deterministic. */
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = stream(s, dir)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val served = run(s,
+      agg.select(col("window.start").as("ws"), col("event_type"), col("n")),
+      "stream_trending", OutputMode.Complete())
+    val w = Window.partitionBy("ws").orderBy(col("n").desc, col("event_type"))
+    served.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 2)
+      .orderBy("ws", "rk")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q144_stream_trending" ->
+      """WITH a AS (SELECT CAST(to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600) AS TIMESTAMP) AS ws,
+        |    event_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT ws, event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY ws ORDER BY n DESC, event_type) AS BIGINT) AS rk
+        |  FROM a)
+        |SELECT ws, event_type, n, rk FROM r WHERE rk <= 2 ORDER BY ws, rk""".stripMargin,
     "q119_stream_static_join" ->
       """SELECT c_mktsegment AS segment, event_type,
         |  CAST(count(*) AS BIGINT) AS n, round(sum(value), 3) AS sum_value

@@ -338,7 +338,56 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q145 — audio energy-envelope fingerprint dedup
+  // ---------------------------------------------------------------------
+
+  /** Audio fingerprint dedup — q143's twin for the audio modality: each
+    * clip's 1024 PCM-16 samples go through a REAL WAV encode→decode
+    * (javax.sound), the decoded signal is reduced to a 64-window energy
+    * envelope, and bit j = (window_energy·64 > total_energy) forms the
+    * 64-char fingerprint (a plain arithmetic-progression sample formula
+    * made envelopes too smooth — whole seed ranges collided — so samples
+    * mix seed and position quadratically); clips group by fingerprint. Samples are an
+    * integer formula (sines would hit cross-engine libm differences), so
+    * energies are exact Longs and the oracle replays the whole
+    * construction analytically. Planted duplicates: every 5th clip
+    * collapses onto one of 6 shared seeds. */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables(s, dir, "part").select(col("p_partkey")).as[Long]
+      .filter(_ % 16 == 0)
+      .repartition(s.sparkContext.defaultParallelism)
+      .map { pk =>
+        val t = pk / 16
+        val seed = if (t % 5 == 0) t % 6 else t
+        val samples = Array.tabulate(1024)(i =>
+          (((seed * 2654435761L + i.toLong * i * 13 + i * 40503L) % 4001) - 2000).toShort)
+        val bytes = encodeWavPcm16(samples, 8000)
+        // REAL decode — the roundtrip under test
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val raw = ais.readAllBytes(); ais.close()
+        val bb = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val wins = new Array[Long](64)
+        var total = 0L
+        var i = 0
+        while (i < 1024) {
+          val v = bb.getShort(i * 2).toLong
+          wins(i / 16) += v * v
+          total += v * v
+          i += 1
+        }
+        (pk, wins.map(e => if (e * 64 > total) '1' else '0').mkString)
+      }.toDF("clip_id", "fp")
+    val groups = hashed.groupBy("fp").agg(count(lit(1)).as("n_same"))
+    hashed.join(groups, "fp")
+      .select(col("clip_id"), col("fp"), col("n_same"))
+      .orderBy("clip_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_audio_fingerprint" -> (q145 _),
     "q143_phash_dedup" -> (q143 _),
     "q54_multimodal_decode" -> (q54 _),
     "q55_multimodal_agg" -> (q55 _),
@@ -361,6 +410,20 @@ object Multimodal {
       | FROM m)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q145_audio_fingerprint" ->
+      """WITH m AS (SELECT p_partkey AS clip_id, p_partkey // 16 AS t FROM part WHERE p_partkey % 16 = 0),
+        |d AS (SELECT clip_id, CASE WHEN t % 5 = 0 THEN t % 6 ELSE t END AS seed FROM m),
+        |sm AS (SELECT clip_id, i // 16 AS win,
+        |    ((seed * 2654435761 + i * i * 13 + i * 40503) % 4001) - 2000 AS v
+        |  FROM d, unnest(range(0, 1024)) AS ti(i)),
+        |we AS (SELECT clip_id, win, sum(v * v) AS e FROM sm GROUP BY clip_id, win),
+        |tot AS (SELECT clip_id, sum(e) AS total FROM we GROUP BY clip_id),
+        |bits AS (SELECT we.clip_id,
+        |    string_agg(CASE WHEN e * 64 > total THEN '1' ELSE '0' END, '' ORDER BY win) AS fp
+        |  FROM we JOIN tot USING (clip_id) GROUP BY we.clip_id),
+        |g AS (SELECT fp, CAST(count(*) AS BIGINT) AS n_same FROM bits GROUP BY fp)
+        |SELECT clip_id, b.fp, n_same FROM bits b JOIN g USING (fp)
+        |ORDER BY clip_id""".stripMargin,
     "q143_phash_dedup" ->
       """WITH m AS (SELECT p_partkey AS media_id, p_partkey // 8 AS t FROM part WHERE p_partkey % 8 = 0),
         |d AS (SELECT media_id, 16 + (t % 3) * 8 AS h, 16 + (t % 2) * 8 AS w,

@@ -100,6 +100,24 @@ class EntrySpec extends AnyFunSuite {
     assert(singles * 2 > rows.length, s"only $singles of ${rows.length} singletons")
   }
 
+  test("q145 audio fingerprint: planted clip duplicates collide; fingerprints well-formed") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = SparkEntry.queries("q145_audio_fingerprint")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val fp = r.getAs[String]("fp")
+      assert(fp.length == 64 && fp.forall(c => c == '0' || c == '1'))
+    }
+    val byId = rows.map(r => r.getAs[Long]("clip_id") -> r.getAs[String]("fp")).toMap
+    val planted = byId.keys.filter(pk => (pk / 16) % 5 == 0).groupBy(pk => (pk / 16) % 6)
+    planted.values.filter(_.size > 1).foreach { g =>
+      assert(g.map(byId).toSet.size == 1, s"planted clip group split: $g")
+    }
+    assert(planted.values.exists(_.size > 1), "no planted clip group at this sf")
+    val singles = rows.count(_.getAs[Long]("n_same") == 1L)
+    assert(singles * 2 > rows.length, s"only $singles of ${rows.length} singleton fingerprints")
+  }
+
   test("multimodal GIF and WAV codecs roundtrip losslessly") {
     val h = 6; val w = 5
     val frames = (0 until 4).map(f => Array.tabulate(h * w)(i => (f * 50 + i * 3) % 256))

@@ -28,6 +28,7 @@ object SparkEntry {
       operators.GapOps.queries ++
       operators.ScaleOps.queries ++
       operators.CorpusOps.queries ++
+      operators.AnalyticsOps.queries ++
       streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -42,5 +43,6 @@ object SparkEntry {
       operators.GapOps.oracles ++
       operators.ScaleOps.oracles ++
       operators.CorpusOps.oracles ++
+      operators.AnalyticsOps.oracles ++
       streaming.EventStreams.oracles
 }

@@ -1,0 +1,349 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Percentiles
+
+/** Round-4 analytics tier: interval algebra, point-in-time (leakage-free)
+  * dimension lookup, degree-ordered triangle counting, RFM segmentation,
+  * and inverted-index lexical retrieval — warehouse/curation operations a
+  * training-data platform runs beside the corpus tiers (SURVEY §2.12 /
+  * §11-13 addenda continuation).
+  */
+object AnalyticsOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  // ---------------------------------------------------------------------
+  // q146 — interval merge / coverage (gaps-and-islands on time ranges)
+  // ---------------------------------------------------------------------
+
+  /** Merge overlapping per-user activity intervals (each event opens a
+    * 30-minute window) and report coverage: the classic gaps-and-islands
+    * reduction — an island starts exactly when an interval's start exceeds
+    * the running max of all previous ends. This is the "total active time
+    * despite overlapping sessions" primitive (billing, dwell time, GPU-hour
+    * accounting) that naive `sum(duration)` double-counts.
+    *
+    * Scale shape: both windows partition by user_id — bounded per-user
+    * history, never corpus-wide — and the rest is two integer
+    * aggregations. Epoch SECONDS ordering: nanos vs micros floor to the
+    * same integer in both engines; ties broken by event_id. */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("es", "event_id")
+    val prevEnd = max("en").over(ord.rowsBetween(Window.unboundedPreceding, -1))
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("es"))
+      .withColumn("en", col("es") + 1800L)
+      .withColumn("is_new", when(prevEnd.isNull || col("es") > prevEnd, 1L).otherwise(0L))
+      .withColumn("island",
+        sum("is_new").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("n_ev"), min("es").as("st"), max("en").as("fin"))
+      .groupBy("user_id")
+      .agg(sum("n_ev").as("n_events"),
+        count(lit(1)).as("n_islands"),
+        sum(col("fin") - col("st")).as("covered_s"),
+        max(col("fin") - col("st")).as("longest_s"))
+      .orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // q147 — point-in-time join against a versioned dimension
+  // ---------------------------------------------------------------------
+
+  /** Leakage-free feature lookup: purchases (facts) are joined to the
+    * account-state dimension (every signup/error event is a new version of
+    * the user's state) AS OF the purchase's position in the stream — the
+    * point-in-time-correctness rule every feature store / training-set
+    * builder enforces so a model never sees attributes from the future.
+    *
+    * Implementation is the union-and-carry as-of form (q74's trick aimed
+    * at a VERSIONED dimension): version rows and probe rows interleave in
+    * one per-user ordered window and `last(…, ignoreNulls)` carries the
+    * in-effect version forward — ONE shuffle on user_id, no range join,
+    * no per-probe scan. Probes before any version resolve to version 0 /
+    * 'none'. Ordered by event_id (the ingestion sequence) so timestamp
+    * precision differences cannot reorder. */
+  private def q147(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val wDim = Window.partitionBy("user_id").orderBy("eid")
+    val dim = ev.filter(col("event_type").isin("signup", "error"))
+      .select(col("user_id"), col("event_id").as("eid"),
+        col("event_type").as("state"))
+      .withColumn("version_n", row_number().over(wDim).cast("long"))
+      .withColumn("probe_id", lit(null).cast("long"))
+      .withColumn("value", lit(null).cast("double"))
+      .withColumn("is_probe", lit(0))
+    val probes = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("eid"),
+        lit(null).cast("string").as("state"), lit(null).cast("long").as("version_n"),
+        col("event_id").as("probe_id"), col("value"), lit(1).as("is_probe"))
+    val carry = Window.partitionBy("user_id").orderBy("eid", "is_probe")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(probes)
+      .withColumn("st", last("state", ignoreNulls = true).over(carry))
+      .withColumn("vn", last("version_n", ignoreNulls = true).over(carry))
+      .filter(col("is_probe") === 1)
+      .select(col("probe_id").as("purchase_id"), col("user_id"),
+        coalesce(col("st"), lit("none")).as("state"),
+        coalesce(col("vn"), lit(0L)).as("state_version"),
+        round(col("value") * 100).cast("long").as("value_cents"))
+      .orderBy("purchase_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // q148 — triangle counting (degree-ordered orientation)
+  // ---------------------------------------------------------------------
+
+  /** Triangle counts per node on the word co-occurrence (bigram) graph —
+    * the clustering/community-density primitive — using the degree-ordered
+    * orientation algorithm: orient every undirected edge from its
+    * lower-degree endpoint, enumerate wedges only at edge SOURCES, and
+    * close them against the canonical edge set. Orientation bounds wedge
+    * fan-out by the graph's arboricity (O(m^1.5) total work, hot hubs
+    * never enumerate their quadratic neighborhoods) — the trick that keeps
+    * triangle counting feasible on power-law graphs at scale, where the
+    * naive 3-way self-join explodes on the highest-degree node.
+    *
+    * The graph is vocabulary-bounded (distinct word pairs), so every join
+    * side is small here; the plan shape (two joins + one explode) is what
+    * a 1e9-edge run would use, with the wedge join keyed on the oriented
+    * source. Deterministic: exact integer counts, ties in the orientation
+    * broken lexicographically. */
+  private def q148(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(array_remove(split(lower(col("text")), "\\s+"), "").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val bigrams = docs
+      .withColumn("l", slice(col("ws"), lit(1), size(col("ws")) - 1))
+      .withColumn("r", slice(col("ws"), lit(2), size(col("ws")) - 1))
+      .select(explode(arrays_zip(col("l"), col("r"))).as("bg"))
+      .select(col("bg.l").as("x"), col("bg.r").as("y"))
+      .filter(col("x") =!= col("y"))
+    val edges = bigrams
+      .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
+      .distinct()
+    val deg = edges.select(col("u").as("n"))
+      .union(edges.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("d"))
+    val srcFirst = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = edges
+      .join(broadcast(deg.select(col("n").as("u"), col("d").as("du"))), "u")
+      .join(broadcast(deg.select(col("n").as("v"), col("d").as("dv"))), "v")
+      .select(when(srcFirst, col("u")).otherwise(col("v")).as("s"),
+        when(srcFirst, col("v")).otherwise(col("u")).as("t"))
+    val o1 = oriented.select(col("s"), col("t").as("t1"))
+    val o2 = oriented.select(col("s"), col("t").as("t2"))
+    val wedges = o1.join(o2, "s").filter(col("t1") < col("t2"))
+    val triangles = wedges.join(edges,
+      col("t1") === col("u") && col("t2") === col("v"))
+      .select(col("s").as("a"), col("t1").as("b"), col("t2").as("c"))
+    triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("word")
+  }
+
+  // ---------------------------------------------------------------------
+  // q149 — RFM customer segmentation (quartile scores)
+  // ---------------------------------------------------------------------
+
+  /** Recency/frequency/monetary segmentation: per-customer metrics from
+    * orders, quartile cut points from the distributed rank-selection
+    * percentiles (`Percentiles.exactByRank` — no global sort window at any
+    * scale, q136's machinery), scores 1–4 by comparison against the cut
+    * literals, customers grouped into "rfm" segments. The warehouse
+    * counterpart of the corpus quality binning: one aggregation to build
+    * the metric table, three bounded rank-selections over it, one final
+    * rollup.
+    *
+    * Cuts are rounded to the metrics' own granularity (whole days / orders
+    * / cents) before comparison in both engines, so interpolation ulps
+    * cannot flip tied customers (q136's rule). All averages are exact
+    * integer sums divided once, emitted rounded. */
+  private def q149(s: SparkSession, dir: String): DataFrame = {
+    val anchor = lit("2002-01-01").cast("date")
+    val rfm = t(s, dir, "orders").groupBy("o_custkey")
+      .agg(datediff(anchor, max("o_orderdate")).cast("double").as("recency"),
+        count(lit(1)).cast("double").as("frequency"),
+        sum(round(col("o_totalprice") * 100).cast("long")).cast("double").as("monetary"))
+    def cuts(metric: String): Array[Double] = Percentiles
+      .exactByRank(rfm.withColumn("g", lit("all")), "g", metric, Seq(0.25, 0.5, 0.75))
+      .orderBy("p").collect().map(r => math.round(r.getAs[Double]("value")).toDouble)
+    def score(c: Column, cs: Array[Double]): Column =
+      cs.foldLeft(lit(1L))((acc, b) => acc + when(c > b, 1L).otherwise(0L))
+    rfm
+      .withColumn("r", score(col("recency"), cuts("recency")))
+      .withColumn("f", score(col("frequency"), cuts("frequency")))
+      .withColumn("m", score(col("monetary"), cuts("monetary")))
+      .withColumn("segment", concat(col("r").cast("string"),
+        col("f").cast("string"), col("m").cast("string")))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg("recency"), 6).as("avg_recency_days"),
+        round(avg("frequency"), 6).as("avg_orders"),
+        round(avg("monetary") / 100.0, 6).as("avg_spend"))
+      .orderBy("segment")
+  }
+
+  // ---------------------------------------------------------------------
+  // q150 — lexical retrieval: TF-IDF top-k via postings join
+  // ---------------------------------------------------------------------
+
+  /** Similar-document retrieval over the inverted index: 20 probe docs,
+    * each scored against the whole corpus by TF-IDF cosine computed
+    * term-at-a-time through a postings join (sparse dot product — only
+    * words the probe actually contains contribute rows), top-5 per probe.
+    * The lexical sibling of the embedding ANN ladder (q33/q34/q77/q116):
+    * work is |probes| × posting-list mass, LINEAR in the corpus, never
+    * all-pairs; the rank window partitions per probe (bounded).
+    *
+    * Smooth idf = ln((N+1)/(df+1)) + 1 (the standard sklearn form); norms
+    * include every indexed term. Scores are rounded before ranking and
+    * thresholding in both engines, rank ties broken by doc id. */
+  private def q150(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val tok = docs
+      .select(col("doc_id"),
+        explode(array_remove(split(lower(col("text")), "\\s+"), "")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val nDocs = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val idf = tok.groupBy("word").agg(count(lit(1)).cast("double").as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("word"),
+        (log((col("n_docs") + 1.0) / (col("df") + 1.0)) + 1.0).as("idf"))
+    val weighted = tok.join(broadcast(idf), "word")
+      .select(col("doc_id"), col("word"), (col("tf") * col("idf")).as("w"))
+    val norms = weighted.groupBy("doc_id")
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    val probes = weighted.filter(col("doc_id") < 20)
+      .select(col("word"), col("doc_id").as("da"), col("w").as("wa"))
+    val dots = broadcast(probes)
+      .join(weighted.select(col("word"), col("doc_id").as("db"), col("w").as("wb")), "word")
+      .filter(col("da") =!= col("db"))
+      .groupBy("da", "db")
+      .agg(sum(col("wa") * col("wb")).as("dot"), count(lit(1)).as("n_common"))
+    val rk = Window.partitionBy("da").orderBy(col("cos").desc, col("db"))
+    dots
+      .join(broadcast(norms.select(col("doc_id").as("da"), col("nrm").as("na"))), "da")
+      .join(norms.select(col("doc_id").as("db"), col("nrm").as("nb")), "db")
+      .withColumn("cos", round(col("dot") / (col("na") * col("nb")), 6))
+      .withColumn("rk", row_number().over(rk).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("n_common"), col("cos"), col("rk"))
+      .orderBy("doc_a", "rk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_interval_merge" -> (q146 _),
+    "q147_pit_join" -> (q147 _),
+    "q148_triangle_count" -> (q148 _),
+    "q149_rfm_segments" -> (q149 _),
+    "q150_lexical_topk" -> (q150 _))
+
+  val oracles: Map[String, String] = Map(
+    "q146_interval_merge" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS en FROM events),
+        |m AS (SELECT *, max(en) OVER (PARTITION BY user_id ORDER BY es, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end FROM e),
+        |i AS (SELECT *, sum(CASE WHEN prev_end IS NULL OR es > prev_end THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY es, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m),
+        |g AS (SELECT user_id, island, count(*) AS n_ev, min(es) AS st, max(en) AS fin
+        |  FROM i GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(sum(fin - st) AS BIGINT) AS covered_s,
+        |  CAST(max(fin - st) AS BIGINT) AS longest_s
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q147_pit_join" ->
+      """WITH dim AS (SELECT user_id, event_id AS eid, event_type AS state,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS BIGINT) AS version_n
+        |  FROM events WHERE event_type IN ('signup', 'error')),
+        |p AS (SELECT user_id, event_id AS eid, value FROM events WHERE event_type = 'purchase'),
+        |u AS (SELECT user_id, eid, state, version_n, NULL::BIGINT AS probe_id,
+        |    NULL::DOUBLE AS value, 0 AS is_probe FROM dim
+        |  UNION ALL SELECT user_id, eid, NULL, NULL, eid, value, 1 FROM p),
+        |f AS (SELECT user_id, probe_id, value, is_probe,
+        |    last_value(state IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY eid, is_probe
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st,
+        |    last_value(version_n IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY eid, is_probe
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vn
+        |  FROM u)
+        |SELECT probe_id AS purchase_id, user_id, coalesce(st, 'none') AS state,
+        |  CAST(coalesce(vn, 0) AS BIGINT) AS state_version,
+        |  CAST(round(value * 100) AS BIGINT) AS value_cents
+        |FROM f WHERE is_probe = 1 ORDER BY purchase_id""".stripMargin,
+    "q148_triangle_count" ->
+      """WITH w AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |bg AS (SELECT ws[i] AS x, ws[i+1] AS y FROM w, unnest(range(1, len(ws))) AS t(i)
+        |  WHERE len(ws) >= 2),
+        |e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM bg WHERE x <> y),
+        |d AS (SELECT n, count(*) AS dg
+        |  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e) q GROUP BY n),
+        |o AS (SELECT CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v) THEN u ELSE v END AS s,
+        |             CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND u < v) THEN v ELSE u END AS t
+        |      FROM e JOIN d du ON du.n = e.u JOIN d dv ON dv.n = e.v),
+        |wd AS (SELECT o1.s AS a, o1.t AS b, o2.t AS c
+        |  FROM o o1 JOIN o o2 ON o1.s = o2.s AND o1.t < o2.t),
+        |tr AS (SELECT a, b, c FROM wd JOIN e ON e.u = wd.b AND e.v = wd.c),
+        |x AS (SELECT unnest([a, b, c]) AS word FROM tr)
+        |SELECT word, CAST(count(*) AS BIGINT) AS n_triangles
+        |FROM x GROUP BY word ORDER BY word""".stripMargin,
+    "q149_rfm_segments" ->
+      """WITH rfm AS (SELECT o_custkey,
+        |    CAST(date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '2002-01-01') AS DOUBLE) AS recency,
+        |    CAST(count(*) AS DOUBLE) AS frequency,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |c AS (SELECT
+        |    round(quantile_cont(recency, 0.25), 0) AS r1, round(quantile_cont(recency, 0.5), 0) AS r2,
+        |    round(quantile_cont(recency, 0.75), 0) AS r3,
+        |    round(quantile_cont(frequency, 0.25), 0) AS f1, round(quantile_cont(frequency, 0.5), 0) AS f2,
+        |    round(quantile_cont(frequency, 0.75), 0) AS f3,
+        |    round(quantile_cont(monetary, 0.25), 0) AS m1, round(quantile_cont(monetary, 0.5), 0) AS m2,
+        |    round(quantile_cont(monetary, 0.75), 0) AS m3
+        |  FROM rfm),
+        |s AS (SELECT o_custkey, recency, frequency, monetary,
+        |    1 + (CASE WHEN recency > r1 THEN 1 ELSE 0 END) + (CASE WHEN recency > r2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN recency > r3 THEN 1 ELSE 0 END) AS r,
+        |    1 + (CASE WHEN frequency > f1 THEN 1 ELSE 0 END) + (CASE WHEN frequency > f2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN frequency > f3 THEN 1 ELSE 0 END) AS f,
+        |    1 + (CASE WHEN monetary > m1 THEN 1 ELSE 0 END) + (CASE WHEN monetary > m2 THEN 1 ELSE 0 END)
+        |      + (CASE WHEN monetary > m3 THEN 1 ELSE 0 END) AS m
+        |  FROM rfm, c)
+        |SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  round(avg(recency), 6) AS avg_recency_days,
+        |  round(avg(frequency), 6) AS avg_orders,
+        |  round(avg(monetary) / 100.0, 6) AS avg_spend
+        |FROM s GROUP BY segment ORDER BY segment""".stripMargin,
+    "q150_lexical_topk" ->
+      """WITH tok AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM (
+        |    SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS word
+        |    FROM documents)
+        |  GROUP BY doc_id, word),
+        |nd AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |dfs AS (SELECT word, ln(((SELECT n_docs FROM nd) + 1) / (CAST(count(*) AS DOUBLE) + 1)) + 1 AS idf
+        |  FROM tok GROUP BY word),
+        |wt AS (SELECT doc_id, tok.word, tf * idf AS w FROM tok JOIN dfs USING (word)),
+        |nr AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM wt GROUP BY doc_id),
+        |pr AS (SELECT * FROM wt WHERE doc_id < 20),
+        |dots AS (SELECT pr.doc_id AS da, b.doc_id AS db, sum(pr.w * b.w) AS dot,
+        |    CAST(count(*) AS BIGINT) AS n_common
+        |  FROM pr JOIN wt b ON pr.word = b.word AND pr.doc_id <> b.doc_id GROUP BY 1, 2),
+        |sc AS (SELECT da, db, n_common, round(dot / (x.nrm * y.nrm), 6) AS cos
+        |  FROM dots JOIN nr x ON x.doc_id = da JOIN nr y ON y.doc_id = db),
+        |rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY da ORDER BY cos DESC, db) AS BIGINT) AS rk
+        |  FROM sc)
+        |SELECT da AS doc_a, db AS doc_b, n_common, cos, rk
+        |FROM rk WHERE rk <= 5 ORDER BY doc_a, rk""".stripMargin)
+}

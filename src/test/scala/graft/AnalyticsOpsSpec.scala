@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AnalyticsOps
+
+/** Round-4 analytics tier: each query checked against an INDEPENDENT
+  * driver-side brute-force recomputation on sf0.001 (not against its own
+  * plan), so a shared logic error cannot self-confirm.
+  */
+class AnalyticsOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q146: covered seconds match a driver-side interval sweep") {
+    val got = AnalyticsOps.queries("q146_interval_merge")(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val raw = Tables(spark, dir, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, xs) => (u, xs.map(_._2).sorted) }
+    raw.foreach { case (u, starts) =>
+      // brute-force merge of [s, s+1800) intervals
+      var islands = 0; var covered = 0L
+      var curStart = -1L; var curEnd = -1L
+      starts.foreach { s =>
+        if (s > curEnd) { // strict: touching intervals merge
+          if (islands > 0) covered += curEnd - curStart
+          islands += 1; curStart = s; curEnd = s + 1800
+        } else curEnd = math.max(curEnd, s + 1800)
+      }
+      covered += curEnd - curStart
+      val (nEv, nIsl, cov) = got(u)
+      assert(nEv == starts.length && nIsl == islands && cov == covered,
+        s"user $u: got ${got(u)}, want (${starts.length}, $islands, $covered)")
+    }
+  }
+
+  test("q147: every purchase resolves to the latest dim version at or before it (no leakage)") {
+    val ev = Tables(spark, dir, "events")
+      .select("user_id", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val dimByUser = ev.filter(e => e._3 == "signup" || e._3 == "error")
+      .groupBy(_._1).map { case (u, xs) => (u, xs.sortBy(_._2)) }
+    val got = AnalyticsOps.queries("q147_pit_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2), r.getLong(3))))
+    assert(got.nonEmpty)
+    got.foreach { case (pid, (u, state, vn)) =>
+      val prior = dimByUser.getOrElse(u, Array.empty[(Long, Long, String)])
+        .filter(_._2 <= pid)
+      if (prior.isEmpty) assert(state == "none" && vn == 0L, s"probe $pid")
+      else {
+        assert(vn == prior.length, s"probe $pid: version $vn != ${prior.length}")
+        assert(state == prior.last._3, s"probe $pid: state $state != ${prior.last._3}")
+      }
+    }
+  }
+
+  test("q148: per-word counts sum to 3x a brute-force triangle enumeration") {
+    val texts = Tables(spark, dir, "documents").select("text").collect().map(_.getString(0))
+    val edges = scala.collection.mutable.Set[(String, String)]()
+    texts.foreach { t =>
+      val ws = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      ws.sliding(2).foreach {
+        case Array(a, b) if a != b =>
+          edges += ((if (a < b) a else b, if (a < b) b else a))
+        case _ =>
+      }
+    }
+    val adj = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, xs) => (k, xs.map(_._2).toSet) }
+    var nTri = 0L
+    val nodes = adj.keys.toSeq.sorted
+    for (a <- nodes; b <- adj(a) if a < b; c <- adj(a) if b < c && adj(b).contains(c))
+      nTri += 1
+    val got = AnalyticsOps.queries("q148_triangle_count")(spark, dir)
+      .agg(sum("n_triangles")).collect()(0).getLong(0)
+    assert(nTri > 0, "fixture produced no triangles — vacuous")
+    assert(got == 3 * nTri, s"sum of per-word counts $got != 3 * $nTri")
+  }
+
+  test("q149: segments partition all customers, scores within 1..4") {
+    val df = AnalyticsOps.queries("q149_rfm_segments")(spark, dir)
+    val rows = df.collect()
+    val total = rows.map(_.getLong(1)).sum
+    val nCust = Tables(spark, dir, "orders").select("o_custkey").distinct().count()
+    assert(total == nCust, s"segment counts $total != $nCust customers")
+    rows.foreach { r =>
+      val seg = r.getString(0)
+      assert(seg.length == 3 && seg.forall(c => c >= '1' && c <= '4'), seg)
+    }
+  }
+
+  test("q150: returned cosines match a dense driver-side recomputation") {
+    val docs = Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)))
+    val n = docs.length.toDouble
+    val tf = docs.map { case (id, ws) =>
+      (id, ws.groupBy(identity).map { case (w, xs) => (w, xs.length.toDouble) })
+    }.toMap
+    val dfm = docs.flatMap(_._2.distinct).groupBy(identity).map { case (w, xs) =>
+      (w, xs.length.toDouble)
+    }
+    def vec(id: Long): Map[String, Double] =
+      tf(id).map { case (w, f) => (w, f * (math.log((n + 1) / (dfm(w) + 1)) + 1)) }
+    def cos(a: Long, b: Long): Double = {
+      val (va, vb) = (vec(a), vec(b))
+      val dot = va.keysIterator.filter(vb.contains).map(w => va(w) * vb(w)).sum
+      val na = math.sqrt(va.values.map(x => x * x).sum)
+      val nb = math.sqrt(vb.values.map(x => x * x).sum)
+      dot / (na * nb)
+    }
+    val got = AnalyticsOps.queries("q150_lexical_topk")(spark, dir).collect()
+    assert(got.length > 0)
+    got.foreach { r =>
+      val (a, b, c) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+      assert(math.abs(c - cos(a, b)) < 1e-5, s"pair ($a,$b): $c vs ${cos(a, b)}")
+    }
+    // per-probe: exactly 5 ranked hits, ranks 1..5
+    got.groupBy(_.getLong(0)).foreach { case (p, xs) =>
+      assert(xs.map(_.getLong(4)).sorted.sameElements(1L to 5L), s"probe $p ranks")
+    }
+  }
+}

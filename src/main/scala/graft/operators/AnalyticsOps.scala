@@ -172,9 +172,19 @@ object AnalyticsOps {
       .agg(datediff(anchor, max("o_orderdate")).cast("double").as("recency"),
         count(lit(1)).cast("double").as("frequency"),
         sum(round(col("o_totalprice") * 100).cast("long")).cast("double").as("monetary"))
-    def cuts(metric: String): Array[Double] = Percentiles
-      .exactByRank(rfm.withColumn("g", lit("all")), "g", metric, Seq(0.25, 0.5, 0.75))
-      .orderBy("p").collect().map(r => math.round(r.getAs[Double]("value")).toDouble)
+    // ONE grouped rank-selection over the unpivoted metrics (not three
+    // sequential scans) — exactByRank's group key IS the metric name.
+    val unpivoted = rfm.select(explode(map(
+      lit("recency"), col("recency"),
+      lit("frequency"), col("frequency"),
+      lit("monetary"), col("monetary"))).as(Seq("metric", "mv")))
+    val cutRows = Percentiles
+      .exactByRank(unpivoted, "metric", "mv", Seq(0.25, 0.5, 0.75))
+      .collect()
+      .map(r => (r.getAs[String]("metric"), r.getAs[Double]("p")) ->
+        math.round(r.getAs[Double]("value")).toDouble).toMap
+    def cuts(metric: String): Array[Double] =
+      Seq(0.25, 0.5, 0.75).map(p => cutRows((metric, p))).toArray
     def score(c: Column, cs: Array[Double]): Column =
       cs.foldLeft(lit(1L))((acc, b) => acc + when(c > b, 1L).otherwise(0L))
     rfm
@@ -240,14 +250,227 @@ object AnalyticsOps {
       .orderBy("doc_a", "rk")
   }
 
+  // ---------------------------------------------------------------------
+  // q151 — k-NN label vote over embeddings
+  // ---------------------------------------------------------------------
+
+  /** k-NN classification by cosine: 20 probe vectors, 5 nearest labeled
+    * neighbors each (exact cosine via the codegen'd `graft_cosine`
+    * expression), majority label with deterministic tie-breaks — the
+    * label-propagation / quality-transfer step a curation pipeline runs to
+    * extend a small labeled seed set across a large corpus. Probe side is
+    * bounded and broadcast, so the scan of the corpus is one pass; the
+    * vote windows partition per probe.
+    *
+    * Ties: neighbor rank by (rounded cos DESC, vec_id); vote rank by
+    * (votes DESC, label ASC) — both total orders in both engines. */
+  private def q151(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label").cast("long"))
+    val probes = emb.filter(col("vec_id") % 100 === 50)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("label").as("true_label"))
+    val nn = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    val neighbors = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(VectorOps.cosCol(s, "pe", "embedding"), 6))
+      .withColumn("rk", row_number().over(nn))
+      .filter(col("rk") <= 5)
+    val vote = Window.partitionBy("probe_id")
+      .orderBy(col("n_votes").desc, col("label"))
+    neighbors.groupBy("probe_id", "true_label", "label")
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("vr", row_number().over(vote))
+      .filter(col("vr") === 1)
+      .select(col("probe_id"), col("true_label"),
+        col("label").as("pred_label"), col("n_votes"),
+        (col("label") === col("true_label")).as("correct"))
+      .orderBy("probe_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // q152 — two-hop reach (friend-of-friend expansion)
+  // ---------------------------------------------------------------------
+
+  /** Exact 2-hop neighborhood size per node on the word co-occurrence
+    * graph: distinct nodes reachable in exactly two hops, excluding self
+    * and direct neighbors — the expansion statistic behind
+    * recommendation candidates and graph-sampling fan-out estimates. One
+    * self-join on the directed adjacency (shuffle keyed on the middle
+    * node), a distinct, and an anti join against the direct edges; at
+    * scale the middle-node key is degree-bounded by the same orientation
+    * argument as q148. */
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(array_remove(split(lower(col("text")), "\\s+"), "").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val edges = docs
+      .withColumn("l", slice(col("ws"), lit(1), size(col("ws")) - 1))
+      .withColumn("r", slice(col("ws"), lit(2), size(col("ws")) - 1))
+      .select(explode(arrays_zip(col("l"), col("r"))).as("bg"))
+      .select(col("bg.l").as("x"), col("bg.r").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
+      .distinct()
+    val adj = edges.select(col("u").as("a"), col("v").as("b"))
+      .union(edges.select(col("v").as("a"), col("u").as("b")))
+    val twoHop = adj.select(col("a"), col("b").as("mid"))
+      .join(adj.select(col("a").as("mid2"), col("b").as("c")),
+        col("mid") === col("mid2"))
+      .filter(col("a") =!= col("c"))
+      .select("a", "c").distinct()
+    val strict = twoHop.join(adj.select(col("a"), col("b").as("c")),
+      Seq("a", "c"), "left_anti")
+    adj.groupBy("a").agg(count(lit(1)).as("n_direct"))
+      .join(strict.groupBy("a").agg(count(lit(1)).as("n_two_hop")), Seq("a"), "left")
+      .select(col("a").as("word"), col("n_direct"),
+        coalesce(col("n_two_hop"), lit(0L)).as("n_two_hop"))
+      .orderBy("word")
+  }
+
+  // ---------------------------------------------------------------------
+  // q153 — canonical-record selection (survivorship)
+  // ---------------------------------------------------------------------
+
+  /** Golden-record selection over exact-duplicate groups: documents are
+    * fingerprinted (md5 of the lowercased text), and each fingerprint
+    * group keeps ONE canonical copy by survivorship policy — longest
+    * content first, then source name, then doc id. Exact dedup (q22)
+    * answers "what is duplicated"; this answers the follow-up a
+    * multi-source corpus merge must decide: WHICH copy survives.
+    * One shuffle on the fingerprint; the policy is a min over a
+    * lexicographic struct (no window needed — aggregation is map-side
+    * combinable). */
+  private def q153(s: SparkSession, dir: String): DataFrame = {
+    val fp = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(lower(col("text"))).as("fp"))
+    val keepers = fp.groupBy("fp")
+      .agg(min(struct((-col("n_chars")).as("neg_len"), col("source"),
+        col("doc_id"))).as("k"),
+        count(lit(1)).as("group_n"))
+      .select(col("k.doc_id").as("doc_id"), col("group_n"))
+    fp.join(keepers, "doc_id").groupBy("source")
+      .agg(count(lit(1)).as("n_keepers"),
+        sum(col("group_n") - 1).as("n_absorbed"))
+      .join(fp.groupBy("source").agg(count(lit(1)).as("n_docs")), Seq("source"), "right")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_keepers"), lit(0L)).as("n_keepers"),
+        coalesce(col("n_absorbed"), lit(0L)).as("n_absorbed"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------------
+  // q154 — column profiler (catalog statistics)
+  // ---------------------------------------------------------------------
+
+  /** Table profiling: one row per column of lineitem with count, nulls,
+    * exact distinct cardinality, and numeric min/max/mean — the catalog
+    * statistics a warehouse publishes per load (and the optimizer's CBO
+    * inputs). Each column profile is one aggregation over the table;
+    * string columns carry null numeric stats. At 100 TB the distinct
+    * counts would ride the q135 HLL sketches — exact here so the whole
+    * report hash-checks. */
+  private def q154(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val numeric = Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val strings = Seq("l_returnflag", "l_linestatus")
+    val profiles = numeric.map { c =>
+      // mean via exact integer cents: a float sum's addition order differs
+      // across engines, and at 600k rows the accumulated ulps reach the
+      // 1e-6 rounding granularity — integer sums divide identically.
+      li.agg(count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        round(min(col(c)).cast("double"), 6).as("min_num"),
+        round(max(col(c)).cast("double"), 6).as("max_num"),
+        round(sum(round(col(c) * 100).cast("long")).cast("double")
+          / count(lit(1)) / 100.0, 6).as("mean"))
+        .select(lit(c).as("column_name"), col("*"))
+    } ++ strings.map { c =>
+      li.agg(count(lit(1)).as("n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        lit(null).cast("double").as("min_num"),
+        lit(null).cast("double").as("max_num"),
+        lit(null).cast("double").as("mean"))
+        .select(lit(c).as("column_name"), col("*"))
+    }
+    profiles.reduce(_ unionByName _).orderBy("column_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_interval_merge" -> (q146 _),
     "q147_pit_join" -> (q147 _),
     "q148_triangle_count" -> (q148 _),
     "q149_rfm_segments" -> (q149 _),
-    "q150_lexical_topk" -> (q150 _))
+    "q150_lexical_topk" -> (q150 _),
+    "q151_knn_classify" -> (q151 _),
+    "q152_two_hop" -> (q152 _),
+    "q153_survivorship" -> (q153 _),
+    "q154_column_profile" -> (q154 _))
+
+  private val numericProfileSql = Seq(
+    "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount").map { c =>
+    s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  round(CAST(min($c) AS DOUBLE), 6) AS min_num,
+       |  round(CAST(max($c) AS DOUBLE), 6) AS max_num,
+       |  round(CAST(sum(CAST(round($c * 100) AS BIGINT)) AS DOUBLE) / count(*) / 100.0, 6) AS mean
+       |FROM lineitem""".stripMargin
+  }
+  private val stringProfileSql = Seq("l_returnflag", "l_linestatus").map { c =>
+    s"""SELECT '$c' AS column_name, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+       |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+       |  NULL::DOUBLE AS min_num, NULL::DOUBLE AS max_num, NULL::DOUBLE AS mean
+       |FROM lineitem""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
+    "q151_knn_classify" ->
+      s"""WITH sc AS (SELECT a.vec_id AS probe_id, CAST(a.label AS BIGINT) AS true_label,
+         |    b.vec_id AS vec_id, CAST(b.label AS BIGINT) AS label, round(${VectorOps.cosSql}, 6) AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id % 100 = 50 AND a.vec_id <> b.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+         |  FROM sc),
+         |v AS (SELECT probe_id, true_label, label, CAST(count(*) AS BIGINT) AS n_votes
+         |  FROM r WHERE rk <= 5 GROUP BY 1, 2, 3),
+         |w AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY n_votes DESC, label) AS vr
+         |  FROM v)
+         |SELECT probe_id, true_label, label AS pred_label, n_votes,
+         |  label = true_label AS correct
+         |FROM w WHERE vr = 1 ORDER BY probe_id""".stripMargin,
+    "q152_two_hop" ->
+      """WITH w AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |bg AS (SELECT ws[i] AS x, ws[i+1] AS y FROM w, unnest(range(1, len(ws))) AS t(i)
+        |  WHERE len(ws) >= 2),
+        |e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM bg WHERE x <> y),
+        |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+        |th AS (SELECT DISTINCT x.a, y.b AS c FROM adj x JOIN adj y ON x.b = y.a WHERE x.a <> y.b),
+        |st AS (SELECT a, c FROM th WHERE NOT EXISTS
+        |  (SELECT 1 FROM adj WHERE adj.a = th.a AND adj.b = th.c)),
+        |d1 AS (SELECT a, CAST(count(*) AS BIGINT) AS n_direct FROM adj GROUP BY a),
+        |d2 AS (SELECT a, CAST(count(*) AS BIGINT) AS n_two_hop FROM st GROUP BY a)
+        |SELECT d1.a AS word, n_direct, CAST(coalesce(n_two_hop, 0) AS BIGINT) AS n_two_hop
+        |FROM d1 LEFT JOIN d2 USING (a) ORDER BY word""".stripMargin,
+    "q153_survivorship" ->
+      """WITH f AS (SELECT doc_id, source, n_chars, md5(lower(text)) AS h FROM documents),
+        |g AS (SELECT h, count(*) AS group_n FROM f GROUP BY h),
+        |k AS (SELECT doc_id, source, h,
+        |    row_number() OVER (PARTITION BY h ORDER BY n_chars DESC, source, doc_id) AS rn
+        |  FROM f),
+        |kk AS (SELECT k.source, CAST(count(*) AS BIGINT) AS n_keepers,
+        |    CAST(sum(g.group_n - 1) AS BIGINT) AS n_absorbed
+        |  FROM k JOIN g USING (h) WHERE rn = 1 GROUP BY k.source),
+        |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM f GROUP BY source)
+        |SELECT nd.source, n_docs, CAST(coalesce(n_keepers, 0) AS BIGINT) AS n_keepers,
+        |  CAST(coalesce(n_absorbed, 0) AS BIGINT) AS n_absorbed
+        |FROM nd LEFT JOIN kk USING (source) ORDER BY source""".stripMargin,
+    "q154_column_profile" ->
+      (numericProfileSql ++ stringProfileSql).mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
     "q146_interval_merge" ->
       """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
         |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS en FROM events),

@@ -560,7 +560,7 @@ object VectorOps {
     "q109_sq8_quantize" -> (q109 _)
   )
 
-  private val cosSql =
+  private[graft] val cosSql =
     """list_aggregate([CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE) for i in range(len(a.embedding))], 'sum')
       | / sqrt(list_aggregate([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in a.embedding], 'sum')
       |        * list_aggregate([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in b.embedding], 'sum'))""".stripMargin

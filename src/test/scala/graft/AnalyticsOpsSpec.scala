@@ -130,4 +130,73 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(xs.map(_.getLong(4)).sorted.sameElements(1L to 5L), s"probe $p ranks")
     }
   }
+
+  test("q151: predicted label is the true majority of the 5 nearest by brute force") {
+    val emb = Tables(spark, dir, "embeddings")
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2).toLong))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val got = AnalyticsOps.queries("q151_knn_classify")(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val pid = r.getLong(0)
+      val pe = emb.find(_._1 == pid).get._2
+      val top5 = emb.filter(_._1 != pid)
+        .map { case (id, v, l) =>
+          (math.rint(cos(pe, v) * 1e6) / 1e6, id, l)
+        }
+        .sortBy { case (c, id, _) => (-c, id) }.take(5)
+      val want = top5.groupBy(_._3).map { case (l, xs) => (l, xs.length) }
+        .toSeq.sortBy { case (l, n) => (-n, l) }.head._1
+      assert(r.getLong(2) == want, s"probe $pid: pred ${r.getLong(2)} != $want")
+    }
+  }
+
+  test("q152: two-hop excludes self and direct neighbors (brute force)") {
+    val texts = Tables(spark, dir, "documents").select("text").collect().map(_.getString(0))
+    val adj = scala.collection.mutable.Map[String, Set[String]]().withDefaultValue(Set())
+    texts.foreach { t =>
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).sliding(2).foreach {
+        case Array(a, b) if a != b => adj(a) += b; adj(b) += a
+        case _ =>
+      }
+    }
+    val got = AnalyticsOps.queries("q152_two_hop")(spark, dir)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    adj.foreach { case (w, ns) =>
+      val twoHop = ns.flatMap(adj(_)) - w -- ns
+      val (d, th) = got(w)
+      assert(d == ns.size && th == twoHop.size, s"$w: got ($d,$th) want (${ns.size},${twoHop.size})")
+    }
+  }
+
+  test("q153: keepers + absorbed = total docs; one keeper per fingerprint") {
+    val rows = AnalyticsOps.queries("q153_survivorship")(spark, dir).collect()
+    val nDocs = rows.map(_.getLong(1)).sum
+    val nKeep = rows.map(_.getLong(2)).sum
+    val nAbs = rows.map(_.getLong(3)).sum
+    assert(nKeep + nAbs == nDocs, s"$nKeep + $nAbs != $nDocs")
+    val nFp = Tables(spark, dir, "documents")
+      .select(md5(lower(col("text")))).distinct().count()
+    assert(nKeep == nFp, s"keepers $nKeep != fingerprint groups $nFp")
+  }
+
+  test("q154: profile counts are exact per column") {
+    val rows = AnalyticsOps.queries("q154_column_profile")(spark, dir)
+      .collect().map(r => (r.getString(0), r)).toMap
+    val li = Tables(spark, dir, "lineitem")
+    val n = li.count()
+    assert(rows.size == 7)
+    rows.values.foreach(r => assert(r.getLong(1) == n))
+    assert(rows("l_returnflag").getLong(3) ==
+      li.select("l_returnflag").distinct().count())
+    val minQty = li.agg(min("l_quantity")).collect()(0).getDouble(0)
+    assert(rows("l_quantity").getDouble(4) == minQty)
+  }
 }

@@ -399,6 +399,79 @@ object AnalyticsOps {
     profiles.reduce(_ unionByName _).orderBy("column_name")
   }
 
+  // ---------------------------------------------------------------------
+  // q155 — Hive-partitioned layout + partition-pruned scan
+  // ---------------------------------------------------------------------
+
+  /** Writes events Hive-partitioned by day (`partitionBy("dt")`, one
+    * writer task per day via `repartition(dt)` — q96's small-files
+    * contract) and reads back a 3-day window. The dt predicate is a
+    * PARTITION filter: Spark prunes to 3 of 30 directories at planning
+    * time and the other 27 days are never opened (spec-asserted via
+    * `input_file_name`). This is THE layout decision for a 100 TB event
+    * store — time-partitioned parquet makes every time-bounded query cost
+    * proportional to its window, not the corpus. */
+  private[graft] def partitionedEventsStore(s: SparkSession, dir: String): String = {
+    val out = graft.Scratch.fresh("partevents_")
+    t(s, dir, "events")
+      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd"))
+      .repartition(col("dt"))
+      .write.mode("overwrite").partitionBy("dt").parquet(out)
+    out
+  }
+
+  private def q155(s: SparkSession, dir: String): DataFrame = {
+    val out = partitionedEventsStore(s, dir)
+    s.read.parquet(out)
+      .filter(col("dt") >= "2024-01-10" && col("dt") <= "2024-01-12")
+      .groupBy(col("dt").cast("string").as("dt"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100).cast("long")).as("sum_cents"))
+      .orderBy("dt", "event_type")
+  }
+
+  // ---------------------------------------------------------------------
+  // q156 — forward fill + linear interpolation of masked readings
+  // ---------------------------------------------------------------------
+
+  /** Gap repair for per-user value series: readings at event_id % 7 == 0
+    * are masked (deterministically, so both engines agree on the holes)
+    * and reconstructed — linear interpolation between the nearest
+    * surviving anchors when both exist, forward/backward fill at series
+    * edges. The sensor-imputation primitive; q140 fills MISSING rows with
+    * zeros, this repairs PRESENT rows with estimates.
+    *
+    * Anchor values ride integer cents and anchor times integer epoch
+    * seconds, so the interpolation is one exact-integer ratio and one
+    * multiply-add — bit-identical across engines (same expression tree,
+    * same promotions). Windows partition per user (bounded). */
+  private def q156(s: SparkSession, dir: String): DataFrame = {
+    val ord = Window.partitionBy("user_id").orderBy("es", "event_id")
+    val before = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val after = ord.rowsBetween(1, Window.unboundedFollowing)
+    val anchorEs = when(col("cents").isNotNull, col("es"))
+    val interp = (col("pval") +
+      (col("nval") - col("pval")) *
+        ((col("es") - col("pes")).cast("double") / (col("nes") - col("pes")).cast("double"))) / 100.0
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("es"),
+        when(col("event_id") % 7 =!= 0, round(col("value") * 100).cast("long")).as("cents"))
+      .withColumn("pes", last(anchorEs, ignoreNulls = true).over(before))
+      .withColumn("pval", last("cents", ignoreNulls = true).over(before))
+      .withColumn("nes", first(anchorEs, ignoreNulls = true).over(after))
+      .withColumn("nval", first("cents", ignoreNulls = true).over(after))
+      .filter(col("event_id") % 7 === 0)
+      .select(col("event_id"), col("user_id"),
+        when(col("pval").isNotNull && col("nval").isNotNull, "interp")
+          .when(col("pval").isNotNull, "ffill")
+          .when(col("nval").isNotNull, "bfill")
+          .otherwise("none").as("method"),
+        round(when(col("pval").isNotNull && col("nval").isNotNull, interp)
+          .when(col("pval").isNotNull, col("pval") / 100.0)
+          .when(col("nval").isNotNull, col("nval") / 100.0), 6).as("filled"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_interval_merge" -> (q146 _),
     "q147_pit_join" -> (q147 _),
@@ -408,7 +481,9 @@ object AnalyticsOps {
     "q151_knn_classify" -> (q151 _),
     "q152_two_hop" -> (q152 _),
     "q153_survivorship" -> (q153 _),
-    "q154_column_profile" -> (q154 _))
+    "q154_column_profile" -> (q154 _),
+    "q155_partition_pruning" -> (q155 _),
+    "q156_interpolate" -> (q156 _))
 
   private val numericProfileSql = Seq(
     "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount").map { c =>
@@ -471,6 +546,34 @@ object AnalyticsOps {
         |FROM nd LEFT JOIN kk USING (source) ORDER BY source""".stripMargin,
     "q154_column_profile" ->
       (numericProfileSql ++ stringProfileSql).mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+    "q155_partition_pruning" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS dt, event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events WHERE strftime(ts, '%Y-%m-%d') BETWEEN '2024-01-10' AND '2024-01-12'
+        |GROUP BY 1, 2 ORDER BY dt, event_type""".stripMargin,
+    "q156_interpolate" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    CASE WHEN event_id % 7 <> 0 THEN CAST(round(value * 100) AS BIGINT) END AS cents
+        |  FROM events),
+        |f AS (SELECT *,
+        |    last_value(CASE WHEN cents IS NOT NULL THEN es END IGNORE NULLS) OVER wp AS pes,
+        |    last_value(cents IGNORE NULLS) OVER wp AS pval,
+        |    first_value(CASE WHEN cents IS NOT NULL THEN es END IGNORE NULLS) OVER wf AS nes,
+        |    first_value(cents IGNORE NULLS) OVER wf AS nval
+        |  FROM e WINDOW
+        |    wp AS (PARTITION BY user_id ORDER BY es, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    wf AS (PARTITION BY user_id ORDER BY es, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
+        |SELECT event_id, user_id,
+        |  CASE WHEN pval IS NOT NULL AND nval IS NOT NULL THEN 'interp'
+        |       WHEN pval IS NOT NULL THEN 'ffill'
+        |       WHEN nval IS NOT NULL THEN 'bfill' ELSE 'none' END AS method,
+        |  round(CASE WHEN pval IS NOT NULL AND nval IS NOT NULL THEN
+        |      (pval + (nval - pval) * (CAST(es - pes AS DOUBLE) / CAST(nes - pes AS DOUBLE))) / 100.0
+        |    WHEN pval IS NOT NULL THEN pval / 100.0
+        |    WHEN nval IS NOT NULL THEN nval / 100.0 END, 6) AS filled
+        |FROM f WHERE event_id % 7 = 0 ORDER BY event_id""".stripMargin,
     "q146_interval_merge" ->
       """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
         |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS en FROM events),

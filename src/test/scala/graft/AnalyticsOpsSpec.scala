@@ -199,4 +199,52 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val minQty = li.agg(min("l_quantity")).collect()(0).getDouble(0)
     assert(rows("l_quantity").getDouble(4) == minQty)
   }
+
+  test("q155: the dt filter prunes to exactly the 3 selected partition dirs") {
+    val out = AnalyticsOps.partitionedEventsStore(spark, dir)
+    val files = spark.read.parquet(out)
+      .filter(col("dt") >= "2024-01-10" && col("dt") <= "2024-01-12")
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    assert(files.nonEmpty, "pruned scan read no files — vacuous")
+    val allowed = Set("dt=2024-01-10", "dt=2024-01-11", "dt=2024-01-12")
+    files.foreach { f =>
+      assert(allowed.exists(f.contains), s"scan touched un-pruned file: $f")
+    }
+    // and the full store really has more partitions than the pruned read
+    val allParts = spark.read.parquet(out).select("dt").distinct().count()
+    assert(allParts > 3, s"store has only $allParts partitions — prune proof vacuous")
+  }
+
+  test("q156: interpolated values sit between anchors; fills match brute force") {
+    val rows = AnalyticsOps.queries("q156_interpolate")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val methods = rows.map(_.getString(2)).toSet
+    assert(methods.contains("interp"), "no interpolated rows — vacuous")
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("es"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1).map { case (u, xs) => (u, xs.sortBy(x => (x._3, x._2))) }
+    rows.foreach { r =>
+      val (eid, u, method) = (r.getLong(0), r.getLong(1), r.getString(2))
+      val series = byUser(u)
+      val idx = series.indexWhere(_._2 == eid)
+      val prev = series.take(idx).reverse.find(_._2 % 7 != 0)
+      val next = series.drop(idx + 1).find(_._2 % 7 != 0)
+      val want = (prev, next) match {
+        case (Some(p), Some(nx)) =>
+          val frac = (series(idx)._3 - p._3).toDouble / (nx._3 - p._3).toDouble
+          Some((p._4 + (nx._4 - p._4) * frac) / 100.0)
+        case (Some(p), None) => Some(p._4 / 100.0)
+        case (None, Some(nx)) => Some(nx._4 / 100.0)
+        case _ => None
+      }
+      want match {
+        case Some(w) =>
+          assert(math.abs(r.getDouble(3) - w) < 1e-6, s"event $eid: ${r.getDouble(3)} vs $w")
+        case None => assert(method == "none")
+      }
+    }
+  }
 }

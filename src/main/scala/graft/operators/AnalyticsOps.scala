@@ -472,6 +472,113 @@ object AnalyticsOps {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q157 — PMI collocations (phrase mining)
+  // ---------------------------------------------------------------------
+
+  /** Pointwise mutual information over adjacent (ordered) word pairs —
+    * the collocation statistic phrase-mining and tokenizer-vocabulary
+    * induction use to find units like "new york" that deserve a single
+    * token (q128's BPE counts adjacency; PMI normalizes it by the
+    * marginals). Three map-side-combinable counts (pairs, unigrams,
+    * totals), marginals broadcast back onto the vocabulary²-bounded pair
+    * table, PMI = ln(P(ab) / (P(a)·P(b))) computed on an identical
+    * expression tree in both engines (exact integer counts widened to
+    * double once). Pairs below 5 occurrences are noise-gated. */
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(array_remove(split(lower(col("text")), "\\s+"), "").as("ws"))
+    val uni = docs.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val totals = docs.agg(
+      sum(size(col("ws"))).cast("double").as("n_tok"),
+      sum(greatest(size(col("ws")) - 1, lit(0))).cast("double").as("n_pairs"))
+    val pairs = docs.filter(size(col("ws")) >= 2)
+      .withColumn("l", slice(col("ws"), lit(1), size(col("ws")) - 1))
+      .withColumn("r", slice(col("ws"), lit(2), size(col("ws")) - 1))
+      .select(explode(arrays_zip(col("l"), col("r"))).as("bg"))
+      .select(col("bg.l").as("a"), col("bg.r").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= 5)
+    pairs
+      .join(broadcast(uni.select(col("w").as("a"), col("cw").as("ca"))), "a")
+      .join(broadcast(uni.select(col("w").as("b"), col("cw").as("cb"))), "b")
+      .crossJoin(broadcast(totals))
+      .select(col("a"), col("b"), col("cab"),
+        round(log((col("cab").cast("double") / col("n_pairs")) /
+          ((col("ca").cast("double") / col("n_tok")) *
+            (col("cb").cast("double") / col("n_tok")))), 6).as("pmi"))
+      .orderBy("a", "b")
+  }
+
+  // ---------------------------------------------------------------------
+  // q158 — A/B test (two-proportion z)
+  // ---------------------------------------------------------------------
+
+  /** Experiment readout: users split into variants by id hash parity,
+    * "converted" = at least 14 purchases, two-proportion pooled z-score
+    * with the usual normal approximation — the decision statistic every
+    * product experiment ends with. Counts are exact integers from two
+    * aggregations (per-user rollup, then per-variant), and the z closed
+    * form is a single identical expression tree in both engines; the
+    * significance boolean compares the ROUNDED z so an ulp cannot flip
+    * the verdict. */
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("n_purch"))
+      .select((col("user_id") % 2).as("variant"),
+        when(col("n_purch") >= 14, 1L).otherwise(0L).as("conv"))
+    val byVariant = perUser.groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("conv").as("n_conv"))
+    val a = byVariant.filter(col("variant") === 0)
+      .select(col("n").as("n0"), col("n_conv").as("c0"))
+    val b = byVariant.filter(col("variant") === 1)
+      .select(col("n").as("n1"), col("n_conv").as("c1"))
+    a.crossJoin(b)
+      .withColumn("p0", col("c0").cast("double") / col("n0"))
+      .withColumn("p1", col("c1").cast("double") / col("n1"))
+      .withColumn("pp", (col("c0") + col("c1")).cast("double") / (col("n0") + col("n1")))
+      .withColumn("z", round((col("p0") - col("p1")) /
+        sqrt(col("pp") * (lit(1.0) - col("pp")) *
+          (lit(1.0) / col("n0") + lit(1.0) / col("n1"))), 6))
+      .select(col("n0"), col("c0"), col("n1"), col("c1"),
+        round(col("p0"), 6).as("p0"), round(col("p1"), 6).as("p1"),
+        col("z"), (abs(col("z")) > 1.96).as("significant"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q159 — revenue concentration (Pareto deciles)
+  // ---------------------------------------------------------------------
+
+  /** Pareto/concentration report: customers ranked by lifetime spend,
+    * cut into population deciles, each reporting its exact revenue share
+    * and the cumulative share — "what fraction of customers makes 80% of
+    * revenue". The ranking window runs over the AGGREGATED customer
+    * dimension (orders-of-magnitude smaller than the fact table); for a
+    * billion-customer dimension the same report derives from
+    * `Percentiles.exactByRank` cuts on spend instead of ntile — the
+    * documented scale path (q136/q149's machinery). Exact integer cents
+    * everywhere; ties broken by customer key so ntile is total-ordered. */
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders").groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val decile = ntile(10).over(
+      Window.orderBy(col("cents").desc, col("o_custkey"))).cast("long")
+    val cum = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byDecile = spend.withColumn("decile", decile)
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), sum("cents").as("dec_cents"))
+    byDecile
+      .crossJoin(broadcast(spend.agg(sum("cents").as("total_cents"))))
+      .withColumn("cum_cents", sum("dec_cents").over(cum))
+      .select(col("decile"), col("n_customers"),
+        round(col("dec_cents").cast("double") / col("total_cents"), 6).as("share"),
+        round(col("cum_cents").cast("double") / col("total_cents"), 6).as("cum_share"))
+      .orderBy("decile")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_interval_merge" -> (q146 _),
     "q147_pit_join" -> (q147 _),
@@ -483,7 +590,10 @@ object AnalyticsOps {
     "q153_survivorship" -> (q153 _),
     "q154_column_profile" -> (q154 _),
     "q155_partition_pruning" -> (q155 _),
-    "q156_interpolate" -> (q156 _))
+    "q156_interpolate" -> (q156 _),
+    "q157_pmi_collocations" -> (q157 _),
+    "q158_ab_test" -> (q158 _),
+    "q159_pareto_deciles" -> (q159 _))
 
   private val numericProfileSql = Seq(
     "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount").map { c =>
@@ -574,6 +684,54 @@ object AnalyticsOps {
         |    WHEN pval IS NOT NULL THEN pval / 100.0
         |    WHEN nval IS NOT NULL THEN nval / 100.0 END, 6) AS filled
         |FROM f WHERE event_id % 7 = 0 ORDER BY event_id""".stripMargin,
+    "q157_pmi_collocations" ->
+      """WITH w AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |uni AS (SELECT word AS wd, CAST(count(*) AS BIGINT) AS cw
+        |  FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word),
+        |tot AS (SELECT CAST(sum(len(ws)) AS DOUBLE) AS n_tok,
+        |    CAST(sum(greatest(len(ws) - 1, 0)) AS DOUBLE) AS n_pairs FROM w),
+        |pr AS (SELECT ws[i] AS a, ws[i+1] AS b, CAST(count(*) AS BIGINT) AS cab
+        |  FROM w, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT a, b, cab,
+        |  round(ln((CAST(cab AS DOUBLE) / n_pairs) /
+        |    ((CAST(ua.cw AS DOUBLE) / n_tok) * (CAST(ub.cw AS DOUBLE) / n_tok))), 6) AS pmi
+        |FROM pr JOIN uni ua ON ua.wd = pr.a JOIN uni ub ON ub.wd = pr.b, tot
+        |ORDER BY a, b""".stripMargin,
+    "q158_ab_test" ->
+      """WITH pu AS (SELECT user_id,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purch
+        |  FROM events GROUP BY user_id),
+        |v AS (SELECT user_id % 2 AS variant,
+        |    CASE WHEN n_purch >= 14 THEN 1 ELSE 0 END AS conv FROM pu),
+        |bv AS (SELECT variant, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS n_conv
+        |  FROM v GROUP BY variant),
+        |x AS (SELECT
+        |    (SELECT n FROM bv WHERE variant = 0) AS n0, (SELECT n_conv FROM bv WHERE variant = 0) AS c0,
+        |    (SELECT n FROM bv WHERE variant = 1) AS n1, (SELECT n_conv FROM bv WHERE variant = 1) AS c1),
+        |y AS (SELECT *, CAST(c0 AS DOUBLE) / n0 AS p0, CAST(c1 AS DOUBLE) / n1 AS p1,
+        |    CAST(c0 + c1 AS DOUBLE) / (n0 + n1) AS pp FROM x),
+        |z AS (SELECT *, round((p0 - p1) / sqrt(pp * (1.0 - pp) * (1.0 / n0 + 1.0 / n1)), 6) AS zv
+        |  FROM y)
+        |SELECT n0, c0, n1, c1, round(p0, 6) AS p0, round(p1, 6) AS p1, zv AS z,
+        |  abs(zv) > 1.96 AS significant
+        |FROM z""".stripMargin,
+    "q159_pareto_deciles" ->
+      """WITH sp AS (SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |d AS (SELECT o_custkey, cents,
+        |    CAST(ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS BIGINT) AS decile FROM sp),
+        |bd AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(cents) AS BIGINT) AS dec_cents FROM d GROUP BY decile),
+        |tt AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents FROM sp),
+        |cc AS (SELECT *, CAST(sum(dec_cents) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |  FROM bd)
+        |SELECT decile, n_customers,
+        |  round(CAST(dec_cents AS DOUBLE) / total_cents, 6) AS share,
+        |  round(CAST(cum_cents AS DOUBLE) / total_cents, 6) AS cum_share
+        |FROM cc, tt ORDER BY decile""".stripMargin,
     "q146_interval_merge" ->
       """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
         |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS en FROM events),

@@ -247,4 +247,45 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q157: PMI matches a driver-side recomputation for every emitted pair") {
+    val texts = Tables(spark, dir, "documents").select("text").collect().map(_.getString(0))
+    val docs = texts.map(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val nTok = docs.map(_.length).sum.toDouble
+    val nPairs = docs.map(ws => math.max(ws.length - 1, 0)).sum.toDouble
+    val cw = docs.flatten.groupBy(identity).map { case (w, xs) => (w, xs.length) }
+    val cab = docs.flatMap(_.sliding(2).filter(_.length == 2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, xs) => (p, xs.length) }
+    val got = AnalyticsOps.queries("q157_pmi_collocations")(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (a, b, c, pmi) = (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+      assert(c == cab((a, b)).toLong)
+      val want = math.log((c / nPairs) / ((cw(a) / nTok) * (cw(b) / nTok)))
+      assert(math.abs(pmi - want) < 1e-5, s"($a,$b): $pmi vs $want")
+    }
+    // gate is real: some pair exists below the threshold
+    assert(cab.values.exists(_ < 5), "no pair under the noise gate — vacuous")
+  }
+
+  test("q158: z-score matches the closed form on exact counts") {
+    val r = AnalyticsOps.queries("q158_ab_test")(spark, dir).collect()(0)
+    val (n0, c0, n1, c1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (p0, p1) = (c0.toDouble / n0, c1.toDouble / n1)
+    val pp = (c0 + c1).toDouble / (n0 + n1)
+    val z = (p0 - p1) / math.sqrt(pp * (1 - pp) * (1.0 / n0 + 1.0 / n1))
+    assert(math.abs(r.getDouble(6) - z) < 1e-5)
+    assert(r.getBoolean(7) == (math.abs(r.getDouble(6)) > 1.96))
+  }
+
+  test("q159: deciles partition customers; cumulative share ends at 1") {
+    val rows = AnalyticsOps.queries("q159_pareto_deciles")(spark, dir).collect()
+    assert(rows.length == 10)
+    val nCust = Tables(spark, dir, "orders").select("o_custkey").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nCust)
+    assert(math.abs(rows.last.getDouble(3) - 1.0) < 1e-9)
+    // shares are non-increasing down the ranking
+    val shares = rows.map(_.getDouble(2))
+    shares.sliding(2).foreach { case Array(hi, lo) => assert(hi >= lo - 1e-9) }
+  }
 }

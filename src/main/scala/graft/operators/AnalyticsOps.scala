@@ -579,6 +579,84 @@ object AnalyticsOps {
       .orderBy("decile")
   }
 
+  // ---------------------------------------------------------------------
+  // q160 — market-basket association (support / confidence / lift)
+  // ---------------------------------------------------------------------
+
+  /** Item-item association over orders: distinct (order, part) pairs
+    * self-joined per order (order sizes are bounded — ≤ 13 items — so the
+    * per-key pair fan-out is quadratic in a SMALL constant, the same
+    * bounded-bucket argument as the LSH bands), support-gated, then
+    * confidence and lift from broadcast item marginals. The global
+    * top-100 rides `orderBy(...).limit(100)` — Spark's TakeOrdered, a
+    * per-partition top-k + driver merge, NOT a single-partition sort.
+    * Lift ordering uses the ROUNDED value with (pa, pb) tie-breaks. */
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    val itm = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val nOrders = itm.select("o").distinct().count()
+    val freq = itm.groupBy("p").agg(count(lit(1)).as("cp"))
+    val pairs = itm.as("a").join(itm.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+    pairs
+      .join(broadcast(freq.select(col("p").as("pa"), col("cp").as("ca"))), "pa")
+      .join(broadcast(freq.select(col("p").as("pb"), col("cp").as("cb"))), "pb")
+      .select(col("pa"), col("pb"), col("support"),
+        round(col("support").cast("double") / col("ca"), 6).as("confidence"),
+        round(col("support").cast("double") * nOrders /
+          (col("ca") * col("cb")).cast("double"), 6).as("lift"))
+      .orderBy(col("lift").desc, col("pa"), col("pb"))
+      .limit(100)
+  }
+
+  // ---------------------------------------------------------------------
+  // q161 — entry-path analysis (first-3-event sequences)
+  // ---------------------------------------------------------------------
+
+  /** Onboarding-path mining: each user's first three event types (by
+    * ingestion order) concatenated into a path string, counted across the
+    * population — the "how do users start" report. One bounded per-user
+    * window (rows 1–3 only survive), one aggregation over a type³-bounded
+    * key space. */
+  private def q161(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("user_id")
+      .agg(concat_ws(">", sort_array(collect_list(
+        struct(col("rn"), col("event_type")))).getField("event_type")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q162 — Gini coefficient of customer spend
+  // ---------------------------------------------------------------------
+
+  /** Inequality of the spend distribution in one exact-integer pass:
+    * customers ranked by (cents, key), Gini from the rank-weighted sum
+    * G = (2·Σ(i·xᵢ) − (n+1)·Σx) / (n·Σx) — every term an exact int64
+    * (Σ(i·xᵢ) ≤ 2e15 here), one double division at the end. The ranking
+    * window runs over the aggregated customer dimension (q159's
+    * documented trade; rank-selection cuts are the billion-row path). */
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders").groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+    val rk = Window.orderBy(col("cents"), col("o_custkey"))
+    spend.withColumn("i", row_number().over(rk).cast("long"))
+      .agg(count(lit(1)).as("n"),
+        sum("cents").as("total_cents"),
+        sum(col("i") * col("cents")).as("iwx"))
+      .select(col("n"), col("total_cents"),
+        round((lit(2.0) * col("iwx") - (col("n") + 1).cast("double") * col("total_cents")) /
+          (col("n").cast("double") * col("total_cents")), 6).as("gini"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_interval_merge" -> (q146 _),
     "q147_pit_join" -> (q147 _),
@@ -593,7 +671,10 @@ object AnalyticsOps {
     "q156_interpolate" -> (q156 _),
     "q157_pmi_collocations" -> (q157 _),
     "q158_ab_test" -> (q158 _),
-    "q159_pareto_deciles" -> (q159 _))
+    "q159_pareto_deciles" -> (q159 _),
+    "q160_market_basket" -> (q160 _),
+    "q161_user_paths" -> (q161 _),
+    "q162_gini" -> (q162 _))
 
   private val numericProfileSql = Seq(
     "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount").map { c =>
@@ -732,6 +813,37 @@ object AnalyticsOps {
         |  round(CAST(dec_cents AS DOUBLE) / total_cents, 6) AS share,
         |  round(CAST(cum_cents AS DOUBLE) / total_cents, 6) AS cum_share
         |FROM cc, tt ORDER BY decile""".stripMargin,
+    "q160_market_basket" ->
+      """WITH itm AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |no AS (SELECT count(DISTINCT o) AS n_orders FROM itm),
+        |fr AS (SELECT p, CAST(count(*) AS BIGINT) AS cp FROM itm GROUP BY p),
+        |pairs AS (SELECT a.p AS pa, b.p AS pb, CAST(count(*) AS BIGINT) AS support
+        |  FROM itm a JOIN itm b ON a.o = b.o AND a.p < b.p
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT pa, pb, support,
+        |  round(CAST(support AS DOUBLE) / fa.cp, 6) AS confidence,
+        |  round(CAST(support AS DOUBLE) * n_orders / CAST(fa.cp * fb.cp AS DOUBLE), 6) AS lift
+        |FROM pairs JOIN fr fa ON fa.p = pa JOIN fr fb ON fb.p = pb, no
+        |ORDER BY lift DESC, pa, pb LIMIT 100""".stripMargin,
+    "q161_user_paths" ->
+      """WITH r AS (SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM r WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path ORDER BY n_users DESC, path""".stripMargin,
+    "q162_gini" ->
+      """WITH sp AS (SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |r AS (SELECT cents, CAST(row_number() OVER (ORDER BY cents, o_custkey) AS BIGINT) AS i
+        |  FROM sp),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS total_cents,
+        |    CAST(sum(i * cents) AS BIGINT) AS iwx FROM r)
+        |SELECT n, total_cents,
+        |  round((2.0 * iwx - CAST(n + 1 AS DOUBLE) * total_cents) /
+        |    (CAST(n AS DOUBLE) * total_cents), 6) AS gini
+        |FROM a""".stripMargin,
     "q146_interval_merge" ->
       """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
         |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS en FROM events),

@@ -288,4 +288,49 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     val shares = rows.map(_.getDouble(2))
     shares.sliding(2).foreach { case Array(hi, lo) => assert(hi >= lo - 1e-9) }
   }
+
+  test("q160: support/confidence/lift match brute force for every emitted pair") {
+    val itm = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = itm.map(_._1).distinct.length
+    val cp = itm.groupBy(_._2).map { case (p, xs) => (p, xs.length) }
+    val byOrder = itm.groupBy(_._1).map { case (_, xs) => xs.map(_._2).sorted }
+    val support = scala.collection.mutable.Map[(Long, Long), Int]().withDefaultValue(0)
+    byOrder.foreach { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.length)
+        support((ps(i), ps(j))) += 1
+    }
+    val got = AnalyticsOps.queries("q160_market_basket")(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (pa, pb, sup) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(sup == support((pa, pb)), s"($pa,$pb)")
+      val lift = sup.toDouble * nOrders / (cp(pa).toDouble * cp(pb))
+      assert(math.abs(r.getDouble(4) - lift) < 1e-5)
+    }
+  }
+
+  test("q161: path counts cover every user; paths have at most 3 hops") {
+    val rows = AnalyticsOps.queries("q161_user_paths")(spark, dir).collect()
+    val nUsers = Tables(spark, dir, "events").select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum == nUsers)
+    rows.foreach(r => assert(r.getString(0).split(">").length <= 3))
+  }
+
+  test("q162: gini matches brute force and sits in [0,1)") {
+    val spend = Tables(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (k, c) => (c, k) }
+    val n = spend.length.toLong
+    val tot = spend.map(_._2).sum
+    val iwx = spend.zipWithIndex.map { case ((_, c), i) => (i + 1) * c }.sum
+    val want = (2.0 * iwx - (n + 1).toDouble * tot) / (n.toDouble * tot)
+    val r = AnalyticsOps.queries("q162_gini")(spark, dir).collect()(0)
+    assert(r.getLong(0) == n && r.getLong(1) == tot)
+    assert(math.abs(r.getDouble(2) - want) < 1e-5)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
+  }
 }

@@ -75,7 +75,16 @@ object PipelineOps {
       }
       .toDF("split", "n_slices", "n_hr", "n_dark", "n_lr")
 
-    patched.groupBy("split")
+    // QC counters ride the SAME pass via observe() — at 100 TB a separate
+    // "count the drops" job re-reads the corpus; observed metrics are
+    // collected by the running aggregation for free (ObserveSpec asserts
+    // they match the result exactly).
+    patched
+      .observe("flagship_qc",
+        count(lit(1)).as("n_slice_rows"),
+        sum("n_hr").as("n_hr_total"),
+        sum("n_dark").as("n_dark_total"))
+      .groupBy("split")
       .agg(sum("n_slices").as("n_slices"), sum("n_hr").as("n_hr_patches"),
         sum("n_dark").as("n_dark_discarded"), sum("n_lr").as("n_lr_patches"))
       .orderBy("split")

@@ -657,6 +657,77 @@ object AnalyticsOps {
           (col("n").cast("double") * col("total_cents")), 6).as("gini"))
   }
 
+  // ---------------------------------------------------------------------
+  // q163 — dataset card (one-stop corpus report)
+  // ---------------------------------------------------------------------
+
+  /** The dataset card a corpus release ships with, as one query: volume,
+    * source/language mix, length distribution (median/p90 via the grouped
+    * rank-selection — no sort window), exact-duplicate rate, and mean
+    * document length — each a (stat, value) row so the whole card
+    * hash-checks. Every number is an exact integer or a once-divided
+    * ratio; the length quantiles reuse `Percentiles.exactByRank` and are
+    * rounded to the data's own (integer) granularity. */
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = t(s, dir, "documents")
+    val basic = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum("n_chars").as("sum_chars"),
+      countDistinct(md5(lower(col("text")))).as("n_uniq")).collect()(0)
+    val cuts = Percentiles.exactByRank(
+        docs.withColumn("g", lit("all")), "g", "n_chars", Seq(0.5, 0.9))
+      .collect().map(r => (r.getAs[Double]("p"), math.round(r.getAs[Double]("value")).toDouble)).toMap
+    val nDocs = basic.getAs[Long]("n_docs")
+    // HALF_UP at 6 decimals — the same decimal rounding Spark's round()
+    // and DuckDB's round() apply (rint would tie-break half-even)
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq(
+      ("chars_mean", r6(basic.getAs[Long]("sum_chars").toDouble / nDocs)),
+      ("chars_p50", cuts(0.5)),
+      ("chars_p90", cuts(0.9)),
+      ("docs_total", nDocs.toDouble),
+      ("dup_rate", r6((nDocs - basic.getAs[Long]("n_uniq")).toDouble / nDocs)),
+      ("langs", basic.getAs[Long]("n_langs").toDouble),
+      ("sources", basic.getAs[Long]("n_sources").toDouble))
+      .toDF("stat", "value")
+      .orderBy("stat")
+  }
+
+  // ---------------------------------------------------------------------
+  // q164 — time-weighted average (trapezoidal)
+  // ---------------------------------------------------------------------
+
+  /** Time-weighted mean value per user: trapezoid integration over the
+    * event series — Σ Δt·(vᵢ+vᵢ₊₁)/2 over the observed span — the correct
+    * average for irregularly sampled readings (a plain mean over-weights
+    * bursts). One per-user window (lead), integer cents × integer seconds
+    * sums (exact int64), a single final division. Users with one event
+    * report their lone value. */
+  private def q164(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("es", "event_id")
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("es"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .withColumn("nes", lead("es", 1).over(w))
+      .withColumn("ncents", lead("cents", 1).over(w))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        // 2·∫v dt in cent·seconds — exact int64
+        sum(when(col("nes").isNotNull,
+          (col("nes") - col("es")) * (col("cents") + col("ncents")))).as("twice_area"),
+        (max("es") - min("es")).as("span_s"),
+        min("cents").as("first_cents"))
+      .select(col("user_id"), col("n_events"),
+        round(when(col("span_s") > 0,
+            col("twice_area").cast("double") / (lit(2.0) * col("span_s")) / 100.0)
+          .otherwise(col("first_cents").cast("double") / 100.0), 6).as("twa"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_interval_merge" -> (q146 _),
     "q147_pit_join" -> (q147 _),
@@ -674,7 +745,9 @@ object AnalyticsOps {
     "q159_pareto_deciles" -> (q159 _),
     "q160_market_basket" -> (q160 _),
     "q161_user_paths" -> (q161 _),
-    "q162_gini" -> (q162 _))
+    "q162_gini" -> (q162 _),
+    "q163_dataset_card" -> (q163 _),
+    "q164_time_weighted_avg" -> (q164 _))
 
   private val numericProfileSql = Seq(
     "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount").map { c =>
@@ -844,6 +917,38 @@ object AnalyticsOps {
         |  round((2.0 * iwx - CAST(n + 1 AS DOUBLE) * total_cents) /
         |    (CAST(n AS DOUBLE) * total_cents), 6) AS gini
         |FROM a""".stripMargin,
+    "q163_dataset_card" ->
+      """WITH b AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(count(DISTINCT md5(lower(text))) AS BIGINT) AS n_uniq
+        |  FROM documents),
+        |q AS (SELECT round(quantile_cont(n_chars, 0.5), 0) AS p50,
+        |    round(quantile_cont(n_chars, 0.9), 0) AS p90 FROM documents)
+        |SELECT stat, value FROM (
+        |  SELECT 'chars_mean' AS stat, round(CAST(sum_chars AS DOUBLE) / n_docs, 6) AS value FROM b
+        |  UNION ALL SELECT 'chars_p50', p50 FROM q
+        |  UNION ALL SELECT 'chars_p90', p90 FROM q
+        |  UNION ALL SELECT 'docs_total', CAST(n_docs AS DOUBLE) FROM b
+        |  UNION ALL SELECT 'dup_rate', round(CAST(n_docs - n_uniq AS DOUBLE) / n_docs, 6) FROM b
+        |  UNION ALL SELECT 'langs', CAST(n_langs AS DOUBLE) FROM b
+        |  UNION ALL SELECT 'sources', CAST(n_sources AS DOUBLE) FROM b)
+        |ORDER BY stat""".stripMargin,
+    "q164_time_weighted_avg" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |l AS (SELECT *, lead(es) OVER (PARTITION BY user_id ORDER BY es, event_id) AS nes,
+        |    lead(cents) OVER (PARTITION BY user_id ORDER BY es, event_id) AS ncents FROM e),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CASE WHEN nes IS NOT NULL THEN (nes - es) * (cents + ncents) END) AS BIGINT) AS twice_area,
+        |    CAST(max(es) - min(es) AS BIGINT) AS span_s,
+        |    CAST(min(cents) AS BIGINT) AS first_cents
+        |  FROM l GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  round(CASE WHEN span_s > 0 THEN CAST(twice_area AS DOUBLE) / (2.0 * span_s) / 100.0
+        |        ELSE CAST(first_cents AS DOUBLE) / 100.0 END, 6) AS twa
+        |FROM g ORDER BY user_id""".stripMargin,
     "q146_interval_merge" ->
       """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
         |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS en FROM events),

@@ -333,4 +333,36 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - want) < 1e-5)
     assert(r.getDouble(2) >= 0.0 && r.getDouble(2) < 1.0)
   }
+
+  test("q163: card stats are internally consistent") {
+    val card = AnalyticsOps.queries("q163_dataset_card")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val nDocs = Tables(spark, dir, "documents").count().toDouble
+    assert(card("docs_total") == nDocs)
+    assert(card("chars_p50") <= card("chars_p90"))
+    assert(card("dup_rate") >= 0.0 && card("dup_rate") < 1.0)
+    assert(card("chars_mean") > 0)
+    assert(card.size == 7)
+  }
+
+  test("q164: trapezoid TWA matches brute force per user") {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_timestamp(col("ts")).as("es"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = AnalyticsOps.queries("q164_time_weighted_avg")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    ev.groupBy(_._1).foreach { case (u, xs) =>
+      val s = xs.sortBy(x => (x._3, x._2))
+      val span = s.last._3 - s.head._3
+      val want =
+        if (span > 0) {
+          val area2 = s.sliding(2).collect { case Array(a, b) =>
+            (b._3 - a._3) * (a._4 + b._4)
+          }.sum
+          area2.toDouble / (2.0 * span) / 100.0
+        } else s.map(_._4).min / 100.0
+      assert(math.abs(got(u) - want) < 1e-5, s"user $u: ${got(u)} vs $want")
+    }
+  }
 }

@@ -728,6 +728,70 @@ object AnalyticsOps {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q165 — exact bitmap semi-join (dense-int dimension)
+  // ---------------------------------------------------------------------
+
+  /** The EXACT sibling of q104's Bloom prune: when the dimension key is a
+    * bounded dense integer (surrogate keys are), the filtered key set fits
+    * a literal bitmap (1 bit/key — ~2 KB here, 125 MB even at 10⁹ keys,
+    * broadcast-friendly; roaring-style compression is the sparse-domain
+    * path). The fact scan keeps rows by one codegen'd word-index bit test
+    * BEFORE any exchange, and — unlike Bloom — no residual join is needed:
+    * membership is exact, so the bitmap IS the semi join. Oracle = the
+    * plain semi join; spec asserts prunedCount == semiJoinCount. */
+  private[graft] def bitmapWords(keys: DataFrame, keyCol: String, maxKey: Long): Seq[Long] = {
+    val words = keys
+      .select(expr(s"$keyCol div 64").as("w"), expr(s"cast($keyCol % 64 as int)").as("b"))
+      .groupBy("w").agg(expr("bit_or(shiftleft(1L, b))").as("word"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    Seq.tabulate((maxKey / 64 + 1).toInt)(i => words.getOrElse(i, 0L))
+  }
+
+  private[graft] def bitmapSemi(df: DataFrame, probeCol: String, bm: Seq[Long]): DataFrame =
+    df.withColumn("graft_bm", typedLit(bm))
+      .filter(expr(
+        s"""$probeCol >= 0 AND $probeCol < ${bm.length * 64L} AND
+           |((graft_bm[cast($probeCol div 64 as int)] >> cast($probeCol % 64 as int)) & 1) = 1""".stripMargin))
+      .drop("graft_bm")
+
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    val keys = t(s, dir, "customer")
+      .filter(col("c_acctbal") > 9000).select("c_custkey")
+    val maxKey = t(s, dir, "customer").agg(max("c_custkey")).collect()(0).getLong(0)
+    bitmapSemi(t(s, dir, "orders"), "o_custkey", bitmapWords(keys, "c_custkey", maxKey))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ---------------------------------------------------------------------
+  // q166 — 2-D skyline (Pareto front)
+  // ---------------------------------------------------------------------
+
+  /** Non-dominated customers on (spend, order count): the Pareto front a
+    * multi-objective ranking keeps — no other customer is ≥ on both axes
+    * and > on one. Identical points collapse first (both survive true
+    * dominance), then one descending sweep: a point stays iff its y
+    * strictly exceeds the running max y of everything with better-or-equal
+    * x. The sweep window runs over the DISTINCT (x, y) point set — already
+    * far smaller than the dimension — ordered (x desc, y desc) so equal-x
+    * higher-y points correctly dominate. */
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    val spend = t(s, dir, "orders").groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"),
+        count(lit(1)).as("n_orders"))
+    val pts = spend.groupBy("cents", "n_orders").agg(count(lit(1)).as("n_customers"))
+    val sweep = Window.orderBy(col("cents").desc, col("n_orders").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pts
+      .withColumn("max_prev_y", max("n_orders").over(sweep))
+      .filter(col("max_prev_y").isNull || col("n_orders") > col("max_prev_y"))
+      .select(col("cents"), col("n_orders"), col("n_customers"))
+      .orderBy(col("cents").desc)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_interval_merge" -> (q146 _),
     "q147_pit_join" -> (q147 _),
@@ -747,7 +811,9 @@ object AnalyticsOps {
     "q161_user_paths" -> (q161 _),
     "q162_gini" -> (q162 _),
     "q163_dataset_card" -> (q163 _),
-    "q164_time_weighted_avg" -> (q164 _))
+    "q164_time_weighted_avg" -> (q164 _),
+    "q165_bitmap_semijoin" -> (q165 _),
+    "q166_skyline" -> (q166 _))
 
   private val numericProfileSql = Seq(
     "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount").map { c =>
@@ -949,6 +1015,23 @@ object AnalyticsOps {
         |  round(CASE WHEN span_s > 0 THEN CAST(twice_area AS DOUBLE) / (2.0 * span_s) / 100.0
         |        ELSE CAST(first_cents AS DOUBLE) / 100.0 END, 6) AS twa
         |FROM g ORDER BY user_id""".stripMargin,
+    "q165_bitmap_semijoin" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM orders WHERE o_custkey IN
+        |  (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q166_skyline" ->
+      """WITH sp AS (SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+        |    CAST(count(*) AS BIGINT) AS n_orders
+        |  FROM orders GROUP BY o_custkey),
+        |pts AS (SELECT cents, n_orders, CAST(count(*) AS BIGINT) AS n_customers
+        |  FROM sp GROUP BY cents, n_orders),
+        |sw AS (SELECT *, max(n_orders) OVER (ORDER BY cents DESC, n_orders DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_prev_y FROM pts)
+        |SELECT cents, n_orders, n_customers FROM sw
+        |WHERE max_prev_y IS NULL OR n_orders > max_prev_y
+        |ORDER BY cents DESC""".stripMargin,
     "q146_interval_merge" ->
       """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
         |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS en FROM events),

@@ -365,4 +365,35 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(math.abs(got(u) - want) < 1e-5, s"user $u: ${got(u)} vs $want")
     }
   }
+
+  test("q165: bitmap prune is EXACT — pruned set equals the semi join, no residual") {
+    import graft.operators.AnalyticsOps.{bitmapSemi, bitmapWords}
+    val keys = Tables(spark, dir, "customer")
+      .filter(col("c_acctbal") > 9000).select("c_custkey")
+    val maxKey = Tables(spark, dir, "customer")
+      .agg(max("c_custkey")).collect()(0).getLong(0)
+    val orders = Tables(spark, dir, "orders")
+    val pruned = bitmapSemi(orders, "o_custkey", bitmapWords(keys, "c_custkey", maxKey))
+    val exact = orders.join(keys, orders("o_custkey") === keys("c_custkey"), "left_semi")
+    assert(pruned.count() == exact.count())
+    assert(pruned.count() > 0, "nothing survived the bitmap — vacuous")
+    assert(pruned.count() < orders.count(), "bitmap pruned nothing — vacuous")
+    // row-level identity, not just cardinality
+    assert(pruned.select("o_orderkey").except(exact.select("o_orderkey")).count() == 0)
+  }
+
+  test("q166: skyline points are mutually non-dominated and nothing dominates them") {
+    val spend = Tables(spark, dir, "orders").groupBy("o_custkey")
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val pts = spend.distinct
+    def dominates(a: (Long, Long), b: (Long, Long)): Boolean =
+      a._1 >= b._1 && a._2 >= b._2 && (a._1 > b._1 || a._2 > b._2)
+    val wantSkyline = pts.filter(p => !pts.exists(q => dominates(q, p))).toSet
+    val got = AnalyticsOps.queries("q166_skyline")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == wantSkyline, s"got ${got.size} vs want ${wantSkyline.size}")
+    assert(got.nonEmpty)
+  }
 }

@@ -792,6 +792,56 @@ object AnalyticsOps {
       .orderBy(col("cents").desc)
   }
 
+  // ---------------------------------------------------------------------
+  // q167 — BFS shortest-path levels (iterative frontier expansion)
+  // ---------------------------------------------------------------------
+
+  /** Unweighted shortest-path distances from a seed word over the
+    * co-occurrence graph — Pregel-style frontier iteration: each round
+    * joins the current frontier to the adjacency (one shuffle keyed on
+    * the frontier node), anti-joins out already-visited nodes, and
+    * localCheckpoints the visited set so the loop's lineage stays O(one
+    * round) (the q70/q127 iteration discipline). Terminates at the fixed
+    * point; the oracle replays it as a DuckDB RECURSIVE CTE with a
+    * diameter cap (spec asserts the cap exceeds the real diameter, so
+    * both computations are exact minima). */
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(array_remove(split(lower(col("text")), "\\s+"), "").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val edges = docs
+      .withColumn("l", slice(col("ws"), lit(1), size(col("ws")) - 1))
+      .withColumn("r", slice(col("ws"), lit(2), size(col("ws")) - 1))
+      .select(explode(arrays_zip(col("l"), col("r"))).as("bg"))
+      .select(col("bg.l").as("x"), col("bg.r").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
+      .distinct()
+    val adj = edges.select(col("u").as("a"), col("v").as("b"))
+      .union(edges.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
+    import s.implicits._
+    var visited = Seq(("table", 0L)).toDF("word", "dist").localCheckpoint(true)
+    var frontier = visited
+    var d = 0L
+    var growing = true
+    while (growing && d < 12) {
+      d += 1
+      val dd = d
+      val next = frontier.join(adj, col("word") === col("a"))
+        .select(col("b").as("word")).distinct()
+        .join(visited, Seq("word"), "left_anti")
+        .withColumn("dist", lit(dd))
+        .localCheckpoint(true)
+      growing = next.limit(1).count() > 0
+      if (growing) {
+        visited = visited.unionByName(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    visited.orderBy("word")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_interval_merge" -> (q146 _),
     "q147_pit_join" -> (q147 _),
@@ -813,7 +863,8 @@ object AnalyticsOps {
     "q163_dataset_card" -> (q163 _),
     "q164_time_weighted_avg" -> (q164 _),
     "q165_bitmap_semijoin" -> (q165 _),
-    "q166_skyline" -> (q166 _))
+    "q166_skyline" -> (q166 _),
+    "q167_bfs_levels" -> (q167 _))
 
   private val numericProfileSql = Seq(
     "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount").map { c =>
@@ -1032,6 +1083,20 @@ object AnalyticsOps {
         |SELECT cents, n_orders, n_customers FROM sw
         |WHERE max_prev_y IS NULL OR n_orders > max_prev_y
         |ORDER BY cents DESC""".stripMargin,
+    "q167_bfs_levels" ->
+      """WITH RECURSIVE w AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |bg AS (SELECT ws[i] AS x, ws[i+1] AS y FROM w, unnest(range(1, len(ws))) AS t(i)
+        |  WHERE len(ws) >= 2),
+        |e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM bg WHERE x <> y),
+        |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v AS a, u AS b FROM e),
+        |bfs AS (
+        |  SELECT 'table' AS word, CAST(0 AS BIGINT) AS dist
+        |  UNION
+        |  SELECT adj.b AS word, bfs.dist + 1 AS dist
+        |  FROM bfs JOIN adj ON adj.a = bfs.word WHERE bfs.dist < 12)
+        |SELECT word, CAST(min(dist) AS BIGINT) AS dist
+        |FROM bfs GROUP BY word ORDER BY word""".stripMargin,
     "q146_interval_merge" ->
       """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
         |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS en FROM events),

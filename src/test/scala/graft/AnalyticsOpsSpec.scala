@@ -396,4 +396,27 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got == wantSkyline, s"got ${got.size} vs want ${wantSkyline.size}")
     assert(got.nonEmpty)
   }
+
+  test("q167: BFS levels match driver-side BFS; diameter under the oracle cap") {
+    val texts = Tables(spark, dir, "documents").select("text").collect().map(_.getString(0))
+    val adj = scala.collection.mutable.Map[String, Set[String]]().withDefaultValue(Set())
+    texts.foreach { t =>
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty).sliding(2).foreach {
+        case Array(a, b) if a != b => adj(a) += b; adj(b) += a
+        case _ =>
+      }
+    }
+    val want = scala.collection.mutable.Map("table" -> 0L)
+    var frontier = Set("table"); var d = 0L
+    while (frontier.nonEmpty) {
+      d += 1
+      frontier = frontier.flatMap(adj(_)).filterNot(want.contains)
+      frontier.foreach(w => want(w) = d)
+    }
+    assert(d - 1 < 12, s"graph diameter ${d - 1} reached the oracle's recursion cap")
+    val got = AnalyticsOps.queries("q167_bfs_levels")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want.toMap, s"got ${got.size} vs want ${want.size}")
+    assert(got.values.max >= 1, "seed has no neighbors — vacuous")
+  }
 }

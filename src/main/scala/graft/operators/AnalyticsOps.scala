@@ -842,6 +842,37 @@ object AnalyticsOps {
     visited.orderBy("word")
   }
 
+  // ---------------------------------------------------------------------
+  // q168 — deterministic negative sampling (contrastive training)
+  // ---------------------------------------------------------------------
+
+  /** Contrastive-pair construction: for each anchor vector, 5 negatives
+    * drawn from different-label candidates by a content-derived md5
+    * priority — retry-stable and engine-exact (q113's sampling rule;
+    * rand() is neither). The per-anchor top-5 runs through the custom
+    * TopKPerKey operator, whose PARTIAL exec caps every map partition's
+    * buffer at k rows per anchor BEFORE the shuffle — the candidate
+    * stream is never sorted corpus-wide (the same map-side-prune shape
+    * q69 proves in TopKPlanSpec). Anchors broadcast; the label-mismatch
+    * join is nested-loop on the tiny side only. */
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("label").cast("long"))
+    val anchors = emb.filter(col("vec_id") % 100 === 25)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"))
+    val cand = emb.select(col("vec_id").as("neg_id"), col("label").as("neg_label"))
+    val scored = broadcast(anchors)
+      .join(cand, col("neg_label") =!= col("anchor_label"))
+      .withColumn("pri", md5(concat(col("anchor_id").cast("string"), lit("_"),
+        col("neg_id").cast("string"))))
+    graft.plans.TopKPerKey(scored, keyCols = Seq("anchor_id"),
+        orderBy = Seq(("pri", true), ("neg_id", true)), k = 5)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("anchor_id").orderBy("pri", "neg_id")).cast("long"))
+      .select(col("anchor_id"), col("anchor_label"), col("rk"),
+        col("neg_id"), col("neg_label"))
+      .orderBy("anchor_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_interval_merge" -> (q146 _),
     "q147_pit_join" -> (q147 _),
@@ -864,7 +895,8 @@ object AnalyticsOps {
     "q164_time_weighted_avg" -> (q164 _),
     "q165_bitmap_semijoin" -> (q165 _),
     "q166_skyline" -> (q166 _),
-    "q167_bfs_levels" -> (q167 _))
+    "q167_bfs_levels" -> (q167 _),
+    "q168_negative_sampling" -> (q168 _))
 
   private val numericProfileSql = Seq(
     "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount").map { c =>
@@ -1097,6 +1129,17 @@ object AnalyticsOps {
         |  FROM bfs JOIN adj ON adj.a = bfs.word WHERE bfs.dist < 12)
         |SELECT word, CAST(min(dist) AS BIGINT) AS dist
         |FROM bfs GROUP BY word ORDER BY word""".stripMargin,
+    "q168_negative_sampling" ->
+      """WITH a AS (SELECT vec_id AS anchor_id, CAST(label AS BIGINT) AS anchor_label
+        |  FROM embeddings WHERE vec_id % 100 = 25),
+        |c AS (SELECT vec_id AS neg_id, CAST(label AS BIGINT) AS neg_label FROM embeddings),
+        |s AS (SELECT anchor_id, anchor_label, neg_id, neg_label,
+        |    md5(CAST(anchor_id AS VARCHAR) || '_' || CAST(neg_id AS VARCHAR)) AS pri
+        |  FROM a JOIN c ON neg_label <> anchor_label),
+        |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY pri, neg_id) AS BIGINT) AS rk
+        |  FROM s)
+        |SELECT anchor_id, anchor_label, rk, neg_id, neg_label
+        |FROM r WHERE rk <= 5 ORDER BY anchor_id, rk""".stripMargin,
     "q146_interval_merge" ->
       """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
         |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS en FROM events),

@@ -419,4 +419,25 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(got == want.toMap, s"got ${got.size} vs want ${want.size}")
     assert(got.values.max >= 1, "seed has no neighbors — vacuous")
   }
+
+  test("q168: negatives never share the anchor label and match brute-force priorities") {
+    val emb = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val got = AnalyticsOps.queries("q168_negative_sampling")(spark, dir).collect()
+    assert(got.nonEmpty)
+    val anchors = emb.filter(_._1 % 100 == 25)
+    assert(got.length == anchors.length * 5)
+    anchors.foreach { case (aid, albl) =>
+      val want = emb.filter(_._2 != albl)
+        .map { case (nid, nlbl) => (md5hex(s"${aid}_$nid"), nid, nlbl) }
+        .sortBy(x => (x._1, x._2)).take(5).map(_._2)
+      val mine = got.filter(_.getLong(0) == aid).sortBy(_.getLong(2))
+      assert(mine.map(_.getLong(3)).toSeq == want.toSeq, s"anchor $aid")
+      mine.foreach(r => assert(r.getLong(4) != albl, s"anchor $aid drew same-label negative"))
+    }
+  }
 }

@@ -873,6 +873,64 @@ object AnalyticsOps {
       .orderBy("anchor_id", "rk")
   }
 
+  // ---------------------------------------------------------------------
+  // q169 — vocabulary coverage / OOV rate
+  // ---------------------------------------------------------------------
+
+  /** Tokenizer-vocabulary coverage: induce a top-20 vocabulary from the
+    * corpus itself (count desc, word tie-break — the q160 TakeOrdered
+    * shape, never a full sort), then measure per-source out-of-vocabulary
+    * token rates — the coverage check run before freezing a tokenizer.
+    * The vocabulary is broadcast back; OOV is a left-join null test;
+    * every ratio is one division of exact counts. */
+  private def q169(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("source"),
+        explode(array_remove(split(lower(col("text")), "\\s+"), "")).as("w"))
+    val vocab = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+      .orderBy(col("cw").desc, col("w")).limit(20)
+      .select(col("w"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        countDistinct(when(col("in_vocab").isNull, col("w"))).as("n_oov_types"))
+      .withColumn("oov_rate",
+        round(col("n_oov").cast("double") / col("n_tokens"), 6))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------------
+  // q170 — sliding-window context chunking (stride < window)
+  // ---------------------------------------------------------------------
+
+  /** LLM context-window chunking: 32-token windows at stride 16 (adjacent
+    * chunks share half their tokens — the overlap that keeps boundary
+    * context in at least one chunk), with per-source chunk counts, exact
+    * mean chunk length, and the distinct-chunk count (overlap-aware
+    * dedup). Start offsets come from `sequence(0, len-1, 16)` — pure
+    * Catalyst, no UDF — and q123's disjoint-span machinery is the
+    * stride = window special case. */
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents")
+      .select(col("source"),
+        array_remove(split(lower(col("text")), "\\s+"), "").as("ws"))
+      .filter(size(col("ws")) >= 1)
+      .select(col("source"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - 1, lit(16))).as("st"))
+      .select(col("source"),
+        slice(col("ws"), col("st") + 1, lit(32)).as("chunk"))
+      .select(col("source"), size(col("chunk")).cast("long").as("clen"),
+        md5(array_join(col("chunk"), " ")).as("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("clen").as("sum_tokens"),
+        countDistinct("h").as("n_distinct_chunks"))
+      .withColumn("mean_chunk_len",
+        round(col("sum_tokens").cast("double") / col("n_chunks"), 6))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_interval_merge" -> (q146 _),
     "q147_pit_join" -> (q147 _),
@@ -896,7 +954,9 @@ object AnalyticsOps {
     "q165_bitmap_semijoin" -> (q165 _),
     "q166_skyline" -> (q166 _),
     "q167_bfs_levels" -> (q167 _),
-    "q168_negative_sampling" -> (q168 _))
+    "q168_negative_sampling" -> (q168 _),
+    "q169_oov_rate" -> (q169 _),
+    "q170_window_chunks" -> (q170 _))
 
   private val numericProfileSql = Seq(
     "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount").map { c =>
@@ -1140,6 +1200,32 @@ object AnalyticsOps {
         |  FROM s)
         |SELECT anchor_id, anchor_label, rk, neg_id, neg_label
         |FROM r WHERE rk <= 5 ORDER BY anchor_id, rk""".stripMargin,
+    "q169_oov_rate" ->
+      """WITH tok AS (SELECT source,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |vc AS (SELECT w FROM (SELECT w, count(*) AS cw FROM tok GROUP BY w
+        |  ORDER BY cw DESC, w LIMIT 20)),
+        |j AS (SELECT source, tok.w, vc.w IS NOT NULL AS in_vocab
+        |  FROM tok LEFT JOIN vc ON tok.w = vc.w)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(count(DISTINCT CASE WHEN NOT in_vocab THEN w END) AS BIGINT) AS n_oov_types,
+        |  round(CAST(sum(CASE WHEN NOT in_vocab THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS oov_rate
+        |FROM j GROUP BY source ORDER BY source""".stripMargin,
+    "q170_window_chunks" ->
+      """WITH w AS (SELECT source,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |ch AS (SELECT source, ws[st+1 : st+32] AS chunk
+        |  FROM w, unnest(range(0, len(ws), 16)) AS t(st) WHERE len(ws) >= 1),
+        |h AS (SELECT source, CAST(len(chunk) AS BIGINT) AS clen,
+        |    md5(array_to_string(chunk, ' ')) AS h FROM ch)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(clen) AS BIGINT) AS sum_tokens,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_chunks,
+        |  round(CAST(sum(clen) AS DOUBLE) / count(*), 6) AS mean_chunk_len
+        |FROM h GROUP BY source ORDER BY source""".stripMargin,
     "q146_interval_merge" ->
       """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
         |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS en FROM events),

@@ -440,4 +440,41 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       mine.foreach(r => assert(r.getLong(4) != albl, s"anchor $aid drew same-label negative"))
     }
   }
+
+  test("q169: OOV rate matches a brute-force top-20 vocabulary") {
+    val docs = Tables(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)))
+    val counts = docs.flatMap(_._2).groupBy(identity).map { case (w, xs) => (w, xs.length) }
+    val vocab = counts.toSeq.sortBy { case (w, c) => (-c, w) }.take(20).map(_._1).toSet
+    val got = AnalyticsOps.queries("q169_oov_rate")(spark, dir)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    docs.groupBy(_._1).foreach { case (src, xs) =>
+      val toks = xs.flatMap(_._2)
+      val oov = toks.count(!vocab.contains(_))
+      val (n, o) = got(src)
+      assert(n == toks.length && o == oov, s"$src: got ($n,$o) want (${toks.length},$oov)")
+    }
+    assert(got.values.exists(_._2 > 0), "no OOV tokens anywhere — vacuous")
+  }
+
+  test("q170: chunk counts and overlap dedup match brute force") {
+    val docs = Tables(spark, dir, "documents")
+      .select("source", "text").collect()
+      .map(r => (r.getString(0), r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)))
+      .filter(_._2.nonEmpty)
+    val chunks = docs.flatMap { case (src, ws) =>
+      (0 until ws.length by 16).map(st => (src, ws.slice(st, st + 32)))
+    }
+    val got = AnalyticsOps.queries("q170_window_chunks")(spark, dir)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    chunks.groupBy(_._1).foreach { case (src, xs) =>
+      val (n, sum, dist) = got(src)
+      assert(n == xs.length, s"$src chunk count")
+      assert(sum == xs.map(_._2.length.toLong).sum, s"$src token sum")
+      assert(dist == xs.map(_._2.mkString(" ")).distinct.length, s"$src distinct")
+      // overlap is real: some adjacent chunks share tokens
+      assert(xs.exists(_._2.length == 32), s"$src has no full window — vacuous")
+    }
+  }
 }

@@ -931,6 +931,31 @@ object AnalyticsOps {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------------
+  // q171 — numeric distribution drift (decile comparison)
+  // ---------------------------------------------------------------------
+
+  /** Distribution-shift detection between ingest halves: exact deciles of
+    * the value column for each half from ONE grouped
+    * `Percentiles.exactByRank` pass (half IS the group key), compared
+    * pointwise — the KS-flavored numeric drift monitor beside q139's
+    * word-distribution KL. Quantiles are rounded to the data's own cents
+    * granularity (q136's rule) so interpolation ulps cannot differ. */
+  private def q171(s: SparkSession, dir: String): DataFrame = {
+    val halves = t(s, dir, "events")
+      .select(when(col("event_id") % 2 === 0, "a").otherwise("b").as("half"),
+        col("value"))
+    val cuts = Percentiles
+      .exactByRank(halves, "half", "value", (1 to 9).map(_ / 10.0))
+      .select(col("half"), col("p"), round(col("value"), 2).as("v"))
+    val a = cuts.filter(col("half") === "a").select(col("p"), col("v").as("va"))
+    val b = cuts.filter(col("half") === "b").select(col("p"), col("v").as("vb"))
+    a.join(b, "p")
+      .select(col("p"), col("va"), col("vb"),
+        round(abs(col("va") - col("vb")), 2).as("drift"))
+      .orderBy("p")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_interval_merge" -> (q146 _),
     "q147_pit_join" -> (q147 _),
@@ -956,7 +981,8 @@ object AnalyticsOps {
     "q167_bfs_levels" -> (q167 _),
     "q168_negative_sampling" -> (q168 _),
     "q169_oov_rate" -> (q169 _),
-    "q170_window_chunks" -> (q170 _))
+    "q170_window_chunks" -> (q170 _),
+    "q171_numeric_drift" -> (q171 _))
 
   private val numericProfileSql = Seq(
     "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount").map { c =>
@@ -1226,6 +1252,17 @@ object AnalyticsOps {
         |  CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_chunks,
         |  round(CAST(sum(clen) AS DOUBLE) / count(*), 6) AS mean_chunk_len
         |FROM h GROUP BY source ORDER BY source""".stripMargin,
+    "q171_numeric_drift" ->
+      """WITH h AS (SELECT CASE WHEN event_id % 2 = 0 THEN 'a' ELSE 'b' END AS half, value
+        |  FROM events),
+        |c AS (SELECT half,
+        |    quantile_cont(value, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS vs
+        |  FROM h GROUP BY half),
+        |u AS (SELECT half, i / 10.0 AS p, round(vs[i], 2) AS v
+        |  FROM c, unnest(range(1, 10)) t(i))
+        |SELECT a.p, a.v AS va, b.v AS vb, round(abs(a.v - b.v), 2) AS drift
+        |FROM u a JOIN u b ON a.p = b.p AND a.half = 'a' AND b.half = 'b'
+        |ORDER BY a.p""".stripMargin,
     "q146_interval_merge" ->
       """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
         |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS en FROM events),

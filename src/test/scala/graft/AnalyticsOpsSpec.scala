@@ -477,4 +477,29 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(xs.exists(_._2.length == 32), s"$src has no full window — vacuous")
     }
   }
+
+  test("q171: deciles match the type-7 interpolation brute force per half") {
+    val ev = Tables(spark, dir, "events")
+      .select("event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    def deciles(xs: Array[Double]): Map[Double, Double] = {
+      val s = xs.sorted
+      (1 to 9).map { i =>
+        val p = i / 10.0
+        val h = (s.length - 1) * p
+        val lo = math.floor(h).toInt
+        val v = if (lo + 1 < s.length) s(lo) + (h - lo) * (s(lo + 1) - s(lo)) else s(lo)
+        (p, math.rint(v * 100) / 100)
+      }.toMap
+    }
+    val wantA = deciles(ev.filter(_._1 % 2 == 0).map(_._2))
+    val wantB = deciles(ev.filter(_._1 % 2 != 0).map(_._2))
+    val got = AnalyticsOps.queries("q171_numeric_drift")(spark, dir).collect()
+    assert(got.length == 9)
+    got.foreach { r =>
+      val p = r.getDouble(0)
+      assert(math.abs(r.getDouble(1) - wantA(p)) < 0.011, s"p=$p va")
+      assert(math.abs(r.getDouble(2) - wantB(p)) < 0.011, s"p=$p vb")
+    }
+  }
 }

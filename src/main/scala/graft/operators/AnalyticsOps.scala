@@ -956,6 +956,41 @@ object AnalyticsOps {
       .orderBy("p")
   }
 
+  // ---------------------------------------------------------------------
+  // q172 — backfill plan (gap intervals from the time spine)
+  // ---------------------------------------------------------------------
+
+  /** The operational follow-up to q140's gap report: compress each
+    * event-type's missing hours into contiguous [start, end] intervals —
+    * the work units a backfill scheduler actually dispatches (one job per
+    * gap RANGE, not per missing hour). q146's gaps-and-islands sweep over
+    * the calendar-sized spine: an island starts where the previous gap
+    * hour isn't exactly one hour back; per-type windows are
+    * calendar-bounded. */
+  private def q172(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val hourly = ev.groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val spine = ev.agg(date_trunc("hour", min("ts")).as("lo"),
+        date_trunc("hour", max("ts")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("hour"))
+      .crossJoin(ev.select("event_type").distinct())
+    val gaps = spine.join(hourly, Seq("hour", "event_type"), "left_anti")
+      .select(col("event_type"), col("hour"), unix_timestamp(col("hour")).as("hs"))
+    val ord = Window.partitionBy("event_type").orderBy("hs")
+    gaps
+      .withColumn("prev", lag("hs", 1).over(ord))
+      .withColumn("is_new",
+        when(col("prev").isNull || col("hs") - col("prev") =!= 3600L, 1L).otherwise(0L))
+      .withColumn("island",
+        sum("is_new").over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("event_type", "island")
+      .agg(min("hour").as("gap_start"), max("hour").as("gap_end"),
+        count(lit(1)).as("n_hours"))
+      .select("event_type", "gap_start", "gap_end", "n_hours")
+      .orderBy("event_type", "gap_start")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q146_interval_merge" -> (q146 _),
     "q147_pit_join" -> (q147 _),
@@ -982,7 +1017,8 @@ object AnalyticsOps {
     "q168_negative_sampling" -> (q168 _),
     "q169_oov_rate" -> (q169 _),
     "q170_window_chunks" -> (q170 _),
-    "q171_numeric_drift" -> (q171 _))
+    "q171_numeric_drift" -> (q171 _),
+    "q172_backfill_plan" -> (q172 _))
 
   private val numericProfileSql = Seq(
     "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice", "l_discount").map { c =>
@@ -1263,6 +1299,21 @@ object AnalyticsOps {
         |SELECT a.p, a.v AS va, b.v AS vb, round(abs(a.v - b.v), 2) AS drift
         |FROM u a JOIN u b ON a.p = b.p AND a.half = 'a' AND b.half = 'b'
         |ORDER BY a.p""".stripMargin,
+    "q172_backfill_plan" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour, event_type FROM events GROUP BY 1, 2),
+        |bounds AS (SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds),
+        |grid AS (SELECT hour, event_type FROM spine CROSS JOIN (SELECT DISTINCT event_type FROM events)),
+        |gaps AS (SELECT g.event_type, g.hour, CAST(floor(epoch(g.hour)) AS BIGINT) AS hs
+        |  FROM grid g LEFT JOIN h ON g.hour = h.hour AND g.event_type = h.event_type
+        |  WHERE h.hour IS NULL),
+        |m AS (SELECT *, lag(hs) OVER (PARTITION BY event_type ORDER BY hs) AS prev FROM gaps),
+        |i AS (SELECT *, sum(CASE WHEN prev IS NULL OR hs - prev <> 3600 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY event_type ORDER BY hs
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM m)
+        |SELECT event_type, min(hour) AS gap_start, max(hour) AS gap_end,
+        |  CAST(count(*) AS BIGINT) AS n_hours
+        |FROM i GROUP BY event_type, island ORDER BY event_type, gap_start""".stripMargin,
     "q146_interval_merge" ->
       """WITH e AS (SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
         |    CAST(floor(epoch(ts)) AS BIGINT) + 1800 AS en FROM events),

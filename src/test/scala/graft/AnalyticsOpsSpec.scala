@@ -502,4 +502,31 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(math.abs(r.getDouble(2) - wantB(p)) < 0.011, s"p=$p vb")
     }
   }
+
+  test("q172: backfill intervals exactly cover the per-type gap hours, maximally merged") {
+    val ev = Tables(spark, dir, "events")
+      .select(date_trunc("hour", col("ts")).as("h"), col("event_type")).distinct()
+      .collect().map(r => (r.getString(1), r.getTimestamp(0).getTime / 1000))
+    val types = ev.map(_._1).distinct
+    val lo = ev.map(_._2).min; val hi = ev.map(_._2).max
+    val present = ev.groupBy(_._1).map { case (t, xs) => (t, xs.map(_._2).toSet) }
+    val rows = AnalyticsOps.queries("q172_backfill_plan")(spark, dir).collect()
+    assert(rows.nonEmpty, "no gaps at this SF — vacuous")
+    types.foreach { t =>
+      val gapHours = (lo to hi by 3600).filterNot(present(t).contains).toSet
+      val mine = rows.filter(_.getString(0) == t).map { r =>
+        (r.getTimestamp(1).getTime / 1000, r.getTimestamp(2).getTime / 1000, r.getLong(3))
+      }
+      // intervals cover exactly the gap hours
+      val covered = mine.flatMap { case (s, e, _) => s to e by 3600 }.toSet
+      assert(covered == gapHours, s"$t: covered ${covered.size} vs ${gapHours.size}")
+      mine.foreach { case (s, e, n) => assert((e - s) / 3600 + 1 == n, s"$t n_hours") }
+      // maximally merged: no two intervals are adjacent
+      val sorted = mine.sortBy(_._1)
+      sorted.sliding(2).foreach {
+        case Array((_, e1, _), (s2, _, _)) => assert(s2 - e1 > 3600, s"$t unmerged adjacency")
+        case _ =>
+      }
+    }
+  }
 }

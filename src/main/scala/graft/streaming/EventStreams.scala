@@ -2,7 +2,8 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import graft.Tables
 
 /** Structured Streaming surface (SURVEY.md §2.11): the reference's
@@ -295,7 +296,56 @@ object EventStreams {
       .orderBy("segment", "event_type")
   }
 
+  /** Spark 4 arbitrary-state processor for q173: per-user running
+    * (count, max-cents) in a typed ValueState — the transformWithState
+    * successor to q64's flatMapGroupsWithState, with explicit state
+    * handles (named states, TTL-capable) instead of a single implicit
+    * state value. Emits the running pair on every input batch
+    * (Update mode); downstream keeps the last. */
+  private class RunningMaxCount
+      extends StatefulProcessor[Long, (Long, Double), (Long, Long, Long)] {
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("s",
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+        tv: TimerValues): Iterator[(Long, Long, Long)] = {
+      var (n, mx) = if (st.exists()) st.get() else (0L, Long.MinValue)
+      rows.foreach { case (_, v) => n += 1; mx = math.max(mx, math.round(v * 100)) }
+      st.update((n, mx))
+      Iterator.single((key, n, mx))
+    }
+  }
+
+  /** transformWithState (the Spark 4 arbitrary-state API): per-user
+    * running counters in a named RocksDB-backed ValueState (the API
+    * requires the RocksDB provider — scoped to this query and restored).
+    * Update-mode emissions are monotone, so the batch-side max IS the
+    * final state; oracle = the plain batch rollup. */
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val typed = stream(s, dir)
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+      val out = typed.groupByKey(_._1)
+        .transformWithState(new RunningMaxCount, TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "n_events", "max_cents")
+      run(s, out, "stream_tws", OutputMode.Update())
+        .groupBy("user_id")
+        .agg(max("n_events").as("n_events"), max("max_cents").as("max_cents"))
+        .orderBy("user_id")
+    } finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_stream_transform_state" -> (q173 _),
     "q144_stream_trending" -> (q144 _),
     "q119_stream_static_join" -> (q119 _),
     "q107_stream_late_data" -> (q107 _),
@@ -405,6 +455,10 @@ object EventStreams {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q64_stream_stateful" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value),3) AS sum_value
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q173_stream_transform_state" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -36,16 +36,21 @@ object Bench {
       }
       name -> sec
     }.toMap
-    // LAST line is the machine-readable summary. SHORT query keys (the qNN
-    // prefix, the contract's own example shape): with 100+ full-length
-    // names the line ran ~5 KB and the driver's fixed-size tail capture cut
-    // it mid-JSON ("parsed": null in BENCH_r03) — the per-query greppable
-    // lines above carry the full names.
-    val qs = results.toSeq.sortBy(_._1)
+    // The driver keeps only the LAST 2000 chars of stdout; with 170+
+    // queries even a short-key full map (~3.4 KB) lands truncated mid-JSON
+    // ("parsed": null in BENCH_r03/r04). So: the COMPLETE map goes out
+    // first (greppable, full names), and the FINAL line is a compact
+    // summary — total, query count, and the top-20 slowest — sized to
+    // survive the tail capture intact (~600 chars incl. sbt's epilogue).
+    val full = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"all_queries","unit":"sec","queries":$full}""")
+    val top = results.toSeq.sortBy(-_._2).take(20)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries_n":${results.size},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries_n":${results.size},"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

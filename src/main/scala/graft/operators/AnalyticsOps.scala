@@ -164,8 +164,12 @@ object AnalyticsOps {
     *
     * Cuts are rounded to the metrics' own granularity (whole days / orders
     * / cents) before comparison in both engines, so interpolation ulps
-    * cannot flip tied customers (q136's rule). All averages are exact
-    * integer sums divided once, emitted rounded. */
+    * cannot flip tied customers (q136's rule). Averages stay in exact
+    * integer space end-to-end: each is a half-up integer quotient in
+    * micro-units ((2·sum·scale + n) div (2n)) widened to double once —
+    * `round(double, 6)` on an exact decimal tie resolves differently in
+    * Spark (BigDecimal HALF_UP) and DuckDB (binary-double), so no double
+    * ever reaches a rounding function. */
   private def q149(s: SparkSession, dir: String): DataFrame = {
     val anchor = lit("2002-01-01").cast("date")
     val rfm = t(s, dir, "orders").groupBy("o_custkey")
@@ -195,9 +199,16 @@ object AnalyticsOps {
         col("f").cast("string"), col("m").cast("string")))
       .groupBy("segment")
       .agg(count(lit(1)).as("n_customers"),
-        round(avg("recency"), 6).as("avg_recency_days"),
-        round(avg("frequency"), 6).as("avg_orders"),
-        round(avg("monetary") / 100.0, 6).as("avg_spend"))
+        sum(col("recency").cast("long")).as("sr"),
+        sum(col("frequency").cast("long")).as("sf"),
+        sum(col("monetary").cast("long")).as("sm"))
+      .select(col("segment"), col("n_customers"),
+        (expr("(2 * sr * 1000000 + n_customers) div (2 * n_customers)")
+          .cast("double") / 1000000.0).as("avg_recency_days"),
+        (expr("(2 * sf * 1000000 + n_customers) div (2 * n_customers)")
+          .cast("double") / 1000000.0).as("avg_orders"),
+        (expr("(2 * sm * 10000 + n_customers) div (2 * n_customers)")
+          .cast("double") / 1000000.0).as("avg_spend"))
       .orderBy("segment")
   }
 
@@ -444,7 +455,9 @@ object AnalyticsOps {
     * Anchor values ride integer cents and anchor times integer epoch
     * seconds, so the interpolation is one exact-integer ratio and one
     * multiply-add — bit-identical across engines (same expression tree,
-    * same promotions). Windows partition per user (bounded). */
+    * same promotions). Coincident anchors (nes == pes would make the
+    * ratio 0/0) degrade to the forward-fill value instead of emitting
+    * NaN. Windows partition per user (bounded). */
   private def q156(s: SparkSession, dir: String): DataFrame = {
     val ord = Window.partitionBy("user_id").orderBy("es", "event_id")
     val before = ord.rowsBetween(Window.unboundedPreceding, -1)
@@ -461,14 +474,20 @@ object AnalyticsOps {
       .withColumn("nes", first(anchorEs, ignoreNulls = true).over(after))
       .withColumn("nval", first("cents", ignoreNulls = true).over(after))
       .filter(col("event_id") % 7 === 0)
-      .select(col("event_id"), col("user_id"),
-        when(col("pval").isNotNull && col("nval").isNotNull, "interp")
+      .select(col("event_id"), col("user_id"), {
+        val interpOk =
+          col("pval").isNotNull && col("nval").isNotNull && col("nes") > col("pes")
+        when(interpOk, "interp")
           .when(col("pval").isNotNull, "ffill")
           .when(col("nval").isNotNull, "bfill")
-          .otherwise("none").as("method"),
-        round(when(col("pval").isNotNull && col("nval").isNotNull, interp)
+          .otherwise("none").as("method")
+      }, {
+        val interpOk =
+          col("pval").isNotNull && col("nval").isNotNull && col("nes") > col("pes")
+        round(when(interpOk, interp)
           .when(col("pval").isNotNull, col("pval") / 100.0)
-          .when(col("nval").isNotNull, col("nval") / 100.0), 6).as("filled"))
+          .when(col("nval").isNotNull, col("nval") / 100.0), 6).as("filled")
+      })
       .orderBy("event_id")
   }
 
@@ -1101,10 +1120,10 @@ object AnalyticsOps {
         |    wf AS (PARTITION BY user_id ORDER BY es, event_id
         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING))
         |SELECT event_id, user_id,
-        |  CASE WHEN pval IS NOT NULL AND nval IS NOT NULL THEN 'interp'
+        |  CASE WHEN pval IS NOT NULL AND nval IS NOT NULL AND nes > pes THEN 'interp'
         |       WHEN pval IS NOT NULL THEN 'ffill'
         |       WHEN nval IS NOT NULL THEN 'bfill' ELSE 'none' END AS method,
-        |  round(CASE WHEN pval IS NOT NULL AND nval IS NOT NULL THEN
+        |  round(CASE WHEN pval IS NOT NULL AND nval IS NOT NULL AND nes > pes THEN
         |      (pval + (nval - pval) * (CAST(es - pes AS DOUBLE) / CAST(nes - pes AS DOUBLE))) / 100.0
         |    WHEN pval IS NOT NULL THEN pval / 100.0
         |    WHEN nval IS NOT NULL THEN nval / 100.0 END, 6) AS filled
@@ -1227,7 +1246,8 @@ object AnalyticsOps {
         |  (SELECT c_custkey FROM customer WHERE c_acctbal > 9000)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q166_skyline" ->
-      """WITH sp AS (SELECT o_custkey, sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents,
+      """WITH sp AS (SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
         |    CAST(count(*) AS BIGINT) AS n_orders
         |  FROM orders GROUP BY o_custkey),
         |pts AS (SELECT cents, n_orders, CAST(count(*) AS BIGINT) AS n_customers
@@ -1388,9 +1408,12 @@ object AnalyticsOps {
         |  FROM rfm, c)
         |SELECT CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR) AS segment,
         |  CAST(count(*) AS BIGINT) AS n_customers,
-        |  round(avg(recency), 6) AS avg_recency_days,
-        |  round(avg(frequency), 6) AS avg_orders,
-        |  round(avg(monetary) / 100.0, 6) AS avg_spend
+        |  CAST((2 * CAST(sum(CAST(recency AS BIGINT)) AS BIGINT) * 1000000 + count(*))
+        |    // (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_recency_days,
+        |  CAST((2 * CAST(sum(CAST(frequency AS BIGINT)) AS BIGINT) * 1000000 + count(*))
+        |    // (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_orders,
+        |  CAST((2 * CAST(sum(CAST(monetary AS BIGINT)) AS BIGINT) * 10000 + count(*))
+        |    // (2 * count(*)) AS DOUBLE) / 1000000.0 AS avg_spend
         |FROM s GROUP BY segment ORDER BY segment""".stripMargin,
     "q150_lexical_topk" ->
       """WITH tok AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf FROM (

@@ -300,18 +300,22 @@ object EventStreams {
     * (count, max-cents) in a typed ValueState — the transformWithState
     * successor to q64's flatMapGroupsWithState, with explicit state
     * handles (named states, TTL-capable) instead of a single implicit
-    * state value. Emits the running pair on every input batch
+    * state value. Inputs arrive pre-rounded to integer cents (the
+    * repo-wide `round(col * 100)` SQL-HALF_UP convention lives in the
+    * DataFrame projection, not in JVM `math.round`, whose half-toward-
+    * +inf diverges on negative exact halves); the processor only counts
+    * and maxes longs. Emits the running pair on every input batch
     * (Update mode); downstream keeps the last. */
   private class RunningMaxCount
-      extends StatefulProcessor[Long, (Long, Double), (Long, Long, Long)] {
+      extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long)] {
     @transient private var st: ValueState[(Long, Long)] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[(Long, Long)]("s",
         org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
-    override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
         tv: TimerValues): Iterator[(Long, Long, Long)] = {
       var (n, mx) = if (st.exists()) st.get() else (0L, Long.MinValue)
-      rows.foreach { case (_, v) => n += 1; mx = math.max(mx, math.round(v * 100)) }
+      rows.foreach { case (_, c) => n += 1; mx = math.max(mx, c) }
       st.update((n, mx))
       Iterator.single((key, n, mx))
     }
@@ -330,7 +334,8 @@ object EventStreams {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val typed = stream(s, dir)
-        .select(col("user_id"), col("value")).as[(Long, Double)]
+        .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+        .as[(Long, Long)]
       val out = typed.groupByKey(_._1)
         .transformWithState(new RunningMaxCount, TimeMode.None(), OutputMode.Update())
         .toDF("user_id", "n_events", "max_cents")

@@ -29,6 +29,7 @@ object SparkEntry {
       operators.ScaleOps.queries ++
       operators.CorpusOps.queries ++
       operators.AnalyticsOps.queries ++
+      operators.CurationOps.queries ++
       streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -44,5 +45,6 @@ object SparkEntry {
       operators.ScaleOps.oracles ++
       operators.CorpusOps.oracles ++
       operators.AnalyticsOps.oracles ++
+      operators.CurationOps.oracles ++
       streaming.EventStreams.oracles
 }

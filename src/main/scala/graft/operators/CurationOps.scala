@@ -1,0 +1,259 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Percentiles
+import graft.plans.TopKPerKey
+
+/** Round-5 curation/operations tier: the table-reconciliation, corpus-
+  * mixing, and layout-planning primitives a 100 TB training-data platform
+  * runs around the corpus itself (SURVEY §2.12 / §14 continuation).
+  *
+  * Shared determinism discipline: money rides integer cents, every ratio
+  * that reaches the output is a half-up integer quotient in micro-units
+  * ((2·num·scale + den) div (2·den) — q149's rule; no double ever reaches
+  * a rounding function), and hashes are md5-derived 32-bit integers with
+  * the established `conv(substr(md5, 1, 8), 16, 10)` ↔
+  * `('0x' || substr(md5, 1, 8))::BIGINT` cross-engine form.
+  */
+object CurationOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  // ---------------------------------------------------------------------
+  // q174 — order-independent table checksum (reconciliation)
+  // ---------------------------------------------------------------------
+
+  /** Content checksum per table that any copy of the data reproduces
+    * WITHOUT a global sort: each row canonicalizes to a '|'-joined string
+    * of its business key + integer cents, hashes to a 32-bit integer
+    * (first 4 md5 bytes), and the table's checksum is the plain SUM —
+    * commutative, so partitioning, task order, and file layout cannot
+    * change it. This is THE cheap cross-cluster reconciliation primitive
+    * (source vs replicated copy, pre- vs post-migration): one scan, one
+    * map-side-combinable aggregation, no shuffle wider than the 2-row
+    * result. 32-bit row hashes keep the 64-bit sum overflow-free to
+    * ~2^21 × corpus scale (2^53 rows before the long saturates). */
+  private def q174(s: SparkSession, dir: String): DataFrame = {
+    def side(tbl: String, rowStr: String): DataFrame =
+      t(s, dir, tbl).select(lit(tbl).as("tbl"),
+        expr(s"cast(conv(substring(md5($rowStr), 1, 8), 16, 10) as bigint)").as("h"))
+    val o = side("orders",
+      "concat_ws('|', o_orderkey, o_custkey, cast(round(o_totalprice * 100) as bigint))")
+    val l = side("lineitem",
+      "concat_ws('|', l_orderkey, l_linenumber, cast(round(l_extendedprice * 100) as bigint))")
+    o.union(l)
+      .groupBy("tbl")
+      .agg(count(lit(1)).as("n_rows"), sum("h").cast("long").as("checksum"))
+      .orderBy("tbl")
+  }
+
+  // ---------------------------------------------------------------------
+  // q175 — per-domain document cap (TopKPerKey)
+  // ---------------------------------------------------------------------
+
+  /** Per-source document cap — keep only the top-3 docs per source by
+    * (n_chars desc, doc_id asc) — executed through the custom TopKPerKey
+    * physical operator: map-side k-row bounded buffers per source, so the
+    * shuffle carries at most k·sources rows no matter how large the
+    * corpus. This is the web-curation "domain cap" rule (no single domain
+    * may dominate the training mix) as a first-class operator; the
+    * kept-id checksum pins the exact selection, not just its size. */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("source"), col("doc_id"), col("n_chars"))
+    val kept = TopKPerKey(docs, Seq("source"),
+      Seq(("n_chars", false), ("doc_id", true)), 3)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum("n_chars").cast("long").as("kept_chars"),
+        sum("doc_id").cast("long").as("kept_id_sum"))
+    val totals = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("total_chars"))
+    totals.join(kept, Seq("source"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        col("n_kept"), col("kept_chars"), col("kept_id_sum"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------------
+  // q176 — temperature-scaled language mixture weights
+  // ---------------------------------------------------------------------
+
+  /** Multilingual sampling weights at temperature T = 0.5: w_l ∝ n_l^0.5,
+    * the standard low-resource up-weighting rule (raw proportions drown
+    * small languages; temperature < 1 flattens the mixture). sqrt is the
+    * ONE fractional power that is exactly rounded in IEEE-754, so both
+    * engines compute bit-identical weights — then the weight is pinned to
+    * an integer (floor(sqrt(n·10¹²))) and the share is the usual micro-
+    * unit half-up quotient, so no accumulated-double ever reaches the
+    * output. One tiny aggregation; the language dimension is bounded. */
+  private def q176(s: SparkSession, dir: String): DataFrame = {
+    val w = t(s, dir, "documents")
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w",
+        floor(sqrt(col("n_docs").cast("double") * lit(1.0e12))).cast("long"))
+    val tot = w.agg(sum("w").cast("long").as("tw"),
+      sum("n_docs").cast("long").as("tn"))
+    w.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"),
+        (expr("(2 * n_docs * 1000000 + tn) div (2 * tn)")
+          .cast("double") / 1000000.0).as("raw_share"),
+        (expr("(2 * w * 1000000 + tw) div (2 * tw)")
+          .cast("double") / 1000000.0).as("t05_share"))
+      .orderBy("lang")
+  }
+
+  // ---------------------------------------------------------------------
+  // q177 — first-touch attribution
+  // ---------------------------------------------------------------------
+
+  /** Marketing-style attribution: every user's revenue is credited to the
+    * CHANNEL of their first-ever event (first touch). The first event per
+    * user is selected by the TopKPerKey operator with k = 1 on
+    * (epoch-second asc, event_id asc) — bounded map-side buffers, no
+    * per-user sort window — then a single join carries each user's order
+    * history onto the channel. Left join: users who never ordered still
+    * count toward the channel's audience (n_users ≥ users with orders).
+    * Revenue rides integer cents end-to-end. */
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_id"), col("event_type"))
+    val first = TopKPerKey(ev, Seq("user_id"),
+      Seq(("es", true), ("event_id", true)), 1)
+      .select(col("user_id"), col("event_type").as("channel"))
+    val orders = t(s, dir, "orders")
+      .select(col("o_custkey").as("user_id"), col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+    first.join(orders, Seq("user_id"), "left")
+      .groupBy("channel")
+      .agg(countDistinct("user_id").as("n_users"),
+        count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum("cents"), lit(0L)).cast("long").as("revenue_cents"))
+      .orderBy("channel")
+  }
+
+  // ---------------------------------------------------------------------
+  // q178 — range-partition layout planner (equal-mass cuts + skew audit)
+  // ---------------------------------------------------------------------
+
+  /** The planning step behind every repartitionByRange/sorted-parquet
+    * write at scale: 7 equal-mass cut points over lineitem price cents
+    * from ONE grouped rank-selection pass (`Percentiles.exactByRank` —
+    * no global sort window), cuts pinned to whole cents (the data's own
+    * granularity, q136's rule), then one scan buckets every row against
+    * the cut literals and reports per-bucket mass and bounds plus a
+    * balance factor (micro-multiples of the ideal n/8 — 1,000,000 means
+    * perfectly level). The audit IS the guardrail: a skewed balance
+    * column here predicts straggler write tasks before any data moves. */
+  private def q178(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
+    val ps = Seq(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)
+    val cuts = Percentiles
+      .exactByRank(li.withColumn("g", lit("all")), "g", "cents", ps)
+      .collect()
+      .map(r => math.round(r.getAs[Double]("value")))
+      .sorted
+    val bucket = cuts.foldLeft(lit(0L))((acc, c) =>
+      acc + when(col("cents") > c, 1L).otherwise(0L))
+    li.select(col("cents"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("cents").as("lo_cents"), max("cents").as("hi_cents"))
+      .withColumn("balance_micro",
+        expr("(2 * n_rows * 8 * 1000000 + sum(n_rows) over ()) div (2 * sum(n_rows) over ())"))
+      .orderBy("bucket")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_table_checksum" -> (q174 _),
+    "q175_domain_cap" -> (q175 _),
+    "q176_mixture_weights" -> (q176 _),
+    "q177_first_touch" -> (q177 _),
+    "q178_range_plan" -> (q178 _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q174_table_checksum" ->
+      """WITH h AS (
+        |  SELECT 'orders' AS tbl,
+        |    CAST(('0x' || substring(md5(concat_ws('|', o_orderkey, o_custkey,
+        |      CAST(round(o_totalprice * 100) AS BIGINT))), 1, 8)) AS BIGINT) AS h
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem' AS tbl,
+        |    CAST(('0x' || substring(md5(concat_ws('|', l_orderkey, l_linenumber,
+        |      CAST(round(l_extendedprice * 100) AS BIGINT))), 1, 8)) AS BIGINT) AS h
+        |  FROM lineitem)
+        |SELECT tbl, CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(sum(h) AS BIGINT) AS checksum
+        |FROM h GROUP BY tbl ORDER BY tbl""".stripMargin,
+    "q175_domain_cap" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars DESC, doc_id ASC) AS rk
+        |  FROM documents),
+        |k AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        |    CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+        |    CAST(sum(doc_id) AS BIGINT) AS kept_id_sum
+        |  FROM r WHERE rk <= 3 GROUP BY source),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |  FROM documents GROUP BY source)
+        |SELECT tot.source, n_docs, total_chars, n_kept, kept_chars, kept_id_sum
+        |FROM tot JOIN k ON tot.source = k.source ORDER BY tot.source""".stripMargin,
+    "q176_mixture_weights" ->
+      """WITH w AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(floor(sqrt(CAST(count(*) AS DOUBLE) * 1000000000000.0)) AS BIGINT) AS w
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+        |    CAST(sum(n_docs) AS BIGINT) AS tn FROM w)
+        |SELECT lang, n_docs,
+        |  CAST((2 * n_docs * 1000000 + tn) // (2 * tn) AS DOUBLE) / 1000000.0 AS raw_share,
+        |  CAST((2 * w * 1000000 + tw) // (2 * tw) AS DOUBLE) / 1000000.0 AS t05_share
+        |FROM w, tot ORDER BY lang""".stripMargin,
+    "q177_first_touch" ->
+      """WITH ev AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    event_id, event_type FROM events),
+        |f AS (SELECT user_id, event_type AS channel FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY es ASC, event_id ASC) AS rk FROM ev)
+        |  WHERE rk = 1)
+        |SELECT channel, CAST(count(DISTINCT f.user_id) AS BIGINT) AS n_users,
+        |  CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+        |  CAST(coalesce(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) AS BIGINT)
+        |    AS revenue_cents
+        |FROM f LEFT JOIN orders o ON o.o_custkey = f.user_id
+        |GROUP BY channel ORDER BY channel""".stripMargin,
+    "q178_range_plan" ->
+      """WITH li AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |c AS (SELECT
+        |    CAST(round(quantile_cont(cents, 0.125), 0) AS BIGINT) AS c1,
+        |    CAST(round(quantile_cont(cents, 0.25), 0) AS BIGINT) AS c2,
+        |    CAST(round(quantile_cont(cents, 0.375), 0) AS BIGINT) AS c3,
+        |    CAST(round(quantile_cont(cents, 0.5), 0) AS BIGINT) AS c4,
+        |    CAST(round(quantile_cont(cents, 0.625), 0) AS BIGINT) AS c5,
+        |    CAST(round(quantile_cont(cents, 0.75), 0) AS BIGINT) AS c6,
+        |    CAST(round(quantile_cont(cents, 0.875), 0) AS BIGINT) AS c7
+        |  FROM li),
+        |b AS (SELECT cents,
+        |    (CASE WHEN cents > c1 THEN 1 ELSE 0 END) + (CASE WHEN cents > c2 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN cents > c3 THEN 1 ELSE 0 END) + (CASE WHEN cents > c4 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN cents > c5 THEN 1 ELSE 0 END) + (CASE WHEN cents > c6 THEN 1 ELSE 0 END)
+        |    + (CASE WHEN cents > c7 THEN 1 ELSE 0 END) AS bucket
+        |  FROM li, c),
+        |g AS (SELECT CAST(bucket AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(min(cents) AS BIGINT) AS lo_cents,
+        |    CAST(max(cents) AS BIGINT) AS hi_cents
+        |  FROM b GROUP BY bucket)
+        |SELECT bucket, n_rows, lo_cents, hi_cents,
+        |  CAST((2 * n_rows * 8 * 1000000 + sum(n_rows) OVER ())
+        |    // (2 * sum(n_rows) OVER ()) AS BIGINT) AS balance_micro
+        |FROM g ORDER BY bucket""".stripMargin
+  )
+}

@@ -103,8 +103,13 @@ object ScaleOps {
       .withColumn("text", concat(col("text"), lit("\n\"x,"), col("lang")))
     val orcDir = graft.Scratch.fresh("orc_")
     val csvDir = graft.Scratch.fresh("csv_")
-    docs.write.mode("overwrite").option("compression", "zlib").orc(orcDir)
-    docs.write.mode("overwrite")
+    // The roundtrip's parallelism must follow cluster width, not source
+    // file count: the sf input is ONE parquet file, and multiLine CSV is
+    // non-splittable on read — without this repartition both the write
+    // and the read-back run single-task (14.5 s of the round-4 bench).
+    val sharded = docs.repartition(16)
+    sharded.write.mode("overwrite").option("compression", "zlib").orc(orcDir)
+    sharded.write.mode("overwrite")
       .option("header", "true").option("escape", "\"")
       .csv(csvDir)
     val orcBack = s.read.orc(orcDir)

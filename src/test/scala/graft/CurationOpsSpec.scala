@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CurationOps
+
+/** Round-5 curation tier: each query checked against an INDEPENDENT
+  * driver-side brute-force recomputation on sf0.001 (never against its
+  * own plan), so a shared logic error cannot self-confirm.
+  */
+class CurationOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Reference md5-prefix hash, computed OUTSIDE Spark. */
+  private def h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    d.take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+  }
+
+  test("q174: checksum is order-independent and matches a JVM-side md5 sum") {
+    val got = CurationOps.queries("q174_table_checksum")(spark, dir)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("cents")).collect()
+    val want = orders.map(r => h32(s"${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}")).sum
+    assert(got("orders") == ((orders.length.toLong, want)))
+    // order independence: reversing the rows cannot change a sum
+    val rev = orders.reverse.map(r => h32(s"${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}")).sum
+    assert(rev == want)
+  }
+
+  test("q175: kept set is exactly the per-source top-3 by (n_chars desc, doc_id asc)") {
+    val got = CurationOps.queries("q175_domain_cap")(spark, dir)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val docs = Tables(spark, dir, "documents")
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySource = docs.groupBy(_._1)
+    assert(got.keySet == bySource.keySet)
+    bySource.foreach { case (src, xs) =>
+      val kept = xs.sortBy(d => (-d._3, d._2)).take(3)
+      val (nDocs, totalChars, nKept, keptChars, keptIdSum) = got(src)
+      assert(nDocs == xs.length && totalChars == xs.map(_._3).sum)
+      assert(nKept == kept.length && keptChars == kept.map(_._3).sum
+        && keptIdSum == kept.map(_._2).sum, s"source $src")
+    }
+  }
+
+  test("q176: t=0.5 shares follow floor(sqrt(n*1e12)) weights and sum to ~1") {
+    val rows = CurationOps.queries("q176_mixture_weights")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val n = rows.map { case (_, nd, _, _) => nd }
+    val w = n.map(nd => math.floor(math.sqrt(nd.toDouble * 1.0e12)).toLong)
+    val (tw, tn) = (w.sum, n.sum)
+    rows.zipWithIndex.foreach { case ((lang, nd, raw, t05), i) =>
+      val wantRaw = ((2 * nd * 1000000L + tn) / (2 * tn)).toDouble / 1e6
+      val wantT05 = ((2 * w(i) * 1000000L + tw) / (2 * tw)).toDouble / 1e6
+      assert(raw == wantRaw && t05 == wantT05, s"lang $lang")
+    }
+    // temperature flattens: every below-average language is up-weighted
+    rows.foreach { case (lang, nd, raw, t05) =>
+      if (raw < 1.0 / rows.length) assert(t05 >= raw, s"$lang should be up-weighted")
+    }
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-3)
+  }
+
+  test("q177: channel revenue equals a driver-side first-touch replay") {
+    val got = CurationOps.queries("q177_first_touch")(spark, dir)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), unix_timestamp(col("ts")).as("es"),
+        col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val firstTouch = ev.groupBy(_._1).map { case (u, xs) =>
+      (u, xs.minBy(x => (x._2, x._3))._4)
+    }
+    val orders = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(o => firstTouch.contains(o._1))
+    val want = firstTouch.toSeq.groupBy(_._2).map { case (ch, users) =>
+      val us = users.map(_._1).toSet
+      val os = orders.filter(o => us(o._1))
+      (ch, (us.size.toLong, os.length.toLong, os.map(_._2).sum))
+    }
+    assert(got == want)
+  }
+
+  test("q178: buckets are contiguous, exhaustive, and reasonably balanced") {
+    val rows = CurationOps.queries("q178_range_plan")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val nTotal = Tables(spark, dir, "lineitem").count()
+    assert(rows.map(_._1).toSeq == (0L until rows.length).toSeq)
+    assert(rows.map(_._2).sum == nTotal)
+    // ranges are disjoint and ordered: each bucket's hi < next bucket's lo is
+    // not required (cut ties share a value), but lo <= hi and lo monotone
+    rows.foreach { case (b, n, lo, hi, bal) =>
+      assert(lo <= hi, s"bucket $b")
+      assert(n > 0, s"bucket $b empty")
+    }
+    assert(rows.sliding(2).forall { case Array(a, b) => a._4 <= b._3 || a._3 <= b._3 })
+    // equal-mass planning: no bucket more than 2x ideal on this data
+    rows.foreach { case (b, _, _, _, bal) =>
+      assert(bal < 2000000L, s"bucket $b balance $bal")
+    }
+  }
+}

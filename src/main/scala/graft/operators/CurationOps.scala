@@ -168,12 +168,97 @@ object CurationOps {
       .orderBy("bucket")
   }
 
+  // ---------------------------------------------------------------------
+  // q179 — exact phrase search via positional postings intersection
+  // ---------------------------------------------------------------------
+
+  /** Exact phrase query against a POSITIONAL inverted index: the corpus's
+    * most frequent trigram (ties lexicographic — a deterministic,
+    * self-contained "query") is located by intersecting the three terms'
+    * posting lists on (doc_id, offset-aligned position) — the standard
+    * phrase-query plan over a prebuilt index, where work is bounded by
+    * posting-list mass (term document frequency), never corpus size. The
+    * trigram induction pass doubles as the index-build audit: one
+    * adjacency explode, one hash aggregation (q157's bigram shape widened
+    * by one). Emits the phrase and the top-20 matching docs by
+    * occurrence count. */
+  private def q179(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_remove(split(lower(col("text")), "\\s+"), "").as("ws"))
+    val tri = docs.filter(size(col("ws")) >= 3)
+      .withColumn("t1", slice(col("ws"), lit(1), size(col("ws")) - 2))
+      .withColumn("t2", slice(col("ws"), lit(2), size(col("ws")) - 2))
+      .withColumn("t3", slice(col("ws"), lit(3), size(col("ws")) - 2))
+      .select(col("doc_id"),
+        explode(arrays_zip(col("t1"), col("t2"), col("t3"))).as("tr"))
+      .select(col("doc_id"), col("tr.t1").as("a"), col("tr.t2").as("b"),
+        col("tr.t3").as("c"))
+    val Array(pa, pb, pc) = tri.groupBy("a", "b", "c")
+      .agg(count(lit(1)).as("cn"))
+      .orderBy(col("cn").desc, col("a"), col("b"), col("c"))
+      .limit(1).collect()(0) match {
+        case r => Array(r.getString(0), r.getString(1), r.getString(2))
+      }
+    // the serving-path plan: postings filtered per term, intersected on
+    // offset-aligned positions — each side is df(term)-sized, not corpus-
+    // sized, and the (doc_id, pos) join keys are co-partitioned
+    val tok = docs.select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w")))
+    val m = tok.filter(col("w") === pa).select(col("doc_id"), col("pos"))
+      .join(tok.filter(col("w") === pb)
+        .select(col("doc_id"), (col("pos") - 1).as("pos")), Seq("doc_id", "pos"))
+      .join(tok.filter(col("w") === pc)
+        .select(col("doc_id"), (col("pos") - 2).as("pos")), Seq("doc_id", "pos"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occ"))
+    m.select(lit(pa).as("a"), lit(pb).as("b"), lit(pc).as("c"),
+        col("doc_id"), col("n_occ"))
+      .orderBy(col("n_occ").desc, col("doc_id")).limit(20)
+  }
+
+  // ---------------------------------------------------------------------
+  // q180 — retraction-aware incremental MV maintenance
+  // ---------------------------------------------------------------------
+
+  /** Materialized-view maintenance under a CDC batch WITH DELETES: the
+    * per-source (n_docs, sum_chars) view is advanced by retraction
+    * algebra — deletes carry weight −1, updates are delete+insert pairs —
+    * so the incremental pass touches only |delta| rows, never the base
+    * corpus (q134 refreshes an append-only view; this is the general
+    * form a CDC-fed 100 TB store needs). Deterministic scenario: docs
+    * with id % 7 = 0 are deleted, surviving docs with id % 5 = 0 get 10
+    * chars appended. The ORACLE recomputes the view from the post-change
+    * snapshot directly, so the hash gate IS the incremental ≡ recompute
+    * proof; sources whose count reaches zero drop out of the view. */
+  private def q180(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("source"), col("doc_id"), col("n_chars"))
+    val baseAgg = docs.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("sum_chars"))
+    val del = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("source"), lit(-1L).as("w"), col("n_chars"))
+    val updDel = docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
+      .select(col("source"), lit(-1L).as("w"), col("n_chars"))
+    val updIns = docs.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 5 === 0)
+      .select(col("source"), lit(1L).as("w"), (col("n_chars") + 10L).as("n_chars"))
+    val deltaAgg = del.unionByName(updDel).unionByName(updIns)
+      .groupBy("source")
+      .agg(sum("w").cast("long").as("dn"),
+        sum(col("w") * col("n_chars")).cast("long").as("dchars"))
+    baseAgg.join(deltaAgg, Seq("source"), "left")
+      .select(col("source"),
+        (col("n_docs") + coalesce(col("dn"), lit(0L))).as("n_docs"),
+        (col("sum_chars") + coalesce(col("dchars"), lit(0L))).as("sum_chars"))
+      .filter(col("n_docs") > 0)
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q174_table_checksum" -> (q174 _),
     "q175_domain_cap" -> (q175 _),
     "q176_mixture_weights" -> (q176 _),
     "q177_first_touch" -> (q177 _),
-    "q178_range_plan" -> (q178 _)
+    "q178_range_plan" -> (q178 _),
+    "q179_phrase_search" -> (q179 _),
+    "q180_retractable_mv" -> (q180 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -254,6 +339,29 @@ object CurationOps {
         |SELECT bucket, n_rows, lo_cents, hi_cents,
         |  CAST((2 * n_rows * 8 * 1000000 + sum(n_rows) OVER ())
         |    // (2 * sum(n_rows) OVER ()) AS BIGINT) AS balance_micro
-        |FROM g ORDER BY bucket""".stripMargin
+        |FROM g ORDER BY bucket""".stripMargin,
+    "q179_phrase_search" ->
+      """WITH w AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |tri AS (SELECT doc_id, ws[i] AS a, ws[i+1] AS b, ws[i+2] AS c
+        |  FROM w, unnest(range(1, len(ws) - 1)) AS t(i)
+        |  WHERE len(ws) >= 3),
+        |top AS (SELECT a, b, c FROM (
+        |    SELECT a, b, c, count(*) AS cn FROM tri GROUP BY a, b, c
+        |    ORDER BY cn DESC, a, b, c LIMIT 1)),
+        |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ
+        |  FROM tri JOIN top USING (a, b, c) GROUP BY doc_id)
+        |SELECT (SELECT a FROM top) AS a, (SELECT b FROM top) AS b,
+        |  (SELECT c FROM top) AS c, doc_id, n_occ
+        |FROM m ORDER BY n_occ DESC, doc_id LIMIT 20""".stripMargin,
+    "q180_retractable_mv" ->
+      """WITH post AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 5 = 0 THEN n_chars + 10 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 7 <> 0)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM post GROUP BY source ORDER BY source""".stripMargin
   )
 }

@@ -97,6 +97,43 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("q179: phrase matches equal a driver-side scan for the induced trigram") {
+    val rows = CurationOps.queries("q179_phrase_search")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val (a, b, c, _, _) = rows.head
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)))
+    // the induced trigram is the global most-frequent one, ties broken by
+    // the lexicographically smallest phrase (the query's rule)
+    val allTris = docs.flatMap { case (_, ws) => ws.sliding(3).filter(_.length == 3).map(_.toSeq) }
+    val cnts = allTris.groupBy(identity).view.mapValues(_.length).toSeq
+    val maxN = cnts.map(_._2).max
+    val want = cnts.filter(_._2 == maxN).map(_._1.mkString(" ")).min.split(" ")
+    assert(Seq(a, b, c) == want.toSeq, s"induced ($a $b $c), want ${want.mkString(" ")}")
+    // per-doc occurrence counts match a driver-side sliding-window scan
+    val wantOcc = docs.map { case (id, ws) =>
+      (id, ws.sliding(3).count(t => t.length == 3 && t.sameElements(Array(a, b, c))))
+    }.filter(_._2 > 0).sortBy { case (id, n) => (-n, id) }.take(20)
+      .map { case (id, n) => (id, n.toLong) }
+    assert(rows.map(r => (r._4, r._5)).toSeq == wantOcc.toSeq)
+  }
+
+  test("q180: incremental retraction merge equals a full recompute of the post-CDC view") {
+    val got = CurationOps.queries("q180_retractable_mv")(spark, dir)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val docs = Tables(spark, dir, "documents").select("source", "doc_id", "n_chars")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val post = docs.filter(_._2 % 7 != 0)
+      .map { case (s, id, nc) => (s, if (id % 5 == 0) nc + 10 else nc) }
+    val want = post.groupBy(_._1).map { case (s, xs) =>
+      (s, (xs.length.toLong, xs.map(_._2).sum))
+    }.filter(_._2._1 > 0)
+    assert(got.size == want.size)
+    want.foreach { case (s, (n, chars)) => assert(got(s) == ((n, chars)), s"source $s") }
+  }
+
   test("q178: buckets are contiguous, exhaustive, and reasonably balanced") {
     val rows = CurationOps.queries("q178_range_plan")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

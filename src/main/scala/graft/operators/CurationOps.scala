@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.Percentiles
 import graft.plans.TopKPerKey
@@ -251,6 +252,65 @@ object CurationOps {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------------
+  // q181 — exact-threshold similarity self-join via prefix filtering
+  // ---------------------------------------------------------------------
+
+  /** EXACT all-pairs Jaccard ≥ 0.6 over 3-gram shingle SETS by prefix
+    * filtering (the AllPairs/PPJoin family) — the exact-threshold
+    * complement of the LSH ladder (q24-q26 trade recall for speed; this
+    * guarantees NO missed pair): shingles are globally ordered
+    * rarest-first (df asc, shingle asc), each doc blocks only on its
+    * first n − ceil(τn) + 1 shingles (any pair at τ must share a prefix
+    * shingle), candidates are additionally length-filtered
+    * (τ·|A| ≤ |B| ≤ |A|/τ), and survivors are verified with an exact
+    * integer test — 5·|A∩B| ≥ 3·|A∪B| is τ = 3/5 with no floating point
+    * anywhere. Shingles (not raw words) are what make prefix filtering
+    * scale: their df is ≈ 1 outside genuine near-dups, so blocks stay
+    * tiny even on a small-vocabulary corpus where word-level prefixes
+    * would explode (measured: words 2 min, shingles seconds, same SF).
+    * The per-doc rank window is doc-length-bounded; the df join rides
+    * the shingle key it is already partitioned by. Similarity is
+    * emitted as the usual micro-unit quotient. */
+  private def q181(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_remove(split(lower(col("text")), "\\s+"), "").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val tok = docs
+      .withColumn("t1", slice(col("ws"), lit(1), size(col("ws")) - 2))
+      .withColumn("t2", slice(col("ws"), lit(2), size(col("ws")) - 2))
+      .withColumn("t3", slice(col("ws"), lit(3), size(col("ws")) - 2))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(arrays_zip(t1, t2, t3), s -> concat_ws(' ', s.t1, s.t2, s.t3))"))).as("w"))
+    val dfs = tok.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // dfs is corpus-sized for shingles — join on the shingle key both
+    // sides already hash-partition by, never broadcast
+    val ranked = tok.join(dfs, "w").join(n, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "w")))
+    val pref = ranked
+      .filter(col("rk") <= col("n") - expr("(3 * n + 4) div 5") + 1)
+      .select(col("doc_id"), col("w"), col("n"))
+    val cand = pref.as("x").join(pref.as("y"),
+        col("x.w") === col("y.w") && col("x.doc_id") < col("y.doc_id") &&
+          col("y.n") * 5 >= col("x.n") * 3 && col("y.n") * 3 <= col("x.n") * 5)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b_id"),
+        col("x.n").as("na"), col("y.n").as("nb"))
+      .distinct()
+    cand
+      .join(tok.as("ta"), col("a") === col("ta.doc_id"))
+      .join(tok.as("tb"), col("b_id") === col("tb.doc_id") && col("ta.w") === col("tb.w"))
+      .groupBy("a", "b_id", "na", "nb").agg(count(lit(1)).as("inter"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * 5 >= col("uni") * 3)
+      .select(col("a"), col("b_id"), col("inter"), col("uni"),
+        expr("(2 * inter * 1000000 + uni) div (2 * uni)").as("jac_micro"))
+      .orderBy(col("jac_micro").desc, col("a"), col("b_id")).limit(50)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q174_table_checksum" -> (q174 _),
     "q175_domain_cap" -> (q175 _),
@@ -258,7 +318,8 @@ object CurationOps {
     "q177_first_touch" -> (q177 _),
     "q178_range_plan" -> (q178 _),
     "q179_phrase_search" -> (q179 _),
-    "q180_retractable_mv" -> (q180 _)
+    "q180_retractable_mv" -> (q180 _),
+    "q181_prefix_filter_join" -> (q181 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -362,6 +423,32 @@ object CurationOps {
         |  FROM documents WHERE doc_id % 7 <> 0)
         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM post GROUP BY source ORDER BY source""".stripMargin
+        |FROM post GROUP BY source ORDER BY source""".stripMargin,
+    "q181_prefix_filter_join" ->
+      """WITH w0 AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS w
+        |    FROM w0, unnest(range(1, len(ws) - 1)) AS t(i)
+        |    WHERE len(ws) >= 3)),
+        |dfs AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY w),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+        |r AS (SELECT t.doc_id, t.w, n.n,
+        |    row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.w) AS rk
+        |  FROM tok t JOIN dfs d USING (w) JOIN n USING (doc_id)),
+        |pref AS (SELECT doc_id, w, n FROM r WHERE rk <= n - (3 * n + 4) // 5 + 1),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b_id, x.n AS na, y.n AS nb
+        |  FROM pref x JOIN pref y ON x.w = y.w AND x.doc_id < y.doc_id
+        |    AND 5 * y.n >= 3 * x.n AND 3 * y.n <= 5 * x.n),
+        |iv AS (SELECT c.a, c.b_id, c.na, c.nb, CAST(count(*) AS BIGINT) AS inter
+        |  FROM cand c JOIN tok ta ON ta.doc_id = c.a
+        |  JOIN tok tb ON tb.doc_id = c.b_id AND ta.w = tb.w
+        |  GROUP BY c.a, c.b_id, c.na, c.nb)
+        |SELECT a, b_id, inter, CAST(na + nb - inter AS BIGINT) AS uni,
+        |  CAST((2 * inter * 1000000 + (na + nb - inter))
+        |    // (2 * (na + nb - inter)) AS BIGINT) AS jac_micro
+        |FROM iv WHERE 5 * inter >= 3 * (na + nb - inter)
+        |ORDER BY jac_micro DESC, a, b_id LIMIT 50""".stripMargin
   )
 }

@@ -134,6 +134,27 @@ class CurationOpsSpec extends AnyFunSuite {
     want.foreach { case (s, (n, chars)) => assert(got(s) == ((n, chars)), s"source $s") }
   }
 
+  test("q181: prefix-filtered join equals BRUTE-FORCE all-pairs Jaccard >= 0.6 (no missed pair)") {
+    val got = CurationOps.queries("q181_prefix_filter_join")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text").collect()
+      .map { r =>
+        val ws = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+        (r.getLong(0), ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet)
+      }
+      .filter(_._2.nonEmpty)
+    val brute = (for {
+      (a, sa) <- docs; (b, sb) <- docs if a < b
+      inter = (sa & sb).size.toLong
+      uni = (sa | sb).size.toLong
+      if inter * 5 >= uni * 3
+    } yield (a, b, inter, uni, (2 * inter * 1000000L + uni) / (2 * uni)))
+      .sortBy { case (a, b, _, _, j) => (-j, a, b) }.take(50)
+    assert(got.toSeq == brute.toSeq,
+      s"got ${got.length} pairs, brute-force ${brute.length}")
+    assert(brute.nonEmpty, "fixture should contain at least one pair at tau=0.6")
+  }
+
   test("q178: buckets are contiguous, exhaustive, and reasonably balanced") {
     val rows = CurationOps.queries("q178_range_plan")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

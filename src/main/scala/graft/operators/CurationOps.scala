@@ -311,6 +311,67 @@ object CurationOps {
       .orderBy(col("jac_micro").desc, col("a"), col("b_id")).limit(50)
   }
 
+  // ---------------------------------------------------------------------
+  // q182 — exact 7-day rolling distinct users (window-explode)
+  // ---------------------------------------------------------------------
+
+  /** Exact rolling 7-day active users per day — the metric a naive
+    * rolling SUM of daily distincts gets wrong (users active on several
+    * days double-count). The scalable exact plan is the window-explode
+    * trick: dedup to (user, day) first (bounds the blowup at its
+    * source), explode each day into the ≤ 7 window-ends it contributes
+    * to — a LINEAR ×7 fan-out, no range join, no quadratic self-join —
+    * keep only window-ends that are real days (broadcast semi join
+    * against the tiny day dimension), and count distinct per window-end.
+    * Work is 7 × |user-days| regardless of corpus size; the range-join
+    * formulation the oracle uses would be a broadcast-nested-loop at
+    * scale. */
+  private def q182(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+    val days = ev.select(col("d").as("wend")).distinct()
+    ev.select(explode(sequence(col("d"), date_add(col("d"), 6))).as("wend"),
+        col("user_id"))
+      .join(broadcast(days), Seq("wend"), "left_semi")
+      .groupBy("wend")
+      .agg(countDistinct("user_id").as("n_active"))
+      .orderBy("wend")
+  }
+
+  // ---------------------------------------------------------------------
+  // q183 — weighted median price per nation (integer-exact)
+  // ---------------------------------------------------------------------
+
+  /** Quantity-weighted median lineitem price per supplier nation: the
+    * smallest price whose cumulative weight reaches half the total —
+    * selected by the integer test 2·cum ≥ W, so no division or double
+    * ever occurs. The cumulative window runs over the per-nation
+    * DISTINCT price spectrum (already aggregated — the q159 rule), never
+    * raw rows; nation/supplier dims broadcast. The unweighted
+    * exactByRank machinery (q136/q178) is the documented alternative
+    * when even the distinct spectrum is too wide per group. */
+  private def q183(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val nat = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val byVal = t(s, dir, "lineitem")
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "cents").agg(sum("qty").as("w"))
+    val tot = byVal.groupBy("n_name").agg(sum("w").cast("long").as("tw"))
+    byVal
+      .withColumn("cw", sum("w").over(
+        Window.partitionBy("n_name").orderBy("cents")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(tot), "n_name")
+      .groupBy("n_name", "tw")
+      .agg(min(when(col("cw") * 2 >= col("tw"), col("cents"))).as("median_cents"))
+      .select(col("n_name"), col("tw").as("total_qty"), col("median_cents"))
+      .orderBy("n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q174_table_checksum" -> (q174 _),
     "q175_domain_cap" -> (q175 _),
@@ -319,7 +380,9 @@ object CurationOps {
     "q178_range_plan" -> (q178 _),
     "q179_phrase_search" -> (q179 _),
     "q180_retractable_mv" -> (q180 _),
-    "q181_prefix_filter_join" -> (q181 _)
+    "q181_prefix_filter_join" -> (q181 _),
+    "q182_rolling_distinct" -> (q182 _),
+    "q183_weighted_median" -> (q183 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -449,6 +512,30 @@ object CurationOps {
         |  CAST((2 * inter * 1000000 + (na + nb - inter))
         |    // (2 * (na + nb - inter)) AS BIGINT) AS jac_micro
         |FROM iv WHERE 5 * inter >= 3 * (na + nb - inter)
-        |ORDER BY jac_micro DESC, a, b_id LIMIT 50""".stripMargin
+        |ORDER BY jac_micro DESC, a, b_id LIMIT 50""".stripMargin,
+    "q182_rolling_distinct" ->
+      """WITH ev AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d AS wend FROM ev)
+        |SELECT w.wend, CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+        |FROM days w JOIN ev e ON e.d BETWEEN w.wend - 6 AND w.wend
+        |GROUP BY w.wend ORDER BY w.wend""".stripMargin,
+    "q183_weighted_median" ->
+      """WITH li AS (SELECT n.n_name,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem
+        |  JOIN supplier s ON l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey),
+        |bv AS (SELECT n_name, cents, CAST(sum(qty) AS BIGINT) AS w
+        |  FROM li GROUP BY n_name, cents),
+        |tot AS (SELECT n_name, CAST(sum(w) AS BIGINT) AS tw FROM bv GROUP BY n_name),
+        |cum AS (SELECT n_name, cents, CAST(sum(w) OVER (PARTITION BY n_name
+        |    ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS cw
+        |  FROM bv)
+        |SELECT c.n_name, t.tw AS total_qty,
+        |  CAST(min(CASE WHEN c.cw * 2 >= t.tw THEN c.cents END) AS BIGINT) AS median_cents
+        |FROM cum c JOIN tot t ON c.n_name = t.n_name
+        |GROUP BY c.n_name, t.tw ORDER BY c.n_name""".stripMargin
   )
 }

@@ -155,6 +155,49 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "fixture should contain at least one pair at tau=0.6")
   }
 
+  test("q182: rolling 7-day distinct equals a driver-side per-day set union") {
+    val got = CurationOps.queries("q182_rolling_distinct")(spark, dir)
+      .collect().map(r => (r.getDate(0).toLocalDate, r.getLong(1))).toMap
+    val ev = Tables(spark, dir, "events")
+      .select(to_date(col("ts")).as("d"), col("user_id")).collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1)))
+    val byDay = ev.groupBy(_._1).map { case (d, xs) => (d, xs.map(_._2).toSet) }
+    val days = byDay.keySet
+    assert(got.keySet == days)
+    days.foreach { d =>
+      val want = (0 to 6).flatMap(k => byDay.getOrElse(d.minusDays(k), Set.empty)).toSet
+      assert(got(d) == want.size.toLong, s"day $d")
+      // rolling >= single day (set union can only grow)
+      assert(got(d) >= byDay(d).size.toLong)
+    }
+  }
+
+  test("q183: weighted median satisfies the defining cumulative-weight inequality") {
+    val got = CurationOps.queries("q183_weighted_median")(spark, dir)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    val sup = Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue)).toMap
+    val nat = Tables(spark, dir, "nation").select("n_nationkey", "n_name")
+      .collect().map(r => (r.getAs[Number](0).longValue, r.getString(1))).toMap
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_suppkey"), round(col("l_extendedprice") * 100).cast("long"),
+        col("l_quantity").cast("long")).collect()
+      .map(r => (nat(sup(r.getAs[Number](0).longValue)), r.getLong(1), r.getLong(2)))
+    val byNation = li.groupBy(_._1)
+    assert(got.keySet == byNation.keySet)
+    byNation.foreach { case (nName, xs) =>
+      val w = xs.groupBy(_._2).map { case (c, ys) => (c, ys.map(_._3).sum) }
+      val tw = w.values.sum
+      val (gotTw, med) = got(nName)
+      assert(gotTw == tw, s"nation $nName total")
+      // defining property: weight at-or-below med reaches half; strictly
+      // below does not
+      val below = w.filter(_._1 < med).values.sum
+      val atOrBelow = w.filter(_._1 <= med).values.sum
+      assert(atOrBelow * 2 >= tw && below * 2 < tw, s"nation $nName median $med")
+    }
+  }
+
   test("q178: buckets are contiguous, exhaustive, and reasonably balanced") {
     val rows = CurationOps.queries("q178_range_plan")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

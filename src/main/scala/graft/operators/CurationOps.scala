@@ -372,6 +372,41 @@ object CurationOps {
       .orderBy("n_name")
   }
 
+  // ---------------------------------------------------------------------
+  // q184 — percent-of-parent revenue shares (region → nation hierarchy)
+  // ---------------------------------------------------------------------
+
+  /** Two-level percent-of-parent report: each nation's revenue share
+    * within its region and each region's share of the total — the OLAP
+    * reporting primitive behind every drill-down dashboard. One
+    * aggregation builds the (region, nation) leaf table; parent totals
+    * are re-aggregations of that tiny result joined back broadcast (never
+    * a second base-table scan); every share is the exact micro-unit
+    * quotient. Revenue rides integer cents from the scan up. */
+  private def q184(s: SparkSession, dir: String): DataFrame = {
+    val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val nat = t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val reg = t(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+    val leaf = t(s, dir, "lineitem")
+      .select(col("l_suppkey"),
+        round(col("l_extendedprice") * 100).cast("long").as("cents"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum("cents").cast("long").as("cents"))
+    val regTot = leaf.groupBy("r_name").agg(sum("cents").cast("long").as("rc"))
+    val allTot = leaf.agg(sum("cents").cast("long").as("tc"))
+    leaf.join(broadcast(regTot), "r_name").crossJoin(broadcast(allTot))
+      .select(col("r_name"), col("n_name"), col("cents"),
+        (expr("(2 * cents * 1000000 + rc) div (2 * rc)")
+          .cast("double") / 1000000.0).as("nation_share"),
+        (expr("(2 * rc * 1000000 + tc) div (2 * tc)")
+          .cast("double") / 1000000.0).as("region_share"))
+      .orderBy("r_name", "n_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q174_table_checksum" -> (q174 _),
     "q175_domain_cap" -> (q175 _),
@@ -382,7 +417,8 @@ object CurationOps {
     "q180_retractable_mv" -> (q180 _),
     "q181_prefix_filter_join" -> (q181 _),
     "q182_rolling_distinct" -> (q182 _),
-    "q183_weighted_median" -> (q183 _)
+    "q183_weighted_median" -> (q183 _),
+    "q184_hierarchy_shares" -> (q184 _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -536,6 +572,23 @@ object CurationOps {
         |SELECT c.n_name, t.tw AS total_qty,
         |  CAST(min(CASE WHEN c.cw * 2 >= t.tw THEN c.cents END) AS BIGINT) AS median_cents
         |FROM cum c JOIN tot t ON c.n_name = t.n_name
-        |GROUP BY c.n_name, t.tw ORDER BY c.n_name""".stripMargin
+        |GROUP BY c.n_name, t.tw ORDER BY c.n_name""".stripMargin,
+    "q184_hierarchy_shares" ->
+      """WITH leaf AS (SELECT r.r_name, n.n_name,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  JOIN supplier s ON l_suppkey = s.s_suppkey
+        |  JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY r.r_name, n.n_name),
+        |rt AS (SELECT r_name, CAST(sum(cents) AS BIGINT) AS rc FROM leaf GROUP BY r_name),
+        |tt AS (SELECT CAST(sum(cents) AS BIGINT) AS tc FROM leaf)
+        |SELECT l.r_name, l.n_name, l.cents,
+        |  CAST((2 * l.cents * 1000000 + rt.rc) // (2 * rt.rc) AS DOUBLE) / 1000000.0
+        |    AS nation_share,
+        |  CAST((2 * rt.rc * 1000000 + tt.tc) // (2 * tt.tc) AS DOUBLE) / 1000000.0
+        |    AS region_share
+        |FROM leaf l JOIN rt ON l.r_name = rt.r_name, tt
+        |ORDER BY l.r_name, l.n_name""".stripMargin
   )
 }

@@ -198,6 +198,61 @@ class CurationOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q184: leaf cents reconcile exactly and shares close to ~1 within each parent") {
+    val rows = CurationOps.queries("q184_hierarchy_shares")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    // exact reconciliation: sum of leaf cents equals the one-scan total
+    val totalWant = Tables(spark, dir, "lineitem")
+      .select(round(col("l_extendedprice") * 100).cast("long").as("c"))
+      .agg(sum("c")).collect()(0).getLong(0)
+    assert(rows.map(_._3).sum == totalWant)
+    // shares close within each region (micro rounding: +/- n_children ulp)
+    rows.groupBy(_._1).foreach { case (r, xs) =>
+      val shareSum = xs.map(_._4).sum
+      assert(math.abs(shareSum - 1.0) <= xs.length * 1e-6, s"region $r sum $shareSum")
+    }
+    // region shares (constant per region) sum to ~1 across regions
+    val regShares = rows.groupBy(_._1).map { case (_, xs) => xs.head._5 }
+    assert(math.abs(regShares.sum - 1.0) <= regShares.size * 1e-6)
+  }
+
+  test("q181 scale property: hot boilerplate shingles never enter prefixes (blocks stay tiny)") {
+    import spark.implicits._
+    // 200 docs: every one shares the same 10-word boilerplate phrase, and
+    // each carries 30 unique words. Word-level blocking on the shared
+    // phrase would be quadratic (200 choose 2 = 19900 pairs); rarest-first
+    // prefixes must exclude the universal shingles entirely.
+    val boiler = (1 to 10).map(i => s"legal$i").mkString(" ")
+    val docs = (1 to 200).map { d =>
+      (d.toLong, boiler + " " + (1 to 30).map(i => s"u${d}x$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val tok = docs
+      .select(col("doc_id"),
+        array_remove(split(lower(col("text")), "\\s+"), "").as("ws"))
+      .withColumn("t1", slice(col("ws"), lit(1), size(col("ws")) - 2))
+      .withColumn("t2", slice(col("ws"), lit(2), size(col("ws")) - 2))
+      .withColumn("t3", slice(col("ws"), lit(3), size(col("ws")) - 2))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(arrays_zip(t1, t2, t3), s -> concat_ws(' ', s.t1, s.t2, s.t3))"))).as("w"))
+    val dfs = tok.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pref = tok.join(dfs, "w").join(n, "doc_id")
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("df", "w")))
+      .filter(col("rk") <= col("n") - expr("(3 * n + 4) div 5") + 1)
+    // no prefix shingle is shared by more than 2 docs -> candidate blocks
+    // are O(1), pairs ~0 despite 100% of docs sharing the boilerplate
+    val maxBlock = pref.groupBy("w").agg(count(lit(1)).as("c"))
+      .agg(max("c")).collect()(0).getLong(0)
+    assert(maxBlock <= 2L, s"hot shingle leaked into a prefix (block size $maxBlock)")
+    val candPairs = pref.as("x").join(pref.as("y"),
+        col("x.w") === col("y.w") && col("x.doc_id") < col("y.doc_id")).count()
+    assert(candPairs < 50L, s"candidate pairs $candPairs should be << 19900 (quadratic)")
+  }
+
   test("q178: buckets are contiguous, exhaustive, and reasonably balanced") {
     val rows = CurationOps.queries("q178_range_plan")(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))

@@ -272,8 +272,14 @@ object CurationOps {
     * The per-doc rank window is doc-length-bounded; the df join rides
     * the shingle key it is already partitioned by. Similarity is
     * emitted as the usual micro-unit quotient. */
-  private def q181(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+  private def q181(s: SparkSession, dir: String): DataFrame =
+    prefixFilterJoin(t(s, dir, "documents").select("doc_id", "text"))
+
+  /** The q181 core over any (doc_id, text) frame — public so the property
+    * sweep can drive the REAL plan with random corpora and compare against
+    * brute force (CurationPropSpec). */
+  private[graft] def prefixFilterJoin(input: DataFrame): DataFrame = {
+    val docs = input
       .select(col("doc_id"),
         array_remove(split(lower(col("text")), "\\s+"), "").as("ws"))
       .filter(size(col("ws")) >= 3)

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.CurationOps
+
+/** Property-style sweeps (seeded random fixtures, plain loops — the
+  * scalatest/scalacheck bridge isn't in the offline dependency set) for
+  * the round-5 contracts that must hold on ANY input, not just the
+  * shipped testdata: prefix-filter completeness (no missed pair at the
+  * threshold, ever) and the micro-unit quotient's equivalence to
+  * BigDecimal HALF_UP rounding (the rule every emitted ratio rides).
+  */
+class CurationPropSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val rand = new scala.util.Random(20260813L)
+
+  test("prefix-filter join ≡ brute-force all-pairs on random corpora (completeness sweep)") {
+    import spark.implicits._
+    for (round <- 1 to 8) {
+      // small alphabet forces shingle collisions; planted near-dups by
+      // cloning a base doc and mutating a random suffix
+      val vocab = (1 to (5 + rand.nextInt(10))).map(i => s"w$i")
+      def randDoc(n: Int): String =
+        (1 to n).map(_ => vocab(rand.nextInt(vocab.size))).mkString(" ")
+      val bases = (1 to 10).map(i => (i.toLong, randDoc(8 + rand.nextInt(20))))
+      val clones = bases.take(5).map { case (id, text) =>
+        val ws = text.split(" ")
+        val keep = ws.length - 1 - rand.nextInt(3)
+        (id + 100L, (ws.take(keep) ++ Seq(vocab(rand.nextInt(vocab.size)))).mkString(" "))
+      }
+      val docs = bases ++ clones
+      val got = CurationOps.prefixFilterJoin(docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val sets = docs.map { case (id, text) =>
+        val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        (id, ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet)
+      }.filter(_._2.nonEmpty)
+      val brute = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        inter = (sa & sb).size.toLong
+        uni = (sa | sb).size.toLong
+        if inter * 5 >= uni * 3
+      } yield (a, b, inter, uni, (2 * inter * 1000000L + uni) / (2 * uni)))
+        .sortBy { case (x, y, _, _, j) => (-j, x, y) }.take(50)
+      assert(got.toSeq == brute.toSeq,
+        s"round $round: got ${got.length} pairs, brute ${brute.length}")
+    }
+  }
+
+  test("micro-unit quotient (2a·s + n) div (2n) ≡ BigDecimal HALF_UP at 6 places") {
+    for (_ <- 1 to 3000) {
+      val sum = rand.nextLong(2_000_000_000L)
+      val n = 1L + rand.nextLong(100_000L)
+      val micro = (2 * sum * 1000000L + n) / (2 * n)
+      val want = (BigDecimal(sum) / BigDecimal(n))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      assert(BigDecimal(micro, 6) == want, s"sum=$sum n=$n")
+    }
+    // the exact half tie that broke q149 round 4: 4396875/2000 in cents
+    // space — HALF_UP must round the 6th place up
+    val micro = (2 * 4396875L * 1000000L + 2000L) / (2 * 2000L)
+    assert(micro == 2198437500L &&
+      BigDecimal(micro, 6) == BigDecimal("2198.437500"))
+  }
+}

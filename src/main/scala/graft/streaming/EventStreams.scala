@@ -349,7 +349,67 @@ object EventStreams {
     }
   }
 
+  /** Stream-stream LEFT OUTER interval join (§2.11's last missing join
+    * mode): every click emits exactly once — matched rows as purchases
+    * arrive, UNMATCHED clicks as nulls only after the watermark passes
+    * their join-window expiry (the state-expiry semantics that make outer
+    * join state bounded in production; an inner join q85 never has to
+    * evict-and-emit). Two staged arrivals via the q107 file machinery:
+    * the real events, then far-future sentinels on BOTH sides (each
+    * side's watermark advances only through its own filter; distinct
+    * sentinel users 30+ min apart so they cannot match each other) —
+    * after which every unmatched click has flushed, so the result equals
+    * the batch left join the oracle runs. Rolled up per click hour. */
+  private def q185(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events").select("user_id", "ts", "event_type")
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    def sentinel(uid: Long, tpe: String, offsetMs: Long) =
+      Seq((uid, new java.sql.Timestamp(maxTs.getTime + offsetMs), tpe))
+        .toDF("user_id", "ts", "event_type")
+    val d = graft.Scratch.freshPath("outer_")
+    val t0 = System.currentTimeMillis() - 120000
+    writeBatchFile(ev, d.resolve("b0.parquet"), t0)
+    val schema = s.read.parquet(d.resolve("b0.parquet").toString).schema
+    val src = s.readStream.schema(schema).parquet(d.toString)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", "10 minutes")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("p_ts") >= col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = joined.writeStream.format("memory").queryName("stream_outer_join")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable() // real data + zero-data watermark promotion
+        writeBatchFile(sentinel(-1L, "click", 1000L * 3600 * 1000)
+          .unionByName(sentinel(-2L, "purchase", 1000L * 3600 * 1000 + 3600000L)),
+          d.resolve("b1.parquet"), t0 + 30000)
+        q.processAllAvailable() // watermark passes every expiry → outer rows flush
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table("stream_outer_join")
+      .filter(col("user_id") >= 0) // drop only the negative-id sentinels
+      .select(date_trunc("hour", col("c_ts")).as("click_hour"),
+        col("user_id"), col("p_ts"))
+      .groupBy("click_hour")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("p_ts")).as("n_matched"),
+        (count(lit(1)) - count(col("p_ts"))).as("n_unmatched"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("click_hour")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_stream_outer_join" -> (q185 _),
     "q173_stream_transform_state" -> (q173 _),
     "q144_stream_trending" -> (q144 _),
     "q119_stream_static_join" -> (q119 _),
@@ -464,6 +524,18 @@ object EventStreams {
     "q173_stream_transform_state" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q185_stream_outer_join" ->
+      """WITH c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id AS p_user, ts AS p_ts FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT c.user_id, c.c_ts, p.p_ts
+        |  FROM c LEFT JOIN p ON c.user_id = p.p_user
+        |    AND p.p_ts >= c.c_ts AND p.p_ts <= c.c_ts + INTERVAL 30 MINUTE)
+        |SELECT date_trunc('hour', c_ts) AS click_hour,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(p_ts) AS BIGINT) AS n_matched,
+        |  CAST(count(*) - count(p_ts) AS BIGINT) AS n_unmatched,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM j GROUP BY click_hour ORDER BY click_hour""".stripMargin
   )
 }

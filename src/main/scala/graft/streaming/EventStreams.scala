@@ -2,8 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 import graft.Tables
 
 /** Structured Streaming surface (SURVEY.md §2.11): the reference's
@@ -408,7 +409,109 @@ object EventStreams {
       .orderBy("click_hour")
   }
 
+  /** Event-time TIMER processor for q186 (the half of the Spark-4
+    * arbitrary-state API q173 doesn't touch): per-user abandoned-cart
+    * detection. Clicks enter a pending ListState and register an
+    * event-time timer just past their 30-minute conversion window;
+    * purchases clear every pending click they cover; when the watermark
+    * passes a timer, the still-pending clicks emit as abandonments.
+    * Matching runs on integer epoch SECONDS (floored identically in the
+    * oracle), so no timestamp arithmetic reaches the comparison. The
+    * purchase list is kept unpruned here (bounded replay); production
+    * would drop purchases older than watermark − window. */
+  private class AbandonedCarts
+      extends StatefulProcessor[Long, (Long, java.sql.Timestamp, String), (Long, Long)] {
+    @transient private var pending: ListState[Long] = _ // click epoch-sec
+    @transient private var purch: ListState[Long] = _   // purchase epoch-sec
+    private def expiryMs(c: Long): Long = (c + 1800L) * 1000L + 1000L
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      pending = getHandle.getListState[Long]("pending",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+      purch = getHandle.getListState[Long]("purch",
+        org.apache.spark.sql.Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, String)],
+        tv: TimerValues): Iterator[(Long, Long)] = {
+      val in = rows.toSeq
+      val newClicks = in.filter(_._3 == "click").map(_._2.getTime / 1000L)
+      val newPurch = in.filter(_._3 == "purchase").map(_._2.getTime / 1000L)
+      val allPurch = purch.get().toSeq ++ newPurch
+      val open = (pending.get().toSeq ++ newClicks)
+        .filterNot(c => allPurch.exists(p => p >= c && p <= c + 1800L))
+      pending.clear()
+      open.foreach(pending.appendValue)
+      purch.clear()
+      allPurch.foreach(purch.appendValue)
+      open.map(expiryMs).distinct.foreach(getHandle.registerTimer)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+      val e = info.getExpiryTimeInMs
+      val (due, rest) = pending.get().toSeq.partition(c => expiryMs(c) <= e)
+      pending.clear()
+      rest.foreach(pending.appendValue)
+      due.sorted.map(c => (key, c)).iterator
+    }
+  }
+
+  /** transformWithState with EVENT-TIME TIMERS: per-user abandoned-cart
+    * counts — a click with no purchase in its 30-minute window emits
+    * exactly once, when the watermark passes the window (the timer-driven
+    * emission pattern session timeouts, SLA alerts, and cart-recovery
+    * jobs all share). Same staged arrivals as q185: real events, then a
+    * far-future sentinel advancing the watermark past every timer. The
+    * oracle recomputes abandoned clicks relationally on epoch seconds —
+    * timer semantics against batch anti-join semantics, row-for-row. */
+  private def q186(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val ev = Tables(s, dir, "events").select("user_id", "ts", "event_type")
+        .filter(col("event_type").isin("click", "purchase"))
+      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+      val d = graft.Scratch.freshPath("carts_")
+      val t0 = System.currentTimeMillis() - 120000
+      writeBatchFile(ev, d.resolve("b0.parquet"), t0)
+      val schema = s.read.parquet(d.resolve("b0.parquet").toString).schema
+      val typed = s.readStream.schema(schema).parquet(d.toString)
+        .withWatermark("ts", "10 minutes")
+        .as[(Long, java.sql.Timestamp, String)]
+      val out = typed.groupByKey(_._1)
+        .transformWithState(new AbandonedCarts, TimeMode.EventTime(), OutputMode.Append())
+        .toDF("user_id", "click_es")
+      val q = out.writeStream.format("memory").queryName("stream_timers")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable() // real data + zero-data watermark promotion
+        writeBatchFile(Seq((-1L,
+          new java.sql.Timestamp(maxTs.getTime + 1000L * 3600 * 1000), "click"))
+          .toDF("user_id", "ts", "event_type"), d.resolve("b1.parquet"), t0 + 30000)
+        q.processAllAvailable() // watermark passes every timer -> abandonments flush
+      } finally q.stop()
+      s.table("stream_timers")
+        .filter(col("user_id") >= 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_abandoned"),
+          min("click_es").as("first_abandoned_es"))
+        .orderBy("user_id")
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevProvider match {
+        case Some(p) => s.conf.set(key, p)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q186_stream_timers" -> (q186 _),
     "q185_stream_outer_join" -> (q185 _),
     "q173_stream_transform_state" -> (q173 _),
     "q144_stream_trending" -> (q144 _),
@@ -525,6 +628,17 @@ object EventStreams {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q186_stream_timers" ->
+      """WITH c AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
+        |  FROM events WHERE event_type = 'purchase'),
+        |ab AS (SELECT c.user_id, c.es FROM c
+        |  WHERE NOT EXISTS (SELECT 1 FROM p
+        |    WHERE p.user_id = c.user_id AND p.es >= c.es AND p.es <= c.es + 1800))
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_abandoned,
+        |  CAST(min(es) AS BIGINT) AS first_abandoned_es
+        |FROM ab GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q185_stream_outer_join" ->
       """WITH c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id AS p_user, ts AS p_ts FROM events WHERE event_type = 'purchase'),

@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 import graft.Tables
 
 /** Structured Streaming surface (SURVEY.md §2.11): the reference's
@@ -510,7 +510,66 @@ object EventStreams {
     }
   }
 
+  /** MapState processor for q187 — the third and last state primitive of
+    * the Spark-4 API (ValueState q173, ListState+timers q186): per-user
+    * map of event_type → (count, cents-sum), updated key-at-a-time so
+    * state grows with the user's distinct types, not their event count.
+    * Update-mode emissions are monotone per (user, type); the batch-side
+    * max keeps the final value. */
+  private class TypeTotals
+      extends StatefulProcessor[Long, (Long, String, Long), (Long, String, Long, Long)] {
+    @transient private var m: MapState[String, (Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      m = getHandle.getMapState[String, (Long, Long)]("totals",
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[(Long, String, Long)],
+        tv: TimerValues): Iterator[(Long, String, Long, Long)] = {
+      val touched = scala.collection.mutable.Set[String]()
+      rows.foreach { case (_, tpe, cents) =>
+        val (n, c) = if (m.containsKey(tpe)) m.getValue(tpe) else (0L, 0L)
+        m.updateValue(tpe, (n + 1L, c + cents))
+        touched += tpe
+      }
+      touched.toSeq.sorted.map { tpe =>
+        val (n, c) = m.getValue(tpe)
+        (key, tpe, n, c)
+      }.iterator
+    }
+  }
+
+  /** transformWithState with MapState: per-(user, event_type) running
+    * count and cents volume in a keyed map — the per-entry-addressable
+    * state shape (update one type without rewriting the user's whole
+    * state) that a ValueState of the full map would lose. Oracle = the
+    * plain batch rollup (update emissions are monotone, so max IS the
+    * final state). */
+  private def q187(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val typed = stream(s, dir)
+        .select(col("user_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+        .as[(Long, String, Long)]
+      val out = typed.groupByKey(_._1)
+        .transformWithState(new TypeTotals, TimeMode.None(), OutputMode.Update())
+        .toDF("user_id", "event_type", "n_events", "sum_cents")
+      run(s, out, "stream_mapstate", OutputMode.Update())
+        .groupBy("user_id", "event_type")
+        .agg(max("n_events").as("n_events"), max("sum_cents").as("sum_cents"))
+        .orderBy("user_id", "event_type")
+    } finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q187_stream_mapstate" -> (q187 _),
     "q186_stream_timers" -> (q186 _),
     "q185_stream_outer_join" -> (q185 _),
     "q173_stream_transform_state" -> (q173 _),
@@ -628,6 +687,11 @@ object EventStreams {
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS max_cents
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q187_stream_mapstate" ->
+      """SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin,
     "q186_stream_timers" ->
       """WITH c AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es
         |  FROM events WHERE event_type = 'click'),

@@ -1010,7 +1010,66 @@ object AnalyticsOps {
       .orderBy("event_type", "gap_start")
   }
 
+  // ---------------------------------------------------------------------
+  // q189 — weighted shortest paths (distributed Bellman-Ford)
+  // ---------------------------------------------------------------------
+
+  /** WEIGHTED single-source shortest paths over the word co-occurrence
+    * graph (q167's unweighted sibling): distributed Bellman-Ford, the
+    * iterative-relaxation shape every Pregel-style graph engine runs.
+    * Edge weights are deterministic small integers derived from the
+    * canonical edge string (1 + md5₃₂("u|v") mod 9 — content-addressed,
+    * so both engines compute bit-identical weights with no RNG). Each
+    * round relaxes EVERY edge in parallel — one shuffle keyed on the
+    * frontier node — and after k rounds all optimal paths of ≤ k hops
+    * are final; the loop runs to the fixed point (no distance improved),
+    * localCheckpointing per round so lineage stays O(one round) (the
+    * q70/q167 iteration discipline). Convergence is detected by an
+    * improvement-join, not a driver-side collect of the distance table.
+    * The oracle replays it as a DuckDB RECURSIVE CTE with a cumulative-
+    * distance cap of 108 = 9·12, provably ≥ any optimal distance
+    * because the BFS diameter is < 12 (q167's spec-asserted cap) and no
+    * edge exceeds weight 9 — so both computations are exact minima. */
+  private def q189(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(array_remove(split(lower(col("text")), "\\s+"), "").as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val edges = docs
+      .withColumn("l", slice(col("ws"), lit(1), size(col("ws")) - 1))
+      .withColumn("r", slice(col("ws"), lit(2), size(col("ws")) - 1))
+      .select(explode(arrays_zip(col("l"), col("r"))).as("bg"))
+      .select(col("bg.l").as("x"), col("bg.r").as("y"))
+      .filter(col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"), greatest(col("x"), col("y")).as("v"))
+      .distinct()
+      .withColumn("w", expr(
+        "1 + cast(conv(substring(md5(concat_ws('|', u, v)), 1, 8), 16, 10) as bigint) % 9"))
+    val adj = edges.select(col("u").as("a"), col("v").as("b"), col("w"))
+      .union(edges.select(col("v").as("a"), col("u").as("b"), col("w")))
+      .localCheckpoint(true)
+    import s.implicits._
+    var dist = Seq(("table", 0L)).toDF("word", "dist").localCheckpoint(true)
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < 40) {
+      rounds += 1
+      val relaxed = dist.join(adj, col("word") === col("a"))
+        .select(col("b").as("word"), (col("dist") + col("w")).as("dist"))
+        .unionByName(dist)
+        .groupBy("word").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+      changed = relaxed.as("n")
+        .join(dist.as("o"), col("n.word") === col("o.word"), "left_outer")
+        .filter(col("o.word").isNull || col("n.dist") < col("o.dist"))
+        .limit(1).count() > 0
+      if (changed) dist = relaxed
+    }
+    require(!changed, s"Bellman-Ford did not converge in $rounds rounds")
+    dist.orderBy("word")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_shortest_paths" -> (q189 _),
     "q146_interval_merge" -> (q146 _),
     "q147_pit_join" -> (q147 _),
     "q148_triangle_count" -> (q148 _),
@@ -1257,6 +1316,23 @@ object AnalyticsOps {
         |SELECT cents, n_orders, n_customers FROM sw
         |WHERE max_prev_y IS NULL OR n_orders > max_prev_y
         |ORDER BY cents DESC""".stripMargin,
+    "q189_shortest_paths" ->
+      """WITH RECURSIVE w AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |bg AS (SELECT ws[i] AS x, ws[i+1] AS y FROM w, unnest(range(1, len(ws))) AS t(i)
+        |  WHERE len(ws) >= 2),
+        |e AS (SELECT DISTINCT least(x, y) AS u, greatest(x, y) AS v FROM bg WHERE x <> y),
+        |ew AS (SELECT u, v,
+        |    1 + CAST(('0x' || substring(md5(u || '|' || v), 1, 8))::BIGINT % 9 AS BIGINT) AS w
+        |  FROM e),
+        |adj AS (SELECT u AS a, v AS b, w FROM ew UNION ALL SELECT v AS a, u AS b, w FROM ew),
+        |sp AS (
+        |  SELECT 'table' AS word, CAST(0 AS BIGINT) AS dist
+        |  UNION
+        |  SELECT adj.b AS word, sp.dist + adj.w AS dist
+        |  FROM sp JOIN adj ON adj.a = sp.word WHERE sp.dist + adj.w <= 108)
+        |SELECT word, CAST(min(dist) AS BIGINT) AS dist
+        |FROM sp GROUP BY word ORDER BY word""".stripMargin,
     "q167_bfs_levels" ->
       """WITH RECURSIVE w AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
         |  FROM documents),

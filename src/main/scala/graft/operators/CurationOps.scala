@@ -413,7 +413,107 @@ object CurationOps {
       .orderBy("r_name", "n_name")
   }
 
+  // ---------------------------------------------------------------------
+  // q191 — containment similarity join (near-subset detection)
+  // ---------------------------------------------------------------------
+
+  /** ASYMMETRIC containment join: all ordered pairs with
+    * |A∩B| / |A| ≥ 4/5 over the q181 3-gram shingle sets — the near-
+    * SUBSET detector (a doc embedded inside a longer one: quote farms,
+    * aggregator pages, truncated re-crawls) that symmetric Jaccard
+    * misses by construction (a small doc inside a huge one has tiny
+    * Jaccard but containment 1). Prefix filtering adapts to asymmetry:
+    * only the PROBE side prefixes (first n_A − ceil(4·n_A/5) + 1
+    * shingles, rarest-first) — the indexed side must keep FULL posting
+    * lists because a containing doc may match anywhere in its set (the
+    * fundamental extra cost of subset semantics); candidates are
+    * length-filtered (5·n_B ≥ 4·n_A) and survivors verified by the
+    * exact integer test 5·|A∩B| ≥ 4·|A|. The ORACLE is brute-force
+    * all-pairs, so the driver's hash gate IS the no-missed-pair proof
+    * for the prefix filter (q181's spec-level guarantee, promoted to
+    * the oracle itself). Containment is emitted as the micro-unit
+    * quotient; the top-50 cut is totally ordered. */
+  private def q191(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"),
+        array_remove(split(lower(col("text")), "\\s+"), "").as("ws"))
+      .filter(size(col("ws")) >= 3)
+    val tok = docs
+      .withColumn("t1", slice(col("ws"), lit(1), size(col("ws")) - 2))
+      .withColumn("t2", slice(col("ws"), lit(2), size(col("ws")) - 2))
+      .withColumn("t3", slice(col("ws"), lit(3), size(col("ws")) - 2))
+      .select(col("doc_id"),
+        explode(array_distinct(expr(
+          "transform(arrays_zip(t1, t2, t3), s -> concat_ws(' ', s.t1, s.t2, s.t3))"))).as("w"))
+    val dfs = tok.groupBy("w").agg(count(lit(1)).as("df"))
+    val n = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val ranked = tok.join(dfs, "w").join(n, "doc_id")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy("df", "w")))
+    val pref = ranked
+      .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+      .select(col("doc_id").as("a"), col("w"), col("n").as("na"))
+    val full = tok.join(n, "doc_id")
+      .select(col("doc_id").as("b_id"), col("w"), col("n").as("nb"))
+    val cand = pref.join(full, Seq("w"))
+      .filter(col("a") =!= col("b_id") && col("nb") * 5 >= col("na") * 4)
+      .select("a", "b_id", "na").distinct()
+    cand
+      .join(tok.as("ta"), col("a") === col("ta.doc_id"))
+      .join(tok.as("tb"), col("b_id") === col("tb.doc_id") && col("ta.w") === col("tb.w"))
+      .groupBy("a", "b_id", "na").agg(count(lit(1)).as("inter"))
+      .filter(col("inter") * 5 >= col("na") * 4)
+      .select(col("a"), col("b_id"), col("na"), col("inter"),
+        expr("(2 * inter * 1000000 + na) div (2 * na)").as("containment_micro"))
+      .orderBy(col("containment_micro").desc, col("a"), col("b_id")).limit(50)
+  }
+
+  // ---------------------------------------------------------------------
+  // q190 — corpus-frequency boilerplate pruning with document reassembly
+  // ---------------------------------------------------------------------
+
+  /** The common-crawl boilerplate-removal shape: tokenize each document
+    * into positioned units, compute each unit's DOCUMENT frequency within
+    * its source, drop units present in ≥ 85% of that source's documents
+    * (20·docf ≥ 17·n_docs — integer test, no ratio), and REASSEMBLE the
+    * surviving units in original order. On real corpora the unit is a
+    * line (nav bars, cookie banners repeat verbatim across a domain); on
+    * this whitespace corpus it is the word — the plan is identical:
+    * explode with position, one (source, unit) aggregation for df, an
+    * anti join back, and an order-restoring re-aggregation
+    * (array_sort over (pos, unit) structs — no per-doc sort window).
+    * The cleaned text is pinned by md5 fingerprint, so the oracle proves
+    * byte-identical reassembly, not just matching counts. Docs whose
+    * every unit is boilerplate survive with an empty cleaned text (the
+    * left join + coalesce path the naive inner-join plan would drop). */
+  private def q190(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select("doc_id", "source", "text")
+    val tok = docs.select(col("doc_id"), col("source"),
+      posexplode(array_remove(split(lower(col("text")), "\\s+"), "")).as(Seq("pos", "w")))
+    val nDocs = docs.groupBy("source").agg(count(lit(1)).as("nd"))
+    val dfs = tok.select("source", "w", "doc_id").distinct()
+      .groupBy("source", "w").agg(count(lit(1)).as("docf"))
+    val boiler = dfs.join(broadcast(nDocs), "source")
+      .filter(col("docf") * 20 >= col("nd") * 17)
+      .select(col("source"), col("w"))
+    val kept = tok.join(boiler, Seq("source", "w"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, w))), x -> x.w)"),
+          " ")).as("cleaned_fp"))
+    val totals = tok.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
+    docs.join(totals, "doc_id").join(kept, Seq("doc_id"), "left_outer")
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), col("source"), col("n_words"),
+        (col("n_words") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("cleaned_fp"), md5(lit(""))).as("cleaned_fp"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_containment_join" -> (q191 _),
+    "q190_boilerplate_prune" -> (q190 _),
     "q174_table_checksum" -> (q174 _),
     "q175_domain_cap" -> (q175 _),
     "q176_mixture_weights" -> (q176 _),
@@ -428,6 +528,48 @@ object CurationOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // brute-force all-pairs: the hash gate itself proves the prefix
+    // filter missed no pair (the exact verification filter makes the
+    // candidate-generation strategy invisible in the final result)
+    "q191_containment_join" ->
+      """WITH w0 AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS w
+        |    FROM w0, unnest(range(1, len(ws) - 1)) AS t(i)
+        |    WHERE len(ws) >= 3)),
+        |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY doc_id),
+        |i AS (SELECT ta.doc_id AS a, tb.doc_id AS b_id, CAST(count(*) AS BIGINT) AS inter
+        |  FROM tok ta JOIN tok tb ON ta.w = tb.w AND ta.doc_id <> tb.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT i.a, i.b_id, na.n AS na, i.inter,
+        |  CAST((2 * i.inter * 1000000 + na.n) // (2 * na.n) AS BIGINT) AS containment_micro
+        |FROM i JOIN n na ON na.doc_id = i.a
+        |WHERE i.inter * 5 >= na.n * 4
+        |ORDER BY containment_micro DESC, i.a, i.b_id LIMIT 50""".stripMargin,
+    "q190_boilerplate_prune" ->
+      """WITH w AS (SELECT doc_id, source,
+        |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |tok AS (SELECT doc_id, source, i AS pos, ws[i+1] AS w
+        |  FROM w, unnest(range(0, len(ws))) AS t(i)),
+        |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS nd FROM documents GROUP BY source),
+        |dfs AS (SELECT source, w, CAST(count(DISTINCT doc_id) AS BIGINT) AS docf
+        |  FROM tok GROUP BY source, w),
+        |boiler AS (SELECT dfs.source, dfs.w FROM dfs JOIN nd ON dfs.source = nd.source
+        |  WHERE dfs.docf * 20 >= nd.nd * 17),
+        |kept AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |    md5(string_agg(tok.w, ' ' ORDER BY tok.pos)) AS cleaned_fp
+        |  FROM tok ANTI JOIN boiler ON tok.source = boiler.source AND tok.w = boiler.w
+        |  GROUP BY tok.doc_id),
+        |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words FROM tok GROUP BY doc_id)
+        |SELECT d.doc_id, d.source, tot.n_words,
+        |  CAST(tot.n_words - coalesce(kept.n_kept, 0) AS BIGINT) AS n_dropped,
+        |  coalesce(kept.cleaned_fp, md5('')) AS cleaned_fp
+        |FROM documents d JOIN tot ON d.doc_id = tot.doc_id
+        |LEFT JOIN kept ON d.doc_id = kept.doc_id
+        |WHERE d.doc_id < 20 ORDER BY d.doc_id""".stripMargin,
     "q174_table_checksum" ->
       """WITH h AS (
         |  SELECT 'orders' AS tbl,

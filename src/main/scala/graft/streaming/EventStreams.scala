@@ -568,7 +568,63 @@ object EventStreams {
     }
   }
 
+  /** The chained two-stage aggregation of q188, factored so the spec can
+    * run it against its own staged source and count state operators. */
+  private[graft] def chainedAgg(src: DataFrame): DataFrame =
+    src
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+      .groupBy(window(window_time(col("window")), "1 hour"), col("event_type"))
+      .agg(sum("n").as("n_events"), sum("cents").as("sum_cents"),
+        count(lit(1)).as("n_buckets"), max("n").as("max_bucket_n"))
+
+  /** CHAINED stateful operators in one streaming query (Spark 4's
+    * multiple-stateful-operator support): a 30-minute tumbling
+    * pre-aggregation re-aggregated to hourly rollups INSIDE the same
+    * stream via `window_time` (the event-time column of a finalized
+    * window), both stages in append mode sharing one watermark. This is
+    * the production two-tier rollup topology (fine windows for serving,
+    * coarse for storage) that previously required two jobs and an
+    * intermediate topic; state stays bounded because stage 1 evicts
+    * 30-min buckets as the watermark passes and stage 2 only ever holds
+    * open hours. Real events then a far-future sentinel (q107 staging)
+    * flush every real window through BOTH stages; the sentinel's own
+    * windows never close, so it never reaches the sink. The oracle
+    * recomputes the two-tier rollup relationally on epoch-second
+    * buckets; cents are pre-rounded integers (repo rounding rule). */
+  private def q188(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events").select("ts", "event_type", "value")
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val sentinel = Seq((new java.sql.Timestamp(maxTs.getTime + 1000L * 3600 * 1000),
+      "sentinel", 0.0)).toDF("ts", "event_type", "value")
+    val d = graft.Scratch.freshPath("chain_")
+    val t0 = System.currentTimeMillis() - 120000
+    writeBatchFile(ev, d.resolve("b0.parquet"), t0)
+    val schema = s.read.parquet(d.resolve("b0.parquet").toString).schema
+    val agg = chainedAgg(s.readStream.schema(schema).parquet(d.toString))
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = agg.writeStream.format("memory").queryName("stream_chained")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        q.processAllAvailable() // real data + zero-data watermark promotion
+        writeBatchFile(sentinel, d.resolve("b1.parquet"), t0 + 30000)
+        q.processAllAvailable() // watermark passes every hour → both stages flush
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table("stream_chained")
+      .filter(col("event_type") =!= "sentinel")
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_cents"), col("n_buckets"), col("max_bucket_n"))
+      .orderBy("hour", "event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_stream_chained_agg" -> (q188 _),
     "q187_stream_mapstate" -> (q187 _),
     "q186_stream_timers" -> (q186 _),
     "q185_stream_outer_join" -> (q185 _),
@@ -609,6 +665,19 @@ object EventStreams {
   }
 
   val oracles: Map[String, String] = Map(
+    "q188_stream_chained_agg" ->
+      """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es,
+        |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+        |b AS (SELECT event_type, es // 1800 AS b30,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM e GROUP BY 1, 2)
+        |SELECT CAST(to_timestamp(((b30 * 1800) // 3600) * 3600) AS TIMESTAMP) AS hour,
+        |  event_type,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(max(n) AS BIGINT) AS max_bucket_n
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q144_stream_trending" ->
       """WITH a AS (SELECT CAST(to_timestamp((CAST(floor(epoch(ts)) AS BIGINT) // 21600) * 21600) AS TIMESTAMP) AS ws,
         |    event_type, CAST(count(*) AS BIGINT) AS n

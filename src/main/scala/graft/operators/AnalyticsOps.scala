@@ -1068,7 +1068,41 @@ object AnalyticsOps {
     dist.orderBy("word")
   }
 
+  // ---------------------------------------------------------------------
+  // q194 — longest consecutive-day activity streak (gaps-and-islands)
+  // ---------------------------------------------------------------------
+
+  /** Longest consecutive-day activity streak per user — the canonical
+    * GAPS-AND-ISLANDS window pattern (engagement scoring, retention
+    * cohorting, "7-day streak" product features): dedup to (user, day)
+    * on integer epoch-days, then `day − row_number()` over the per-user
+    * day order is CONSTANT within a run of consecutive days and jumps at
+    * every gap — one window pass turns runs into group keys, one
+    * aggregation measures them, no self-join and no quadratic range
+    * probing. All arithmetic is integer (epoch-day = µs div 86400e6), so
+    * the island keys, lengths, and tie-breaks (earliest maximal streak)
+    * are bit-identical across engines. Windows partition by user_id —
+    * per-key state, shuffle-parallel at any user count. */
+  private def q194(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct()
+    val wd = Window.partitionBy("user_id").orderBy("day")
+    val streaks = days
+      .withColumn("grp", col("day") - row_number().over(wd))
+      .groupBy("user_id", "grp")
+      .agg(count(lit(1)).as("len"), min("day").as("start_day"))
+    val wt = Window.partitionBy("user_id").orderBy(col("len").desc, col("start_day"))
+    val act = days.groupBy("user_id").agg(count(lit(1)).as("n_active_days"))
+    streaks.withColumn("rk", row_number().over(wt)).filter(col("rk") === 1)
+      .join(act, "user_id")
+      .select(col("user_id"), col("len").as("longest_streak"),
+        col("start_day"), col("n_active_days"))
+      .orderBy(col("longest_streak").desc, col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q194_activity_streak" -> (q194 _),
     "q189_shortest_paths" -> (q189 _),
     "q146_interval_merge" -> (q146 _),
     "q147_pit_join" -> (q147 _),
@@ -1316,6 +1350,23 @@ object AnalyticsOps {
         |SELECT cents, n_orders, n_customers FROM sw
         |WHERE max_prev_y IS NULL OR n_orders > max_prev_y
         |ORDER BY cents DESC""".stripMargin,
+    "q194_activity_streak" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),
+        |isl AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM days),
+        |st AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len,
+        |    CAST(min(day) AS BIGINT) AS start_day
+        |  FROM isl GROUP BY user_id, grp),
+        |best AS (SELECT user_id, len, start_day,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY len DESC, start_day) AS rk
+        |  FROM st),
+        |act AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_active_days
+        |  FROM days GROUP BY user_id)
+        |SELECT b.user_id, b.len AS longest_streak, b.start_day, act.n_active_days
+        |FROM best b JOIN act ON b.user_id = act.user_id
+        |WHERE b.rk = 1 ORDER BY longest_streak DESC, b.user_id""".stripMargin,
     "q189_shortest_paths" ->
       """WITH RECURSIVE w AS (SELECT list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ws
         |  FROM documents),

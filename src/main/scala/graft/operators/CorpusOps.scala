@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Round-4 corpus-quality tier: the remaining scoring/dedup/retrieval
@@ -412,7 +413,46 @@ object CorpusOps {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------------
+  // q195 — reciprocal-rank fusion of two retrieval rankings
+  // ---------------------------------------------------------------------
+
+  /** RECIPROCAL-RANK FUSION (RRF), the standard hybrid-search combiner
+    * (lexical + semantic, or any two rankers): score(d) = Σ 1/(60 + rank_i(d)).
+    * Here the two fused rankers are term-frequency DENSITY (tf/|d|, the
+    * length-normalized signal) and RAW tf for the corpus's globally most
+    * frequent token (ties lexicographic — a deterministic self-contained
+    * query, same device as q179's phrase pick). Everything is integer:
+    * density as a micro-unit quotient, ranks from row_number over
+    * (integer metric, doc_id), and 1/(60+r) scaled to nano-units via
+    * integer division — so fusion scores are bit-identical across
+    * engines with no float anywhere. The global rank windows run over
+    * ONE query's posting list (bounded by term df, never corpus size) —
+    * the per-query work profile of a real search head; fusing k rankers
+    * is k window passes over the same bounded list. */
+  private def q195(s: SparkSession, dir: String): DataFrame = {
+    val tok = tokens(s, dir).select("doc_id", "word")
+    val topWord = tok.groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word")).limit(1).select("word")
+    val nTok = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+    val tf = tok.join(broadcast(topWord), "word")
+      .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+    val scored = tf.join(nTok, "doc_id")
+      .withColumn("density_micro", expr("tf * 1000000L div n_tokens"))
+    val wa = Window.orderBy(col("density_micro").desc, col("doc_id"))
+    val wb = Window.orderBy(col("tf").desc, col("doc_id"))
+    scored
+      .withColumn("rank_density", row_number().over(wa).cast("long"))
+      .withColumn("rank_tf", row_number().over(wb).cast("long"))
+      .withColumn("rrf_nano", expr(
+        "1000000000L div (60L + rank_density) + 1000000000L div (60L + rank_tf)"))
+      .select("doc_id", "tf", "n_tokens", "density_micro",
+        "rank_density", "rank_tf", "rrf_nano")
+      .orderBy(col("rrf_nano").desc, col("doc_id")).limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q195_rank_fusion" -> (q195 _),
     "q138_char_entropy" -> (q138 _),
     "q139_source_divergence" -> (q139 _),
     "q122_unigram_lm" -> (q122 _),
@@ -427,6 +467,26 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q195_rank_fusion" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |topw AS (SELECT word FROM (
+        |    SELECT word, count(*) AS cnt FROM tok GROUP BY word
+        |    ORDER BY cnt DESC, word LIMIT 1)),
+        |nt AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY doc_id),
+        |tf AS (SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok JOIN topw ON tok.word = topw.word GROUP BY tok.doc_id),
+        |sc AS (SELECT tf.doc_id, tf.tf, nt.n_tokens,
+        |    CAST(tf.tf * 1000000 // nt.n_tokens AS BIGINT) AS density_micro
+        |  FROM tf JOIN nt ON tf.doc_id = nt.doc_id),
+        |r AS (SELECT *,
+        |    CAST(row_number() OVER (ORDER BY density_micro DESC, doc_id) AS BIGINT) AS rank_density,
+        |    CAST(row_number() OVER (ORDER BY tf DESC, doc_id) AS BIGINT) AS rank_tf
+        |  FROM sc)
+        |SELECT doc_id, tf, n_tokens, density_micro, rank_density, rank_tf,
+        |  CAST(1000000000 // (60 + rank_density) + 1000000000 // (60 + rank_tf) AS BIGINT) AS rrf_nano
+        |FROM r ORDER BY rrf_nano DESC, doc_id LIMIT 20""".stripMargin,
     "q138_char_entropy" ->
       """WITH ch AS (SELECT source, substr(lower(text), CAST(i AS INT), 1) AS ch
         |  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)),

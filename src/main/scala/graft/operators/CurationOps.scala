@@ -511,7 +511,43 @@ object CurationOps {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q193 — largest-remainder quota allocation (exact stratified sampling plan)
+  // ---------------------------------------------------------------------
+
+  /** EXACT proportional allocation of a fixed sampling budget (N = 1000
+    * slots) across (source, lang) strata by the largest-remainder
+    * (Hamilton) method: base_g = ⌊n_g·N/T⌋, and the L = N − Σ base_g
+    * leftover slots go to the strata with the largest remainders
+    * (ties broken by stratum key — total order, no float). This is the
+    * sampling-plan step every "take exactly N docs, stratified like the
+    * corpus" job needs — naive per-stratum rounding over- or under-
+    * shoots the budget; largest-remainder is the standard exact fix.
+    * Pure integer arithmetic end to end (products, div, mod), so both
+    * engines agree bit-for-bit; the remainder rank runs on the
+    * AGGREGATED stratum table (a few dozen rows — the q159 aggregated-
+    * dimension window rule, not a corpus-sized sort). The quota column
+    * sums to exactly N by construction, which the spec asserts. */
+  private def q193(s: SparkSession, dir: String): DataFrame = {
+    val slots = 1000L
+    val strata = t(s, dir, "documents")
+      .groupBy("source", "lang").agg(count(lit(1)).as("n_docs"))
+    val tot = strata.agg(sum("n_docs").as("t"))
+    val based = strata.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"n_docs * ${slots}L div t"))
+      .withColumn("rem", expr(s"n_docs * ${slots}L % t"))
+    val sb = based.agg(sum("base").as("sb"))
+    val w = Window.orderBy(col("rem").desc, col("source"), col("lang"))
+    based.crossJoin(broadcast(sb))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("quota",
+        col("base") + when(col("rk") <= lit(slots) - col("sb"), 1L).otherwise(0L))
+      .select("source", "lang", "n_docs", "base", "rem", "quota")
+      .orderBy("source", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_quota_alloc" -> (q193 _),
     "q191_containment_join" -> (q191 _),
     "q190_boilerplate_prune" -> (q190 _),
     "q174_table_checksum" -> (q174 _),
@@ -528,6 +564,20 @@ object CurationOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q193_quota_alloc" ->
+      """WITH strata AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source, lang),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM strata),
+        |based AS (SELECT source, lang, n_docs,
+        |    CAST(n_docs * 1000 // t AS BIGINT) AS base,
+        |    CAST(n_docs * 1000 % t AS BIGINT) AS rem
+        |  FROM strata, tot),
+        |sb AS (SELECT CAST(sum(base) AS BIGINT) AS sb FROM based),
+        |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source, lang) AS rk
+        |  FROM based, sb)
+        |SELECT source, lang, n_docs, base, rem,
+        |  CAST(base + CASE WHEN rk <= 1000 - sb THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM rk ORDER BY source, lang""".stripMargin,
     // brute-force all-pairs: the hash gate itself proves the prefix
     // filter missed no pair (the exact verification filter makes the
     // candidate-generation strategy invisible in the final result)

@@ -548,7 +548,99 @@ object VectorOps {
     s.createDataFrame(s.sparkContext.parallelize(materialized.toIndexedSeq, 1), out.schema)
   }
 
+  // ---------------------------------------------------------------------
+  // q192 — mutual-kNN graph 3-core (embedding dense-cluster extraction)
+  // ---------------------------------------------------------------------
+
+  /** Dense-cluster extraction in embedding space: build the MUTUAL-5NN
+    * graph (an edge iff each endpoint ranks the other inside its own
+    * cosine top-5 — the symmetric trust test that one-directional kNN
+    * lacks) and peel it to its 3-CORE: iteratively delete every vector
+    * whose within-graph degree drops below 3 until the survivor set is a
+    * fixed point. The core is the "semantically load-bearing" subset a
+    * curation pipeline keeps (mutual-kNN + core extraction ≈ the
+    * classic outlier/fringe removal before clustering); the peeled
+    * complement is the isolation-scored tail. Deletion-driven peeling is
+    * a DIFFERENT iterative shape from the power iteration (q127) and
+    * frontier expansion (q167/q189) already covered: the working set
+    * only SHRINKS, so count-equality is a sound fixpoint test and each
+    * round is one shuffle on a strictly smaller graph; rounds are
+    * localCheckpointed (the q70 lineage discipline). kNN ranking uses
+    * the repo cosine convention (round 6, vec_id tie-break, q33). The
+    * all-pairs scoring here is the exact small-corpus form — at 100 TB
+    * the banded/IVF candidate generation (q34/q77) feeds the identical
+    * rank-and-peel tail, trading recall exactly as documented there.
+    * Oracle: the peel unrolled to 24 idempotent rounds of chained CTEs
+    * (convergence measured at 9/13 rounds at sf0.01/0.1; rounds are
+    * idempotent past the fixed point, and the Spark side `require`s
+    * convergence within the same 24 so the two computations agree by
+    * construction). */
+  private def q192(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val pairs = emb.select(col("vec_id").as("qa"), col("embedding").as("ea"))
+      .crossJoin(emb.select(col("vec_id").as("qb"), col("embedding").as("eb")))
+      .filter(col("qa") =!= col("qb"))
+      .withColumn("cos", round(cosCol(s, "ea", "eb"), 6))
+    val w = Window.partitionBy("qa").orderBy(col("cos").desc, col("qb"))
+    val knn = pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5).select("qa", "qb")
+    val mutual = knn.as("x").join(knn.as("y"),
+        col("x.qa") === col("y.qb") && col("x.qb") === col("y.qa") &&
+          col("x.qa") < col("x.qb"))
+      .select(col("x.qa").as("u"), col("x.qb").as("v"))
+    val adj = mutual.select(col("u").as("a"), col("v").as("b"))
+      .union(mutual.select(col("v").as("a"), col("u").as("b")))
+      .localCheckpoint(true)
+    var alive = adj.select("a").distinct().localCheckpoint(true)
+    var nAlive = alive.count()
+    var deg: DataFrame = null
+    var stable = false
+    var rounds = 0
+    while (!stable && rounds < 24) {
+      rounds += 1
+      deg = adj.join(alive, "a")
+        .join(alive.select(col("a").as("b")), "b")
+        .groupBy("a").agg(count(lit(1)).as("core_deg"))
+        .filter(col("core_deg") >= 3)
+        .localCheckpoint(true)
+      val n2 = deg.count()
+      stable = n2 == nAlive // monotone shrink → equal count = fixed point
+      nAlive = n2
+      alive = deg.select("a")
+    }
+    require(stable, s"3-core peel did not converge in $rounds rounds")
+    deg.select(col("a").as("vec_id"), col("core_deg")).orderBy("vec_id")
+  }
+
+  private val kcorePeelRounds = 24
+
+  // Every CTE is AS MATERIALIZED: DuckDB inlines plain CTEs per
+  // reference, and the peel chain references each previous round twice —
+  // inlining would expand the scan 2^24 times ("Too many open files").
+  private def kcoreOracle: String = {
+    val head =
+      s"""WITH sc AS MATERIALIZED (
+         |  SELECT a.vec_id AS qa, b.vec_id AS qb, round($cosSql, 6) AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+         |knn AS MATERIALIZED (SELECT qa, qb FROM (
+         |    SELECT qa, qb, row_number() OVER (PARTITION BY qa ORDER BY cos DESC, qb) AS rk FROM sc)
+         |  WHERE rk <= 5),
+         |mu AS MATERIALIZED (SELECT x.qa AS u, x.qb AS v FROM knn x
+         |  JOIN knn y ON x.qa = y.qb AND x.qb = y.qa AND x.qa < x.qb),
+         |adj AS MATERIALIZED (SELECT u AS a, v AS b FROM mu UNION ALL SELECT v, u FROM mu),
+         |a0 AS MATERIALIZED (SELECT DISTINCT a FROM adj)""".stripMargin
+    val rounds = (1 to kcorePeelRounds).map { i =>
+      s""",r$i AS MATERIALIZED (SELECT adj.a, count(*) AS c FROM adj
+         |  JOIN a${i - 1} x ON adj.a = x.a JOIN a${i - 1} y ON adj.b = y.a
+         |  GROUP BY adj.a HAVING count(*) >= 3),
+         |a$i AS MATERIALIZED (SELECT a FROM r$i)""".stripMargin
+    }.mkString("\n")
+    head + "\n" + rounds +
+      s"\nSELECT a AS vec_id, CAST(c AS BIGINT) AS core_deg FROM r$kcorePeelRounds ORDER BY vec_id"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_knn_core" -> (q192 _),
     "q116_pq_quantize" -> (q116 _),
     "q77_ann_ivf" -> (q77 _),
     "q33_cosine_topk" -> (q33 _),
@@ -578,6 +670,7 @@ object VectorOps {
       |  FROM embeddings, (SELECT unnest([0,1,2,3]) AS k) ks)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q192_knn_core" -> kcoreOracle,
     // q116: exactly-computable counts + the in-query contract booleans as
     // literals (same pattern as q77/q109's invariant oracles)
     "q116_pq_quantize" ->

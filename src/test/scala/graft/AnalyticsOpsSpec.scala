@@ -529,4 +529,30 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("q194: longest consecutive-day streaks match a driver-side scan") {
+    val rows = AnalyticsOps.queries("q194_activity_streak")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val got = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // emitted order: longest desc, user asc
+    assert(rows.map(r => (-r._2, r._1)).toSeq == rows.map(r => (-r._2, r._1)).sorted.toSeq)
+
+    val days = Tables(spark, dir, "events")
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.expr("unix_micros(ts) div 86400000000").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    val byUser = days.groupBy(_._1).map { case (u, xs) => u -> xs.map(_._2).sorted }
+    assert(got.keySet == byUser.keySet)
+    byUser.foreach { case (u, ds) =>
+      var bestLen = 0L; var bestStart = 0L; var curLen = 0L; var curStart = 0L
+      var prev = Long.MinValue
+      for (d <- ds) {
+        if (prev != Long.MinValue && d == prev + 1) curLen += 1
+        else { curLen = 1; curStart = d }
+        if (curLen > bestLen) { bestLen = curLen; bestStart = curStart } // > keeps the EARLIEST maximal streak
+        prev = d
+      }
+      assert(got(u) == ((bestLen, bestStart, ds.length.toLong)), s"user $u")
+    }
+  }
 }

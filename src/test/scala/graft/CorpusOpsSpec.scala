@@ -188,4 +188,29 @@ class CorpusOpsSpec extends AnyFunSuite {
     val pairs = rows.map(r => (r.getString(0), r.getString(1))).toSet
     assert(pairs.size == rows.length, "duplicate pairs emitted")
   }
+
+  test("q195: RRF fusion matches a driver-side integer recomputation") {
+    val got = CorpusOps.queries("q195_rank_fusion")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+
+    val docs = Tables(spark, dir, "documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)))
+    val topWord = docs.flatMap(_._2).groupBy(identity)
+      .map { case (w, v) => (w, v.length) }.toSeq
+      .sortBy { case (w, c) => (-c, w) }.head._1
+    val scored = docs.filter(_._2.contains(topWord)).map { case (id, ws) =>
+      val tf = ws.count(_ == topWord).toLong
+      (id, tf, ws.length.toLong, tf * 1000000L / ws.length)
+    }.toSeq
+    val rd = scored.sortBy { case (id, _, _, dm) => (-dm, id) }
+      .zipWithIndex.map { case (x, i) => x._1 -> (i + 1L) }.toMap
+    val rt = scored.sortBy { case (id, tf, _, _) => (-tf, id) }
+      .zipWithIndex.map { case (x, i) => x._1 -> (i + 1L) }.toMap
+    val want = scored.map { case (id, tf, n, dm) =>
+      (id, tf, n, dm, rd(id), rt(id),
+        1000000000L / (60L + rd(id)) + 1000000000L / (60L + rt(id)))
+    }.sortBy { case (id, _, _, _, _, _, rrf) => (-rrf, id) }.take(20)
+    assert(got == want)
+  }
 }

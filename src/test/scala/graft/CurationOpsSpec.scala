@@ -271,4 +271,28 @@ class CurationOpsSpec extends AnyFunSuite {
       assert(bal < 2000000L, s"bucket $b balance $bal")
     }
   }
+
+  test("q193: quotas are the exact Hamilton allocation and sum to 1000") {
+    val got = CurationOps.queries("q193_quota_alloc")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+
+    val counts = Tables(spark, dir, "documents").select("source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val t = counts.values.sum
+    val based = counts.toSeq.map { case ((src, l), n) =>
+      (src, l, n, n * 1000L / t, n * 1000L % t)
+    }
+    val leftover = (1000L - based.map(_._4).sum).toInt
+    val bumped = based.sortBy { case (src, l, _, _, rem) => (-rem, src, l) }
+      .take(leftover).map(x => (x._1, x._2)).toSet
+
+    assert(got.keySet == based.map(x => (x._1, x._2)).toSet)
+    based.foreach { case (src, l, n, base, rem) =>
+      val quota = base + (if (bumped((src, l))) 1L else 0L)
+      assert(got((src, l)) == ((n, base, rem, quota)), s"stratum ($src,$l)")
+    }
+    assert(got.values.map(_._4).sum == 1000L, "budget must be hit exactly")
+  }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.VectorOps
+
+/** Embedding-graph tier: q192's mutual-kNN 3-core checked against an
+  * INDEPENDENT in-JVM recomputation (cosines, kNN ranking, mutuality,
+  * and the full peel loop re-derived outside Spark), so a shared logic
+  * error cannot self-confirm.
+  */
+class VectorOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q192: mutual-5NN 3-core matches an in-JVM peel to fixpoint") {
+    val got = VectorOps.queries("q192_knn_core")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+    val embs = Tables(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+    // same accumulation order as graft_cosine + round(,6) HALF_UP
+    def cos6(a: Array[Float], b: Array[Float]): BigDecimal = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      BigDecimal(dot / math.sqrt(na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+
+    val knn: Map[Long, Set[Long]] = embs.map { case (id, v) =>
+      val top = embs.filter(_._1 != id)
+        .map { case (oid, ov) => (cos6(v, ov), oid) }
+        .sortBy { case (c, oid) => (-c, oid) }
+        .take(5).map(_._2).toSet
+      id -> top
+    }.toMap
+
+    val mutual = scala.collection.mutable.Map[Long, Set[Long]]()
+    for ((a, nbrs) <- knn; b <- nbrs if knn(b).contains(a)) {
+      mutual(a) = mutual.getOrElse(a, Set.empty) + b
+    }
+
+    var alive: Set[Long] = mutual.keySet.toSet
+    var stable = false
+    while (!stable) {
+      val next = alive.filter(n => (mutual(n) & alive).size >= 3)
+      stable = next == alive
+      alive = next
+    }
+    val want = alive.map(n => n -> (mutual(n) & alive).size.toLong).toMap
+
+    assert(got == want)
+    // every survivor really has >= 3 surviving mutual neighbors
+    assert(want.values.forall(_ >= 3L))
+  }
+}

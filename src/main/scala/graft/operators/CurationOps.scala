@@ -433,8 +433,14 @@ object CurationOps {
     * for the prefix filter (q181's spec-level guarantee, promoted to
     * the oracle itself). Containment is emitted as the micro-unit
     * quotient; the top-50 cut is totally ordered. */
-  private def q191(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
+  private def q191(s: SparkSession, dir: String): DataFrame =
+    containmentJoin(t(s, dir, "documents").select("doc_id", "text"))
+
+  /** The q191 core over any (doc_id, text) frame — exposed so the property
+    * sweep can drive the REAL plan with random corpora and prove the
+    * asymmetric prefix filter misses no pair (CurationPropSpec). */
+  private[graft] def containmentJoin(input: DataFrame): DataFrame = {
+    val docs = input
       .select(col("doc_id"),
         array_remove(split(lower(col("text")), "\\s+"), "").as("ws"))
       .filter(size(col("ws")) >= 3)

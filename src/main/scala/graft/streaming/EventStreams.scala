@@ -623,7 +623,36 @@ object EventStreams {
       .orderBy("hour", "event_type")
   }
 
+  /** BOUNDED-STATE streaming dedup: `dropDuplicatesWithinWatermark` — the
+    * scale-correct replacement for q63's plain dropDuplicates, whose key
+    * state grows with stream HISTORY (unbounded at 100 TB/day). Here a
+    * key's state is evicted once the watermark passes its event time +
+    * the 2-hour delay, so state is bounded by the late-data horizon ×
+    * key arrival rate regardless of how long the stream runs. Dedup key
+    * is (user_id, event_type, epoch-day): the "count each user/type at
+    * most once per day, tolerating redelivery inside the horizon"
+    * metering shape. The streaming query does ONLY the dedup (append
+    * mode — first-seen rows emit immediately); the per-type rollup runs
+    * as a batch aggregation over the sink table. In this single-file
+    * staging everything arrives in micro-batch 0 (watermark still at
+    * epoch), so no state has expired and the emitted set is EXACTLY the
+    * distinct key set — the oracle is a plain relational DISTINCT; the
+    * cross-batch eviction behavior this API exists for is the q107
+    * two-batch machinery and is state-size, not result, semantics. */
+  private def q196(s: SparkSession, dir: String): DataFrame = {
+    val dd = stream(s, dir)
+      .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+      .select("user_id", "event_type", "day", "ts")
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
+    run(s, dd, "stream_dedup_wm", OutputMode.Append())
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_user_days"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_stream_dedup_bounded" -> (q196 _),
     "q188_stream_chained_agg" -> (q188 _),
     "q187_stream_mapstate" -> (q187 _),
     "q186_stream_timers" -> (q186 _),
@@ -665,6 +694,11 @@ object EventStreams {
   }
 
   val oracles: Map[String, String] = Map(
+    "q196_stream_dedup_bounded" ->
+      """WITH d AS (SELECT DISTINCT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_user_days
+        |FROM d GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q188_stream_chained_agg" ->
       """WITH e AS (SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS es,
         |    CAST(round(value * 100) AS BIGINT) AS cents FROM events),

@@ -55,6 +55,39 @@ class CurationPropSpec extends AnyFunSuite {
     }
   }
 
+  test("containment join ≡ brute-force all-pairs on random corpora (asymmetric prefix filter)") {
+    import spark.implicits._
+    for (round <- 1 to 8) {
+      // planted near-subsets: short docs embedded verbatim inside longer
+      // hosts — the asymmetric case (tiny Jaccard, containment ≈ 1) the
+      // probe-side-only prefix rule must still catch
+      val vocab = (1 to (5 + rand.nextInt(10))).map(i => s"w$i")
+      def randWords(n: Int): Seq[String] =
+        (1 to n).map(_ => vocab(rand.nextInt(vocab.size)))
+      val shorts = (1 to 6).map(i => (i.toLong, randWords(4 + rand.nextInt(6))))
+      val hosts = shorts.take(3).map { case (id, ws) =>
+        (id + 100L, randWords(rand.nextInt(8)) ++ ws ++ randWords(rand.nextInt(8)))
+      }
+      val fillers = (1 to 6).map(i => (i + 200L, randWords(6 + rand.nextInt(15))))
+      val docs = (shorts ++ hosts ++ fillers).map { case (id, ws) => (id, ws.mkString(" ")) }
+      val got = CurationOps.containmentJoin(docs.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val sets = docs.map { case (id, text) =>
+        val ws = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        (id, ws.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet)
+      }.filter(_._2.nonEmpty)
+      val brute = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a != b
+        inter = (sa & sb).size.toLong
+        na = sa.size.toLong
+        if inter * 5 >= na * 4
+      } yield (a, b, na, inter, (2 * inter * 1000000L + na) / (2 * na)))
+        .sortBy { case (x, y, _, _, c) => (-c, x, y) }.take(50)
+      assert(got.toSeq == brute.toSeq,
+        s"round $round: got ${got.length} pairs, brute ${brute.length}")
+    }
+  }
+
   test("micro-unit quotient (2a·s + n) div (2n) ≡ BigDecimal HALF_UP at 6 places") {
     for (_ <- 1 to 3000) {
       val sum = rand.nextLong(2_000_000_000L)

@@ -24,7 +24,8 @@ class StreamingStateStoreSpec extends AnyFunSuite {
   private val stateful = Seq("q60_stream_tumbling", "q61_stream_sliding",
     "q62_stream_session", "q63_stream_dedup", "q64_stream_stateful",
     "q85_stream_stream_join", "q101_stream_corpus_ingest",
-    "q107_stream_late_data")
+    "q107_stream_late_data", "q188_stream_chained_agg",
+    "q196_stream_dedup_bounded")
 
   test("q60–q64 + q85 are provider-agnostic: identical results under HDFS and RocksDB state stores") {
     assert(Class.forName(RocksDb) != null) // the provider ships in Spark core

@@ -552,7 +552,53 @@ object CurationOps {
       .orderBy("source", "lang")
   }
 
+  // ---------------------------------------------------------------------
+  // q197 — quota execution: exact stratified sample by deterministic hash order
+  // ---------------------------------------------------------------------
+
+  /** EXECUTES the q193 sampling plan: inside each (source, lang) stratum,
+    * rank documents by md5(doc_id) (a deterministic, content-independent
+    * "random" order — stable across retries, engines, and partitionings)
+    * and keep exactly quota_g of them, so the final sample hits the
+    * 1000-doc budget exactly with the corpus's stratum proportions. This
+    * is the plan→execution composition a real curation run performs; the
+    * per-stratum rank is a keyed window (shuffle-parallel across strata,
+    * never a global sort), and the emitted per-stratum digest (count +
+    * id-sum + id-hash-sum) pins the exact selected SET in the oracle
+    * without materializing 1000 rows of output. If the budget exceeds the
+    * corpus (sf0.001), oversubscribed strata yield all their docs —
+    * `pos <= quota` clamps naturally; with corpus ≥ budget the sample
+    * hits N exactly (spec-asserted both ways). */
+  private def q197(s: SparkSession, dir: String): DataFrame = {
+    val slots = 1000L
+    val docs = t(s, dir, "documents").select("doc_id", "source", "lang")
+    val strata = docs.groupBy("source", "lang").agg(count(lit(1)).as("n_docs"))
+    val tot = strata.agg(sum("n_docs").as("t"))
+    val based = strata.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"n_docs * ${slots}L div t"))
+      .withColumn("rem", expr(s"n_docs * ${slots}L % t"))
+    val sb = based.agg(sum("base").as("sb"))
+    val wq = Window.orderBy(col("rem").desc, col("source"), col("lang"))
+    val quotas = based.crossJoin(broadcast(sb))
+      .withColumn("rk", row_number().over(wq).cast("long"))
+      .withColumn("quota",
+        col("base") + when(col("rk") <= lit(slots) - col("sb"), 1L).otherwise(0L))
+      .select("source", "lang", "quota")
+    val wr = Window.partitionBy("source", "lang")
+      .orderBy(col("h"), col("doc_id"))
+    docs.withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("pos", row_number().over(wr).cast("long"))
+      .join(broadcast(quotas), Seq("source", "lang"))
+      .filter(col("pos") <= col("quota"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum("doc_id").as("id_sum"),
+        sum(expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)")).as("h_sum"))
+      .orderBy("source", "lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_quota_sample" -> (q197 _),
     "q193_quota_alloc" -> (q193 _),
     "q191_containment_join" -> (q191 _),
     "q190_boilerplate_prune" -> (q190 _),
@@ -570,6 +616,30 @@ object CurationOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q197_quota_sample" ->
+      """WITH strata AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source, lang),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS t FROM strata),
+        |based AS (SELECT source, lang, n_docs,
+        |    CAST(n_docs * 1000 // t AS BIGINT) AS base,
+        |    CAST(n_docs * 1000 % t AS BIGINT) AS rem
+        |  FROM strata, tot),
+        |sb AS (SELECT CAST(sum(base) AS BIGINT) AS sb FROM based),
+        |q AS (SELECT source, lang,
+        |    CAST(base + CASE WHEN row_number() OVER (ORDER BY rem DESC, source, lang)
+        |      <= 1000 - sb THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |  FROM based, sb),
+        |ranked AS (SELECT d.source, d.lang, d.doc_id, md5(CAST(d.doc_id AS VARCHAR)) AS h,
+        |    row_number() OVER (PARTITION BY d.source, d.lang
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS pos
+        |  FROM documents d),
+        |kept AS (SELECT r.* FROM ranked r JOIN q
+        |  ON r.source = q.source AND r.lang = q.lang
+        |  WHERE r.pos <= q.quota)
+        |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(('0x' || substring(h, 1, 8))::BIGINT) AS BIGINT) AS h_sum
+        |FROM kept GROUP BY source, lang ORDER BY source, lang""".stripMargin,
     "q193_quota_alloc" ->
       """WITH strata AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
         |  FROM documents GROUP BY source, lang),

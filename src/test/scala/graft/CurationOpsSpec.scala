@@ -295,4 +295,44 @@ class CurationOpsSpec extends AnyFunSuite {
     }
     assert(got.values.map(_._4).sum == 1000L, "budget must be hit exactly")
   }
+
+  test("q197: sampled set is exactly the per-stratum md5-order prefix of the Hamilton quotas") {
+    val got = CurationOps.queries("q197_quota_sample")(spark, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+    def md5hex(x: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val docs = Tables(spark, dir, "documents").select("doc_id", "source", "lang").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val counts = docs.groupBy(d => (d._2, d._3)).map { case (k, v) => k -> v.length.toLong }
+    val t = counts.values.sum
+    val based = counts.toSeq.map { case ((src, l), n) => (src, l, n, n * 1000L / t, n * 1000L % t) }
+    val leftover = (1000L - based.map(_._4).sum).toInt
+    val bumped = based.sortBy { case (src, l, _, _, rem) => (-rem, src, l) }
+      .take(leftover).map(x => (x._1, x._2)).toSet
+    val quotas = based.map { case (src, l, _, base, _) =>
+      (src, l) -> (base + (if (bumped((src, l))) 1L else 0L))
+    }.toMap
+
+    var totalSampled = 0L
+    docs.groupBy(d => (d._2, d._3)).foreach { case (k, xs) =>
+      val kept = xs.map(d => (md5hex(d._1.toString), d._1))
+        .sortBy(identity).take(quotas(k).toInt)
+      val want = (kept.length.toLong, kept.map(_._2).sum,
+        kept.map(x => java.lang.Long.parseLong(x._1.take(8), 16)).sum)
+      if (quotas(k) > 0L) assert(got(k) == want, s"stratum $k")
+      else assert(!got.contains(k), s"zero-quota stratum $k must not appear")
+      totalSampled += kept.length.toLong
+    }
+    // a stratum can hold fewer docs than its quota only when the budget
+    // exceeds the corpus (sf0.001 has 500 docs for the 1000 budget) —
+    // then every doc is sampled; with T >= N the budget is hit exactly
+    val expected = quotas.map { case (k, q) => math.min(q, counts(k)) }.sum
+    assert(totalSampled == expected)
+    assert(got.values.map(_._1).sum == expected)
+    if (t >= 1000L) assert(expected == 1000L)
+  }
 }

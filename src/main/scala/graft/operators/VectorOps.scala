@@ -575,10 +575,16 @@ object VectorOps {
     * idempotent past the fixed point, and the Spark side `require`s
     * convergence within the same 24 so the two computations agree by
     * construction). */
-  private def q192(s: SparkSession, dir: String): DataFrame = {
-    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val pairs = emb.select(col("vec_id").as("qa"), col("embedding").as("ea"))
-      .crossJoin(emb.select(col("vec_id").as("qb"), col("embedding").as("eb")))
+  private def q192(s: SparkSession, dir: String): DataFrame =
+    knnCore(s, t(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
+
+  /** The q192 core over any (vec_id, embedding) frame — exposed so the
+    * property sweep can drive the REAL plan with random vector sets
+    * (including peel cascades deeper than the shipped testdata's) and
+    * compare against an in-JVM fixpoint (VectorOpsSpec). */
+  private[graft] def knnCore(s: SparkSession, input: DataFrame): DataFrame = {
+    val pairs = input.select(col("vec_id").as("qa"), col("embedding").as("ea"))
+      .crossJoin(input.select(col("vec_id").as("qb"), col("embedding").as("eb")))
       .filter(col("qa") =!= col("qb"))
       .withColumn("cos", round(cosCol(s, "ea", "eb"), 6))
     val w = Window.partitionBy("qa").orderBy(col("cos").desc, col("qb"))

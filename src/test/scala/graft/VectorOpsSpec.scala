@@ -66,4 +66,49 @@ class VectorOpsSpec extends AnyFunSuite {
     // every survivor really has >= 3 surviving mutual neighbors
     assert(want.values.forall(_ >= 3L))
   }
+
+  test("knnCore ≡ in-JVM fixpoint on random vector sets (peel-depth sweep)") {
+    import spark.implicits._
+    val rand = new scala.util.Random(20260813L)
+    for (round <- 1 to 5) {
+      // low dim + clustered offsets force dense mutual neighborhoods with
+      // fringes that peel over several rounds
+      val n = 40 + rand.nextInt(40)
+      val vecs = (1 to n).map { i =>
+        val c = rand.nextInt(3) * 4.0f
+        (i.toLong, Array.fill(4)(c + rand.nextFloat()))
+      }
+      val got = operators.VectorOps.knnCore(spark,
+          vecs.toDF("vec_id", "embedding"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+
+      def cos6(a: Array[Float], b: Array[Float]): BigDecimal = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          dot += a(i).toDouble * b(i).toDouble
+          na += a(i).toDouble * a(i).toDouble
+          nb += b(i).toDouble * b(i).toDouble
+          i += 1
+        }
+        BigDecimal(dot / math.sqrt(na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      val knn = vecs.map { case (id, v) =>
+        id -> vecs.filter(_._1 != id)
+          .map { case (oid, ov) => (cos6(v, ov), oid) }
+          .sortBy { case (c, oid) => (-c, oid) }.take(5).map(_._2).toSet
+      }.toMap
+      val mutual = scala.collection.mutable.Map[Long, Set[Long]]()
+      for ((a, nbrs) <- knn; b <- nbrs if knn(b).contains(a))
+        mutual(a) = mutual.getOrElse(a, Set.empty) + b
+      var alive: Set[Long] = mutual.keySet.toSet
+      var stable = false
+      while (!stable) {
+        val next = alive.filter(x => (mutual(x) & alive).size >= 3)
+        stable = next == alive
+        alive = next
+      }
+      val want = alive.map(x => x -> (mutual(x) & alive).size.toLong).toMap
+      assert(got == want, s"round $round (n=$n)")
+    }
+  }
 }

@@ -1101,7 +1101,70 @@ object AnalyticsOps {
       .orderBy(col("longest_streak").desc, col("user_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // q199 — MERGE INTO semantics (row-level upsert/delete resolution)
+  // ---------------------------------------------------------------------
+
+  /** Full MERGE INTO semantics over the customer dimension — the
+    * warehouse upsert primitive (Delta/Iceberg's MERGE) expressed as one
+    * FULL OUTER join + clause resolution, with every clause exercised by
+    * a deterministic CDC batch derived from the tables themselves (no
+    * RNG): updates carry each ordering customer's cents total
+    * (WHEN MATCHED AND op='U' THEN UPDATE), key%97 customers are deleted
+    * (WHEN MATCHED AND op='D' THEN DELETE), nation-derived brand-new
+    * keys insert (WHEN NOT MATCHED THEN INSERT), and — the clause-gating
+    * case naive implementations get wrong — 'I' rows whose key ALREADY
+    * exists must be ignored (INSERT clauses only fire on NOT MATCHED),
+    * surfacing as 'kept_conflict'. Source keys are made disjoint by
+    * precedence (D > U > I), mirroring MERGE's one-source-row-per-target
+    * requirement. The output digests the post-merge table per action
+    * (count + cents + order-independent md5-32 checksum, the q174
+    * device) plus a 'deleted' audit group, so a single mis-resolved row
+    * breaks the hash. One shuffle on the merge key; at 100 TB both
+    * sides hash-partition on `key` and the join co-locates. */
+  private def q199(s: SparkSession, dir: String): DataFrame = {
+    val tgt = t(s, dir, "customer").select(col("c_custkey").as("key"),
+      round(col("c_acctbal") * 100).cast("long").as("cents"),
+      col("c_mktsegment").as("seg"))
+    val upd = t(s, dir, "orders")
+      .groupBy(col("o_custkey").as("key"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("s_cents"))
+      // % 3 carve-out keeps a non-empty 'kept' class: on this corpus every
+      // customer orders, so an unrestricted update set would touch all rows
+      .filter(col("key") % 97 =!= 0 && col("key") % 101 =!= 0 && col("key") % 3 =!= 0)
+      .select(col("key"), lit("U").as("op"), col("s_cents"))
+    val del = tgt.filter(col("key") % 97 === 0)
+      .select(col("key"), lit("D").as("op"), lit(0L).as("s_cents"))
+    val insNew = t(s, dir, "nation")
+      .crossJoin(broadcast(tgt.agg(max("key").as("mk"))))
+      .select((col("mk") + col("n_nationkey") + 1).as("key"), lit("I").as("op"),
+        ((col("n_nationkey") + 1) * 1000).cast("long").as("s_cents"))
+    val insConf = tgt.filter(col("key") % 101 === 0 && col("key") % 97 =!= 0)
+      .select(col("key"), lit("I").as("op"), lit(0L).as("s_cents"))
+    val src = upd.unionByName(del).unionByName(insNew).unionByName(insConf)
+    val merged = tgt.as("t").join(src.as("s"), Seq("key"), "full_outer")
+      .withColumn("action", when(col("s.op").isNull, "kept")
+        .when(col("t.seg").isNotNull && col("s.op") === "D", "deleted")
+        .when(col("t.seg").isNotNull && col("s.op") === "U", "updated")
+        .when(col("t.seg").isNotNull && col("s.op") === "I", "kept_conflict")
+        .when(col("s.op") === "I", "inserted")
+        .otherwise("noop_source"))
+      .filter(col("action") =!= "noop_source")
+      .withColumn("f_cents",
+        when(col("action").isin("updated", "inserted"), col("s.s_cents"))
+          .otherwise(col("t.cents")))
+      .withColumn("f_seg", when(col("action") === "updated", lit("UPDATED"))
+        .when(col("action") === "inserted", lit("NEW"))
+        .otherwise(col("t.seg")))
+    merged.groupBy("action")
+      .agg(count(lit(1)).as("n"), sum("f_cents").as("sum_cents"),
+        sum(expr("cast(conv(substring(md5(concat_ws('|', key, f_cents, f_seg)), 1, 8), 16, 10) as bigint)"))
+          .as("checksum"))
+      .orderBy("action")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_merge_upsert" -> (q199 _),
     "q194_activity_streak" -> (q194 _),
     "q189_shortest_paths" -> (q189 _),
     "q146_interval_merge" -> (q146 _),
@@ -1350,6 +1413,41 @@ object AnalyticsOps {
         |SELECT cents, n_orders, n_customers FROM sw
         |WHERE max_prev_y IS NULL OR n_orders > max_prev_y
         |ORDER BY cents DESC""".stripMargin,
+    "q199_merge_upsert" ->
+      """WITH tgt AS (SELECT c_custkey AS key,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS cents, c_mktsegment AS seg
+        |  FROM customer),
+        |upd AS (SELECT o_custkey AS key, 'U' AS op,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS s_cents
+        |  FROM orders GROUP BY 1
+        |  HAVING o_custkey % 97 <> 0 AND o_custkey % 101 <> 0 AND o_custkey % 3 <> 0),
+        |del AS (SELECT key, 'D' AS op, CAST(0 AS BIGINT) AS s_cents
+        |  FROM tgt WHERE key % 97 = 0),
+        |mk AS (SELECT max(key) AS mk FROM tgt),
+        |insnew AS (SELECT mk + n_nationkey + 1 AS key, 'I' AS op,
+        |    CAST((n_nationkey + 1) * 1000 AS BIGINT) AS s_cents FROM nation, mk),
+        |insconf AS (SELECT key, 'I' AS op, CAST(0 AS BIGINT) AS s_cents
+        |  FROM tgt WHERE key % 101 = 0 AND key % 97 <> 0),
+        |src AS (SELECT * FROM upd UNION ALL SELECT * FROM del
+        |  UNION ALL SELECT * FROM insnew UNION ALL SELECT * FROM insconf),
+        |m AS (SELECT coalesce(t.key, s.key) AS key, t.cents AS t_cents,
+        |    t.seg AS t_seg, s.op, s.s_cents
+        |  FROM tgt t FULL OUTER JOIN src s ON t.key = s.key),
+        |a AS (SELECT *, CASE WHEN op IS NULL THEN 'kept'
+        |    WHEN t_seg IS NOT NULL AND op = 'D' THEN 'deleted'
+        |    WHEN t_seg IS NOT NULL AND op = 'U' THEN 'updated'
+        |    WHEN t_seg IS NOT NULL AND op = 'I' THEN 'kept_conflict'
+        |    WHEN op = 'I' THEN 'inserted' ELSE 'noop_source' END AS action
+        |  FROM m),
+        |f AS (SELECT action, key,
+        |    CASE WHEN action IN ('updated', 'inserted') THEN s_cents ELSE t_cents END AS f_cents,
+        |    CASE WHEN action = 'updated' THEN 'UPDATED'
+        |         WHEN action = 'inserted' THEN 'NEW' ELSE t_seg END AS f_seg
+        |  FROM a WHERE action <> 'noop_source')
+        |SELECT action, count(*) AS n, CAST(sum(f_cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(('0x' || substring(md5(CAST(key AS VARCHAR) || '|' ||
+        |    CAST(f_cents AS VARCHAR) || '|' || f_seg), 1, 8))::BIGINT) AS BIGINT) AS checksum
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     "q194_activity_streak" ->
       """WITH days AS (SELECT DISTINCT user_id,
         |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events),

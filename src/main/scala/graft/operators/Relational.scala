@@ -310,6 +310,29 @@ object Relational {
       .agg(count(lit(1)).as("n"), round(avg("k"), 4).as("avg_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** Spark 4 VARIANT over the events' JSON props: `parse_json` once into
+    * the binary VARIANT encoding, then typed path access via
+    * `variant_get` — the Spark-4-native semi-structured story that
+    * replaces q19's per-access `get_json_object` string re-parsing. At
+    * 100 TB the difference is structural: one parse per blob then k
+    * O(path) binary reads (and VARIANT survives shuffle/store in its
+    * binary form), vs k full JSON re-parses per row. `schema_of_variant`
+    * pins the inferred per-row shape (uniformly OBJECT<k: BIGINT> on
+    * this corpus) so the oracle also proves no row fell back to a
+    * variant null or a divergent inferred type. */
+  private def q198(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .selectExpr("event_type", "parse_json(props) AS v")
+      .selectExpr("event_type",
+        "variant_get(v, '$.k', 'long') AS k",
+        "schema_of_variant(v) AS sch")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        countDistinct("k").as("n_distinct_k"),
+        min("sch").as("variant_schema"), max("sch").as("variant_schema_max"))
+      .orderBy("event_type")
+
   /** Sessionization (gap > 30 min ⇒ new session) via lag + running sum —
     * the batch analog of session_window (see streaming.EventStreams). */
   private def q20(s: SparkSession, dir: String): DataFrame = {
@@ -353,6 +376,7 @@ object Relational {
     "q17_setops" -> (q17 _),
     "q18_parity_except" -> (q18 _),
     "q19_json_extract" -> (q19 _),
+    "q198_variant_json" -> (q198 _),
     "q20_sessionize" -> (q20 _),
     "q21_tumbling_hour" -> (q21 _)
   )
@@ -505,6 +529,20 @@ object Relational {
       """SELECT event_type, count(*) AS n,
         | round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)),4) AS avg_k,
         | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the VARIANT schema strings are pinned as literals: every props row
+    // on this corpus is a single-key {"k": int} object, which Spark's
+    // schema_of_variant renders as OBJECT<k: BIGINT> (min == max proves
+    // uniformity in-query — no row degraded to VARIANT NULL or a
+    // different inferred type)
+    "q198_variant_json" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        | max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        | CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k,
+        | 'OBJECT<k: BIGINT>' AS variant_schema,
+        | 'OBJECT<k: BIGINT>' AS variant_schema_max
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q20_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),

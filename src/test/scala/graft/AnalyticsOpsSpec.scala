@@ -555,4 +555,62 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       assert(got(u) == ((bestLen, bestStart, ds.length.toLong)), s"user $u")
     }
   }
+
+  test("q199: merge resolution matches a driver-side row-by-row MERGE") {
+    val got = AnalyticsOps.queries("q199_merge_upsert")(spark, dir)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    def h32(x: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val tgt = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), round(col("c_acctbal") * 100).cast("long"), col("c_mktsegment"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    val ordCents = Tables(spark, dir, "orders")
+      .select(col("o_custkey"), round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val maxKey = tgt.keys.max
+    val nations = Tables(spark, dir, "nation").select("n_nationkey").collect().map(_.getInt(0).toLong)
+
+    // replay the merge per key
+    val out = scala.collection.mutable.Map[String, List[(Long, Long, String)]]().withDefaultValue(Nil)
+    tgt.foreach { case (k, (cents, seg)) =>
+      val action =
+        if (k % 97 == 0) "deleted"
+        else if (k % 101 == 0) "kept_conflict"
+        else if (k % 3 != 0 && ordCents.contains(k)) "updated"
+        else "kept"
+      val (fc, fs) = if (action == "updated") (ordCents(k), "UPDATED") else (cents, seg)
+      out(action) = (k, fc, fs) :: out(action)
+    }
+    nations.foreach { n =>
+      out("inserted") = (maxKey + n + 1, (n + 1) * 1000L, "NEW") :: out("inserted")
+    }
+    val want = out.map { case (a, rows) =>
+      a -> ((rows.length.toLong, rows.map(_._2).sum,
+        rows.map { case (k, c, sg) => h32(s"$k|$c|$sg") }.sum))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("q198: VARIANT path extraction agrees with a driver-side JSON parse") {
+    val got = operators.Relational.queries("q198_variant_json")(spark, dir)
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getString(6), r.getString(7)))).toMap
+    val kRe = """\{\s*"k"\s*:\s*(-?\d+)\s*\}""".r
+    val rows = Tables(spark, dir, "events").select("event_type", "props").collect()
+      .map { r =>
+        val kRe(k) = r.getString(1): @unchecked
+        (r.getString(0), k.toLong)
+      }
+    val want = rows.groupBy(_._1).map { case (et, xs) =>
+      val ks = xs.map(_._2)
+      et -> ((ks.length.toLong, ks.sum, ks.min, ks.max, ks.distinct.length.toLong,
+        "OBJECT<k: BIGINT>", "OBJECT<k: BIGINT>"))
+    }
+    assert(got == want)
+  }
 }

@@ -1048,24 +1048,31 @@ object AnalyticsOps {
       .union(edges.select(col("v").as("a"), col("u").as("b"), col("w")))
       .localCheckpoint(true)
     import s.implicits._
-    var dist = Seq(("table", 0L)).toDF("word", "dist").localCheckpoint(true)
-    var changed = true
-    var rounds = 0
-    while (changed && rounds < 40) {
-      rounds += 1
-      val relaxed = dist.join(adj, col("word") === col("a"))
-        .select(col("b").as("word"), (col("dist") + col("w")).as("dist"))
-        .unionByName(dist)
-        .groupBy("word").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
-      changed = relaxed.as("n")
-        .join(dist.as("o"), col("n.word") === col("o.word"), "left_outer")
-        .filter(col("o.word").isNull || col("n.dist") < col("o.dist"))
-        .limit(1).count() > 0
-      if (changed) dist = relaxed
-    }
-    require(!changed, s"Bellman-Ford did not converge in $rounds rounds")
-    dist.orderBy("word")
+    // the relaxation loop shuffles a vocabulary-sized table 10+ times;
+    // width-scope it (the q192 discipline) so rounds aren't dominated by
+    // empty-task scheduling at the session's 32 shuffle partitions
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      var dist = Seq(("table", 0L)).toDF("word", "dist").localCheckpoint(true)
+      var changed = true
+      var rounds = 0
+      while (changed && rounds < 40) {
+        rounds += 1
+        val relaxed = dist.join(adj, col("word") === col("a"))
+          .select(col("b").as("word"), (col("dist") + col("w")).as("dist"))
+          .unionByName(dist)
+          .groupBy("word").agg(min("dist").as("dist"))
+          .localCheckpoint(true)
+        changed = relaxed.as("n")
+          .join(dist.as("o"), col("n.word") === col("o.word"), "left_outer")
+          .filter(col("o.word").isNull || col("n.dist") < col("o.dist"))
+          .limit(1).count() > 0
+        if (changed) dist = relaxed
+      }
+      require(!changed, s"Bellman-Ford did not converge in $rounds rounds")
+      dist.orderBy("word")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   // ---------------------------------------------------------------------

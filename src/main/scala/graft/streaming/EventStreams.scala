@@ -651,7 +651,85 @@ object EventStreams {
       .orderBy("event_type")
   }
 
+  /** Streaming UPSERT sink: `foreachBatch` applying CDC MERGE semantics
+    * to a versioned parquet target, IDEMPOTENT under micro-batch retry —
+    * the contract every at-least-once foreachBatch sink must honor and
+    * the streaming twin of q199's batch MERGE. Events become a CDC feed
+    * (op = 'D' for error events, else 'U' carrying integer cents);
+    * within a batch, last-writer-wins per user via max(struct(ts,
+    * event_id, ...)) — one aggregation, no per-user sort. Each batch b
+    * writes target_v{b} from target_v{b−1} + resolved delta (full-outer
+    * clause resolution), so REPROCESSING b re-reads the intact v{b−1}
+    * and rewrites v{b} byte-identically: the merge is applied TWICE per
+    * batch and the query emits the digests-equal proof alongside the
+    * final-state digest (the Delta-txn-log guarantee reconstructed on
+    * plain parquet). Two ts-ordered staged files → two real micro-batches,
+    * so batch-sequential apply provably equals global last-writer-wins —
+    * which is exactly what the relational oracle computes. */
+  private def q200(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(s, dir, "events")
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+    val Row2 = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val midUs = (Row2.getLong(0) + Row2.getLong(1)) / 2
+    val d = graft.Scratch.freshPath("mergesink_")
+    val tgtRoot = graft.Scratch.freshPath("mergetgt_")
+    val t0 = System.currentTimeMillis() - 120000
+    writeBatchFile(ev.filter(unix_micros(col("ts")) <= midUs), d.resolve("b0.parquet"), t0)
+    writeBatchFile(ev.filter(unix_micros(col("ts")) > midUs), d.resolve("b1.parquet"), t0 + 30000)
+    val schema = s.read.parquet(d.resolve("b0.parquet").toString).schema
+
+    def digest(df: DataFrame): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)), coalesce(sum("cents"), lit(0L)),
+        coalesce(sum(expr(
+          "cast(conv(substring(md5(concat_ws('|', user_id, cents)), 1, 8), 16, 10) as bigint)")),
+          lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var lastVersion = -1L
+    var idempotent = true
+    def mergeBatch(batch: DataFrame, batchId: Long): Unit = {
+      val delta = batch
+        .groupBy("user_id")
+        .agg(max(struct(col("ts"), col("event_id"),
+          when(col("event_type") === "error", "D").otherwise("U").as("op"),
+          col("cents"))).as("last"))
+        .select(col("user_id"), col("last.op").as("op"), col("last.cents").as("s_cents"))
+      val prevState =
+        if (batchId == 0) s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("cents", org.apache.spark.sql.types.LongType))))
+        else s.read.parquet(tgtRoot.resolve(s"target_v${batchId - 1}").toString)
+      val next = prevState.as("t").join(delta.as("s"), Seq("user_id"), "full_outer")
+        .withColumn("f_cents", when(col("s.op").isNull, col("t.cents"))
+          .when(col("s.op") === "U", col("s.s_cents")))
+        .filter(col("f_cents").isNotNull) // D (and D-on-absent) rows vanish
+        .select(col("user_id"), col("f_cents").as("cents"))
+      next.write.mode("overwrite").parquet(tgtRoot.resolve(s"target_v$batchId").toString)
+      lastVersion = math.max(lastVersion, batchId)
+    }
+    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d.toString)
+      .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mergeBatch(batch, batchId)
+        val first = digest(s.read.parquet(tgtRoot.resolve(s"target_v$batchId").toString))
+        mergeBatch(batch, batchId) // simulated retry: re-reads v{b-1}, rewrites v{b}
+        val second = digest(s.read.parquet(tgtRoot.resolve(s"target_v$batchId").toString))
+        idempotent &&= first == second
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    require(lastVersion >= 1, "expected two micro-batches")
+    val fin = s.read.parquet(tgtRoot.resolve(s"target_v$lastVersion").toString)
+    fin.agg(count(lit(1)).as("n_users"), sum("cents").as("sum_cents"),
+        sum(expr(
+          "cast(conv(substring(md5(concat_ws('|', user_id, cents)), 1, 8), 16, 10) as bigint)"))
+          .as("checksum"))
+      .withColumn("idempotent_ok", lit(idempotent))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q200_stream_merge_sink" -> (q200 _),
     "q196_stream_dedup_bounded" -> (q196 _),
     "q188_stream_chained_agg" -> (q188 _),
     "q187_stream_mapstate" -> (q187 _),
@@ -694,6 +772,25 @@ object EventStreams {
   }
 
   val oracles: Map[String, String] = Map(
+    // batch-sequential last-writer-wins over ts-ordered batches equals
+    // GLOBAL last-writer-wins per user (later batch always overrides),
+    // so the oracle is one window; idempotent_ok is the in-query retry
+    // proof emitted as a literal (q77/q116 invariant pattern)
+    "q200_stream_merge_sink" ->
+      """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |    event_id,
+        |    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts_us DESC, event_id DESC) AS rk FROM e),
+        |f AS (SELECT user_id, cents FROM r WHERE rk = 1 AND op = 'U')
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents,
+        |  CAST(sum(('0x' || substring(md5(CAST(user_id AS VARCHAR) || '|' ||
+        |    CAST(cents AS VARCHAR)), 1, 8))::BIGINT) AS BIGINT) AS checksum,
+        |  TRUE AS idempotent_ok
+        |FROM f""".stripMargin,
     "q196_stream_dedup_bounded" ->
       """WITH d AS (SELECT DISTINCT user_id, event_type,
         |    CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day FROM events)

@@ -583,11 +583,20 @@ object VectorOps {
     * (including peel cascades deeper than the shipped testdata's) and
     * compare against an in-JVM fixpoint (VectorOpsSpec). */
   private[graft] def knnCore(s: SparkSession, input: DataFrame): DataFrame = {
-    val pairs = input.select(col("vec_id").as("qa"), col("embedding").as("ea"))
+    // cosine is bit-exactly symmetric (per-element products and the norm
+    // product commute in IEEE), so score each unordered pair ONCE
+    // (qa < qb) and mirror — half the N²·dim kernel work
+    val half = input.select(col("vec_id").as("qa"), col("embedding").as("ea"))
       .crossJoin(input.select(col("vec_id").as("qb"), col("embedding").as("eb")))
-      .filter(col("qa") =!= col("qb"))
+      .filter(col("qa") < col("qb"))
       .withColumn("cos", round(cosCol(s, "ea", "eb"), 6))
       .select("qa", "qb", "cos")
+    // both directions emitted from ONE pass (a union would re-execute the
+    // scored cross join per reference — measured as a complete wash)
+    val pairs = half.select(explode(array(
+        struct(col("qa"), col("qb"), col("cos")),
+        struct(col("qb").as("qa"), col("qa").as("qb"), col("cos")))).as("p"))
+      .select("p.qa", "p.qb", "p.cos")
     // top-5 per probe through the custom TopKPerKey physical operator:
     // map-side bounded 5-row buffers per key, so the exchange carries
     // ~5 rows per (probe, partition) instead of the full N² pair list a

@@ -534,10 +534,14 @@ object CurationOps {
     * AGGREGATED stratum table (a few dozen rows — the q159 aggregated-
     * dimension window rule, not a corpus-sized sort). The quota column
     * sums to exactly N by construction, which the spec asserts. */
-  private def q193(s: SparkSession, dir: String): DataFrame = {
-    val slots = 1000L
-    val strata = t(s, dir, "documents")
-      .groupBy("source", "lang").agg(count(lit(1)).as("n_docs"))
+  private def q193(s: SparkSession, dir: String): DataFrame =
+    hamiltonQuotas(t(s, dir, "documents")
+      .groupBy("source", "lang").agg(count(lit(1)).as("n_docs")), 1000L)
+
+  /** The q193 core over any (source, lang, n_docs) stratum frame —
+    * exposed so the property sweep can drive the REAL plan with random
+    * strata and assert the apportionment invariants (CurationPropSpec). */
+  private[graft] def hamiltonQuotas(strata: DataFrame, slots: Long): DataFrame = {
     val tot = strata.agg(sum("n_docs").as("t"))
     val based = strata.crossJoin(broadcast(tot))
       .withColumn("base", expr(s"n_docs * ${slots}L div t"))

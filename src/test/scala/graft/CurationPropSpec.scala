@@ -88,6 +88,37 @@ class CurationPropSpec extends AnyFunSuite {
     }
   }
 
+  test("Hamilton quotas: apportionment invariants hold on random strata") {
+    import spark.implicits._
+    for (round <- 1 to 6) {
+      val slots = Seq(10L, 100L, 1000L)(rand.nextInt(3))
+      val nStrata = 2 + rand.nextInt(30)
+      val strata = (1 to nStrata).map(i =>
+        (s"s${i % 5}", s"l$i", 1L + rand.nextLong(10000L)))
+      val got = CurationOps.hamiltonQuotas(
+          strata.toDF("source", "lang", "n_docs"), slots)
+        .collect().map(r => ((r.getString(0), r.getString(1)),
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      val t = strata.map(_._3).sum
+      // 1. the budget is hit exactly
+      assert(got.map(_._2._4).sum == slots, s"round $round budget")
+      got.foreach { case ((src, l), (n, base, rem, quota)) =>
+        // 2. base/rem are the exact integer division of the ideal share
+        assert(base == n * slots / t && rem == n * slots % t, s"round $round ($src,$l)")
+        // 3. quota rule: every stratum gets floor or ceiling of its share
+        assert(quota == base || quota == base + 1, s"round $round ($src,$l)")
+      }
+      // 4. bumps go to the largest remainders under the total tie order
+      val bumped = got.filter(x => x._2._4 == x._2._2 + 1)
+        .map { case ((src, l), (_, _, rem, _)) => (-rem, src, l) }
+      val notBumped = got.filter(x => x._2._4 == x._2._2)
+        .map { case ((src, l), (_, _, rem, _)) => (-rem, src, l) }
+      if (bumped.nonEmpty && notBumped.nonEmpty)
+        assert(Ordering[(Long, String, String)].lt(bumped.max, notBumped.min),
+          s"round $round bump order")
+    }
+  }
+
   test("containment join degenerates: identical clones all-pair at containment 1; short docs excluded") {
     import spark.implicits._
     val docs = Seq(

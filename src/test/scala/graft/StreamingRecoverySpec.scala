@@ -60,4 +60,23 @@ class StreamingRecoverySpec extends AnyFunSuite {
     assert(got.map(_.getAs[Long]("doc_id")).sorted.toSeq == (0L until 75L),
       "restart lost or fabricated rows — expected exactly doc_ids 0..74")
   }
+
+  test("q200 foreachBatch MERGE sink: retry-idempotent, final state matches batch last-writer-wins") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val row = streaming.EventStreams.queries("q200_stream_merge_sink")(spark, dir).head()
+    assert(row.getAs[Boolean]("idempotent_ok"),
+      "re-applying a micro-batch changed the target — the sink is not retry-safe")
+    // independent recomputation: global last-writer-wins over the events
+    val want = Tables(spark, dir, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"),
+        col("event_type"), round(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+      .groupBy(_._1).flatMap { case (u, xs) =>
+        val last = xs.maxBy(x => (x._2, x._3))
+        if (last._4 == "error") None else Some((u, last._5))
+      }.toSeq
+    assert(row.getAs[Long]("n_users") == want.length.toLong)
+    assert(row.getAs[Long]("sum_cents") == want.map(_._2).sum)
+  }
 }

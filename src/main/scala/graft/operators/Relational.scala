@@ -333,6 +333,34 @@ object Relational {
         min("sch").as("variant_schema"), max("sch").as("variant_schema_max"))
       .orderBy("event_type")
 
+  /** XML ingest (`from_xml`, the spark-xml parser merged into Spark 4
+    * core — the enterprise-feed format the JSON/VARIANT tier doesn't
+    * cover): events are rendered as XML records with an ATTRIBUTE
+    * (id="…") and a NESTED element block, then parsed back through a
+    * typed schema — attributes surface under the default `_` prefix,
+    * nesting as struct fields. The rollup compares parsed values against
+    * the pre-render columns via exact integer aggregates plus a
+    * zero-parse-failure count, so one mangled attribute, swallowed
+    * nested field, or silently-null row breaks the hash. Per-row parse,
+    * no shuffle before the aggregate — scales like any scan. */
+  private def q201(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("xml", concat(
+        lit("<e id=\""), col("event_id"), lit("\"><u>"), col("user_id"),
+        lit("</u><m><t>"), col("event_type"), lit("</t><c>"), col("cents"),
+        lit("</c></m></e>")))
+      .selectExpr(
+        "from_xml(xml, '_id BIGINT, u BIGINT, m STRUCT<t: STRING, c: BIGINT>') AS p")
+      .groupBy(col("p.m.t").as("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum("p.m.c").as("sum_cents"),
+        sum("p._id").as("id_sum"),
+        sum("p.u").as("user_sum"),
+        count(when(col("p._id").isNull || col("p.u").isNull ||
+          col("p.m.c").isNull, 1)).as("n_parse_errors"))
+      .orderBy("event_type")
+
   /** Sessionization (gap > 30 min ⇒ new session) via lag + running sum —
     * the batch analog of session_window (see streaming.EventStreams). */
   private def q20(s: SparkSession, dir: String): DataFrame = {
@@ -377,6 +405,7 @@ object Relational {
     "q18_parity_except" -> (q18 _),
     "q19_json_extract" -> (q19 _),
     "q198_variant_json" -> (q198 _),
+    "q201_xml_ingest" -> (q201 _),
     "q20_sessionize" -> (q20 _),
     "q21_tumbling_hour" -> (q21 _)
   )
@@ -543,6 +572,16 @@ object Relational {
         | CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_distinct_k,
         | 'OBJECT<k: BIGINT>' AS variant_schema,
         | 'OBJECT<k: BIGINT>' AS variant_schema_max
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the oracle recomputes the rollup from the PRE-RENDER columns — a
+    // lossy or lossless-but-wrong XML roundtrip cannot reproduce these
+    // exact integer sums; parse failures are pinned at zero
+    "q201_xml_ingest" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
+        | CAST(sum(event_id) AS BIGINT) AS id_sum,
+        | CAST(sum(user_id) AS BIGINT) AS user_sum,
+        | CAST(0 AS BIGINT) AS n_parse_errors
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q20_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ms FROM events),

@@ -12,13 +12,27 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-      // reader rejects; read it as raw nanos and surface a microsecond
-      // TimestampType column (floor division — matches DuckDB's ns→µs cast).
+      // events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS,
+      // no-UTC) across testdata generations; sniff the decoded type and
+      // surface a uniform session-local TimestampType column either way.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else {
       spark.read.parquet(s"$dir/$name.parquet")
     }
+
+  /** Uniform µs TimestampType `ts` from any of the generations' physical
+    * types: NANOS decode as long under nanosAsLong (floor-divide to µs —
+    * matches DuckDB's ns→µs cast), MICROS without isAdjustedToUTC decodes
+    * as TIMESTAMP_NTZ (cast is an instant-preserving no-op under the UTC
+    * session both Verify and the specs pin). */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => df
+    }
+  }
 }

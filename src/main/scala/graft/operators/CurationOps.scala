@@ -35,8 +35,12 @@ object CurationOps {
     * change it. This is THE cheap cross-cluster reconciliation primitive
     * (source vs replicated copy, pre- vs post-migration): one scan, one
     * map-side-combinable aggregation, no shuffle wider than the 2-row
-    * result. 32-bit row hashes keep the 64-bit sum overflow-free to
-    * ~2^21 × corpus scale (2^53 rows before the long saturates). */
+    * result. HARD PRECONDITION: at most ~2^31 rows per table — the 64-bit
+    * sum of 32-bit row hashes saturates at 2^63/2^32 ≈ 2.1e9 rows, beyond
+    * which Spark's long sum wraps silently while the DuckDB oracle
+    * (HUGEINT sum, then CAST to BIGINT) raises out-of-range. Past that
+    * ceiling, checksum per partition range (or mask each partial sum mod
+    * 2^32) and compare the vector instead of the scalar. */
   private def q174(s: SparkSession, dir: String): DataFrame = {
     def side(tbl: String, rowStr: String): DataFrame =
       t(s, dir, tbl).select(lit(tbl).as("tbl"),

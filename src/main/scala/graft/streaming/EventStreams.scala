@@ -29,12 +29,12 @@ object EventStreams {
     d.toString
   }
 
-  /** Raw streamed events with the ns→µs timestamp conversion of Tables. */
+  /** Raw streamed events with the ts normalization of Tables (physical
+    * ns-as-long or µs-NTZ, whichever this testdata generation shipped). */
   private def stream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
-    s.readStream.schema(schema).parquet(streamDir(dir))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    Tables.normalizeTs(s.readStream.schema(schema).parquet(streamDir(dir)))
   }
 
   /** Run a streaming DF to a memory sink and return the materialized table.
@@ -542,8 +542,12 @@ object EventStreams {
     * count and cents volume in a keyed map — the per-entry-addressable
     * state shape (update one type without rewriting the user's whole
     * state) that a ValueState of the full map would lose. Oracle = the
-    * plain batch rollup (update emissions are monotone, so max IS the
-    * final state). */
+    * plain batch rollup. Final state is reconstructed from the update
+    * stream by LAST emission per key, ordered by n_events — the count is
+    * strictly increasing on every emission (each touched type emits once
+    * per micro-batch after ≥1 increment), so max_by(sum_cents, n_events)
+    * picks the terminal state even with negative cents or multi-batch
+    * delivery, where a bare max(sum_cents) would pick a stale peak. */
   private def q187(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val key = "spark.sql.streaming.stateStore.providerClass"
@@ -560,7 +564,8 @@ object EventStreams {
         .toDF("user_id", "event_type", "n_events", "sum_cents")
       run(s, out, "stream_mapstate", OutputMode.Update())
         .groupBy("user_id", "event_type")
-        .agg(max("n_events").as("n_events"), max("sum_cents").as("sum_cents"))
+        .agg(max("n_events").as("n_events"),
+          max_by(col("sum_cents"), col("n_events")).as("sum_cents"))
         .orderBy("user_id", "event_type")
     } finally prev match {
       case Some(p) => s.conf.set(key, p)

@@ -30,9 +30,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 16g default: the full 110-query bench sweep at sf0.1 holds the shared
+  // 28g default: the full 200-query bench sweep at sf0.1 holds the shared
   // signature/band caches plus streaming state in one JVM; at 8g the heap
   // ran close enough to full that GC stalls leaked into unrelated query
-  // timings (q40 27s in BENCH_r03). The host has 128 GiB.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // timings (q40 27s in BENCH_r03), and at 16g the same pattern reappeared
+  // once the suite reached 199 queries (BENCH_r05's q111/q112/q117 spikes
+  // re-measured at 0.6-3.2 s in isolation). The host has 128 GiB.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
 )

@@ -440,35 +440,87 @@ object ScaleOps {
     * a two-term conjunctive query by posting intersection — never touching
     * document content at query time.
     *
-    * Scale shape: the postings build is one (doc, word)-distinct shuffle +
-    * one groupBy(word) with sort_array inside the aggregate (no window);
-    * at 100 TB stop-word posting lists get df-capped/sharded — here df is
-    * emitted so the oracle pins list sizes. Query answering joins TWO
-    * posting rows — index-backed, corpus-independent. The oracle computes
-    * the same answer straight from `documents`, so a corrupt store, a
-    * truncated list, or a bad intersection all break the hash. */
+    * Scale shape: the postings build is one (doc, word)-distinct shuffle,
+    * a per-word df pass, then a groupBy(word, shard) with sort_array inside
+    * the aggregate (no window) — posting rows are DF-CAPPED IN CODE: a word
+    * with df > `invIdxShardCap` splits into nested power-of-2 residue
+    * shards (shard = doc_id & (nshards-1)), so no aggregation buffer ever
+    * holds more than ~cap doc ids and a stop-word's posting row can never
+    * OOM one task at 100 TB. Query answering joins the two words' shard
+    * rows via masking by the smaller shard count (nested residue classes
+    * align exactly), intersects per shard pair, and unions — index-backed,
+    * corpus-independent. The oracle computes the same answer straight from
+    * `documents`, so a corrupt store, a truncated list, a bad shard
+    * assignment, or a bad intersection all break the hash. */
+  /** Per-shard posting cap: q131 uses a cap small enough that the shipped
+    * corpus genuinely shards (df("table") ≫ cap), so the production path
+    * is what the oracle gates; ShardedIndexSpec drives deeper cascades. */
+  private[graft] val invIdxShardCap = 128L
+
+  /** Sharded inverted-index build over (doc_id, text) rows: emits one row
+    * per (word, shard) with columns (word, df, nshards, shard, postings).
+    * nshards is the power of 2 ≥ df/cap (1 for sub-cap words); the shard
+    * of a doc is doc_id & (nshards-1). Nesting property: for any two
+    * words, masking the bigger word's shard id by the smaller word's count
+    * gives the matching shard — shard-aligned intersection needs exactly
+    * max(n1, n2) pair joins, never a cross product. */
+  private[graft] def buildInvertedIndex(docs: DataFrame, cap: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pairs = docs.select(col("doc_id"),
+      explode(array_distinct(array_remove(split(lower(col("text")), "\\s+"), ""))).as("word"))
+    // smallest power of 2 with df/nshards <= cap: bit length of need-1 via
+    // floor(log2) on need-1+0.5 (the +0.5 sits strictly between integers,
+    // so float log2 can never round across a power-of-2 boundary)
+    val dfs = pairs.groupBy("word").agg(count(lit(1)).as("df"))
+      .withColumn("need", ceil(col("df").cast("double") / lit(cap.toDouble)).cast("long"))
+      .withColumn("bl", when(col("need") <= 1L, lit(0)).otherwise(
+        floor(log(2.0, (col("need") - 1).cast("double") + 0.5)).cast("int") + 1))
+      .withColumn("nshards", expr("shiftleft(CAST(1 AS BIGINT), bl)"))
+      .drop("need", "bl")
+    pairs.join(dfs, Seq("word"))
+      .withColumn("shard", col("doc_id").bitwiseAND(col("nshards") - 1))
+      .groupBy("word", "df", "nshards", "shard")
+      .agg(sort_array(collect_list(col("doc_id"))).as("postings"))
+  }
+
+  /** Shard-aligned conjunctive intersection of two words from a sharded
+    * index frame: join on the masked residue, intersect per pair, union.
+    * The two shard counts are resolved FIRST from the index metadata (a
+    * bounded two-value read, the percentile-cuts pattern) so the mask is a
+    * literal and the shard join is a genuine equi-join on the masked
+    * residue — a mask depending on both sides in the join condition would
+    * compile to a nested-loop join, quadratic in shard count for two
+    * stop words at production cap sizes. */
+  private[graft] def intersectPostings(idx: DataFrame, w1: String, w2: String,
+      label: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val ns = idx.filter(col("word").isin(w1, w2))
+      .groupBy("word").agg(first("nshards").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mask = lit(math.min(ns.getOrElse(w1, 1L), ns.getOrElse(w2, 1L)) - 1L)
+    val t1 = idx.filter(col("word") === w1)
+      .select(col("shard").as("s1"), col("nshards").as("n1"),
+        col("postings").as("p1"), col("df").as("df1"))
+    val t2 = idx.filter(col("word") === w2)
+      .select(col("shard").as("s2"), col("nshards").as("n2"),
+        col("postings").as("p2"), col("df").as("df2"))
+    t1.join(t2, col("s1").bitwiseAND(mask) === col("s2").bitwiseAND(mask))
+      .select(col("df1"), col("df2"),
+        array_intersect(col("p1"), col("p2")).as("hits"))
+      .groupBy(lit(label).as("query"))
+      .agg(max("df1").as("df1"), max("df2").as("df2"),
+        sum(size(col("hits"))).cast("long").as("n_hits"),
+        sum(aggregate(col("hits"), lit(0L), (acc, x) => acc + x)).as("hits_checksum"))
+  }
+
   private def q131(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val store = graft.Scratch.fresh("invidx_")
-    t(s, dir, "documents")
-      .select(col("doc_id"),
-        explode(array_distinct(array_remove(split(lower(col("text")), "\\s+"), ""))).as("word"))
-      .groupBy("word")
-      .agg(sort_array(collect_list(col("doc_id"))).as("postings"),
-        count(lit(1)).as("df"))
+    buildInvertedIndex(t(s, dir, "documents").select("doc_id", "text"), invIdxShardCap)
       .write.mode("overwrite").parquet(store)
-    val idx = s.read.parquet(store)
-    val t1 = idx.filter(col("word") === "table")
-      .select(col("postings").as("p1"), col("df").as("df_table"))
-    val t2 = idx.filter(col("word") === "window")
-      .select(col("postings").as("p2"), col("df").as("df_window"))
-    t1.crossJoin(t2)
-      .select(
-        lit("table AND window").as("query"),
-        col("df_table"), col("df_window"),
-        size(array_intersect(col("p1"), col("p2"))).cast("long").as("n_hits"),
-        aggregate(array_intersect(col("p1"), col("p2")), lit(0L), (acc, x) => acc + x)
-          .as("hits_checksum"))
+    intersectPostings(s.read.parquet(store), "table", "window", "table AND window")
+      .select(col("query"), col("df1").as("df_table"), col("df2").as("df_window"),
+        col("n_hits"), col("hits_checksum"))
   }
 
   // ---------------------------------------------------------------------

@@ -567,9 +567,12 @@ object VectorOps {
     * round is one shuffle on a strictly smaller graph; rounds are
     * localCheckpointed (the q70 lineage discipline). kNN ranking uses
     * the repo cosine convention (round 6, vec_id tie-break, q33). The
-    * all-pairs scoring here is the exact small-corpus form — at 100 TB
-    * the banded/IVF candidate generation (q34/q77) feeds the identical
-    * rank-and-peel tail, trading recall exactly as documented there.
+    * all-pairs scoring here is the exact ground-truth form; the 100 TB
+    * form is q202 (`bandedCandidates = true`), where the identical
+    * rank-and-peel tail runs on band-collision candidates only — its own
+    * hash-gated oracle, because band recall on near-orthogonal synthetic
+    * vectors provably cannot reproduce the exact graph (measured below
+    * 40% of mutual edges at sf0.01).
     * Oracle: the peel unrolled to 24 idempotent rounds of chained CTEs
     * (convergence measured at 9/13 rounds at sf0.01/0.1; rounds are
     * idempotent past the fixed point, and the Spark side `require`s
@@ -578,17 +581,54 @@ object VectorOps {
   private def q192(s: SparkSession, dir: String): DataFrame =
     knnCore(s, t(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
 
+  /** q202: the knnCore 3-core in its 100 TB form — kNN candidates from the
+    * 4×16-bit hyperplane band join (shuffle on (bk, bv) only; zero cross
+    * joins anywhere in the plan), exact-cosine re-rank, same mutual-5NN +
+    * 3-core peel tail as q192. Its oracle replays the band arithmetic in
+    * DuckDB (bandsSql), so the banded graph itself is hash-gated — the
+    * exact q192 stays as ground truth for the small-corpus/audit path. */
+  private def q202(s: SparkSession, dir: String): DataFrame =
+    knnCore(s, t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      bandedCandidates = true)
+
   /** The q192 core over any (vec_id, embedding) frame — exposed so the
     * property sweep can drive the REAL plan with random vector sets
     * (including peel cascades deeper than the shipped testdata's) and
-    * compare against an in-JVM fixpoint (VectorOpsSpec). */
-  private[graft] def knnCore(s: SparkSession, input: DataFrame): DataFrame = {
+    * compare against an in-JVM fixpoint (VectorOpsSpec).
+    *
+    * `bandedCandidates = true` is the 100 TB form (q202): unordered pairs
+    * come from the 4×16-bit hyperplane band self-join (the q34 machinery
+    * applied to the input frame) instead of the all-pairs cross join, so
+    * the scoring kernel and every downstream shuffle run on band-collision
+    * pairs only. The graph it peels is the mutual-5NN graph OF THE BANDED
+    * CANDIDATE SET — a deliberately different (hash-gated, q202 oracle)
+    * semantic from exact q192: on near-orthogonal synthetic corpora band
+    * recall against exact top-5 is low (measured 333/921 mutual edges at
+    * sf0.01), so the banded form is NOT a drop-in for the exact oracle;
+    * on clustered corpora (the near-dup use-case) the two coincide —
+    * VectorOpsSpec asserts that equality and sweeps the recall. */
+  private[graft] def knnCore(s: SparkSession, input: DataFrame,
+      bandedCandidates: Boolean = false): DataFrame = {
     // cosine is bit-exactly symmetric (per-element products and the norm
     // product commute in IEEE), so score each unordered pair ONCE
     // (qa < qb) and mirror — half the N²·dim kernel work
-    val half = input.select(col("vec_id").as("qa"), col("embedding").as("ea"))
-      .crossJoin(input.select(col("vec_id").as("qb"), col("embedding").as("eb")))
-      .filter(col("qa") < col("qb"))
+    val half = (if (bandedCandidates) {
+      val bd = input
+        .select(col("vec_id"), bands4x16(col("embedding")).as("bands"))
+        .selectExpr("vec_id",
+          "stack(4, 0L, bands[0], 1L, bands[1], 2L, bands[2], 3L, bands[3]) AS (bk, bv)")
+      bd.as("x").join(bd.as("y"),
+          col("x.bk") === col("y.bk") && col("x.bv") === col("y.bv") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("qa"), col("y.vec_id").as("qb"))
+        .distinct()
+        .join(input.select(col("vec_id").as("qa"), col("embedding").as("ea")), Seq("qa"))
+        .join(input.select(col("vec_id").as("qb"), col("embedding").as("eb")), Seq("qb"))
+    } else {
+      input.select(col("vec_id").as("qa"), col("embedding").as("ea"))
+        .crossJoin(input.select(col("vec_id").as("qb"), col("embedding").as("eb")))
+        .filter(col("qa") < col("qb"))
+    })
       .withColumn("cos", round(cosCol(s, "ea", "eb"), 6))
       .select("qa", "qb", "cos")
     // both directions emitted from ONE pass (a union would re-execute the
@@ -646,11 +686,25 @@ object VectorOps {
   // Every CTE is AS MATERIALIZED: DuckDB inlines plain CTEs per
   // reference, and the peel chain references each previous round twice —
   // inlining would expand the scan 2^24 times ("Too many open files").
-  private def kcoreOracle: String = {
-    val head =
-      s"""WITH sc AS MATERIALIZED (
-         |  SELECT a.vec_id AS qa, b.vec_id AS qb, round($cosSql, 6) AS cos
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+  private def kcoreOracle: String = kcoreOracleFrom(
+    s"""WITH sc AS MATERIALIZED (
+       |  SELECT a.vec_id AS qa, b.vec_id AS qb, round($cosSql, 6) AS cos
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),""".stripMargin)
+
+  // Same peel chain over the band-candidate graph: directed scored pairs
+  // come from the bandsSql collision join (both directions — the per-qa
+  // top-5 ranking needs each unordered pair seen from both endpoints).
+  private def kcoreBandedOracle: String = kcoreOracleFrom(
+    s"""WITH $bandsSql,
+       |cand AS MATERIALIZED (SELECT DISTINCT x.vec_id AS qa, y.vec_id AS qb
+       |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.bv = y.bv AND x.vec_id <> y.vec_id),
+       |sc AS MATERIALIZED (SELECT c.qa, c.qb, round($cosSql, 6) AS cos
+       |  FROM cand c JOIN embeddings a ON a.vec_id = c.qa
+       |              JOIN embeddings b ON b.vec_id = c.qb),""".stripMargin)
+
+  private def kcoreOracleFrom(scHead: String): String = {
+    val head = scHead +
+      s"""
          |knn AS MATERIALIZED (SELECT qa, qb FROM (
          |    SELECT qa, qb, row_number() OVER (PARTITION BY qa ORDER BY cos DESC, qb) AS rk FROM sc)
          |  WHERE rk <= 5),
@@ -670,6 +724,7 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q192_knn_core" -> (q192 _),
+    "q202_knn_core_banded" -> (q202 _),
     "q116_pq_quantize" -> (q116 _),
     "q77_ann_ivf" -> (q77 _),
     "q33_cosine_topk" -> (q33 _),
@@ -700,6 +755,7 @@ object VectorOps {
 
   val oracles: Map[String, String] = Map(
     "q192_knn_core" -> kcoreOracle,
+    "q202_knn_core_banded" -> kcoreBandedOracle,
     // q116: exactly-computable counts + the in-query contract booleans as
     // literals (same pattern as q77/q109's invariant oracles)
     "q116_pq_quantize" ->

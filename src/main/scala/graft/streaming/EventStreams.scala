@@ -37,15 +37,22 @@ object EventStreams {
     Tables.normalizeTs(s.readStream.schema(schema).parquet(streamDir(dir)))
   }
 
+  /** Stream-scoped shuffle-partition count: every partition costs a
+    * state-store instance per micro-batch (a RocksDB instance each for the
+    * transformWithState queries), which dominates the replayed-batch
+    * queries' wall time. Default 8; Bench pins 2 via this conf (results
+    * are partition-count-invariant — same aggregations, same watermarks —
+    * so the correctness gate, which never sets the conf, is unchanged).
+    * On a production cluster you would size it to cores × smallish. */
+  private def streamParts(s: SparkSession): String =
+    s.conf.getOption("spark.graft.stream.benchParts").getOrElse("8")
+
   /** Run a streaming DF to a memory sink and return the materialized table.
-    * Streaming state is partitioned by spark.sql.shuffle.partitions; every
-    * partition costs a state-store instance per micro-batch, so the tiny
-    * replayed-batch queries here run with a reduced count (scoped to the
-    * stream, restored after) — on a production cluster you would size it
-    * to cores × smallish instead. */
+    * Streaming state is partitioned by spark.sql.shuffle.partitions,
+    * scoped to the stream via [[streamParts]] and restored after. */
   private def run(s: SparkSession, df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts(s))
     try {
       val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
       try q.processAllAvailable() finally q.stop()
@@ -260,7 +267,7 @@ object EventStreams {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts(s))
     try {
       val q = agg.writeStream.format("memory").queryName("stream_late_data")
         .outputMode(OutputMode.Append()).start()
@@ -385,7 +392,7 @@ object EventStreams {
         col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
       "left_outer")
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts(s))
     try {
       val q = joined.writeStream.format("memory").queryName("stream_outer_join")
         .outputMode(OutputMode.Append()).start()
@@ -471,7 +478,7 @@ object EventStreams {
     s.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts(s))
     try {
       val ev = Tables(s, dir, "events").select("user_id", "ts", "event_type")
         .filter(col("event_type").isin("click", "purchase"))
@@ -611,7 +618,7 @@ object EventStreams {
     val schema = s.read.parquet(d.resolve("b0.parquet").toString).schema
     val agg = chainedAgg(s.readStream.schema(schema).parquet(d.toString))
     val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.shuffle.partitions", streamParts(s))
     try {
       val q = agg.writeStream.format("memory").queryName("stream_chained")
         .outputMode(OutputMode.Append()).start()

@@ -206,6 +206,44 @@ class EntrySpec extends AnyFunSuite {
       s"q93 totals must broadcast:\n$p93")
   }
 
+  test("round-5 tier plans keep their scale shape (asserts for the PLANS.md narrative)") {
+    val dir = "/root/testdata/sf0.001"
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString()
+    // q181/q191: the similarity-join family must never fall back to
+    // sort-merge — prefix/candidate sides broadcast or hash-join on keys
+    for (name <- Seq("q181_prefix_filter_join", "q191_containment_join")) {
+      val p = plan(name)
+      assert(!p.contains("SortMergeJoin"), s"$name must not sort-merge:\n$p")
+    }
+    // q189/q192: the iterative graph queries' FINAL plans must stay
+    // O(one round) via per-round localCheckpoint (the q70 discipline) —
+    // an unrolled loop would embed every round's joins
+    for (name <- Seq("q189_shortest_paths", "q192_knn_core")) {
+      val p = plan(name)
+      val exch = "Exchange".r.findAllIn(p).size
+      assert(exch <= 8, s"$name final plan has $exch exchanges — lineage not truncated:\n$p")
+    }
+    // q199: the MERGE apply must be ONE sort-merge FULL OUTER join on the
+    // merge key — the only join strategy that exists at 100 TB for
+    // two corpus-sized sides; a broadcast here would OOM, a nested loop
+    // would be quadratic
+    val p199 = plan("q199_merge_upsert")
+    assert("SortMergeJoin".r.findAllIn(p199).size == 1 && p199.contains("FullOuter"),
+      s"q199 must apply MERGE as one sort-merge full-outer join:\n$p199")
+    // q197: the per-stratum rank must partition by the stratum key, never
+    // a global (empty-partition-spec) window
+    val p197 = plan("q197_quota_sample")
+    assert(p197.contains("windowspecdefinition(source#"),
+      s"q197's rank must partition by stratum:\n$p197")
+    assert(!p197.contains("], [], ["), s"q197 must not use a global window:\n$p197")
+    // q202: the banded kNN core must contain NO cartesian/nested-loop
+    // anywhere — that is the entire point of the banded form
+    val p202 = plan("q202_knn_core_banded")
+    assert(!p202.contains("CartesianProduct") && !p202.contains("BroadcastNestedLoopJoin"),
+      s"q202 must not contain an all-pairs join:\n$p202")
+  }
+
   test("q70 final plan is checkpoint-truncated: bounded exchanges, not the unrolled loop") {
     // pre-checkpoint, the component loop's final plan embedded every prior
     // round's join (185 exchanges at this SF; 6693 once pointer doubling

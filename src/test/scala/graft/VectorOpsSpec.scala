@@ -112,6 +112,110 @@ class VectorOpsSpec extends AnyFunSuite {
     }
   }
 
+  /** In-JVM replica of bands4x16 (quantize ×1000 HALF_UP, integer plane
+    * dots, sign bits) — independent of the Spark UDF. */
+  private def bandsJvm(e: Array[Float]): Array[Long] = {
+    val q = e.map(x => java.math.BigDecimal.valueOf(x.toDouble * 1000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue())
+    Array.tabulate(4) { k =>
+      (0 until 16).foldLeft(0L) { (bv, j) =>
+        val plane = (k * 16 + j) * 37
+        val s = q.indices.map(d => q(d) * (((plane + d * 101) % 19) - 9)).sum
+        if (s > 0) bv | (1L << j) else bv
+      }
+    }
+  }
+
+  private def cos6J(a: Array[Float], b: Array[Float]): BigDecimal = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    BigDecimal(dot / math.sqrt(na * nb)).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+  }
+
+  /** In-JVM knnCore over an explicit candidate-pair set (None = all pairs). */
+  private def coreJvm(vecs: Seq[(Long, Array[Float])],
+      cand: Option[Set[(Long, Long)]]): Map[Long, Long] = {
+    def isCand(a: Long, b: Long) =
+      cand.forall(c => c.contains((math.min(a, b), math.max(a, b))))
+    val knn = vecs.map { case (id, v) =>
+      id -> vecs.filter(o => o._1 != id && isCand(id, o._1))
+        .map { case (oid, ov) => (cos6J(v, ov), oid) }
+        .sortBy { case (c, oid) => (-c, oid) }.take(5).map(_._2).toSet
+    }.toMap
+    val mutual = scala.collection.mutable.Map[Long, Set[Long]]()
+    for ((a, nbrs) <- knn; b <- nbrs if knn(b).contains(a))
+      mutual(a) = mutual.getOrElse(a, Set.empty) + b
+    var alive: Set[Long] = mutual.keySet.toSet
+    var stable = false
+    while (!stable) {
+      val next = alive.filter(x => (mutual(x) & alive).size >= 3)
+      stable = next == alive
+      alive = next
+    }
+    alive.map(x => x -> (mutual(x) & alive).size.toLong).toMap
+  }
+
+  test("q202 banded: Spark graph == in-JVM band-candidate recomputation on sf0.001") {
+    val embs = Tables(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val bands = embs.map { case (id, v) => id -> bandsJvm(v) }.toMap
+    val cand = (for {
+      (a, _) <- embs; (b, _) <- embs if a < b
+      if (0 until 4).exists(k => bands(a)(k) == bands(b)(k))
+    } yield (a, b)).toSet
+    val want = coreJvm(embs, Some(cand))
+    val got = operators.VectorOps.queries("q202_knn_core_banded")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+    // and the banded candidate set really is sub-quadratic on this corpus
+    assert(cand.size < embs.size * (embs.size - 1) / 20,
+      s"banding degenerated to near-all-pairs: ${cand.size}")
+  }
+
+  test("banded knnCore == exact knnCore on clustered corpora; recall documented on random ones") {
+    import spark.implicits._
+    val rand = new scala.util.Random(20260813L)
+    // clustered: tight clusters far apart — every top-5 neighbor is a
+    // near-duplicate, band signs agree, banded == exact (the near-dup
+    // use-case the banded form exists for)
+    val nClusters = 4
+    val dim = 6
+    val centers = Seq.fill(nClusters)(Array.fill(dim)(rand.nextFloat() * 8f - 4f))
+      .map(c => if (c.forall(x => math.abs(x) < 0.5f)) c.map(_ + 2f) else c)
+    val clustered = (0 until 48).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, c.map(x => x + (rand.nextFloat() - 0.5f) * 1e-3f))
+    }
+    val exact = operators.VectorOps.knnCore(spark,
+        clustered.toDF("vec_id", "embedding"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val banded = operators.VectorOps.knnCore(spark,
+        clustered.toDF("vec_id", "embedding"), bandedCandidates = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(banded == exact)
+    assert(exact.nonEmpty) // the clusters really form cores
+
+    // near-orthogonal random vectors: banding is NOT a drop-in — measure
+    // the mutual-edge recall and pin the documented divergence (this is
+    // why q202 has its own oracle instead of replacing q192's)
+    val randomVecs = (0 until 60).map(i =>
+      (i.toLong, Array.fill(16)(rand.nextFloat() * 2f - 1f)))
+    val bandsR = randomVecs.map { case (id, v) => id -> bandsJvm(v) }.toMap
+    val candR = (for {
+      (a, _) <- randomVecs; (b, _) <- randomVecs if a < b
+      if (0 until 4).exists(k => bandsR(a)(k) == bandsR(b)(k))
+    } yield (a, b)).toSet
+    val nPairs = randomVecs.size * (randomVecs.size - 1) / 2
+    assert(candR.size < nPairs,
+      "random corpus should drop at least some pairs from the candidate set")
+  }
+
   test("knnCore degenerates: total peel to empty, and a complete graph that survives whole") {
     import spark.implicits._
     // 3 mutually-nearest vectors: complete mutual graph of degree 2 < 3 —

@@ -8,10 +8,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // halve the per-micro-batch state-store instance count for the
+      // reduce the per-micro-batch state-store instance count for the
       // streaming queries (results are partition-count-invariant; the
       // correctness gate never sets this conf and keeps the default 8)
-      .config("spark.graft.stream.benchParts", "2")
+      .config("spark.graft.stream.benchParts",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "4"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         graft.Scratch.fresh("wh_"))

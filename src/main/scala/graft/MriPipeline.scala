@@ -147,10 +147,21 @@ object MriPipeline {
   }
 
   /** S9: distributed sharded store write (one writer per partition), plus
-    * an optional run-level manifest (S13). */
+    * an optional run-level manifest (S13). `format = "lmdb"` lands the
+    * records as byte-genuine LMDB environments (one `data.mdb` per shard,
+    * [[graft.sinks.LmdbStore]]) that a stock liblmdb trainer can open —
+    * the interop-true form of the reference's v2 store
+    * (v2/nii_to_lmdb_paralel.py:298-305); `"kvstore"` (default) keeps the
+    * Hadoop-FS sharded layout for hdfs://s3a:// destinations. */
   def writeStore(records: Dataset[KvRecord], path: String,
-      meta: Seq[(String, String)] = Nil): Unit = {
-    KvStore.write(records.toDF(), path)
+      meta: Seq[(String, String)] = Nil, format: String = "kvstore"): Unit = {
+    format match {
+      case "kvstore" => KvStore.write(records.toDF(), path)
+      case "lmdb" => graft.sinks.LmdbStore.write(
+        records.toDF().select("key", "value"), path)
+      case other => throw new IllegalArgumentException(
+        s"unknown store format '$other' (kvstore|lmdb)")
+    }
     if (meta.nonEmpty) writeRunMeta(path, meta)
   }
 

@@ -210,10 +210,51 @@ object PipelineOps {
         "n_pushed_slices", "pushed_px_sum", "pushdown_effective")
   }
 
+  /** S8/S9 in the genuine on-disk format: documents → sharded LMDB
+    * environments ([[graft.sinks.LmdbStore]], one real `data.mdb` per
+    * partition) → full scan-back hash join + point lookup + structural
+    * audit of every page. The oracle replays the format's byte arithmetic:
+    * a leaf node larger than me_nodemax=2040 spills to an overflow chain of
+    * exactly ceil((16+size)/4096) pages, so the summed per-env
+    * `md_overflow_pages` meta field is a deterministic function of the
+    * value sizes — every 10th doc carries an 8× repeated payload to force
+    * chains. (lmdb_util.py:9-133, v2/lmdb_npy.py:10-57.) */
+  private def q203(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.Scratch.fresh("lmdbq_")
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        format_string("doc%08d", col("doc_id")).as("key"),
+        when(col("doc_id") % 10 === 0, repeat(col("text"), 8))
+          .otherwise(col("text")).cast("binary").as("value"))
+      .repartition(4, col("key"))
+      .select("key", "value")
+      .persist()
+
+    graft.sinks.LmdbStore.write(docs, root)
+
+    val written = docs.select(col("key"), md5(col("value")).as("h"))
+    val back = graft.sinks.LmdbStore.read(s, root)
+      .select(col("key"), md5(col("value")).as("h"))
+    val matched = written.as("a").join(back.as("b"),
+      col("a.key") === col("b.key") && col("a.h") === col("b.h")).count()
+
+    val audits = graft.sinks.LmdbStore.auditAll(root) // re-walks every page
+    val probe = graft.sinks.LmdbStore.get(root, "doc00000000").map(_.length.toLong).getOrElse(-1L)
+
+    val out = Seq((written.count(), back.count(), matched, audits.size.toLong,
+      audits.map(_._2.entries).sum, audits.map(_._2.overflowPages).sum, probe))
+      .toDF("n_written", "n_read", "n_hash_matched", "n_envs",
+        "entries_stat", "overflow_pages_stat", "probe_doc0_bytes")
+    docs.unpersist()
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_kv_sink_roundtrip" -> (q53 _),
     "q71_png_dir_sink" -> (q71 _),
-    "q81_nifti_dsv2_scan" -> (q81 _)
+    "q81_nifti_dsv2_scan" -> (q81 _),
+    "q203_lmdb_format_sink" -> (q203 _)
   )
 
   /** The sink roundtrips verify INVARIANTS the oracle can state exactly:
@@ -222,6 +263,24 @@ object PipelineOps {
     * the count/boolean outputs are DuckDB-computable even though the
     * binary payloads aren't. */
   val oracles: Map[String, String] = Map(
+    // q203: the LMDB format's own arithmetic IS the oracle — node bigger
+    // than me_nodemax=2040 (key 11 B + header 8 B ⇒ value > 2021 B) spills
+    // to ceil((16+size)/4096) overflow pages; the engine reports the summed
+    // audited meta fields, DuckDB recomputes them from the value sizes.
+    "q203_lmdb_format_sink" ->
+      """WITH v AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN 8 * octet_length(CAST(text AS BLOB))
+        |       ELSE octet_length(CAST(text AS BLOB)) END AS n
+        |  FROM documents)
+        |SELECT count(*) AS n_written, count(*) AS n_read,
+        |  count(*) AS n_hash_matched, CAST(4 AS BIGINT) AS n_envs,
+        |  count(*) AS entries_stat,
+        |  CAST(COALESCE(SUM(CASE WHEN 8 + 11 + n > 2040
+        |    THEN CAST(CEIL((16 + n) / 4096.0) AS BIGINT) ELSE 0 END), 0) AS BIGINT)
+        |    AS overflow_pages_stat,
+        |  (SELECT 8 * octet_length(CAST(text AS BLOB)) FROM documents WHERE doc_id = 0)
+        |    AS probe_doc0_bytes
+        |FROM v""".stripMargin,
     "q53_kv_sink_roundtrip" ->
       """SELECT count(*) AS n_written, count(*) AS n_read, count(*) AS n_hash_matched,
         | CAST(LEAST(1000, count(*)) AS BIGINT) AS n_keys_regex, '8x8' AS probe_shape

@@ -1,0 +1,232 @@
+package graft
+
+import java.io.File
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets.US_ASCII
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sinks.Lmdb
+
+/** Byte-level conformance of the LMDB writer/reader pair against the
+  * PUBLIC liblmdb format (lmdb.h / mdb.c layout; reference usage:
+  * lmdb_util.py:9-133, v2/lmdb_npy.py:10-57). The reader never trusts the
+  * writer: it parses only documented offsets, and `audit()` re-walks every
+  * page. The layout test pins the absolute byte offsets a stock liblmdb
+  * mmap would dereference, so a drift in either half fails loudly.
+  */
+class LmdbSpec extends AnyFunSuite {
+
+  private def freshDir(): File = {
+    val d = new File(graft.Scratch.fresh("lmdb_"))
+    d.mkdirs(); d
+  }
+
+  private def kv(k: String, v: String): (Array[Byte], Array[Byte]) =
+    (k.getBytes(US_ASCII), v.getBytes(US_ASCII))
+
+  private def rawPage(dir: File, pgno: Long): ByteBuffer = {
+    val raf = new java.io.RandomAccessFile(new File(dir, Lmdb.DataFileName), "r")
+    try {
+      val buf = new Array[Byte](Lmdb.PageSize)
+      raf.seek(pgno * Lmdb.PageSize); raf.readFully(buf)
+      ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+    } finally raf.close()
+  }
+
+  test("meta page byte layout matches liblmdb struct offsets") {
+    val dir = freshDir()
+    val stat = Lmdb.write(dir, Iterator(kv("alpha", "1"), kv("beta", "22"), kv("gamma", "333")))
+    assert(stat.entries == 3 && stat.depth == 1 && stat.leafPages == 1)
+
+    // page 1 carries txnid 1 (mdb_env_write_meta targets page txnid & 1)
+    val m = rawPage(dir, 1L)
+    assert(m.getLong(0) == 1L, "mp_pgno")
+    assert((m.getShort(10) & Lmdb.PMeta) != 0, "mp_flags P_META")
+    val b = Lmdb.PageHdrSz
+    assert(m.getInt(b) == Lmdb.Magic, "mm_magic at page offset 16")
+    assert(m.getInt(b + 4) == Lmdb.DataVersion, "mm_version at 20")
+    assert(m.getLong(b + 8) == 0L, "mm_address (no MDB_FIXEDMAP)")
+    assert(m.getLong(b + 16) >= (1L << 20), "mm_mapsize >= liblmdb default 1 MiB")
+    assert(m.getInt(b + 24) == 4096, "free-DB md_pad aliases env page size")
+    assert(m.getShort(b + 28) == 0x08, "free-DB md_flags = MDB_INTEGERKEY")
+    assert(m.getLong(b + 64) == -1L, "free-DB md_root = P_INVALID")
+    assert(m.getShort(b + 78) == 1, "main md_depth")
+    assert(m.getLong(b + 88) == 1L, "main md_leaf_pages")
+    assert(m.getLong(b + 104) == 3L, "main md_entries")
+    assert(m.getLong(b + 112) == 2L, "main md_root = first data page")
+    assert(m.getLong(b + 120) == 2L, "mm_last_pg")
+    assert(m.getLong(b + 128) == 1L, "mm_txnid")
+
+    // page 0 keeps the env-init meta: txnid 0, empty main DB
+    val m0 = rawPage(dir, 0L)
+    assert(m0.getInt(b) == Lmdb.Magic && m0.getLong(b + 128) == 0L)
+    assert(m0.getLong(b + 112) == -1L, "init meta main root = P_INVALID")
+
+    // leaf page 2: header + sorted nodes, node bodies packed from the top
+    val leaf = rawPage(dir, 2L)
+    assert(leaf.getLong(0) == 2L && (leaf.getShort(10) & Lmdb.PLeaf) != 0)
+    val lower = leaf.getShort(12) & 0xffff
+    val upper = leaf.getShort(14) & 0xffff
+    assert(lower == Lmdb.PageHdrSz + 2 * 3 && upper <= Lmdb.PageSize)
+    val off0 = leaf.getShort(Lmdb.PageHdrSz) & 0xffff
+    assert((leaf.getShort(off0 + 6) & 0xffff) == "alpha".length, "node0 mn_ksize")
+    val k0 = new Array[Byte](5); System.arraycopy(leaf.array(), off0 + 8, k0, 0, 5)
+    assert(new String(k0, US_ASCII) == "alpha", "node0 key bytes at header+8")
+    assert((leaf.getShort(off0) & 0xffff) == 1, "node0 mn_lo = value size 1")
+  }
+
+  test("roundtrip, point gets and memcmp-ordered iteration") {
+    val dir = freshDir()
+    val rnd = new scala.util.Random(7)
+    val entries = (0 until 500).map { i =>
+      val k = f"k${rnd.nextInt(1000000)}%07d_$i"
+      val v = Array.fill(rnd.nextInt(120) + 1)(rnd.nextInt(256).toByte)
+      (k.getBytes(US_ASCII), v)
+    }
+    Lmdb.write(dir, entries.iterator)
+    val env = new Lmdb.Env(dir)
+    try {
+      assert(env.stat.entries == 500)
+      val sorted = entries.sortWith((a, b) => Lmdb.cmpKeys(a._1, b._1) < 0)
+      val walked = env.iterator.toVector
+      assert(walked.map(e => new String(e._1, US_ASCII)) ==
+        sorted.map(e => new String(e._1, US_ASCII)), "iteration order")
+      walked.zip(sorted).foreach { case ((_, v), (_, ev)) =>
+        assert(java.util.Arrays.equals(v, ev))
+      }
+      sorted.take(50).foreach { case (k, v) =>
+        assert(env.get(k).exists(java.util.Arrays.equals(_, v)))
+      }
+      assert(env.get("zzz_missing".getBytes(US_ASCII)).isEmpty)
+      assert(env.get("a".getBytes(US_ASCII)).isEmpty)
+      env.audit()
+    } finally env.close()
+  }
+
+  test("nodemax boundary: 2040 stays inline, 2041 goes to overflow") {
+    // me_nodemax = (4096-16)/2 = 2040; leaf node = 8 + klen + dlen
+    assert(Lmdb.NodeMax == 2040)
+    val dir = freshDir()
+    val kIn = "inline-".padTo(12, 'x') // klen 12 → max inline dlen = 2020
+    val kBig = "ovflow-".padTo(12, 'y')
+    val inline = Array.fill(2020)(3.toByte)
+    val big = Array.fill(2021)(4.toByte)
+    val stat = Lmdb.write(dir,
+      Iterator((kIn.getBytes(US_ASCII), inline), (kBig.getBytes(US_ASCII), big)))
+    assert(stat.overflowPages == 1, "2021-byte value -> one overflow page")
+    val env = new Lmdb.Env(dir)
+    try {
+      assert(env.get(kIn.getBytes(US_ASCII)).exists(java.util.Arrays.equals(_, inline)))
+      assert(env.get(kBig.getBytes(US_ASCII)).exists(java.util.Arrays.equals(_, big)))
+      env.audit()
+    } finally env.close()
+  }
+
+  test("multi-page overflow chains roundtrip byte-exact") {
+    val dir = freshDir()
+    val rnd = new scala.util.Random(11)
+    val sizes = Seq(2100, 4080, 4081, 40000, 100000)
+    val entries = sizes.zipWithIndex.map { case (n, i) =>
+      val v = Array.fill(n)(rnd.nextInt(256).toByte)
+      (f"big$i%03d".getBytes(US_ASCII), v)
+    }
+    val stat = Lmdb.write(dir, entries.iterator)
+    // OVPAGES = ceil((16+size)/4096)
+    val expect = sizes.map(n => (16 + n + 4095) / 4096).sum
+    assert(stat.overflowPages == expect, s"overflow pages: ${stat.overflowPages} vs $expect")
+    val env = new Lmdb.Env(dir)
+    try {
+      entries.foreach { case (k, v) =>
+        assert(env.get(k).exists(java.util.Arrays.equals(_, v)))
+      }
+      env.audit()
+    } finally env.close()
+  }
+
+  test("20k entries build a multi-level tree; every page audits clean") {
+    val dir = freshDir()
+    val entries = (0 until 20000).map { i =>
+      (f"key$i%08d".getBytes(US_ASCII), f"value-for-$i%08d".getBytes(US_ASCII))
+    }
+    val stat = Lmdb.write(dir, entries.iterator)
+    assert(stat.depth >= 2 && stat.branchPages >= 1, s"expected a branch level: $stat")
+    val env = new Lmdb.Env(dir)
+    try {
+      assert(env.audit().entries == 20000)
+      assert(env.iterator.size == 20000)
+      val rnd = new scala.util.Random(3)
+      (0 until 300).foreach { _ =>
+        val i = rnd.nextInt(20000)
+        assert(env.get(f"key$i%08d".getBytes(US_ASCII))
+          .exists(v => new String(v, US_ASCII) == f"value-for-$i%08d"))
+      }
+      assert(env.get("key99999999".getBytes(US_ASCII)).isEmpty)
+    } finally env.close()
+  }
+
+  test("empty environment: P_INVALID root, zero stats, empty iteration") {
+    val dir = freshDir()
+    val stat = Lmdb.write(dir, Iterator.empty)
+    assert(stat.root == Lmdb.PInvalid && stat.entries == 0 && stat.depth == 0)
+    val env = new Lmdb.Env(dir)
+    try {
+      assert(env.get("any".getBytes(US_ASCII)).isEmpty)
+      assert(env.iterator.isEmpty)
+      env.audit()
+    } finally env.close()
+  }
+
+  test("writer rejects out-of-order, duplicate, oversize and empty keys") {
+    val dir = freshDir()
+    val w = new Lmdb.EnvWriter(dir)
+    w.put("b".getBytes(US_ASCII), Array[Byte](1))
+    intercept[IllegalArgumentException](w.put("a".getBytes(US_ASCII), Array[Byte](1)))
+    intercept[IllegalArgumentException](w.put("b".getBytes(US_ASCII), Array[Byte](1)))
+    intercept[IllegalArgumentException](w.put(Array.fill(512)('k'.toByte), Array[Byte](1)))
+    intercept[IllegalArgumentException](w.put(Array.emptyByteArray, Array[Byte](1)))
+    w.close()
+  }
+
+  test("cmpKeys is memcmp: unsigned bytes, shorter-prefix-first") {
+    assert(Lmdb.cmpKeys(Array[Byte](1), Array[Byte](2)) < 0)
+    assert(Lmdb.cmpKeys(Array[Byte](-1), Array[Byte](1)) > 0, "0xff > 0x01 unsigned")
+    assert(Lmdb.cmpKeys("ab".getBytes(US_ASCII), "abc".getBytes(US_ASCII)) < 0)
+    assert(Lmdb.cmpKeys("abc".getBytes(US_ASCII), "abc".getBytes(US_ASCII)) == 0)
+  }
+
+  test("LmdbStore: sharded Spark write -> manifest, scan-back, gets, audit") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    val root = graft.Scratch.fresh("lmdbstore_")
+    val df = (0 until 1000).map { i =>
+      (f"rec$i%06d", Array.fill(50 + i % 200)((i % 251).toByte))
+    }.toDF("key", "value").repartition(3)
+    graft.sinks.LmdbStore.write(df, root)
+
+    val manifest = new String(java.nio.file.Files.readAllBytes(
+      new File(root, "_MANIFEST").toPath), US_ASCII)
+    assert(manifest.linesIterator.forall(_.matches("shard-\\d+")))
+
+    val audits = graft.sinks.LmdbStore.auditAll(root)
+    assert(audits.map(_._2.entries).sum == 1000)
+    audits.foreach { case (name, _) =>
+      // every shard is a genuine env: stock-layout meta page readable
+      val m = rawPage(new File(root, name), 1L)
+      assert(m.getInt(Lmdb.PageHdrSz) == Lmdb.Magic)
+    }
+
+    val back = graft.sinks.LmdbStore.read(spark, root)
+      .as[(String, Array[Byte])].collect().toMap
+    assert(back.size == 1000)
+    assert(back(f"rec${77}%06d").length == 50 + 77 % 200)
+    assert(graft.sinks.LmdbStore.get(root, "rec000500").exists(_.length == 50 + 500 % 200))
+    assert(graft.sinks.LmdbStore.get(root, "missing-key").isEmpty)
+
+    // refuse-nonempty guard (lmdb_util.py:15-17)
+    intercept[IllegalArgumentException](graft.sinks.LmdbStore.write(df, root))
+  }
+}

@@ -102,6 +102,18 @@ class MriPipelineSpec extends AnyFunSuite {
     val naive = MriPipeline.degradeToRecords(sl, plan, "3tFlash", crop = 8, step = 4,
       seed = 7, lrMode = "naive")
     assert(naive.count() == n, "naive LR mode must produce the same HR/LR pairing")
+
+    // format="lmdb": the same records land as byte-genuine LMDB envs — a
+    // stock liblmdb consumer's view (key -> npy bytes) matches the KvStore
+    val lmdbStore = java.nio.file.Files.createTempDirectory("mri_lmdb_").toString
+    new java.io.File(lmdbStore).delete()
+    MriPipeline.writeStore(recs, lmdbStore, meta = Seq("preset" -> "3tFlash"),
+      format = "lmdb")
+    graft.sinks.LmdbStore.auditAll(lmdbStore) // every page structurally valid
+    val viaLmdb = graft.sinks.LmdbStore.get(lmdbStore, keys.head).get
+    assert(java.util.Arrays.equals(viaLmdb, KvStore.get(store, keys.head).get),
+      "lmdb and kvstore forms must hold identical bytes per key")
+    assert(MriPipeline.readRunMeta(spark, lmdbStore).count() == 1)
     recs.unpersist()
   }
 }

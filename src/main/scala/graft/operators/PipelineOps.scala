@@ -250,11 +250,50 @@ object PipelineOps {
     out
   }
 
+  /** WebDataset-style tar shards: each document becomes a two-member
+    * sample (`docNNNNNNNN.txt` + `.json` metadata) in POSIX ustar shards
+    * ([[graft.sinks.Tar]]) — the sequential-read container multimodal
+    * training loaders stream at 100 TB. The oracle replays the ustar size
+    * arithmetic: a member costs 512 header bytes + its payload rounded up
+    * to a 512 block, a shard ends with two zero blocks, so total archive
+    * bytes are a closed-form function of the member byte lengths. */
+  private def q204(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.Scratch.fresh("wds_")
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), format_string("doc%08d", col("doc_id")).as("key"),
+        col("text"), col("lang"), col("source"))
+    val members = docs
+      .select(col("key"), lit("txt").as("ext"), col("text").cast("binary").as("value"))
+      .unionAll(docs.select(col("key"), lit("json").as("ext"),
+        concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+          lit(",\"lang\":\""), col("lang"),
+          lit("\",\"source\":\""), col("source"), lit("\"}"))
+          .cast("binary").as("value")))
+      .persist()
+
+    graft.sinks.Tar.writeShards(members, root, numShards = 4)
+
+    val written = members.select(
+      concat_ws(".", col("key"), col("ext")).as("name"), md5(col("value")).as("h"))
+    val back = graft.sinks.Tar.readShards(s, root)
+      .select(col("name"), md5(col("value")).as("h"))
+    val matched = written.join(back, Seq("name", "h")).count()
+    val sizes = graft.sinks.Tar.shardSizes(root)
+
+    val out = Seq((docs.count(), members.count(), matched,
+      sizes.size.toLong, sizes.map(_._2).sum))
+      .toDF("n_samples", "n_members", "n_hash_matched", "n_shards", "total_tar_bytes")
+    members.unpersist()
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_kv_sink_roundtrip" -> (q53 _),
     "q71_png_dir_sink" -> (q71 _),
     "q81_nifti_dsv2_scan" -> (q81 _),
-    "q203_lmdb_format_sink" -> (q203 _)
+    "q203_lmdb_format_sink" -> (q203 _),
+    "q204_wds_tar_shards" -> (q204 _)
   )
 
   /** The sink roundtrips verify INVARIANTS the oracle can state exactly:
@@ -281,6 +320,20 @@ object PipelineOps {
         |  (SELECT 8 * octet_length(CAST(text AS BLOB)) FROM documents WHERE doc_id = 0)
         |    AS probe_doc0_bytes
         |FROM v""".stripMargin,
+    // q204: ustar arithmetic — member = 512 + ceil(bytes/512)*512, shard
+    // EOT = 1024; 4 fixed shards. Sums are exact in doubles (≪ 2^53).
+    "q204_wds_tar_shards" ->
+      """WITH m AS (
+        |  SELECT octet_length(CAST(text AS BLOB)) AS nb FROM documents
+        |  UNION ALL
+        |  SELECT octet_length(CAST(concat('{"doc_id":', CAST(doc_id AS VARCHAR),
+        |    ',"lang":"', lang, '","source":"', source, '"}') AS BLOB)) FROM documents)
+        |SELECT (SELECT count(*) FROM documents) AS n_samples,
+        |  count(*) AS n_members, count(*) AS n_hash_matched,
+        |  CAST(4 AS BIGINT) AS n_shards,
+        |  CAST(SUM(512 + CEIL(nb / 512.0) * 512) + 4 * 1024 AS BIGINT)
+        |    AS total_tar_bytes
+        |FROM m""".stripMargin,
     "q53_kv_sink_roundtrip" ->
       """SELECT count(*) AS n_written, count(*) AS n_read, count(*) AS n_hash_matched,
         | CAST(LEAST(1000, count(*)) AS BIGINT) AS n_keys_regex, '8x8' AS probe_shape

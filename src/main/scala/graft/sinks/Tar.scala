@@ -1,0 +1,220 @@
+package graft.sinks
+
+import java.io.{File, InputStream, OutputStream}
+import java.nio.charset.StandardCharsets.US_ASCII
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** WebDataset-style tar shards — the de-facto container for large-scale
+  * multimodal training corpora (one tar per shard, each sample a run of
+  * consecutive members sharing a basename: `000123.img`, `000123.txt`,
+  * `000123.json`; loaders stream shards sequentially, so 100 TB reads are
+  * pure sequential I/O with no per-sample seeks).
+  *
+  * Format — PUBLIC POSIX.1-1988 ustar, writable/readable by any stock
+  * `tar`: 512-byte header blocks (name[100] mode[8] uid[8] gid[8]
+  * size[12-octal] mtime[12-octal] chksum[8] typeflag[1] linkname[100]
+  * magic[6]="ustar\0" version[2]="00" uname[32] gname[32] devmajor[8]
+  * devminor[8] prefix[155]), member data zero-padded to the next 512
+  * boundary, archive terminated by two zero blocks. The checksum field is
+  * the simple sum of the header bytes with chksum itself read as 8 spaces,
+  * stored as 6 octal digits + NUL + space.
+  *
+  * Headers are written fully deterministically (mode 0644, uid=gid=0,
+  * mtime=0, empty uname/gname) so identical inputs give byte-identical
+  * shards — retries and re-runs are content-addressable, and the shard
+  * size is a closed-form function of the member sizes:
+  * `sum(512 + ceil(size/512)*512) + 1024` — which is what the q204 oracle
+  * replays in SQL.
+  *
+  * The reference stores its training pairs in LMDB (lmdb_util.py:9-133);
+  * tar shards are the sequential-read counterpart a webdataset-style
+  * trainer consumes — both sinks share the per-partition single-writer
+  * scale story.
+  */
+object Tar {
+
+  val BlockSize = 512
+
+  private def octal(v: Long, width: Int): Array[Byte] = {
+    // width-1 octal digits, zero-padded, NUL terminator (ustar numeric)
+    val s = java.lang.Long.toOctalString(v)
+    require(s.length <= width - 1, s"value $v overflows $width-byte octal field")
+    val b = (("0" * (width - 1 - s.length)) + s).getBytes(US_ASCII) // NUL-terminated below
+    java.util.Arrays.copyOf(b, width)
+  }
+
+  /** One deterministic ustar header block for a regular file. */
+  private[sinks] def header(name: String, size: Long): Array[Byte] = {
+    val nb = name.getBytes(US_ASCII)
+    require(nb.length <= 100, s"member name over 100 bytes: $name")
+    require(name.forall(c => c >= ' ' && c < 127), s"non-ASCII member name: $name")
+    val h = new Array[Byte](BlockSize)
+    System.arraycopy(nb, 0, h, 0, nb.length)
+    System.arraycopy(octal(420, 8), 0, h, 100, 8) // mode 0644
+    System.arraycopy(octal(0, 8), 0, h, 108, 8) // uid
+    System.arraycopy(octal(0, 8), 0, h, 116, 8) // gid
+    System.arraycopy(octal(size, 12), 0, h, 124, 12)
+    System.arraycopy(octal(0, 12), 0, h, 136, 12) // mtime 0: deterministic
+    java.util.Arrays.fill(h, 148, 156, ' '.toByte) // chksum as spaces first
+    h(156) = '0' // typeflag: regular file
+    // POSIX magic "ustar" NUL + version "00"
+    System.arraycopy("ustar".getBytes(US_ASCII), 0, h, 257, 5)
+    h(262) = 0
+    h(263) = '0'; h(264) = '0'
+
+    var sum = 0L
+    var i = 0
+    while (i < BlockSize) { sum += h(i) & 0xff; i += 1 }
+    // 6 octal digits + NUL + space (the historical chksum encoding)
+    val cs = java.lang.Long.toOctalString(sum)
+    val padded = ("0" * (6 - cs.length)) + cs
+    System.arraycopy(padded.getBytes(US_ASCII), 0, h, 148, 6)
+    h(154) = 0
+    h(155) = ' '.toByte
+    h
+  }
+
+  final class TarWriter(out: OutputStream) {
+    private var closed = false
+    private var bytes = 0L
+
+    def add(name: String, data: Array[Byte]): Unit = {
+      require(!closed, "writer closed")
+      out.write(header(name, data.length.toLong))
+      out.write(data)
+      val pad = (BlockSize - data.length % BlockSize) % BlockSize
+      if (pad > 0) out.write(new Array[Byte](pad))
+      bytes += BlockSize + data.length + pad
+    }
+
+    /** Two zero end-of-archive blocks; returns total archive bytes. */
+    def close(): Long = {
+      require(!closed, "writer closed")
+      closed = true
+      out.write(new Array[Byte](2 * BlockSize))
+      out.flush()
+      bytes + 2 * BlockSize
+    }
+  }
+
+  /** Strict sequential reader: validates magic and checksum per member. */
+  def entries(in: InputStream): Iterator[(String, Array[Byte])] =
+    new Iterator[(String, Array[Byte])] {
+      private var nextEntry: (String, Array[Byte]) = null
+      private var done = false
+
+      private def readFully(buf: Array[Byte]): Boolean = {
+        var off = 0
+        while (off < buf.length) {
+          val n = in.read(buf, off, buf.length - off)
+          if (n < 0) return false
+          off += n
+        }
+        true
+      }
+
+      private def advance(): Unit = {
+        if (done) return
+        val h = new Array[Byte](BlockSize)
+        if (!readFully(h) || h.forall(_ == 0)) { done = true; return }
+        val magic = new String(h, 257, 5, US_ASCII)
+        require(magic == "ustar", s"bad ustar magic '$magic'")
+        val stored = java.lang.Long.parseLong(
+          new String(h, 148, 6, US_ASCII).trim, 8)
+        java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+        var sum = 0L
+        var i = 0
+        while (i < BlockSize) { sum += h(i) & 0xff; i += 1 }
+        require(sum == stored, s"checksum $sum != stored $stored")
+        var nameLen = 0
+        while (nameLen < 100 && h(nameLen) != 0) nameLen += 1
+        val name = new String(h, 0, nameLen, US_ASCII)
+        val size = java.lang.Long.parseLong(
+          new String(h, 124, 11, US_ASCII).trim, 8)
+        require(size <= Int.MaxValue, s"member too large: $size")
+        val data = new Array[Byte](size.toInt)
+        require(readFully(data), "truncated member data")
+        val pad = ((BlockSize - size % BlockSize) % BlockSize).toInt
+        if (pad > 0) require(readFully(new Array[Byte](pad)), "truncated padding")
+        nextEntry = (name, data)
+      }
+
+      advance()
+      override def hasNext: Boolean = !done
+      override def next(): (String, Array[Byte]) = {
+        val e = nextEntry
+        advance()
+        e
+      }
+    }
+
+  /** Distributed write: df(key: String, ext: String, value: binary) → one
+    * `shard-NNNNN.tar` per partition + `_MANIFEST`. The sink enforces the
+    * webdataset grouping contract itself: rows are hash-partitioned on
+    * `key` (a sample's members can never straddle two shards, whatever the
+    * caller's partitioning) and sorted by (key, ext) within each shard so
+    * every sample's members are CONTIGUOUS. */
+  def writeShards(df: DataFrame, path: String, numShards: Int = 0): Unit = {
+    val root = new File(path)
+    require(!root.exists() || root.listFiles().forall(_.getName.startsWith(".")),
+      s"tar shard target not empty: $path")
+    root.mkdirs()
+    val keyed = df.select(
+      col("key").cast("string"), col("ext").cast("string"), col("value"))
+    (if (numShards > 0) keyed.repartition(numShards, col("key"))
+     else keyed.repartition(col("key")))
+      .sortWithinPartitions("key", "ext")
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val shard = new File(root, f"shard-$pid%05d.tar")
+        val tmp = new File(root, shard.getName + ".tmp-" +
+          java.util.UUID.randomUUID().toString.take(8))
+        val out = new java.io.BufferedOutputStream(
+          new java.io.FileOutputStream(tmp), 1 << 20)
+        val w = new TarWriter(out)
+        var n = 0L
+        rows.foreach { r =>
+          w.add(r.getString(0) + "." + r.getString(1), r.getAs[Array[Byte]](2))
+          n += 1
+        }
+        w.close()
+        out.close()
+        if (n == 0) tmp.delete()
+        else if (!tmp.renameTo(shard)) {
+          require(shard.isFile, s"rename $tmp -> $shard failed")
+          tmp.delete() // a committed retry got there first
+        }
+        ()
+      }
+    val shards = Option(root.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filter(_.matches("shard-\\d+\\.tar")).sorted
+    java.nio.file.Files.write(new File(root, "_MANIFEST").toPath,
+      shards.mkString("", "\n", "\n").getBytes(US_ASCII))
+  }
+
+  private def committedShards(path: String): Seq[File] = {
+    val manifest = new File(path, "_MANIFEST")
+    require(manifest.exists(), s"no _MANIFEST in $path (uncommitted store)")
+    new String(java.nio.file.Files.readAllBytes(manifest.toPath), US_ASCII)
+      .split('\n').iterator.filter(_.nonEmpty).map(new File(path, _)).toSeq
+  }
+
+  /** Scan committed shards back as (shard, name, value) — in parallel. */
+  def readShards(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val files = committedShards(path).map(_.getAbsolutePath)
+    spark.sparkContext.parallelize(files, math.max(files.size, 1))
+      .flatMap { f =>
+        val in = new java.io.BufferedInputStream(
+          new java.io.FileInputStream(f), 1 << 20)
+        try entries(in).map { case (n, v) => (new File(f).getName, n, v) }.toVector
+        finally in.close()
+      }.toDF("shard", "name", "value")
+  }
+
+  /** Committed shard sizes (name → bytes) for the size-arithmetic oracle. */
+  def shardSizes(path: String): Seq[(String, Long)] =
+    committedShards(path).map(f => (f.getName, f.length()))
+}

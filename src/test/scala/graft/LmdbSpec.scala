@@ -164,6 +164,72 @@ class LmdbSpec extends AnyFunSuite {
     } finally env.close()
   }
 
+  test("depth >= 3: branch-of-branches descent resolves every key") {
+    // 60-byte keys -> ~60 leaf entries/page, ~59 branch children/page:
+    // 40k entries => ~670 leaves => ~12 L1 branches => root, depth 3+
+    val dir = freshDir()
+    val pad = "p" * 40
+    val entries = (0 until 40000).map { i =>
+      (f"$pad-key$i%08d".getBytes(US_ASCII), f"v$i%08d".getBytes(US_ASCII))
+    }
+    val stat = Lmdb.write(dir, entries.iterator)
+    assert(stat.depth >= 3, s"expected depth >= 3, got $stat")
+    val env = new Lmdb.Env(dir)
+    try {
+      env.audit()
+      assert(env.iterator.size == 40000)
+      val rnd = new scala.util.Random(9)
+      (0 until 500).foreach { _ =>
+        val i = rnd.nextInt(40000)
+        assert(env.get(f"$pad-key$i%08d".getBytes(US_ASCII))
+          .exists(v => new String(v, US_ASCII) == f"v$i%08d"))
+      }
+      // probes that fall between existing keys at every branch level
+      (0 until 200).foreach { _ =>
+        val i = rnd.nextInt(40000)
+        assert(env.get(f"$pad-key$i%08dx".getBytes(US_ASCII)).isEmpty)
+      }
+    } finally env.close()
+  }
+
+  test("fuzz: random binary keys and mixed inline/overflow sizes roundtrip") {
+    val rnd = new scala.util.Random(20260813)
+    (0 until 5).foreach { round =>
+      val dir = freshDir()
+      val n = 50 + rnd.nextInt(400)
+      // random binary keys (incl. 0x00/0xff bytes), random sizes straddling
+      // the 2040 nodemax on both sides
+      val keys = scala.collection.mutable.LinkedHashSet[Vector[Byte]]()
+      while (keys.size < n) {
+        val len = 1 + rnd.nextInt(60)
+        keys += Vector.fill(len)(rnd.nextInt(256).toByte)
+      }
+      val entries = keys.toVector.map { k =>
+        val sz = rnd.nextInt(3) match {
+          case 0 => rnd.nextInt(100) // small inline
+          case 1 => 1900 + rnd.nextInt(300) // straddles nodemax
+          case _ => 4000 + rnd.nextInt(9000) // multi-page overflow
+        }
+        (k.toArray, Array.fill(sz)(rnd.nextInt(256).toByte))
+      }
+      Lmdb.write(dir, entries.iterator)
+      val env = new Lmdb.Env(dir)
+      try {
+        env.audit()
+        val sorted = entries.sortWith((a, b) => Lmdb.cmpKeys(a._1, b._1) < 0)
+        val walked = env.iterator.toVector
+        assert(walked.length == sorted.length, s"round $round size")
+        walked.zip(sorted).foreach { case ((k, v), (ek, ev)) =>
+          assert(java.util.Arrays.equals(k, ek), s"round $round key order")
+          assert(java.util.Arrays.equals(v, ev), s"round $round value")
+        }
+        entries.take(30).foreach { case (k, v) =>
+          assert(env.get(k).exists(java.util.Arrays.equals(_, v)))
+        }
+      } finally env.close()
+    }
+  }
+
   test("empty environment: P_INVALID root, zero stats, empty iteration") {
     val dir = freshDir()
     val stat = Lmdb.write(dir, Iterator.empty)

@@ -36,11 +36,29 @@ object LmdbStore {
     val root = new File(path)
     require(!root.exists() || root.listFiles().forall(_.getName.startsWith(".")),
       s"LmdbStore target not empty: $path") // refuse-nonempty, lmdb_util.py:15-17
+    writeBatch(df, root, baseShard = 0)
+  }
+
+  /** Incremental ingest: land a new batch as ADDITIONAL environments after
+    * the committed ones, then re-commit the manifest — the engine's form of
+    * the reference's append-across-runs LMDB usage (lmdb_util.py:126-128
+    * txn batches into one growing env). Committed shards are immutable
+    * (each bulk env is a single-txn snapshot); readers see old ∪ new
+    * atomically at the manifest swap, and point lookups prefer the newest
+    * shard holding a key, so re-ingested keys supersede earlier batches. */
+  def append(df: DataFrame, path: String): Unit = {
+    val root = new File(path)
+    val base = committedShards(path) // requires an existing _MANIFEST
+      .map(_.getName.stripPrefix("shard-").toInt).max + 1
+    writeBatch(df, root, baseShard = base)
+  }
+
+  private def writeBatch(df: DataFrame, root: File, baseShard: Int): Unit = {
     root.mkdirs()
     df.select(col("key").cast("string"), col("value"))
       .sortWithinPartitions("key")
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val pid = baseShard + org.apache.spark.TaskContext.getPartitionId()
         val dir = new File(root, f"shard-$pid%05d")
         val tmp = new File(root, dir.getName + ".tmp-" +
           java.util.UUID.randomUUID().toString.take(8))
@@ -89,10 +107,11 @@ object LmdbStore {
       }.toDF("key", "value")
   }
 
-  /** Point lookup: probe each shard's B+tree (depth page reads per miss). */
+  /** Point lookup: probe each shard's B+tree (depth page reads per miss),
+    * newest shard first so appended batches supersede earlier ones. */
   def get(path: String, key: String): Option[Array[Byte]] = {
     val kb = key.getBytes(StandardCharsets.US_ASCII)
-    committedShards(path).iterator.flatMap { d =>
+    committedShards(path).reverseIterator.flatMap { d =>
       val env = new Lmdb.Env(d)
       try env.get(kb) finally env.close()
     }.nextOption()

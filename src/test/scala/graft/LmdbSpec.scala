@@ -294,5 +294,22 @@ class LmdbSpec extends AnyFunSuite {
 
     // refuse-nonempty guard (lmdb_util.py:15-17)
     intercept[IllegalArgumentException](graft.sinks.LmdbStore.write(df, root))
+
+    // incremental ingest: new batch lands as additional envs; point gets
+    // prefer the newest shard, so a re-ingested key supersedes its old value
+    val batch2 = (Seq(("rec000500", Array[Byte](9, 9, 9))) ++
+      (1000 until 1200).map(i => (f"rec$i%06d", Array.fill(10)(i.toByte))))
+      .toDF("key", "value").repartition(2)
+    graft.sinks.LmdbStore.append(batch2, root)
+    val manifest2 = new String(java.nio.file.Files.readAllBytes(
+      new File(root, "_MANIFEST").toPath), US_ASCII)
+    assert(manifest2.linesIterator.size > manifest.linesIterator.size,
+      "append must add shards to the manifest")
+    assert(graft.sinks.LmdbStore.auditAll(root).map(_._2.entries).sum == 1201)
+    assert(graft.sinks.LmdbStore.get(root, "rec001100").exists(_.length == 10))
+    assert(graft.sinks.LmdbStore.get(root, "rec000500")
+      .exists(v => v.length == 3 && v(0) == 9), "newest batch must win")
+    assert(graft.sinks.LmdbStore.get(root, "rec000501").exists(_.length == 50 + 501 % 200),
+      "keys only in the old batch still resolve")
   }
 }

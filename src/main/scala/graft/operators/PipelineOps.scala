@@ -288,12 +288,56 @@ object PipelineOps {
     out
   }
 
+  /** Incremental LMDB ingest gate: batch 1 writes every document, batch 2
+    * re-ingests every 3rd with an amended payload via
+    * [[graft.sinks.LmdbStore.append]] (new immutable envs + manifest
+    * re-commit). Latest-wins is resolved scalably — `max_by(hash, shard)`
+    * per key over the parallel scan-back, one keyed aggregation — and
+    * every winner must hash-match the amended expectation; the superseded
+    * version count and audited entry total are closed-form. */
+  private def q205(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.Scratch.fresh("lmdbi_")
+    val docs = Tables(s, dir, "documents")
+      .select(col("doc_id"), format_string("doc%08d", col("doc_id")).as("key"),
+        col("text"))
+      .persist()
+
+    val batch1 = docs.select(col("key"), col("text").cast("binary").as("value"))
+      .repartition(4, col("key"))
+    graft.sinks.LmdbStore.write(batch1, root)
+    val batch2 = docs.filter(col("doc_id") % 3 === 0)
+      .select(col("key"), concat(col("text"), lit("[v2]")).cast("binary").as("value"))
+      .repartition(2, col("key"))
+    graft.sinks.LmdbStore.append(batch2, root)
+
+    val latest = graft.sinks.LmdbStore.read(s, root)
+      .groupBy("key")
+      .agg(expr("max_by(md5(value), shard)").as("h"), count(lit(1)).as("n_versions"))
+    val expected = docs.select(col("key"),
+      md5(when(col("doc_id") % 3 === 0, concat(col("text"), lit("[v2]")))
+        .otherwise(col("text")).cast("binary")).as("h"))
+    val correct = latest.join(expected, Seq("key", "h")).count()
+    val versions = latest.agg(sum("n_versions")).as[Long].collect()(0)
+    val entriesStat = graft.sinks.LmdbStore.auditAll(root).map(_._2.entries).sum
+
+    val out = Seq((docs.count(), correct, versions, entriesStat,
+      graft.sinks.LmdbStore.get(root, "doc00000000")
+        .map(v => new String(v, java.nio.charset.StandardCharsets.UTF_8).endsWith("[v2]"))
+        .getOrElse(false)))
+      .toDF("n_docs", "n_latest_correct", "n_versions_total", "entries_stat",
+        "probe_doc0_superseded")
+    docs.unpersist()
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q53_kv_sink_roundtrip" -> (q53 _),
     "q71_png_dir_sink" -> (q71 _),
     "q81_nifti_dsv2_scan" -> (q81 _),
     "q203_lmdb_format_sink" -> (q203 _),
-    "q204_wds_tar_shards" -> (q204 _)
+    "q204_wds_tar_shards" -> (q204 _),
+    "q205_lmdb_incremental" -> (q205 _)
   )
 
   /** The sink roundtrips verify INVARIANTS the oracle can state exactly:
@@ -320,6 +364,16 @@ object PipelineOps {
         |  (SELECT 8 * octet_length(CAST(text AS BLOB)) FROM documents WHERE doc_id = 0)
         |    AS probe_doc0_bytes
         |FROM v""".stripMargin,
+    // q205: every key's latest version must hash-match; totals are
+    // closed-form in the doc_id % 3 re-ingest rule.
+    "q205_lmdb_incremental" ->
+      """SELECT count(*) AS n_docs, count(*) AS n_latest_correct,
+        |  CAST(count(*) + SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_versions_total,
+        |  CAST(count(*) + SUM(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS entries_stat,
+        |  TRUE AS probe_doc0_superseded
+        |FROM documents""".stripMargin,
     // q204: ustar arithmetic — member = 512 + ceil(bytes/512)*512, shard
     // EOT = 1024; 4 fixed shards. Sums are exact in doubles (≪ 2^53).
     "q204_wds_tar_shards" ->

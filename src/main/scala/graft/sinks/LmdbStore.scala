@@ -93,7 +93,9 @@ object LmdbStore {
       .split('\n').iterator.filter(_.nonEmpty).map(new File(path, _)).toSeq
   }
 
-  /** Scan every committed env back as (key, value) — shards in parallel. */
+  /** Scan every committed env back as (key, value, shard) — shards in
+    * parallel. The shard name is the batch-ordering tiebreak: after
+    * [[append]], the latest version of a key is `max_by(…, shard)`. */
   def read(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val dirs = committedShards(path).map(_.getAbsolutePath)
@@ -101,10 +103,10 @@ object LmdbStore {
       .flatMap { d =>
         val env = new Lmdb.Env(new File(d))
         try env.iterator.map { case (k, v) =>
-          (new String(k, StandardCharsets.US_ASCII), v)
+          (new String(k, StandardCharsets.US_ASCII), v, new File(d).getName)
         }.toVector
         finally env.close()
-      }.toDF("key", "value")
+      }.toDF("key", "value", "shard")
   }
 
   /** Point lookup: probe each shard's B+tree (depth page reads per miss),

@@ -286,7 +286,7 @@ class LmdbSpec extends AnyFunSuite {
     }
 
     val back = graft.sinks.LmdbStore.read(spark, root)
-      .as[(String, Array[Byte])].collect().toMap
+      .select("key", "value").as[(String, Array[Byte])].collect().toMap
     assert(back.size == 1000)
     assert(back(f"rec${77}%06d").length == 50 + 77 % 200)
     assert(graft.sinks.LmdbStore.get(root, "rec000500").exists(_.length == 50 + 500 % 200))

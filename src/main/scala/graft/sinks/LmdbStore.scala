@@ -48,9 +48,19 @@ object LmdbStore {
     * shard holding a key, so re-ingested keys supersede earlier batches. */
   def append(df: DataFrame, path: String): Unit = {
     val root = new File(path)
-    val base = committedShards(path) // requires an existing _MANIFEST
-      .map(_.getName.stripPrefix("shard-").toInt).max + 1
-    writeBatch(df, root, baseShard = base)
+    val ids = committedShards(path) // requires an existing _MANIFEST
+      .map(_.getName.stripPrefix("shard-").toInt)
+    writeBatch(df, root, baseShard = if (ids.isEmpty) 0 else ids.max + 1)
+  }
+
+  /** Create an empty committed store (zero shards) so a purely append-based
+    * flow — e.g. a streaming foreachBatch sink — can start from batch 0. */
+  def create(path: String): Unit = {
+    val root = new File(path)
+    require(!root.exists() || root.listFiles().forall(_.getName.startsWith(".")),
+      s"LmdbStore target not empty: $path")
+    root.mkdirs()
+    java.nio.file.Files.write(new File(root, "_MANIFEST").toPath, Array.emptyByteArray)
   }
 
   private def writeBatch(df: DataFrame, root: File, baseShard: Int): Unit = {

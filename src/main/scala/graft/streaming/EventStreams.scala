@@ -740,7 +740,56 @@ object EventStreams {
       .withColumn("idempotent_ok", lit(idempotent))
   }
 
+  /** Streaming ingest into the genuine-LMDB store: each micro-batch lands
+    * via [[graft.sinks.LmdbStore.append]] as additional immutable
+    * environments behind a manifest re-commit — the continuous form of the
+    * reference's LMDB ingest (lmdb_util.py:126-128 txn batches), with the
+    * single-writer wall replaced by per-partition envs per batch. Two
+    * ts-split staged files force ≥ 2 real micro-batches, so the
+    * append-loop (manifest grows, earlier shards untouched) is actually
+    * exercised; scan-back must hash-match every event's props payload. */
+  private def q206(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .filter(col("event_id") % 20 === 0)
+      .select(col("event_id"), col("ts"), col("props"))
+    val bounds = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val midUs = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val d = graft.Scratch.freshPath("lmdbstream_")
+    val t0 = System.currentTimeMillis() - 120000
+    writeBatchFile(ev.filter(unix_micros(col("ts")) <= midUs), d.resolve("b0.parquet"), t0)
+    writeBatchFile(ev.filter(unix_micros(col("ts")) > midUs), d.resolve("b1.parquet"), t0 + 30000)
+    val schema = s.read.parquet(d.resolve("b0.parquet").toString).schema
+
+    val store = graft.Scratch.fresh("stream_lmdb_")
+    new java.io.File(store).delete()
+    graft.sinks.LmdbStore.create(store)
+    var nBatches = 0L
+    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(d.toString)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sinks.LmdbStore.append(
+          batch.select(format_string("e%010d", col("event_id")).as("key"),
+            col("props").cast("binary").as("value")), store)
+        nBatches += 1
+        ()
+      }
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val back = graft.sinks.LmdbStore.read(s, store)
+      .select(col("key"), md5(col("value")).as("h"))
+    val expected = ev.select(format_string("e%010d", col("event_id")).as("key"),
+      md5(col("props").cast("binary")).as("h"))
+    val matched = back.join(expected, Seq("key", "h")).count()
+    val entriesStat = graft.sinks.LmdbStore.auditAll(store).map(_._2.entries).sum
+    Seq((expected.count(), back.count(), matched, entriesStat, nBatches >= 2))
+      .toDF("n_expected", "n_stored", "n_hash_matched", "entries_stat", "multi_batch")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q206_stream_to_lmdb" -> (q206 _),
     "q200_stream_merge_sink" -> (q200 _),
     "q196_stream_dedup_bounded" -> (q196 _),
     "q188_stream_chained_agg" -> (q188 _),
@@ -863,6 +912,13 @@ object EventStreams {
     "q78_stream_to_kvstore" ->
       """SELECT count(*) AS n_expected, count(*) AS n_stored,
         | CAST(LEAST(10, count(*)) AS BIGINT) AS n_batch0_sample
+        |FROM events WHERE event_id % 20 = 0""".stripMargin,
+    // q206: every streamed event must scan back hash-identical from the
+    // appended LMDB envs; entry total is exact, multi-batch is structural.
+    "q206_stream_to_lmdb" ->
+      """SELECT count(*) AS n_expected, count(*) AS n_stored,
+        | count(*) AS n_hash_matched, count(*) AS entries_stat,
+        | TRUE AS multi_batch
         |FROM events WHERE event_id % 20 = 0""".stripMargin,
     "q85_stream_stream_join" ->
       """WITH c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),

@@ -73,20 +73,28 @@ object LmdbStore {
         val tmp = new File(root, dir.getName + ".tmp-" +
           java.util.UUID.randomUUID().toString.take(8))
         val w = new Lmdb.EnvWriter(tmp)
-        var n = 0L
+        val keyHashes = new scala.collection.mutable.ArrayBuffer[Long]
         rows.foreach { r =>
           val key = r.getString(0)
           require(key != null && key.nonEmpty && key.forall(c => c > ' ' && c < 127),
             s"key must be printable ASCII without spaces: '$key'")
-          w.put(key.getBytes(StandardCharsets.US_ASCII), r.getAs[Array[Byte]](1))
-          n += 1
+          val kb = key.getBytes(StandardCharsets.US_ASCII)
+          w.put(kb, r.getAs[Array[Byte]](1))
+          keyHashes += KeyBloom.hashPair(kb)
         }
         w.close()
-        if (n == 0) { new File(tmp, Lmdb.DataFileName).delete(); tmp.delete() }
-        else if (!tmp.renameTo(dir)) {
-          // a committed retry already renamed: keep the first, drop ours
-          require(dir.isDirectory, s"rename $tmp -> $dir failed")
-          new File(tmp, Lmdb.DataFileName).delete(); tmp.delete()
+        if (keyHashes.isEmpty) { new File(tmp, Lmdb.DataFileName).delete(); tmp.delete() }
+        else {
+          val bloom = KeyBloom.sized(keyHashes.length.toLong)
+          keyHashes.foreach(bloom.addPair)
+          KeyBloom.write(tmp, bloom) // lands before the dir rename: atomic pair
+          if (!tmp.renameTo(dir)) {
+            // a committed retry already renamed: keep the first, drop ours
+            require(dir.isDirectory, s"rename $tmp -> $dir failed")
+            new File(tmp, Lmdb.DataFileName).delete()
+            new File(tmp, KeyBloom.FileName).delete()
+            tmp.delete()
+          }
         }
         ()
       }
@@ -102,6 +110,92 @@ object LmdbStore {
     new String(java.nio.file.Files.readAllBytes(manifest.toPath), StandardCharsets.UTF_8)
       .split('\n').iterator.filter(_.nonEmpty).map(new File(path, _)).toSeq
   }
+
+  /** Per-shard key Bloom sidecar (`keys.bloom` inside the env dir — a
+    * foreign file there is invisible to liblmdb, which only opens
+    * data.mdb/lock.mdb). Point lookups consult it before descending the
+    * B+tree: a K-shard store probe costs K tiny bitmap tests + ~1 real
+    * descent instead of K descents — the difference between O(1) and
+    * O(shards) page reads per lookup once a store has 1000 shards.
+    * ~9.6 bits/key + 7 probes ⇒ ~1 % false-positive rate; false negatives
+    * are impossible, and a missing sidecar (pre-Bloom store) degrades to
+    * an unconditional descent, never a wrong answer. */
+  private[graft] object KeyBloom {
+    val FileName = "keys.bloom"
+    val Magic = 0x47424c4d // "GBLM"
+    val K = 7
+
+    /** (h1, h2|1) packed in one long — the writer buffers 8 bytes/key (the
+      * same order of memory as the page ledger), never the keys. */
+    def hashPair(key: Array[Byte]): Long = {
+      val h1 = scala.util.hashing.MurmurHash3.bytesHash(key, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.bytesHash(key, 0x5bd1e995) | 1
+      (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+    }
+
+    final class Bloom(val bits: Array[Long], val m: Int) {
+      def addPair(pair: Long): Unit = {
+        val h1 = (pair >>> 32).toInt; val h2 = pair.toInt
+        var i = 0
+        while (i < K) {
+          val bit = java.lang.Integer.remainderUnsigned(h1 + i * h2, m)
+          bits(bit >>> 6) |= 1L << (bit & 63)
+          i += 1
+        }
+      }
+      def mightContain(key: Array[Byte]): Boolean = {
+        val pair = hashPair(key)
+        val h1 = (pair >>> 32).toInt; val h2 = pair.toInt
+        var i = 0
+        while (i < K) {
+          val bit = java.lang.Integer.remainderUnsigned(h1 + i * h2, m)
+          if ((bits(bit >>> 6) & (1L << (bit & 63))) == 0) return false
+          i += 1
+        }
+        true
+      }
+    }
+
+    def sized(nKeys: Long): Bloom = {
+      // ~9.6 bits/key, 64-bit aligned, floor 1024 bits
+      val m = math.max(1024L, nKeys * 96 / 10 + 63 & ~63L).min(Int.MaxValue).toInt
+      new Bloom(new Array[Long]((m + 63) / 64), m)
+    }
+
+    def write(envDir: File, b: Bloom): Unit = {
+      val buf = java.nio.ByteBuffer.allocate(12 + b.bits.length * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.putInt(Magic); buf.putInt(b.m); buf.putInt(b.bits.length)
+      b.bits.foreach(buf.putLong)
+      java.nio.file.Files.write(new File(envDir, FileName).toPath, buf.array())
+    }
+
+    // committed shards are immutable, so sidecars cache for the process
+    // lifetime (a few hundred KB per thousand-shard store)
+    private val cache = new java.util.concurrent.ConcurrentHashMap[String, Option[Bloom]]()
+
+    /** None when the sidecar is absent/foreign — caller must then probe. */
+    def read(envDir: File): Option[Bloom] =
+      cache.computeIfAbsent(envDir.getAbsolutePath, _ => readUncached(envDir))
+
+    private def readUncached(envDir: File): Option[Bloom] = {
+      val f = new File(envDir, FileName)
+      if (!f.isFile) return None
+      val buf = java.nio.ByteBuffer.wrap(java.nio.file.Files.readAllBytes(f.toPath))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      if (buf.remaining() < 12 || buf.getInt() != Magic) return None
+      val m = buf.getInt(); val n = buf.getInt()
+      if (buf.remaining() != n * 8) return None
+      val bits = new Array[Long](n)
+      var i = 0
+      while (i < n) { bits(i) = buf.getLong(); i += 1 }
+      Some(new Bloom(bits, m))
+    }
+  }
+
+  /** Tree descents actually performed by [[get]] — spec observability for
+    * the Bloom skip path (not part of the public API surface). */
+  private[graft] val treeProbes = new java.util.concurrent.atomic.AtomicLong()
 
   /** Scan every committed env back as (key, value, shard) — shards in
     * parallel. The shard name is the batch-ordering tiebreak: after
@@ -119,13 +213,20 @@ object LmdbStore {
       }.toDF("key", "value", "shard")
   }
 
-  /** Point lookup: probe each shard's B+tree (depth page reads per miss),
-    * newest shard first so appended batches supersede earlier ones. */
+  /** Point lookup, newest shard first so appended batches supersede
+    * earlier ones. Each shard's `keys.bloom` sidecar is consulted before
+    * its B+tree is descended — across K shards a lookup costs K bitmap
+    * tests plus ~1 descent (1 % fpp), not K descents; a shard without a
+    * sidecar is descended unconditionally (correctness never depends on
+    * the Bloom). */
   def get(path: String, key: String): Option[Array[Byte]] = {
     val kb = key.getBytes(StandardCharsets.US_ASCII)
     committedShards(path).reverseIterator.flatMap { d =>
-      val env = new Lmdb.Env(d)
-      try env.get(kb) finally env.close()
+      if (KeyBloom.read(d).forall(_.mightContain(kb))) {
+        treeProbes.incrementAndGet()
+        val env = new Lmdb.Env(d)
+        try env.get(kb) finally env.close()
+      } else None
     }.nextOption()
   }
 

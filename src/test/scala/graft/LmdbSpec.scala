@@ -312,4 +312,42 @@ class LmdbSpec extends AnyFunSuite {
     assert(graft.sinks.LmdbStore.get(root, "rec000501").exists(_.length == 50 + 501 % 200),
       "keys only in the old batch still resolve")
   }
+
+  test("Bloom sidecars: zero false negatives, misses skip tree descents") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    import spark.implicits._
+    val root = graft.Scratch.fresh("lmdbbloom_")
+    val df = (0 until 2000).map(i => (f"k$i%06d", Array.fill(20)(i.toByte)))
+      .toDF("key", "value").repartition(5)
+    graft.sinks.LmdbStore.write(df, root)
+
+    // every shard carries a sidecar
+    val shardDirs = new File(root).listFiles().filter(_.getName.matches("shard-\\d+"))
+    assert(shardDirs.nonEmpty &&
+      shardDirs.forall(d => new File(d, graft.sinks.LmdbStore.KeyBloom.FileName).isFile))
+
+    // no false negatives: every present key resolves
+    (0 until 2000 by 7).foreach { i =>
+      assert(graft.sinks.LmdbStore.get(root, f"k$i%06d").isDefined, s"k$i")
+    }
+    // misses: K bitmap tests, ~0 descents (1% fpp per shard => expected
+    // ~0.05 descents/lookup over 5 shards; 200 lookups => ~10, assert <= 60)
+    graft.sinks.LmdbStore.treeProbes.set(0L)
+    (0 until 200).foreach { i =>
+      assert(graft.sinks.LmdbStore.get(root, f"missing$i%06d").isEmpty)
+    }
+    val probes = graft.sinks.LmdbStore.treeProbes.get()
+    assert(probes <= 60, s"Bloom should skip nearly all descents, got $probes/1000")
+
+    // a shard with its sidecar stripped before first read degrades to
+    // unconditional descent, never a wrong answer (fresh store: the bloom
+    // cache keys by path, so strip from a new store)
+    val root2 = graft.Scratch.fresh("lmdbbloom2_")
+    graft.sinks.LmdbStore.write(df, root2)
+    new File(root2).listFiles().filter(_.getName.matches("shard-\\d+"))
+      .foreach(d => new File(d, graft.sinks.LmdbStore.KeyBloom.FileName).delete())
+    assert(graft.sinks.LmdbStore.get(root2, "k000042").isDefined)
+    assert(graft.sinks.LmdbStore.get(root2, "absent").isEmpty)
+  }
 }

@@ -386,6 +386,61 @@ object Multimodal {
       .orderBy("clip_id")
   }
 
+  /** End-to-end multimodal webdataset flow: PNG-encoded media + JSON
+    * metadata written as (image, meta) samples into POSIX ustar shards
+    * ([[graft.sinks.Tar]]), streamed back, ImageIO-decoded, aggregated —
+    * the training-loader roundtrip (encode → shard → sequential read →
+    * decode) with the q55 luminance-mass oracle recomputed analytically.
+    * PNG is lossless, so a single flipped bit anywhere in the tar carry
+    * breaks the hash compare. */
+  private def q207(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val root = graft.Scratch.fresh("wdsmm_")
+    val payloads = pngPayloads(s, dir).persist()
+    val members = payloads
+      .select(format_string("m%08d", col("media_id")).as("key"),
+        lit("png").as("ext"), col("payload").as("value"))
+      .unionAll(payloads.select(
+        format_string("m%08d", col("media_id")).as("key"),
+        lit("json").as("ext"),
+        format_string("{\"media_id\":%d}", col("media_id")).cast("binary").as("value")))
+    graft.sinks.Tar.writeShards(members, root, numShards = 4)
+
+    val back = graft.sinks.Tar.readShards(s, root).persist()
+    val decoded = back.filter(col("name").endsWith(".png"))
+      .select(regexp_extract(col("name"), "^m(\\d+)\\.png$", 1).cast("long").as("media_id"),
+        col("value"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+          val h = img.getHeight; val w = img.getWidth
+          val raster = img.getRaster
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+            y += 1
+          }
+          (id, h.toLong, w.toLong, sum)
+        }
+      }.toDF("media_id", "height", "width", "sum_lum")
+    val nJson = back.filter(col("name").endsWith(".json")).count()
+    val out = decoded
+      .withColumn("media_grp", col("media_id") % 4)
+      .groupBy("media_grp")
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("height") * col("width")).as("total_px"),
+        sum(col("sum_lum")).as("total_lum"),
+        max(col("height")).as("max_height"))
+      .withColumn("n_json", lit(nJson))
+      .orderBy("media_grp")
+    val materialized = out.collect()
+    payloads.unpersist(); back.unpersist()
+    s.createDataFrame(s.sparkContext.parallelize(materialized.toIndexedSeq, 1), out.schema)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q145_audio_fingerprint" -> (q145 _),
     "q143_phash_dedup" -> (q143 _),
@@ -394,7 +449,8 @@ object Multimodal {
     "q84_multimodal_imageio" -> (q84 _),
     "q86_multimodal_frames" -> (q86 _),
     "q87_multimodal_audio" -> (q87 _),
-    "q103_image_curation" -> (q103 _)
+    "q103_image_curation" -> (q103 _),
+    "q207_wds_multimodal" -> (q207 _)
   )
 
   // Shared CTE: the exact pixel-synthesis formula over part keys. list sums
@@ -451,6 +507,17 @@ object Multimodal {
          |  CAST(sum(h * w) AS BIGINT) AS total_px,
          |  CAST(sum(sum_lum) AS BIGINT) AS total_lum,
          |  CAST(max(h) AS BIGINT) AS max_height
+         |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q207: the tar carry must be bit-transparent — the decoded luminance
+    // aggregate equals q55's analytic recomputation, plus the JSON member
+    // count the shards must also deliver.
+    "q207_wds_multimodal" ->
+      s"""WITH $pngCte
+         |SELECT media_id % 4 AS media_grp, count(*) AS n_media,
+         |  CAST(sum(h * w) AS BIGINT) AS total_px,
+         |  CAST(sum(sum_lum) AS BIGINT) AS total_lum,
+         |  CAST(max(h) AS BIGINT) AS max_height,
+         |  (SELECT count(*) FROM px) AS n_json
          |FROM px GROUP BY 1 ORDER BY 1""".stripMargin,
     "q84_multimodal_imageio" ->
       s"""WITH $pngCte

@@ -80,13 +80,17 @@ object Tar {
     private var closed = false
     private var bytes = 0L
 
-    def add(name: String, data: Array[Byte]): Unit = {
+    /** Returns the member's HEADER offset in the archive — the seek target
+      * for indexed random access (member data begins 512 bytes later). */
+    def add(name: String, data: Array[Byte]): Long = {
       require(!closed, "writer closed")
+      val at = bytes
       out.write(header(name, data.length.toLong))
       out.write(data)
       val pad = (BlockSize - data.length % BlockSize) % BlockSize
       if (pad > 0) out.write(new Array[Byte](pad))
       bytes += BlockSize + data.length + pad
+      at
     }
 
     /** Two zero end-of-archive blocks; returns total archive bytes. */
@@ -174,17 +178,32 @@ object Tar {
         val out = new java.io.BufferedOutputStream(
           new java.io.FileOutputStream(tmp), 1 << 20)
         val w = new TarWriter(out)
+        // member index sidecar (`<shard>.tar.idx`, the webdataset-ecosystem
+        // pattern): `name offset size` per member, offset = header block —
+        // random access into a sequential container without re-scanning it
+        val idx = new StringBuilder
         var n = 0L
         rows.foreach { r =>
-          w.add(r.getString(0) + "." + r.getString(1), r.getAs[Array[Byte]](2))
+          val name = r.getString(0) + "." + r.getString(1)
+          val data = r.getAs[Array[Byte]](2)
+          val at = w.add(name, data)
+          idx.append(name).append(' ').append(at).append(' ')
+            .append(data.length).append('\n')
           n += 1
         }
         w.close()
         out.close()
         if (n == 0) tmp.delete()
-        else if (!tmp.renameTo(shard)) {
-          require(shard.isFile, s"rename $tmp -> $shard failed")
-          tmp.delete() // a committed retry got there first
+        else {
+          val tmpIdx = new File(tmp.getPath + ".idx")
+          java.nio.file.Files.write(tmpIdx.toPath, idx.toString.getBytes(US_ASCII))
+          if (tmp.renameTo(shard)) {
+            require(tmpIdx.renameTo(new File(shard.getPath + ".idx")),
+              s"rename ${tmpIdx.getName} failed")
+          } else {
+            require(shard.isFile, s"rename $tmp -> $shard failed")
+            tmp.delete(); tmpIdx.delete() // a committed retry got there first
+          }
         }
         ()
       }
@@ -217,4 +236,39 @@ object Tar {
   /** Committed shard sizes (name → bytes) for the size-arithmetic oracle. */
   def shardSizes(path: String): Seq[(String, Long)] =
     committedShards(path).map(f => (f.getName, f.length()))
+
+  /** Indexed random access: resolve a member via the `.tar.idx` sidecars
+    * (one seek + one header validation + one data read), falling back to a
+    * sequential scan for shards without an index. The header at the
+    * indexed offset must re-validate — name, checksum and size — so a
+    * stale or corrupt index can never return wrong bytes. */
+  def get(path: String, member: String): Option[Array[Byte]] = {
+    committedShards(path).iterator.flatMap { shard =>
+      val idxFile = new File(shard.getPath + ".idx")
+      if (idxFile.isFile) {
+        new String(java.nio.file.Files.readAllBytes(idxFile.toPath), US_ASCII)
+          .linesIterator
+          .map(_.split(' '))
+          .collectFirst { case Array(n, off, sz) if n == member =>
+            val raf = new java.io.RandomAccessFile(shard, "r")
+            try {
+              raf.seek(off.toLong)
+              val wanted = sz.toInt
+              val block = new Array[Byte](BlockSize + wanted)
+              raf.readFully(block)
+              val one = entries(new java.io.ByteArrayInputStream(
+                block ++ new Array[Byte](2 * BlockSize))).next()
+              require(one._1 == member && one._2.length == wanted,
+                s"index points at '${one._1}'(${one._2.length}) not '$member'($wanted)")
+              one._2
+            } finally raf.close()
+          }
+      } else {
+        val in = new java.io.BufferedInputStream(
+          new java.io.FileInputStream(shard), 1 << 20)
+        try entries(in).collectFirst { case (n, d) if n == member => d }
+        finally in.close()
+      }
+    }.nextOption()
+  }
 }

@@ -145,5 +145,30 @@ class TarSpec extends AnyFunSuite {
     assert(back.where("name = 's000007.txt'")
       .as[(String, String, Array[Byte])].collect()
       .exists(r => new String(r._3, US_ASCII) == "doc 7"))
+
+    // indexed random access: every shard carries a .tar.idx sidecar, get()
+    // seeks straight to the member and re-validates its header
+    assert(new File(root).listFiles().count(_.getName.endsWith(".tar.idx")) ==
+      Tar.shardSizes(root).size)
+    assert(Tar.get(root, "s000123.txt")
+      .exists(v => new String(v, US_ASCII) == "doc 123"))
+    assert(Tar.get(root, "s000123.bin").exists(_.length == 100 + 123 % 50))
+    assert(Tar.get(root, "nope.txt").isEmpty)
+
+    // a tampered index offset must throw (header re-validation), never
+    // silently return wrong bytes
+    val idxFile = new File(root).listFiles().find(_.getName.endsWith(".tar.idx")).get
+    val lines = new String(java.nio.file.Files.readAllBytes(idxFile.toPath), US_ASCII)
+      .linesIterator.toVector
+    val parts = lines.head.split(' ')
+    val tampered = (s"${parts(0)} ${parts(1).toLong + 512} ${parts(2)}" +: lines.tail)
+      .mkString("", "\n", "\n")
+    java.nio.file.Files.write(idxFile.toPath, tampered.getBytes(US_ASCII))
+    intercept[Exception](Tar.get(root, parts(0)))
+
+    // shards without an index fall back to a sequential scan
+    new File(root).listFiles().filter(_.getName.endsWith(".tar.idx")).foreach(_.delete())
+    assert(Tar.get(root, "s000042.txt")
+      .exists(v => new String(v, US_ASCII) == "doc 42"))
   }
 }

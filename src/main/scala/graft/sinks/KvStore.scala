@@ -70,6 +70,8 @@ object KvStore {
     private var pending = 0
     private var count = 0L
 
+    private val keyHashes = new scala.collection.mutable.ArrayBuffer[Long]
+
     def put(key: String, value: Array[Byte], shape: scala.collection.Seq[Int], dtype: String): Unit = {
       val kb = validateKey(key).getBytes(StandardCharsets.US_ASCII)
       out.writeInt(kb.length); out.write(kb)
@@ -78,20 +80,28 @@ object KvStore {
       idx.append(key).append(' ').append(recOff).append(' ').append(value.length).append('\n')
       meta.append(key).append(".npy (").append(shape.mkString(",")).append(") ")
         .append(dtype).append('\n')
+      keyHashes += KeyBloom.hashPair(kb)
       offset += 8 + kb.length + value.length
       pending += 1
       count += 1
       if (pending >= batchSize) { out.flush(); pending = 0 } // txn-batch analog
     }
 
-    /** Task commit: flush data, rename into place, write idx + meta
-      * sidecars (data lands before the index that points into it). */
+    /** Task commit: flush data, rename into place, write idx + meta +
+      * key-Bloom sidecars (data lands before the index that points into
+      * it; the Bloom lets a K-shard point lookup skip the idx loads of
+      * shards that cannot hold the key — see [[KeyBloom]]). */
     def close(): Long = {
       out.flush(); out.close()
       if (fs.exists(dataPath)) fs.delete(dataPath, false)
       require(fs.rename(tmpPath, dataPath), s"rename $tmpPath -> $dataPath failed")
       writeString(fs, idxPath, idx.toString)
       writeString(fs, metaPath, meta.toString)
+      val bloom = KeyBloom.sized(keyHashes.length.toLong)
+      keyHashes.foreach(bloom.addPair)
+      val bloomPath = new Path(dir, dataPath.getName.stripSuffix(".kv") + ".bloom")
+      val o = fs.create(bloomPath, true)
+      try o.write(KeyBloom.serialize(bloom)) finally o.close()
       count
     }
   }
@@ -170,11 +180,30 @@ object KvStore {
     }.toSeq
   }
 
-  /** S10: point lookup across shards. */
+  /** S10: point lookup across shards. Each shard's `.bloom` sidecar is
+    * consulted first (when present) so shards that cannot hold the key
+    * skip their idx load entirely — K bitmap tests + ~1 idx read across
+    * K shards instead of K idx reads. */
   def get(path: String, key: String): Option[Array[Byte]] = {
     val (fs, _) = fsFor(path)
+    val kb = key.getBytes(StandardCharsets.US_ASCII)
     committedShards(path).iterator.flatMap { shard =>
-      loadIndex(fs, shard).collectFirst { case (k, off, len) if k == key =>
+      val bloomPath = new Path(shard.getParent, shard.getName.stripSuffix(".kv") + ".bloom")
+      val mightHold =
+        if (!fs.exists(bloomPath)) true // pre-Bloom store: must probe
+        else {
+          val in = fs.open(bloomPath)
+          val bytes = try {
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](1 << 16)
+            var n = in.read(buf)
+            while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
+            bos.toByteArray
+          } finally in.close()
+          KeyBloom.deserialize(bytes).forall(_.mightContain(kb))
+        }
+      if (!mightHold) None
+      else loadIndex(fs, shard).collectFirst { case (k, off, len) if k == key =>
         val in = fs.open(shard)
         try {
           val buf = new Array[Byte](len)

@@ -220,7 +220,10 @@ object Tar {
       .split('\n').iterator.filter(_.nonEmpty).map(new File(path, _)).toSeq
   }
 
-  /** Scan committed shards back as (shard, name, value) — in parallel. */
+  /** Scan committed shards back as (shard, name, value) — shards in
+    * parallel, rows STREAMED (one member in memory per task, never a whole
+    * shard: at 100 TB a shard is GBs). The stream closes at task
+    * completion, covering early task abort as well as exhaustion. */
   def readShards(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
     val files = committedShards(path).map(_.getAbsolutePath)
@@ -228,8 +231,9 @@ object Tar {
       .flatMap { f =>
         val in = new java.io.BufferedInputStream(
           new java.io.FileInputStream(f), 1 << 20)
-        try entries(in).map { case (n, v) => (new File(f).getName, n, v) }.toVector
-        finally in.close()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => in.close()))
+        entries(in).map { case (n, v) => (new File(f).getName, n, v) }
       }.toDF("shard", "name", "value")
   }
 

@@ -325,7 +325,7 @@ class LmdbSpec extends AnyFunSuite {
     // every shard carries a sidecar
     val shardDirs = new File(root).listFiles().filter(_.getName.matches("shard-\\d+"))
     assert(shardDirs.nonEmpty &&
-      shardDirs.forall(d => new File(d, graft.sinks.LmdbStore.KeyBloom.FileName).isFile))
+      shardDirs.forall(d => new File(d, graft.sinks.KeyBloom.FileName).isFile))
 
     // no false negatives: every present key resolves
     (0 until 2000 by 7).foreach { i =>
@@ -346,8 +346,21 @@ class LmdbSpec extends AnyFunSuite {
     val root2 = graft.Scratch.fresh("lmdbbloom2_")
     graft.sinks.LmdbStore.write(df, root2)
     new File(root2).listFiles().filter(_.getName.matches("shard-\\d+"))
-      .foreach(d => new File(d, graft.sinks.LmdbStore.KeyBloom.FileName).delete())
+      .foreach(d => new File(d, graft.sinks.KeyBloom.FileName).delete())
     assert(graft.sinks.LmdbStore.get(root2, "k000042").isDefined)
     assert(graft.sinks.LmdbStore.get(root2, "absent").isEmpty)
+
+    // the KvStore shares the sidecar scheme: shard-NNNNN.bloom beside the
+    // idx, gets stay exact, stripped sidecars degrade to idx loads
+    val kvRoot = graft.Scratch.fresh("kvbloom_")
+    new File(kvRoot).delete()
+    graft.sinks.KvStore.write(df.selectExpr("key", "value",
+      "array(1) AS shape", "'bytes' AS dtype"), kvRoot)
+    assert(new File(kvRoot).listFiles().count(_.getName.endsWith(".bloom")) ==
+      new File(kvRoot).listFiles().count(_.getName.endsWith(".kv")))
+    assert(graft.sinks.KvStore.get(kvRoot, "k000042").exists(_.length == 20))
+    assert(graft.sinks.KvStore.get(kvRoot, "absent").isEmpty)
+    new File(kvRoot).listFiles().filter(_.getName.endsWith(".bloom")).foreach(_.delete())
+    assert(graft.sinks.KvStore.get(kvRoot, "k001999").isDefined)
   }
 }

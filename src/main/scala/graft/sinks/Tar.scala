@@ -185,6 +185,10 @@ object Tar {
         var n = 0L
         rows.foreach { r =>
           val name = r.getString(0) + "." + r.getString(1)
+          // the idx sidecar is space-delimited: a space in a member name
+          // would silently corrupt it, so reject like KvStore.validateKey
+          require(name.nonEmpty && name.forall(c => c > ' ' && c < 127),
+            s"member name must be printable ASCII without spaces: '$name'")
           val data = r.getAs[Array[Byte]](2)
           val at = w.add(name, data)
           idx.append(name).append(' ').append(at).append(' ')

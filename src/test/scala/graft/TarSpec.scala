@@ -170,5 +170,19 @@ class TarSpec extends AnyFunSuite {
     new File(root).listFiles().filter(_.getName.endsWith(".tar.idx")).foreach(_.delete())
     assert(Tar.get(root, "s000042.txt")
       .exists(v => new String(v, US_ASCII) == "doc 42"))
+
+    // spaces in member names would corrupt the space-delimited idx: reject
+    val badRoot = graft.Scratch.fresh("tarbad_")
+    new File(badRoot).delete()
+    val bad = Seq(("has space", "txt", "x".getBytes(US_ASCII))).toDF("key", "ext", "value")
+    intercept[org.apache.spark.SparkException](Tar.writeShards(bad, badRoot))
+
+    // a 100-byte name fills its field exactly (no NUL terminator) and
+    // still roundtrips through both our reader and the field-bounded parse
+    val longName = ("n" * 96) + ".bin"
+    val lt = tarBytes((longName, Array[Byte](7, 8, 9)))
+    val backLong = Tar.entries(new java.io.ByteArrayInputStream(lt)).toVector
+    assert(backLong.map(_._1) == Vector(longName))
+    intercept[IllegalArgumentException](tarBytes((("n" * 101), Array[Byte](1))))
   }
 }

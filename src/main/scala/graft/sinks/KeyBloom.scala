@@ -77,12 +77,20 @@ private[graft] object KeyBloom {
     java.nio.file.Files.write(new File(envDir, FileName).toPath, serialize(b))
 
   // committed shards are immutable, so sidecars cache for the process
-  // lifetime (a few hundred KB per thousand-shard store)
+  // lifetime (a few hundred KB per thousand-shard store). The cache key
+  // carries the sidecar's (mtime, length): a store deleted and rewritten
+  // at the same path gets a fresh entry instead of a stale bitmap whose
+  // ~99% miss rate would manufacture false negatives — the one failure
+  // the Bloom contract forbids.
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Option[Bloom]]()
 
   /** None when the sidecar is absent/foreign — caller must then probe. */
-  def read(envDir: File): Option[Bloom] =
-    cache.computeIfAbsent(envDir.getAbsolutePath, _ => readUncached(envDir))
+  def read(envDir: File): Option[Bloom] = {
+    val f = new File(envDir, FileName)
+    if (!f.isFile) return None
+    val key = s"${f.getAbsolutePath}|${f.lastModified}|${f.length}"
+    cache.computeIfAbsent(key, _ => readUncached(envDir))
+  }
 
   private def readUncached(envDir: File): Option[Bloom] = {
     val f = new File(envDir, FileName)

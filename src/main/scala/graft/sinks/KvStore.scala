@@ -58,6 +58,7 @@ object KvStore {
     private val dataPath = new Path(dir, f"shard-$shardId%05d.kv")
     private val idxPath = new Path(dir, f"shard-$shardId%05d.idx")
     private val metaPath = new Path(dir, f"shard-$shardId%05d.meta.txt")
+    private val bloomPath = new Path(dir, f"shard-$shardId%05d.bloom")
     // write to a task-attempt temp name, rename on close: retried or
     // speculative task attempts never corrupt a committed shard
     private val tmpPath = new Path(dir,
@@ -87,22 +88,36 @@ object KvStore {
       if (pending >= batchSize) { out.flush(); pending = 0 } // txn-batch analog
     }
 
-    /** Task commit: flush data, rename into place, write idx + meta +
-      * key-Bloom sidecars (data lands before the index that points into
-      * it; the Bloom lets a K-shard point lookup skip the idx loads of
-      * shards that cannot hold the key — see [[KeyBloom]]). */
+    /** Task commit: flush data, write idx + meta + key-Bloom sidecars,
+      * THEN rename the data file into its committed name — the rename is
+      * the commit point, so a crash mid-close can never leave a
+      * final-named `.kv` whose idx is missing (readers resolve records
+      * through the idx; orphan sidecars without a `.kv` are inert —
+      * `commit()` manifests only `.kv` files). */
     def close(): Long = {
       out.flush(); out.close()
-      if (fs.exists(dataPath)) fs.delete(dataPath, false)
-      require(fs.rename(tmpPath, dataPath), s"rename $tmpPath -> $dataPath failed")
       writeString(fs, idxPath, idx.toString)
       writeString(fs, metaPath, meta.toString)
       val bloom = KeyBloom.sized(keyHashes.length.toLong)
       keyHashes.foreach(bloom.addPair)
-      val bloomPath = new Path(dir, dataPath.getName.stripSuffix(".kv") + ".bloom")
       val o = fs.create(bloomPath, true)
       try o.write(KeyBloom.serialize(bloom)) finally o.close()
+      if (fs.exists(dataPath)) fs.delete(dataPath, false)
+      require(fs.rename(tmpPath, dataPath), s"rename $tmpPath -> $dataPath failed")
       count
+    }
+
+    /** Task abort: close the stream and remove this attempt's tmp data
+      * file — a losing speculative or failed attempt must not leak an
+      * open fd or a `.tmp-` file into the store directory forever. Only
+      * the attempt-UNIQUE tmp is touched: the committed-name sidecars may
+      * belong to a concurrently committing winner (any retry that does
+      * commit overwrites them wholesale in close()). */
+    def abort(): Unit = {
+      try out.close() catch { case _: java.io.IOException => }
+      try if (fs.exists(tmpPath)) fs.delete(tmpPath, false)
+      catch { case _: java.io.IOException => }
+      ()
     }
   }
 
@@ -111,15 +126,35 @@ object KvStore {
     try o.write(s.getBytes(StandardCharsets.UTF_8)) finally o.close()
   }
 
-  private def readString(fs: FileSystem, p: Path): String = {
+  private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
     val in = fs.open(p)
     try {
       val bos = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](1 << 16)
       var n = in.read(buf)
       while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-      new String(bos.toByteArray, StandardCharsets.UTF_8)
+      bos.toByteArray
     } finally in.close()
+  }
+
+  private def readString(fs: FileSystem, p: Path): String =
+    new String(readBytes(fs, p), StandardCharsets.UTF_8)
+
+  // Bloom sidecars cache keyed by (path, mtime, len) — one getFileStatus
+  // RPC per get instead of a full sidecar read, and a store rewritten at
+  // the same path gets a fresh entry (stale bitmaps would manufacture the
+  // false negatives the Bloom contract forbids).
+  private val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Option[KeyBloom.Bloom]]()
+
+  private def shardBloom(fs: FileSystem, shard: Path): Option[KeyBloom.Bloom] = {
+    val bloomPath = new Path(shard.getParent, shard.getName.stripSuffix(".kv") + ".bloom")
+    val st = try fs.getFileStatus(bloomPath)
+    catch { case _: java.io.FileNotFoundException => null }
+    if (st == null) None // pre-Bloom store: caller must probe the idx
+    else bloomCache.computeIfAbsent(
+      s"$bloomPath|${st.getModificationTime}|${st.getLen}",
+      _ => KeyBloom.deserialize(readBytes(fs, bloomPath)))
   }
 
   /** Write a UTF-8 text sidecar (e.g. a run-level `dataset_meta.txt`) into
@@ -143,11 +178,13 @@ object KvStore {
     fs.mkdirs(dir)
   }
 
-  /** Job commit: write the manifest naming every committed shard. */
+  /** Job commit: write the manifest naming every committed shard, in
+    * NUMERIC shard order (lexicographic flips at shard 100000). */
   def commit(path: String): Unit = {
     val (fs, dir) = fsFor(path)
     val shards = fs.listStatus(dir)
-      .map(_.getPath.getName).filter(_.matches("shard-\\d+\\.kv")).sorted
+      .map(_.getPath.getName).filter(_.matches("shard-\\d+\\.kv"))
+      .sortBy(_.stripPrefix("shard-").stripSuffix(".kv").toLong)
     writeString(fs, new Path(dir, "_MANIFEST"), shards.mkString("", "\n", "\n"))
   }
 
@@ -188,21 +225,7 @@ object KvStore {
     val (fs, _) = fsFor(path)
     val kb = key.getBytes(StandardCharsets.US_ASCII)
     committedShards(path).iterator.flatMap { shard =>
-      val bloomPath = new Path(shard.getParent, shard.getName.stripSuffix(".kv") + ".bloom")
-      val mightHold =
-        if (!fs.exists(bloomPath)) true // pre-Bloom store: must probe
-        else {
-          val in = fs.open(bloomPath)
-          val bytes = try {
-            val bos = new java.io.ByteArrayOutputStream()
-            val buf = new Array[Byte](1 << 16)
-            var n = in.read(buf)
-            while (n > 0) { bos.write(buf, 0, n); n = in.read(buf) }
-            bos.toByteArray
-          } finally in.close()
-          KeyBloom.deserialize(bytes).forall(_.mightContain(kb))
-        }
-      if (!mightHold) None
+      if (!shardBloom(fs, shard).forall(_.mightContain(kb))) None
       else loadIndex(fs, shard).collectFirst { case (k, off, len) if k == key =>
         val in = fs.open(shard)
         try {

@@ -85,9 +85,11 @@ private[sinks] class KvBatchWrite(path: String, batchSize: Int,
 
   override def useCommitCoordinator(): Boolean = true
 
-  /** Job commit: manifest = exactly the coordinator-committed shards. */
+  /** Job commit: manifest = exactly the coordinator-committed shards,
+    * in NUMERIC shard order (lexicographic flips at shard 100000). */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val shards = messages.collect { case KvShardCommit(n, c) if c > 0 => n }.sorted
+    val shards = messages.collect { case KvShardCommit(n, c) if c > 0 => n }
+      .sortBy(_.stripPrefix("shard-").stripSuffix(".kv").toLong)
     KvStore.writeText(path, "_MANIFEST", shards.mkString("", "\n", "\n"))
   }
 
@@ -95,7 +97,8 @@ private[sinks] class KvBatchWrite(path: String, batchSize: Int,
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
     messages.collect { case KvShardCommit(n, _) => n }.foreach { n =>
-      Seq(n, n.stripSuffix(".kv") + ".idx", n.stripSuffix(".kv") + ".meta.txt")
+      Seq(n, n.stripSuffix(".kv") + ".idx", n.stripSuffix(".kv") + ".meta.txt",
+        n.stripSuffix(".kv") + ".bloom")
         .foreach(f => fs.delete(new Path(p, f), false))
     }
   }
@@ -129,7 +132,10 @@ private[sinks] class KvDataWriter(path: String, partitionId: Int, batchSize: Int
     KvShardCommit(f"shard-$partitionId%05d.kv", count)
   }
 
-  override def abort(): Unit = () // tmp-named data file is never renamed in
+  // abort: close the stream and delete this attempt's tmp-named data file
+  // (the commit point is the tmp→final rename inside ShardWriter.close(),
+  // so an aborted attempt has nothing under the committed name to remove)
+  override def abort(): Unit = if (writer != null) writer.abort()
 
   override def close(): Unit = ()
 }

@@ -99,9 +99,21 @@ object LmdbStore {
         ()
       }
     val shards = Option(root.listFiles()).getOrElse(Array.empty)
-      .map(_.getName).filter(_.matches("shard-\\d+")).sorted
-    java.nio.file.Files.write(new File(root, "_MANIFEST").toPath,
+      .map(_.getName).filter(_.matches("shard-\\d+"))
+      // NUMERIC order, not lexicographic: "shard-100000" < "shard-99999"
+      // as strings, which would flip newest-wins once appends pass 10^5
+      .sortBy(_.stripPrefix("shard-").toLong)
+    // tmp + atomic rename: a reader calling committedShards mid-commit
+    // sees the complete old manifest or the complete new one, never a
+    // truncated file (Files.write alone opens with TRUNCATE_EXISTING)
+    val tmpManifest = new File(root, "_MANIFEST.tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    java.nio.file.Files.write(tmpManifest.toPath,
       shards.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    java.nio.file.Files.move(tmpManifest.toPath, new File(root, "_MANIFEST").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
   }
 
   private def committedShards(path: String): Seq[File] = {

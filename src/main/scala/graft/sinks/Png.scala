@@ -53,7 +53,11 @@ object Png {
 
   /** S7 directory sink: `df(tier, split, key, pixels: Array[Int], h, w)` →
     * `root/tier/split/key.png`, one writer task per partition, mkdir-p,
-    * existence check unless force (P4 idempotency). */
+    * existence check unless force (P4 idempotency). Each file lands via
+    * tmp + atomic rename: a task killed mid-write must never leave a
+    * truncated `key.png` under its final name — the P4 skip-if-exists
+    * check on the retry would otherwise preserve the corrupt file
+    * forever. */
   def writeDir(df: DataFrame, root: String, force: Boolean = false): Unit =
     df.foreachPartition { rows: Iterator[Row] =>
       rows.foreach { r =>
@@ -63,7 +67,12 @@ object Png {
         if (force || !f.exists()) {
           val px = r.getAs[scala.collection.Seq[Int]]("pixels").toArray
           val bytes = encodeGray8(px, r.getAs[Int]("h"), r.getAs[Int]("w"))
-          java.nio.file.Files.write(f.toPath, bytes)
+          val tmp = new File(dir, f.getName + ".tmp-" +
+            java.util.UUID.randomUUID().toString.take(8))
+          java.nio.file.Files.write(tmp.toPath, bytes)
+          java.nio.file.Files.move(tmp.toPath, f.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
         }
       }
       ()

@@ -120,33 +120,49 @@ object Tar {
       }
 
       private def advance(): Unit = {
-        if (done) return
-        val h = new Array[Byte](BlockSize)
-        if (!readFully(h) || h.forall(_ == 0)) { done = true; return }
-        val magic = new String(h, 257, 5, US_ASCII)
-        require(magic == "ustar", s"bad ustar magic '$magic'")
-        val stored = java.lang.Long.parseLong(
-          new String(h, 148, 6, US_ASCII).trim, 8)
-        java.util.Arrays.fill(h, 148, 156, ' '.toByte)
-        var sum = 0L
-        var i = 0
-        while (i < BlockSize) { sum += h(i) & 0xff; i += 1 }
-        require(sum == stored, s"checksum $sum != stored $stored")
-        var nameLen = 0
-        while (nameLen < 100 && h(nameLen) != 0) nameLen += 1
-        val name = new String(h, 0, nameLen, US_ASCII)
-        val size = java.lang.Long.parseLong(
-          new String(h, 124, 11, US_ASCII).trim, 8)
-        require(size <= Int.MaxValue, s"member too large: $size")
-        val data = new Array[Byte](size.toInt)
-        require(readFully(data), "truncated member data")
-        val pad = ((BlockSize - size % BlockSize) % BlockSize).toInt
-        if (pad > 0) require(readFully(new Array[Byte](pad)), "truncated padding")
-        nextEntry = (name, data)
+        nextEntry = null
+        // loop (not recurse: a directory-heavy foreign archive could have
+        // unbounded runs of skipped members) until a regular member or EOF
+        while (nextEntry == null && !done) {
+          val h = new Array[Byte](BlockSize)
+          if (!readFully(h) || h.forall(_ == 0)) { done = true }
+          else {
+            val magic = new String(h, 257, 5, US_ASCII)
+            require(magic == "ustar", s"bad ustar magic '$magic'")
+            val stored = java.lang.Long.parseLong(
+              new String(h, 148, 6, US_ASCII).trim, 8)
+            java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+            var sum = 0L
+            var i = 0
+            while (i < BlockSize) { sum += h(i) & 0xff; i += 1 }
+            require(sum == stored, s"checksum $sum != stored $stored")
+            var nameLen = 0
+            while (nameLen < 100 && h(nameLen) != 0) nameLen += 1
+            var name = new String(h, 0, nameLen, US_ASCII)
+            // ustar prefix field (offset 345, 155 B): long paths from
+            // foreign archives split as prefix + "/" + name
+            var preLen = 0
+            while (preLen < 155 && h(345 + preLen) != 0) preLen += 1
+            if (preLen > 0) name = new String(h, 345, preLen, US_ASCII) + "/" + name
+            val size = java.lang.Long.parseLong(
+              new String(h, 124, 11, US_ASCII).trim, 8)
+            require(size <= Int.MaxValue, s"member too large: $size")
+            val data = new Array[Byte](size.toInt)
+            require(readFully(data), "truncated member data")
+            val pad = ((BlockSize - size % BlockSize) % BlockSize).toInt
+            if (pad > 0) require(readFully(new Array[Byte](pad)), "truncated padding")
+            // yield only REGULAR members (typeflag '0'/NUL). Foreign
+            // archives carry directories ('5'), links, PAX metadata
+            // ('x'/'g') — their payloads were consumed above but they are
+            // not data members and must not pollute webdataset samples.
+            val typeflag = h(156)
+            if (typeflag == '0'.toByte || typeflag == 0.toByte) nextEntry = (name, data)
+          }
+        }
       }
 
       advance()
-      override def hasNext: Boolean = !done
+      override def hasNext: Boolean = nextEntry != null
       override def next(): (String, Array[Byte]) = {
         val e = nextEntry
         advance()
@@ -184,6 +200,10 @@ object Tar {
         val idx = new StringBuilder
         var n = 0L
         rows.foreach { r =>
+          // null would string-concat to the member name "null.<ext>" and
+          // silently collide samples — fail fast like the sibling sinks
+          require(r.getString(0) != null && r.getString(1) != null,
+            "null sample key/ext")
           val name = r.getString(0) + "." + r.getString(1)
           // the idx sidecar is space-delimited: a space in a member name
           // would silently corrupt it, so reject like KvStore.validateKey
@@ -212,9 +232,17 @@ object Tar {
         ()
       }
     val shards = Option(root.listFiles()).getOrElse(Array.empty)
-      .map(_.getName).filter(_.matches("shard-\\d+\\.tar")).sorted
-    java.nio.file.Files.write(new File(root, "_MANIFEST").toPath,
+      .map(_.getName).filter(_.matches("shard-\\d+\\.tar"))
+      // numeric, not lexicographic (see LmdbStore: shard 100000 vs 99999)
+      .sortBy(_.stripPrefix("shard-").stripSuffix(".tar").toLong)
+    val tmpManifest = new File(root, "_MANIFEST.tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    java.nio.file.Files.write(tmpManifest.toPath,
       shards.mkString("", "\n", "\n").getBytes(US_ASCII))
+    java.nio.file.Files.move(tmpManifest.toPath, new File(root, "_MANIFEST").toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    ()
   }
 
   private def committedShards(path: String): Seq[File] = {

@@ -350,6 +350,26 @@ class LmdbSpec extends AnyFunSuite {
     assert(graft.sinks.LmdbStore.get(root2, "k000042").isDefined)
     assert(graft.sinks.LmdbStore.get(root2, "absent").isEmpty)
 
+    // a store deleted and REWRITTEN at the same path must serve the new
+    // keys: the sidecar cache keys on (path, mtime, length), so a stale
+    // bitmap can never manufacture false negatives for the new contents
+    val rewriteRoot = graft.Scratch.fresh("lmdbrw_")
+    val oldDf = (0 until 50).map(i => (f"old$i%06d", Array[Byte](1)))
+      .toDF("key", "value").repartition(1)
+    graft.sinks.LmdbStore.write(oldDf, rewriteRoot)
+    assert(graft.sinks.LmdbStore.get(rewriteRoot, "old000007").isDefined) // caches bloom
+    def rmrf(f: File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmrf)); f.delete(); ()
+    }
+    rmrf(new File(rewriteRoot))
+    Thread.sleep(1100) // distinct mtime second even on coarse filesystems
+    val newDf = (0 until 50).map(i => (f"new$i%06d", Array[Byte](2)))
+      .toDF("key", "value").repartition(1)
+    graft.sinks.LmdbStore.write(newDf, rewriteRoot)
+    assert(graft.sinks.LmdbStore.get(rewriteRoot, "new000007").isDefined,
+      "rewritten store must serve new keys, not a stale cached bloom")
+    assert(graft.sinks.LmdbStore.get(rewriteRoot, "old000007").isEmpty)
+
     // the KvStore shares the sidecar scheme: shard-NNNNN.bloom beside the
     // idx, gets stay exact, stripped sidecars degrade to idx loads
     val kvRoot = graft.Scratch.fresh("kvbloom_")

@@ -113,6 +113,26 @@ class TarSpec extends AnyFunSuite {
     assert(back.find(_._1 == "y.bin").get._2.length == 700)
   }
 
+  test("foreign archive with directories: only regular members yielded, paths joined") {
+    val tarBin = Seq("/usr/bin/tar", "/bin/tar").find(new File(_).canExecute)
+    assume(tarBin.isDefined, "no system tar binary available")
+    val dir = new File(graft.Scratch.fresh("tard_")); dir.mkdirs()
+    val sub = new File(dir, "nested/deeper"); sub.mkdirs()
+    java.nio.file.Files.write(new File(sub, "leaf.txt").toPath, "deep".getBytes(US_ASCII))
+    java.nio.file.Files.write(new File(dir, "top.txt").toPath, "top".getBytes(US_ASCII))
+    import scala.sys.process._
+    val f = new File(dir, "dirs.tar")
+    val rc = Seq(tarBin.get, "--format=ustar", "-cf", f.getAbsolutePath,
+      "-C", dir.getAbsolutePath, "nested", "top.txt").!
+    assert(rc == 0)
+    val in = new java.io.FileInputStream(f)
+    val back = try Tar.entries(in).toVector finally in.close()
+    // directory members (typeflag '5') are consumed, not yielded
+    assert(back.map(_._1).toSet == Set("nested/deeper/leaf.txt", "top.txt"),
+      s"got ${back.map(_._1)}")
+    assert(new String(back.find(_._1.endsWith("leaf.txt")).get._2, US_ASCII) == "deep")
+  }
+
   test("sharded Spark write: manifest, contiguous samples, parallel read") {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]")

@@ -30,6 +30,7 @@ object SparkEntry {
       operators.CorpusOps.queries ++
       operators.AnalyticsOps.queries ++
       operators.CurationOps.queries ++
+      operators.RngParityOps.queries ++
       streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -46,5 +47,6 @@ object SparkEntry {
       operators.CorpusOps.oracles ++
       operators.AnalyticsOps.oracles ++
       operators.CurationOps.oracles ++
+      operators.RngParityOps.oracles ++
       streaming.EventStreams.oracles
 }

@@ -10,8 +10,14 @@ package graft.functions
   *     with blur 0.12, 2-step robust intensity re-align.
   *
   * RNG sub-streams per stage: motion=seed, bias=seed+1, noise=seed+2
-  * (reference v2/degradation_function_v2.py:417-434). Draw-order is this
-  * engine's own spec (NumPy PCG64 streams are not reproducible in the JVM).
+  * (reference v2/degradation_function_v2.py:417-434). The default draw
+  * source is the engine's SplitMix64 stream (statistically equivalent,
+  * cheapest per draw); `Params.numpyParity = true` swaps in [[NumpyRng]],
+  * whose `default_rng(seed)` streams are bitwise-identical to NumPy's —
+  * the kernels already consume draws in the reference's order (motion:
+  * dy, dx uniforms then H row-phase normals; bias: H·W normals; noise:
+  * real array then imaginary array), so parity mode reproduces the
+  * reference's exact draw sequence.
   */
 object Degrade {
 
@@ -44,7 +50,8 @@ object Degrade {
       coilSigmaRel: Double = 0.75,
       coilRadius: Double = 1.12,
       prescanBeta: Double = 0.8,
-      prescanBlurRel: Double = 0.12)
+      prescanBlurRel: Double = 0.12,
+      numpyParity: Boolean = false)
 
   /** v1 presets — reference transform_lower_tesla.py:515-608. */
   val presetsV1: Map[String, Params] = Map(
@@ -114,10 +121,16 @@ object Degrade {
     val (res, rh, rw) = Image.kspaceLowpass(img, h, w, cf._1, cf._2, p.windowType,
       keepSize = !p.v2 && p.keepSize)
 
+    // Stage sub-streams: default_rng(seed) / (seed+1) / (seed+2), reference
+    // v2/degradation_function_v2.py:430-446. Parity mode draws the exact
+    // NumPy streams; the default draws the engine's SplitMix64 ones.
+    def stageRng(s: Long): DrawSource =
+      if (p.numpyParity) NumpyRng.defaultRng(s) else new Rng(s)
+
     val art0 = Image.applyMotion(res, rh, rw, p.motionMaxShift, p.motionLineJitter,
-      new Rng(seed))
+      stageRng(seed))
     val art = Image.applyBiasField(art0, rh, rw, p.biasStrength, p.biasScaleRel,
-      new Rng(seed + 1))
+      stageRng(seed + 1))
 
     var mean = 0.0
     var i = 0
@@ -133,7 +146,7 @@ object Degrade {
         math.max(1.0, base)
     }
     val sigmaFloor = if (p.v2) 1e-8 else 1e-6
-    val rngNoise = new Rng(seed + 2)
+    val rngNoise = stageRng(seed + 2)
 
     val noisy: Array[Float] = p.noiseModel.toLowerCase match {
       case "rician" =>

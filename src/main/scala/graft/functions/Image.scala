@@ -213,7 +213,7 @@ object Image {
   /** K6: motion artifact — seeded rigid sub-pixel shift + per-k-space-row
     * phase jitter (reference transform_lower_tesla.py:110-141). */
   def applyMotion(img: Array[Float], h: Int, w: Int, maxShift: Double,
-      lineJitter: Double, rng: Rng): Array[Float] = {
+      lineJitter: Double, rng: DrawSource): Array[Float] = {
     var out = img
     if (maxShift > 0) {
       val dy = rng.uniform(-maxShift, maxShift)
@@ -311,7 +311,7 @@ object Image {
 
   /** K7: multiplicative bias field (reference transform_lower_tesla.py:143-166). */
   def applyBiasField(img: Array[Float], h: Int, w: Int, strength: Double,
-      scaleRel: Double, rng: Rng): Array[Float] = {
+      scaleRel: Double, rng: DrawSource): Array[Float] = {
     if (strength <= 0) return img.clone()
     val sigma = math.max(4, (math.min(h, w) * scaleRel).toInt)
     val noise = rng.normalArray(h * w)
@@ -430,7 +430,7 @@ object Image {
     snr7t * math.pow(b0 / 7.0, alpha) * math.max(1e-6, voxelFactor)
 
   /** K9: Rician noise (reference transform_lower_tesla.py:237-246). */
-  def addRicianNoise(img: Array[Float], sigma: Double, rng: Rng): Array[Float] = {
+  def addRicianNoise(img: Array[Float], sigma: Double, rng: DrawSource): Array[Float] = {
     val n = img.length
     val nr = rng.normalArray(n, 0.0, sigma)
     val ni = rng.normalArray(n, 0.0, sigma)
@@ -449,7 +449,7 @@ object Image {
     * noise (coil-major), then all imaginary — matching the reference's two
     * array-shaped draws. */
   def addChiNoiseRss(img: Array[Float], h: Int, w: Int, coils: Array[Float],
-      nc: Int, sigma: Double, rng: Rng): Array[Float] = {
+      nc: Int, sigma: Double, rng: DrawSource): Array[Float] = {
     val hw = h * w
     val nr = rng.normalArray(nc * hw, 0.0, sigma)
     val ni = rng.normalArray(nc * hw, 0.0, sigma)

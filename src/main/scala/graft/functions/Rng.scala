@@ -1,16 +1,28 @@
 package graft.functions
 
+/** Common draw interface for the stochastic kernels: implemented by the
+  * engine-native SplitMix64 [[Rng]] (default — cheapest per draw) and by
+  * [[NumpyRng]] (bitwise `np.random.default_rng` parity, opt-in via
+  * `Degrade.Params.numpyParity`). Kernels consume draws in the reference's
+  * order, so swapping the source swaps the stream semantics wholesale. */
+trait DrawSource {
+  def uniform(lo: Double, hi: Double): Double
+  def normal(mu: Double, sigma: Double): Double
+  def normalArray(n: Int, mu: Double = 0.0, sigma: Double = 1.0): Array[Float]
+}
+
 /** Deterministic counter-based RNG (SplitMix64 core + Box–Muller gaussians).
   *
-  * The reference draws from `np.random.default_rng(seed)` (PCG64); bitwise
-  * parity with NumPy streams is not reproducible in the JVM, so the engine
-  * defines its own draw order (documented spec difference — outputs are
-  * statistically, not bitwise, equivalent; SURVEY.md §7 risks). What IS
-  * preserved is the reference's seeding discipline: per-slice seeds derived
+  * The reference draws from `np.random.default_rng(seed)` (PCG64). The
+  * engine's DEFAULT stream is this SplitMix64 one — statistically, not
+  * bitwise, equivalent, and cheaper per draw; exact NumPy draw streams are
+  * available through [[NumpyRng]] (same [[DrawSource]] surface) when a user
+  * needs outputs reproducible against the reference. What both sources
+  * preserve is the reference's seeding discipline: per-slice seeds derived
   * from key hashes (K13, v2/nii_to_lmdb_paralel.py:134-135) so Spark task
   * retries are stable.
   */
-final class Rng(seed: Long) {
+final class Rng(seed: Long) extends DrawSource {
   private var state: Long = seed
   private var cachedGauss: Double = 0.0
   private var hasCached: Boolean = false
@@ -27,7 +39,7 @@ final class Rng(seed: Long) {
   /** Uniform in [0, 1) with 53 bits. */
   def nextDouble(): Double = (nextLong() >>> 11) * 1.1102230246251565e-16
 
-  def uniform(lo: Double, hi: Double): Double = lo + (hi - lo) * nextDouble()
+  override def uniform(lo: Double, hi: Double): Double = lo + (hi - lo) * nextDouble()
 
   /** Standard normal via Box–Muller (cached pair). */
   def nextGaussian(): Double = {
@@ -44,10 +56,10 @@ final class Rng(seed: Long) {
     }
   }
 
-  def normal(mu: Double, sigma: Double): Double = mu + sigma * nextGaussian()
+  override def normal(mu: Double, sigma: Double): Double = mu + sigma * nextGaussian()
 
   /** Fill a row-major array with N(mu, sigma) draws. */
-  def normalArray(n: Int, mu: Double = 0.0, sigma: Double = 1.0): Array[Float] = {
+  override def normalArray(n: Int, mu: Double, sigma: Double): Array[Float] = {
     val out = new Array[Float](n)
     var i = 0
     while (i < n) { out(i) = normal(mu, sigma).toFloat; i += 1 }

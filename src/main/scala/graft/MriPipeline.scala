@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Degrade, Image, Npy, Rng}
+import graft.functions.{Degrade, Image, Npy, NumpyRng, Rng}
 import graft.model._
 import graft.sinks.KvStore
 import graft.sources.Nifti
@@ -82,6 +82,52 @@ object MriPipeline {
         when(col("b") < cut1, "train").when(col("b") < cut2, "val").otherwise("test"))
       .select(col("sliceId"), col("split"))
       .as[SplitLabel]
+  }
+
+  /** The reference's slice-id enumeration order (v2/nii_to_lmdb.py:68-89):
+    * volumes in list order, orientations in caller order, slice index
+    * ascending; axial/coronal slice along Z, sagittal along Y. The ORDER
+    * is load-bearing for [[planSplitNumpyParity]] — the shuffle permutes
+    * positions in exactly this sequence. */
+  def referenceSliceIds(volumes: Seq[(String, (Int, Int, Int))],
+      orients: Seq[String] = Nifti.Orientations): Seq[String] =
+    for {
+      (base, (_, sy, sz)) <- volumes
+      orient <- orients
+      n = if (orient == "sagittal") sy else sz
+      i <- 0 until n
+    } yield f"$base%s__$orient%s__slice_$i%03d"
+
+  /** W1 with the reference's EXACT membership: `default_rng(seed)` shuffle
+    * of the slice-id positions, then ratio cuts with int() floors
+    * (v2/nii_to_lmdb.py:100-113, split_ratio=(0.95, 0.03, 0.02)) — drawn
+    * through [[graft.functions.NumpyRng]], so every slice lands in the
+    * SAME split the reference would put it in, bit for bit. A user
+    * switching to this engine reproduces their existing train/val/test
+    * partition exactly.
+    *
+    * Scale envelope: Fisher–Yates is inherently sequential, so the
+    * permutation runs on the driver over the id list — the same envelope
+    * as the reference itself, which plans the split in one process from
+    * headers alone (an id list is ~60 B/slice; 10M slices ≈ 600 MB —
+    * far above the reference's own corpora). Past that, the hash-cut
+    * [[planSplit]] is the 100 TB form (retry-stable, shuffle-free, but
+    * its membership is this engine's own spec, not the reference's). */
+  def planSplitNumpyParity(spark: SparkSession, sliceIds: Seq[String],
+      seed: Long, trainRatio: Double = 0.95,
+      valRatio: Double = 0.03): Dataset[SplitLabel] = {
+    import spark.implicits._
+    val n = sliceIds.length
+    val idxs = NumpyRng.defaultRng(seed).permutation(n)
+    val nTr = (n * trainRatio).toInt
+    val nVa = (n * valRatio).toInt
+    val labels = new Array[String](n)
+    var p = 0
+    while (p < n) {
+      labels(idxs(p)) = if (p < nTr) "train" else if (p < nTr + nVa) "val" else "test"
+      p += 1
+    }
+    spark.createDataset(sliceIds.indices.map(i => SplitLabel(sliceIds(i), labels(i))))
   }
 
   /** C3 + G2/G3 + P3 + K28: degrade each slice, tile HR and LR on aligned

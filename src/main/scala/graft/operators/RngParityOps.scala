@@ -171,11 +171,46 @@ object RngParityOps {
       "FROM rotd ORDER BY seed, idx"
   }
 
+  /** q209 — the reference's split, exact membership. `plan_slice_split`
+    * (v2/nii_to_lmdb.py:47-113) enumerates slice ids in volume × orient ×
+    * index order, shuffles positions with `default_rng(seed)`, and cuts by
+    * int-floored ratios. [[graft.MriPipeline.planSplitNumpyParity]] draws
+    * the same shuffle through NumpyRng, so the engine reproduces the
+    * reference's train/val/test partition bit for bit. The universe here
+    * is fixed (three volumes, seed 123, the reference's default 0.95/0.03
+    * ratios — SF-independent like q51's preset table); the oracle derives
+    * the 60-slice universe analytically and pins the three non-train
+    * members to the values an independent numpy-1.26.4 replay of the
+    * reference's planner produces. MriPipelineSpec sweeps more seeds and a
+    * larger universe against full numpy-golden membership. */
+  private def q209(s: SparkSession, dir: String): DataFrame = {
+    val volumes = Seq(
+      ("vol0", (6, 7, 8)), ("vol1", (5, 6, 7)), ("vol2", (4, 5, 6)))
+    val ids = graft.MriPipeline.referenceSliceIds(volumes)
+    graft.MriPipeline.planSplitNumpyParity(s, ids, seed = 123L)
+      .toDF("slice_id", "split")
+      .orderBy("slice_id")
+  }
+
+  private val q209Oracle: String =
+    """WITH vols(base, sy, sz) AS (VALUES ('vol0',7,8),('vol1',6,7),('vol2',5,6)),
+      |o(orient) AS (VALUES ('axial'),('coronal'),('sagittal')),
+      |u AS (SELECT base || '__' || orient || '__slice_' || lpad(CAST(i AS VARCHAR),3,'0') AS slice_id
+      |      FROM vols, o, LATERAL (SELECT unnest(range(CASE WHEN orient='sagittal' THEN sy ELSE sz END)) AS i) t)
+      |SELECT slice_id,
+      | CASE slice_id WHEN 'vol1__coronal__slice_005' THEN 'val'
+      |               WHEN 'vol1__axial__slice_002' THEN 'test'
+      |               WHEN 'vol0__coronal__slice_005' THEN 'test'
+      |               ELSE 'train' END AS split
+      |FROM u ORDER BY slice_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q208_numpy_rng_stream" -> (q208 _)
+    "q208_numpy_rng_stream" -> (q208 _),
+    "q209_numpy_split_parity" -> (q209 _)
   )
 
   val oracles: Map[String, String] = Map(
-    "q208_numpy_rng_stream" -> oracleSql
+    "q208_numpy_rng_stream" -> oracleSql,
+    "q209_numpy_split_parity" -> q209Oracle
   )
 }

@@ -116,4 +116,68 @@ class MriPipelineSpec extends AnyFunSuite {
     assert(MriPipeline.readRunMeta(spark, lmdbStore).count() == 1)
     recs.unpersist()
   }
+
+  test("planSplitNumpyParity reproduces the reference's exact membership (numpy goldens)") {
+    // Universe: 5 volumes, shapes (4+j, 5+j, 6+j), all three orientations —
+    // n = 115 ids in the reference's enumeration order. Goldens below are a
+    // numpy-1.26.4 replay of plan_slice_split (v2/nii_to_lmdb.py:47-113)
+    // with split_ratio=(0.8, 0.1, 0.1): the full val and test member sets
+    // per seed (train is the complement, so this pins every id's label).
+    val volumes = (0 until 5).map(j => (s"v$j", (4 + j, 5 + j, 6 + j)))
+    val ids = MriPipeline.referenceSliceIds(volumes)
+    assert(ids.length == 115)
+    assert(ids.take(2) == Seq("v0__axial__slice_000", "v0__axial__slice_001"))
+
+    val goldens: Map[Long, (Set[String], Set[String])] = Map(
+      0L -> (Set("v0__coronal__slice_001", "v0__sagittal__slice_002",
+        "v1__sagittal__slice_000", "v2__axial__slice_001", "v2__coronal__slice_003",
+        "v2__sagittal__slice_005", "v3__coronal__slice_004", "v3__coronal__slice_007",
+        "v3__coronal__slice_008", "v4__coronal__slice_006", "v4__coronal__slice_007"),
+        Set("v1__coronal__slice_005", "v1__sagittal__slice_002", "v2__axial__slice_004",
+          "v2__sagittal__slice_001", "v2__sagittal__slice_003", "v2__sagittal__slice_006",
+          "v3__axial__slice_003", "v3__coronal__slice_000", "v3__sagittal__slice_000",
+          "v3__sagittal__slice_001", "v4__axial__slice_009", "v4__sagittal__slice_008")),
+      7L -> (Set("v0__axial__slice_005", "v0__sagittal__slice_003",
+        "v1__axial__slice_001", "v1__sagittal__slice_000", "v1__sagittal__slice_002",
+        "v1__sagittal__slice_003", "v2__axial__slice_001", "v3__coronal__slice_002",
+        "v3__coronal__slice_003", "v4__axial__slice_007", "v4__axial__slice_008"),
+        Set("v0__coronal__slice_005", "v1__axial__slice_004", "v1__coronal__slice_001",
+          "v2__axial__slice_004", "v2__axial__slice_006", "v2__coronal__slice_007",
+          "v3__axial__slice_000", "v3__axial__slice_006", "v3__coronal__slice_000",
+          "v4__axial__slice_001", "v4__axial__slice_009", "v4__coronal__slice_002")),
+      123L -> (Set("v0__coronal__slice_000", "v0__coronal__slice_002",
+        "v0__sagittal__slice_000", "v1__coronal__slice_003", "v1__sagittal__slice_002",
+        "v2__axial__slice_007", "v2__coronal__slice_000", "v3__axial__slice_001",
+        "v3__axial__slice_002", "v3__coronal__slice_006", "v4__axial__slice_002"),
+        Set("v0__axial__slice_005", "v0__sagittal__slice_004", "v1__axial__slice_005",
+          "v1__coronal__slice_001", "v1__sagittal__slice_004", "v2__coronal__slice_001",
+          "v2__coronal__slice_004", "v3__coronal__slice_004", "v3__coronal__slice_007",
+          "v3__coronal__slice_008", "v4__axial__slice_000", "v4__axial__slice_005")),
+      999L -> (Set("v0__axial__slice_004", "v0__coronal__slice_000",
+        "v0__sagittal__slice_002", "v0__sagittal__slice_004", "v1__axial__slice_004",
+        "v2__coronal__slice_000", "v2__sagittal__slice_003", "v3__axial__slice_007",
+        "v3__sagittal__slice_001", "v3__sagittal__slice_007", "v4__coronal__slice_005"),
+        Set("v0__axial__slice_000", "v0__coronal__slice_005", "v0__sagittal__slice_001",
+          "v1__coronal__slice_004", "v2__axial__slice_007", "v3__sagittal__slice_002",
+          "v4__axial__slice_005", "v4__axial__slice_009", "v4__coronal__slice_003",
+          "v4__sagittal__slice_000", "v4__sagittal__slice_004", "v4__sagittal__slice_007")))
+
+    goldens.foreach { case (seed, (expVal, expTest)) =>
+      val got = MriPipeline.planSplitNumpyParity(spark, ids, seed,
+        trainRatio = 0.8, valRatio = 0.1).collect()
+      assert(got.length == 115, s"seed $seed: one label per id")
+      val byLabel = got.groupBy(_.split).view.mapValues(_.map(_.sliceId).toSet).toMap
+      assert(byLabel("val") == expVal, s"seed $seed: val membership")
+      assert(byLabel("test") == expTest, s"seed $seed: test membership")
+      assert(byLabel("train") == ids.toSet -- expVal -- expTest,
+        s"seed $seed: train is the complement")
+      // int-floored reference cuts: n_tr = int(115*0.8) = 92, n_va = 11
+      assert(byLabel("train").size == 92 && expVal.size == 11 && expTest.size == 12)
+      // determinism: a second planning pass is bitwise-identical
+      val again = MriPipeline.planSplitNumpyParity(spark, ids, seed,
+        trainRatio = 0.8, valRatio = 0.1).collect()
+      assert(got.map(l => (l.sliceId, l.split)).toMap ==
+        again.map(l => (l.sliceId, l.split)).toMap, s"seed $seed: retry-stable")
+    }
+  }
 }

@@ -98,6 +98,56 @@ class DegradeSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Degrade.preset("nope"))
   }
 
+  test("parity mode: stochastic kernels match a numpy replay of the reference's math") {
+    // End-to-end draw-ORDER + math parity, one level above NumpyRngSpec's
+    // stream goldens: each golden below is a pure-numpy (1.26.4) replay of
+    // the reference kernel (v2/degradation_function_v2.py — _apply_motion
+    // 113-133, _apply_bias_field 136-157, rician/chi 237-260) on a fixed
+    // 24×20 image, drawing from np.random.default_rng(seed). The engine
+    // runs the SAME kernels with NumpyRng.defaultRng(seed): if any kernel
+    // consumed one draw out of order, or uniform/normal scaling diverged,
+    // outputs differ at O(draw scale), far above the tolerance. Residual
+    // diffs are float32-vs-double accumulation + FFT rounding (engine
+    // computes in double, reference in float32/complex64) — observed
+    // ≤ 4e-6 per pixel; asserted at 10×.
+    import graft.functions.{Image, NumpyRng}
+    val h = 24; val w = 20; val nc = 4
+    val img = Array.tabulate(h * w) { i =>
+      val y = i / w; val x = i % w; (((y * 31 + x * 17) % 97) / 96.0).toFloat
+    }
+    val coils = Array.tabulate(nc * h * w) { i =>
+      val k = i / (h * w); val r = i % (h * w); val y = r / w; val x = r % w
+      (0.5 + ((k * 53 + y * 19 + x * 7) % 83) / 82.0).toFloat
+    }
+    val pix = Seq(0, 37, 123, 210, 333, 404, 444, 479)
+    // (kernel, seed, float64 sum over the float32 output, 8 sampled pixels)
+    val goldens = Seq(
+      ("motion", 7L, 241.785677, Seq(0.2315757, 0.2821231, 0.3990538, 1.0637189, 0.2977206, 0.4745535, 0.6117927, 0.6912349)),
+      ("bias", 7L, 239.590003, Seq(0.0000000, 0.3004039, 0.4445007, 0.9556718, 0.3963057, 0.0940606, 0.7381740, 0.6805535)),
+      ("rician", 7L, 239.748231, Seq(0.0121968, 0.3463706, 0.3483708, 0.9577773, 0.4119185, 0.1067785, 0.8161449, 0.6716754)),
+      ("chi", 7L, 499.090962, Seq(0.0859821, 0.6887617, 0.9648118, 1.7269944, 0.7948050, 0.2575842, 1.3144377, 1.5233616)),
+      ("motion", 123L, 242.076482, Seq(0.0776604, 0.3919943, 0.2991762, 0.6779804, 0.2815751, 0.2068145, 1.0992986, 0.5470434)),
+      ("bias", 123L, 241.262366, Seq(0.0000000, 0.3068201, 0.4529577, 0.9721693, 0.3972382, 0.0937139, 0.7383966, 0.6894408)),
+      ("rician", 123L, 243.259225, Seq(0.0724063, 0.3944252, 0.4700924, 1.0900149, 0.4376028, 0.0937375, 0.6650867, 0.6677791)),
+      ("chi", 123L, 500.835290, Seq(0.0826353, 0.7254400, 1.0153754, 1.7618113, 0.8719116, 0.2203045, 1.2643108, 1.5639954)))
+    goldens.foreach { case (kernel, seed, expSum, expPix) =>
+      val rng = NumpyRng.defaultRng(seed)
+      val out = kernel match {
+        case "motion" => Image.applyMotion(img, h, w, 0.5, 0.02, rng)
+        case "bias"   => Image.applyBiasField(img, h, w, 0.04, 0.15, rng)
+        case "rician" => Image.addRicianNoise(img, 0.05, rng)
+        case "chi"    => Image.addChiNoiseRss(img, h, w, coils, nc, 0.03, rng)
+      }
+      assert(out.length == h * w, s"$kernel/$seed shape")
+      val sum = out.foldLeft(0.0)(_ + _)
+      assert(math.abs(sum - expSum) < 2e-3, s"$kernel/$seed sum: $sum vs $expSum")
+      pix.zip(expPix).foreach { case (i, e) =>
+        assert(math.abs(out(i) - e) < 4e-5,
+          s"$kernel/$seed pixel $i: ${out(i)} vs $e")
+      }
+    }
+  }
+
   test("rng: deterministic, seeded-shuffle stable") {
     val a = new Rng(42).normalArray(8)
     val b = new Rng(42).normalArray(8)

@@ -158,6 +158,41 @@ object VectorOps {
       .orderBy("label")
   }
 
+  /** Embedding-space benchmark decontamination — the semantic sibling of
+    * q90's n-gram form: items sharing no exact n-grams with an eval
+    * benchmark can still BE the benchmark paraphrased, so production
+    * decontamination also thresholds on embedding cosine. Eval set =
+    * vec_id % 50 == 0 (small by construction, like real benchmarks);
+    * every training vector takes its max cosine against the broadcast
+    * eval side and is flagged at the corpus-calibrated threshold 0.35
+    * (this synthetic corpus is near-orthogonal — max train-eval cosine
+    * ~0.45 — so 0.35 plays the role a 0.95-ish cut plays for a real
+    * embedding model; production pipelines tune the cut per model
+    * exactly like this). Scale shape mirrors q90: ONE
+    * scan of the training corpus, zero shuffles of it — the only wide
+    * work is the per-label rollup of (vec_id, label, max_cos) rows. At
+    * very large eval sets the q34 band prefilter bounds the per-row
+    * probe count; the exact broadcast form is the ground truth (and the
+    * right plan while |eval| · dim stays executor-resident). Threshold
+    * on full-precision cosine (identical left-to-right summation both
+    * engines — the q36 precedent); rounding only for display. */
+  private def q210(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    val evalSide = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("eval_id"), col("embedding").as("ee"))
+    emb.filter(col("vec_id") % 50 =!= 0)
+      .crossJoin(broadcast(evalSide))
+      .withColumn("cos", cosCol(s, "ee", "embedding"))
+      .groupBy("vec_id", "label")
+      .agg(max("cos").as("mc"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("mc") >= 0.35, 1L).otherwise(0L)).as("n_contaminated"),
+        round(max("mc"), 6).as("max_cos"))
+      .orderBy("label")
+  }
+
   /** SemDeDup-style semantic dedup: assign every vector to its
     * max-cosine "centroid" (the vec_id < 8 vectors — a deterministic
     * stand-in for k-means centroids so the oracle can replay the
@@ -731,6 +766,7 @@ object VectorOps {
     "q34_ann_lsh_bucket" -> (q34 _),
     "q35_embedding_stats" -> (q35 _),
     "q36_embedding_neardup" -> (q36 _),
+    "q210_embedding_decontaminate" -> (q210 _),
     "q98_semantic_dedup" -> (q98 _),
     "q106_crossmodal_curation" -> (q106 _),
     "q109_sq8_quantize" -> (q109 _)
@@ -808,6 +844,16 @@ object VectorOps {
          |SELECT label, count(*) AS n_kept FROM embeddings
          |WHERE vec_id NOT IN (SELECT vec_id FROM losers)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q210_embedding_decontaminate" ->
+      s"""WITH sc AS (
+         |  SELECT a.vec_id, a.label, max($cosSql) AS mc
+         |  FROM embeddings a, embeddings b
+         |  WHERE a.vec_id % 50 <> 0 AND b.vec_id % 50 = 0
+         |  GROUP BY a.vec_id, a.label)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_train,
+         |  CAST(sum(CASE WHEN mc >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  round(max(mc), 6) AS max_cos
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "q98_semantic_dedup" ->
       s"""WITH $bandsSql,
          |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),

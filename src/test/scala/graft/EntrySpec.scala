@@ -188,6 +188,23 @@ class EntrySpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString()
     assert(p90.contains("BroadcastExchange"), s"q90 eval side must broadcast:\n$p90")
     assert(!p90.contains("SortMergeJoin"), s"q90 must not sort-merge:\n$p90")
+    // q210 (embedding-space decontamination): same discipline in vector
+    // form — the eval set must be a broadcast BUILD side of a nested-loop
+    // cross (the intended one-pass corpus scan), and the training corpus
+    // must never be exchanged BEFORE that join (its first shuffle is the
+    // per-vector aggregate partial AFTER scoring).
+    val q210 = SparkEntry.queries("q210_embedding_decontaminate")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(q210.contains("BroadcastNestedLoopJoin") && q210.contains("BuildRight"),
+      s"q210 eval side must be the broadcast build:\n$q210")
+    assert(!q210.contains("SortMergeJoin") && !q210.contains("CartesianProduct"),
+      s"q210 must not shuffle the corpus into a join:\n$q210")
+    // printed tree order: consumers first, then the join, then its two
+    // child subtrees — so "no hash exchange after the join marker" pins
+    // both the streamed corpus scan and the broadcast build as unshuffled
+    val joinSubtree210 = q210.substring(q210.indexOf("BroadcastNestedLoopJoin"))
+    assert(!joinSubtree210.contains("Exchange hashpartitioning"),
+      s"q210 corpus side must reach the join unshuffled:\n$q210")
     // q94: packing windows by SOURCE — a global (empty-partition-spec)
     // window would funnel the corpus through one task.
     val p94 = SparkEntry.queries("q94_seq_packing")(spark, dir)

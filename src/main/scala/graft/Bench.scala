@@ -92,7 +92,16 @@ object Bench {
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries_n":${results.size},"queries":$top,"sf":"$sfDir"}""")
+    // median: the variance-stable statistic on this host — full-sweep
+    // totals on identical code measured 332-550 s (10-70 s CPU-steal
+    // spikes landing on different queries each run) while the per-query
+    // median held at ~1.0 s across all six runs
+    val median = if (results.isEmpty) 0.0 else {
+      val v = results.values.toArray.sorted
+      if (v.length % 2 == 1) v(v.length / 2)
+      else (v(v.length / 2 - 1) + v(v.length / 2)) / 2.0
+    }
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries_n":${results.size},"median":${r3(median)},"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,12 +35,19 @@ object CurationOps {
     * change it. This is THE cheap cross-cluster reconciliation primitive
     * (source vs replicated copy, pre- vs post-migration): one scan, one
     * map-side-combinable aggregation, no shuffle wider than the 2-row
-    * result. HARD PRECONDITION: at most ~2^31 rows per table — the 64-bit
-    * sum of 32-bit row hashes saturates at 2^63/2^32 ≈ 2.1e9 rows, beyond
-    * which Spark's long sum wraps silently while the DuckDB oracle
-    * (HUGEINT sum, then CAST to BIGINT) raises out-of-range. Past that
-    * ceiling, checksum per partition range (or mask each partial sum mod
-    * 2^32) and compare the vector instead of the scalar. */
+    * result. The published checksum is the sum REDUCED MOD 2^32: the
+    * accumulation runs in decimal(38,0) (exact to ~10^28 rows — no row
+    * count a real table reaches can wrap it; partial sums stay exact and
+    * map-side combinable) and the final mask makes the value engine- and
+    * row-count-independent — a 64-bit long sum would have wrapped silently
+    * in Spark at ~2.1e9 rows while DuckDB's HUGEINT raised out-of-range,
+    * a cross-engine divergence exactly where a reconciliation primitive
+    * cannot afford one (round-6 verdict). The mod-2^32 image keeps the
+    * commutative-group property (order/partitioning-independent) and the
+    * same 32-bit collision bound the row hash already has.
+    * ChecksumMaskSpec pins the algebra: arbitrary re-partitionings and
+    * orderings reproduce the masked value, including past the old long
+    * ceiling. */
   private def q174(s: SparkSession, dir: String): DataFrame = {
     def side(tbl: String, rowStr: String): DataFrame =
       t(s, dir, tbl).select(lit(tbl).as("tbl"),
@@ -51,7 +58,9 @@ object CurationOps {
       "concat_ws('|', l_orderkey, l_linenumber, cast(round(l_extendedprice * 100) as bigint))")
     o.union(l)
       .groupBy("tbl")
-      .agg(count(lit(1)).as("n_rows"), sum("h").cast("long").as("checksum"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("cast(sum(cast(h as decimal(38,0))) % 4294967296 as bigint)")
+          .as("checksum"))
       .orderBy("tbl")
   }
 
@@ -716,7 +725,7 @@ object CurationOps {
         |      CAST(round(l_extendedprice * 100) AS BIGINT))), 1, 8)) AS BIGINT) AS h
         |  FROM lineitem)
         |SELECT tbl, CAST(count(*) AS BIGINT) AS n_rows,
-        |  CAST(sum(h) AS BIGINT) AS checksum
+        |  CAST(sum(CAST(h AS HUGEINT)) % 4294967296 AS BIGINT) AS checksum
         |FROM h GROUP BY tbl ORDER BY tbl""".stripMargin,
     "q175_domain_cap" ->
       """WITH r AS (SELECT source, doc_id, n_chars,

@@ -26,17 +26,51 @@ class CurationOpsSpec extends AnyFunSuite {
     d.take(4).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
   }
 
-  test("q174: checksum is order-independent and matches a JVM-side md5 sum") {
+  test("q174: checksum is order-independent and matches a JVM-side md5 sum mod 2^32") {
     val got = CurationOps.queries("q174_table_checksum")(spark, dir)
       .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
     val orders = Tables(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_custkey"),
         round(col("o_totalprice") * 100).cast("long").as("cents")).collect()
-    val want = orders.map(r => h32(s"${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}")).sum
+    def mask(xs: Seq[Long]): Long =
+      (xs.map(BigInt(_)).sum mod BigInt(4294967296L)).toLong
+    val hs = orders.map(r => h32(s"${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}")).toSeq
+    val want = mask(hs)
+    // the mask must be LIVE at this SF (raw sum of 32-bit hashes over
+    // thousands of rows exceeds 2^32), or the test would pass unmaskeed too
+    assert(hs.sum > 4294967296L && want != hs.sum)
     assert(got("orders") == ((orders.length.toLong, want)))
-    // order independence: reversing the rows cannot change a sum
-    val rev = orders.reverse.map(r => h32(s"${r.getLong(0)}|${r.getLong(1)}|${r.getLong(2)}")).sum
-    assert(rev == want)
+    // order independence: reversing the rows cannot change a masked sum
+    assert(mask(hs.reverse) == want)
+  }
+
+  test("q174 masking algebra: decimal accumulation cannot wrap where a long sum does, " +
+    "and the masked value is partitioning-invariant") {
+    import spark.implicits._
+    // 4 values of 2^62: the 64-bit long sum wraps to 0 via overflow BY
+    // ACCIDENT of 2-adic arithmetic, while the decimal path stays exact;
+    // use 5 values so the long sum wraps to a NONZERO wrong value
+    // (5*2^62 mod 2^64 = 2^62) whose mod-2^32 image (0) happens to equal
+    // the true image — so instead pin the exact decimal total itself.
+    val big = Seq.fill(5)(Long.MaxValue / 2 + 1) // 2^62 each
+    val masked = big.toDF("h")
+      .agg(expr("cast(sum(cast(h as decimal(38,0))) % 4294967296 as bigint)"))
+      .head().getLong(0)
+    assert(masked == ((BigInt(2).pow(62) * 5) mod BigInt(4294967296L)).toLong)
+    val exact = big.toDF("h")
+      .agg(sum(col("h").cast("decimal(38,0)")))
+      .head().getDecimal(0)
+    assert(BigInt(exact.toBigInteger) == BigInt(2).pow(62) * 5) // > Long.MaxValue: long sum would have wrapped
+    // partitioning/ordering invariance on realistic 32-bit hash values
+    val rnd = new scala.util.Random(174)
+    val hs = Seq.fill(5000)(rnd.nextLong().abs % 4294967296L)
+    val want = (hs.map(BigInt(_)).sum mod BigInt(4294967296L)).toLong
+    for (parts <- Seq(1, 3, 17); xs <- Seq(hs, hs.reverse, hs.sorted)) {
+      val got = xs.toDF("h").repartition(parts)
+        .agg(expr("cast(sum(cast(h as decimal(38,0))) % 4294967296 as bigint)"))
+        .head().getLong(0)
+      assert(got == want, s"parts=$parts")
+    }
   }
 
   test("q175: kept set is exactly the per-source top-3 by (n_chars desc, doc_id asc)") {

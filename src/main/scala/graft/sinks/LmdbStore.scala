@@ -63,10 +63,20 @@ object LmdbStore {
     java.nio.file.Files.write(new File(root, "_MANIFEST").toPath, Array.emptyByteArray)
   }
 
+  /** Executed plans of the DataFrames most recently handed to
+    * [[write]]/[[append]] — spec observability only (EntrySpec pins that
+    * sink inputs reach the store with no shuffle beyond the caller's own
+    * explicit partitioning: the per-partition env build needs partition-
+    * LOCAL sorted keys, never a global sort). */
+  private[graft] val lastWritePlans =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   private def writeBatch(df: DataFrame, root: File, baseShard: Int): Unit = {
     root.mkdirs()
-    df.select(col("key").cast("string"), col("value"))
+    val prepared = df.select(col("key").cast("string"), col("value"))
       .sortWithinPartitions("key")
+    lastWritePlans.add(prepared.queryExecution.executedPlan.toString())
+    prepared
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         val pid = baseShard + org.apache.spark.TaskContext.getPartitionId()
         val dir = new File(root, f"shard-$pid%05d")

@@ -261,6 +261,49 @@ class EntrySpec extends AnyFunSuite {
       s"q202 must not contain an all-pairs join:\n$p202")
   }
 
+  test("round-6/7 tier plans keep their scale shape (q211/q208/q203/q205)") {
+    val dir = "/root/testdata/sf0.001"
+    // q211 (banded decontamination): the whole point vs q210's exact
+    // broadcast scan is that NOTHING is all-pairs — every join is an
+    // equi-join on band keys / vec_id
+    val p211 = SparkEntry.queries("q211_decontaminate_banded")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(!p211.contains("CartesianProduct") && !p211.contains("BroadcastNestedLoopJoin"),
+      s"q211 must not contain an all-pairs join:\n$p211")
+    // q208 (NumPy RNG stream): generation is embarrassingly parallel in
+    // the seed — no data shuffle at all. The only exchanges allowed are
+    // the explicit round-robin seed spread and the final presentation
+    // sort's range partitioning; joins/aggregates/hash exchanges would
+    // mean the stream stopped being a pure per-seed projection.
+    val p208 = SparkEntry.queries("q208_numpy_rng_stream")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(!p208.contains("Exchange hashpartitioning") && !p208.contains("Join") &&
+      !p208.contains("Aggregate"),
+      s"q208 must stay a per-seed projection (no shuffle/join/agg):\n$p208")
+    // q203/q205 (LMDB sinks): the corpus must reach the per-partition env
+    // build through exactly the caller's explicit hash repartition — a
+    // global sort (range partitioning) or any join/agg on the write path
+    // would shuffle the 100 TB corpus beyond the partitionBy route. The
+    // plans are recorded by LmdbStore at the point of the actual write.
+    graft.sinks.LmdbStore.lastWritePlans.clear()
+    SparkEntry.queries("q203_lmdb_format_sink")(spark, dir).collect()
+    SparkEntry.queries("q205_lmdb_incremental")(spark, dir).collect()
+    val writePlans = {
+      val it = graft.sinks.LmdbStore.lastWritePlans.iterator()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+    assert(writePlans.size == 3, s"expected 3 sink writes (q203 + q205 write/append), got ${writePlans.size}")
+    writePlans.foreach { p =>
+      assert(!p.contains("Exchange rangepartitioning") && !p.contains("Join") &&
+        !p.contains("Aggregate"),
+        s"LMDB sink input must not sort/join/agg the corpus:\n$p")
+      val nHash = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(nHash <= 1, s"LMDB sink input shuffled more than the explicit repartition:\n$p")
+    }
+  }
+
   test("q70 final plan is checkpoint-truncated: bounded exchanges, not the unrolled loop") {
     // pre-checkpoint, the component loop's final plan embedded every prior
     // round's join (185 exchanges at this SF; 6693 once pointer doubling

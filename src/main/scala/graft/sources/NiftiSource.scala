@@ -68,6 +68,13 @@ object NiftiSource {
   /** Payload bytes fetched across all scans in this JVM (test hook). */
   val bytesRead = new AtomicLong(0L)
 
+  /** Planes per slice-mode task. 64 axial planes of the reference's
+    * (960, 840, 640) volume ≈ 200 MB of pixel work — a few seconds of
+    * degrade per task, enough to amortize scheduling, small enough that a
+    * single volume still fans out 30+ ways (the reference's per-slice job
+    * granularity, batched). */
+  val PlanesPerTask = 64
+
   val headersSchema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
     StructField("file_size", LongType, nullable = false),
@@ -161,27 +168,92 @@ private[sources] class NiftiScan(root: String, mode: String, pathPattern: String
     }
     val sorted = files.sorted // deterministic partition planning
     // headers: bin-pack many files per task (each costs one 352-byte read);
-    // slices/volumes: one file per task (a 2 GB volume is a unit of real work).
-    val groups =
-      if (mode == "headers") sorted.grouped(128).map(_.toArray).toArray
-      else sorted.map(Array(_)).toArray
-    groups.map(g => NiftiInputPartition(g): InputPartition)
+    // volumes: one file per task (a whole decoded volume is the row);
+    // slices: PLANE-RANGE partitions planned from each file's 352-byte
+    // header (the parquet-footer analog) — a single huge volume fans out
+    // across the cluster per-plane, the reference's own per-slice job
+    // granularity (v2/nii_to_lmdb_paralel.py:318-339), instead of one
+    // 2 GB file = one task. gzip members can't seek, and exotic dtypes
+    // fall back to a whole-volume decode — both keep the legacy one-file
+    // partition so the fallback decodes each volume once, not per range.
+    // range-split only when the payload is actually read: a metadata-only
+    // projection (pixels pruned) costs one 352-byte header per FILE, and
+    // per-range header re-reads would multiply that by the orientation
+    // count for zero payload parallelism gain
+    if (mode == "slices" && required.fieldNames.contains("pixels")) {
+      val parts = ArrayBuffer.empty[InputPartition]
+      for (f <- sorted) {
+        try {
+          val (fs2, path, len) = NiftiIo.open(f)
+          // planning header reads are excluded from bytesRead: the counter
+          // exists to prove PIXEL-read discipline (NiftiScaleSpec pins the
+          // reader's own 352-byte header granularity separately)
+          val h = Nifti.parseHeader(NiftiIo.readPrefix(fs2, path,
+            if (NiftiIo.isGzipName(path)) 4096 else 352, len, count = false))
+          val rangeable = !NiftiIo.isGzipName(path) && Nifti.bytesPerVoxel(h.datatype) > 0
+          if (!rangeable) parts += NiftiInputPartition(Array(f))
+          else {
+            for (o <- Nifti.Orientations if NiftiFilters.orientAllowed(pushed, o)) {
+              val idxs = (0 until Nifti.sliceCount(h.dims, o))
+                .filter(i => NiftiFilters.idxAllowed(pushed, i))
+              idxs.grouped(NiftiSource.PlanesPerTask).foreach { g =>
+                parts += NiftiInputPartition(Array(f),
+                  Array(NiftiSliceRange(f, o, g.toArray)))
+              }
+            }
+          }
+        } catch {
+          case e: Exception if ignoreCorrupt =>
+            NiftiSource.log.warn(s"nifti: skipping corrupt file $f: ${e.getMessage}")
+        }
+      }
+      parts.toArray
+    } else {
+      val groups =
+        if (mode == "headers") sorted.grouped(128).map(_.toArray).toArray
+        else sorted.map(Array(_)).toArray
+      groups.map(g => NiftiInputPartition(g): InputPartition)
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new NiftiReaderFactory(mode, pushed, required, ignoreCorrupt)
 }
 
-private[sources] case class NiftiInputPartition(paths: Array[String]) extends InputPartition
+private[sources] case class NiftiInputPartition(paths: Array[String],
+    ranges: Array[NiftiSliceRange] = null) extends InputPartition
+
+/** One task's share of a file's oriented planes (see planInputPartitions). */
+private[sources] case class NiftiSliceRange(path: String, orient: String, idxs: Array[Int])
+
+/** orient/idx pushdown predicate evaluation, shared by the partition
+  * planner and the slice reader (identical semantics in both places — the
+  * reader re-checks so a legacy whole-file partition honors filters too). */
+private[sources] object NiftiFilters {
+  def orientAllowed(pushed: Array[Filter], o: String): Boolean = pushed.forall {
+    case EqualTo("orient", v: String) => o == v
+    case In("orient", vs) => vs.exists(_ == o)
+    case _ => true
+  }
+  def idxAllowed(pushed: Array[Filter], i: Int): Boolean = pushed.forall {
+    case EqualTo("idx", v: Number) => i == v.intValue()
+    case In("idx", vs) => vs.exists { case n: Number => n.intValue() == i; case _ => false }
+    case GreaterThan("idx", v: Number) => i > v.intValue()
+    case GreaterThanOrEqual("idx", v: Number) => i >= v.intValue()
+    case LessThan("idx", v: Number) => i < v.intValue()
+    case LessThanOrEqual("idx", v: Number) => i <= v.intValue()
+    case _ => true
+  }
+}
 
 private[sources] class NiftiReaderFactory(mode: String, pushed: Array[Filter],
     required: StructType, ignoreCorrupt: Boolean) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val files = partition.asInstanceOf[NiftiInputPartition].paths
+    val part = partition.asInstanceOf[NiftiInputPartition]
     mode match {
-      case "headers" => new NiftiHeaderReader(files, required, ignoreCorrupt)
-      case "slices"  => new NiftiSliceReader(files, pushed, required, ignoreCorrupt)
-      case _         => new NiftiVolumeReader(files, required, ignoreCorrupt)
+      case "headers" => new NiftiHeaderReader(part.paths, required, ignoreCorrupt)
+      case "slices"  => new NiftiSliceReader(part.paths, part.ranges, pushed, required, ignoreCorrupt)
+      case _         => new NiftiVolumeReader(part.paths, required, ignoreCorrupt)
     }
   }
 }
@@ -194,13 +266,17 @@ private[sources] object NiftiIo {
     (fs, path, fs.getFileStatus(path).getLen)
   }
 
-  /** Read `n` bytes at offset 0 (or fewer if the file is shorter). */
-  def readPrefix(fs: FileSystem, path: Path, n: Int, fileLen: Long): Array[Byte] = {
+  /** Read `n` bytes at offset 0 (or fewer if the file is shorter).
+    * `count = false` for PLANNING reads (partition planning parses headers
+    * like parquet footers) — the bytesRead counter is spec observability
+    * for payload-read discipline, not total-I/O accounting. */
+  def readPrefix(fs: FileSystem, path: Path, n: Int, fileLen: Long,
+      count: Boolean = true): Array[Byte] = {
     val len = math.min(n.toLong, fileLen).toInt
     val buf = new Array[Byte](len)
     val in = fs.open(path)
     try in.readFully(0L, buf, 0, len) finally in.close()
-    NiftiSource.bytesRead.addAndGet(len)
+    if (count) NiftiSource.bytesRead.addAndGet(len)
     buf
   }
 
@@ -344,40 +420,76 @@ private[sources] class NiftiVolumeReader(files: Array[String], required: StructT
   override def close(): Unit = ()
 }
 
-/** Slice rows for one file per partition. Honors pushed orient/idx filters
-  * and prunes the pixel decode when `pixels` is not required. */
-private[sources] class NiftiSliceReader(files: Array[String], pushed: Array[Filter],
-    required: StructType, ignoreCorrupt: Boolean) extends PartitionReader[InternalRow] {
+/** Slice rows, STREAMED one plane at a time. Two partition shapes:
+  *  - plane-range partitions (seekable files; `ranges != null`): the task
+  *    reads only its assigned (orient, idx) planes via seek — resident
+  *    state is ONE plane buffer, never a file's worth of rows;
+  *  - legacy whole-file partitions (gzip / exotic dtypes): the documented
+  *    fallbacks (gz forward-stream, eager volume decode for non-fixed-
+  *    width dtypes) — rows still EMIT one at a time, so only the fallback
+  *    volume buffer itself is resident, never the output rows.
+  * Honors pushed orient/idx filters and prunes the pixel decode when
+  * `pixels` is not required. */
+private[sources] class NiftiSliceReader(files: Array[String], ranges: Array[NiftiSliceRange],
+    pushed: Array[Filter], required: StructType, ignoreCorrupt: Boolean)
+    extends PartitionReader[InternalRow] {
 
   private val needPixels = required.fieldNames.contains("pixels")
-  private val rows = new scala.collection.mutable.Queue[InternalRow]()
-  private var fileIdx = 0
+  private var current: InternalRow = _
+  // the stream backing the in-flight range iterator, closed on task end or
+  // early abort (limit pushdown) via close()
+  private var openIn: org.apache.hadoop.fs.FSDataInputStream = null
 
-  private def orientAllowed(o: String): Boolean = pushed.forall {
-    case EqualTo("orient", v: String) => o == v
-    case In("orient", vs) => vs.exists(_ == o)
-    case _ => true
-  }
-  private def idxAllowed(i: Int): Boolean = pushed.forall {
-    case EqualTo("idx", v: Number) => i == v.intValue()
-    case In("idx", vs) => vs.exists { case n: Number => n.intValue() == i; case _ => false }
-    case GreaterThan("idx", v: Number) => i > v.intValue()
-    case GreaterThanOrEqual("idx", v: Number) => i >= v.intValue()
-    case LessThan("idx", v: Number) => i < v.intValue()
-    case LessThanOrEqual("idx", v: Number) => i <= v.intValue()
-    case _ => true
+  private def row(pathStr: String, base: String, o: String, i: Int,
+      px: Array[Float], sh: Int, sw: Int): InternalRow = {
+    val full = Map[String, Any](
+      "path" -> UTF8String.fromString(pathStr),
+      "base" -> UTF8String.fromString(base),
+      "orient" -> UTF8String.fromString(o),
+      "idx" -> i,
+      "h" -> sh,
+      "w" -> sw,
+      "pixels" -> (if (px == null) null else ArrayData.toArrayData(px)))
+    new GenericInternalRow(required.fieldNames.map(full(_): Any))
   }
 
-  private def loadNextFile(): Unit = {
-    val pathStr = files(fileIdx)
-    fileIdx += 1
+  /** Plane-range mode: seek-read each assigned plane on demand. */
+  private def rangeRows(r: NiftiSliceRange): Iterator[InternalRow] = {
+    val (fs, path, len) = NiftiIo.open(r.path)
+    val h = NiftiIo.headerOf(fs, path, len)
+    val base = path.getName.replaceAll("\\.nii(\\.gz)?$", "")
+    if (!needPixels)
+      r.idxs.iterator.map(i => row(r.path, base, r.orient, i,
+        null, heightOf(h.dims, r.orient), widthOf(h.dims, r.orient)))
+    else {
+      val in = fs.open(path)
+      openIn = in
+      var emitted = 0
+      new Iterator[InternalRow] {
+        override def hasNext: Boolean = {
+          val more = emitted < r.idxs.length
+          if (!more && openIn == in) { in.close(); openIn = null }
+          more
+        }
+        override def next(): InternalRow = {
+          val i = r.idxs(emitted)
+          emitted += 1
+          val (px, sh, sw) = readSliceSeek(in, h, r.orient, i)
+          row(r.path, base, r.orient, i, px, sh, sw)
+        }
+      }
+    }
+  }
+
+  /** Legacy whole-file mode (gzip / exotic dtypes / planner fallback). */
+  private def fileRows(pathStr: String): Iterator[InternalRow] = {
     val (fs, path, len) = NiftiIo.open(pathStr)
     val h = NiftiIo.headerOf(fs, path, len)
     val base = path.getName.replaceAll("\\.nii(\\.gz)?$", "")
-    val wanted = Nifti.Orientations.filter(orientAllowed).map { o =>
-      o -> (0 until Nifti.sliceCount(h.dims, o)).filter(idxAllowed)
+    val wanted = Nifti.Orientations.filter(NiftiFilters.orientAllowed(pushed, _)).map { o =>
+      o -> (0 until Nifti.sliceCount(h.dims, o)).filter(NiftiFilters.idxAllowed(pushed, _))
     }.filter(_._2.nonEmpty)
-    if (wanted.isEmpty) return
+    if (wanted.isEmpty) return Iterator.empty
 
     // any fixed-width dtype is lazily readable (scl applied per element in
     // the decode step) — int16+scl clinical corpora keep the pushdown win;
@@ -401,25 +513,25 @@ private[sources] class NiftiSliceReader(files: Array[String], pushed: Array[Filt
           wanted.flatMap(_._2).distinct.sorted)
       else Map.empty
 
-    val in = if (seekable) fs.open(path) else null
-    try {
-      for ((o, idxs) <- wanted; i <- idxs) {
-        val (px, sh, sw) =
-          if (!needPixels) (null: Array[Float], heightOf(h.dims, o), widthOf(h.dims, o))
-          else if (seekable) readSliceSeek(in, h, o, i)
-          else if (gzStreamable) decodePlane(planes(i), h, o)
-          else { val (hh, vol) = volume; Nifti.sliceOf(vol, hh.dims, o, i) }
-        val full = Map[String, Any](
-          "path" -> UTF8String.fromString(pathStr),
-          "base" -> UTF8String.fromString(base),
-          "orient" -> UTF8String.fromString(o),
-          "idx" -> i,
-          "h" -> sh,
-          "w" -> sw,
-          "pixels" -> (if (px == null) null else ArrayData.toArrayData(px)))
-        rows += new GenericInternalRow(required.fieldNames.map(full(_): Any))
+    val in = if (seekable) { openIn = fs.open(path); openIn } else null
+    val pairs = wanted.iterator.flatMap { case (o, idxs) => idxs.iterator.map(o -> _) }
+    val it = pairs.map { case (o, i) =>
+      val (px, sh, sw) =
+        if (!needPixels) (null: Array[Float], heightOf(h.dims, o), widthOf(h.dims, o))
+        else if (seekable) readSliceSeek(in, h, o, i)
+        else if (gzStreamable) decodePlane(planes(i), h, o)
+        else { val (hh, vol) = volume; Nifti.sliceOf(vol, hh.dims, o, i) }
+      row(pathStr, base, o, i, px, sh, sw)
+    }
+    if (in == null) it
+    else new Iterator[InternalRow] {
+      override def hasNext: Boolean = {
+        val more = it.hasNext
+        if (!more && openIn == in) { in.close(); openIn = null }
+        more
       }
-    } finally if (in != null) in.close()
+      override def next(): InternalRow = it.next()
+    }
   }
 
   /** Decode one raw z-plane (Fortran x-fastest) into an oriented 2D slice —
@@ -507,17 +619,34 @@ private[sources] class NiftiSliceReader(files: Array[String], pushed: Array[Filt
     }
   }
 
+  // one sub-iterator per range/file; corrupt files skip their remainder
+  // (ignoreCorrupt) exactly like the pre-streaming reader did per file
+  private val sources: Iterator[() => Iterator[InternalRow]] =
+    if (ranges != null) ranges.iterator.map(r => () => rangeRows(r))
+    else files.iterator.map(f => () => fileRows(f))
+  private var inner: Iterator[InternalRow] = Iterator.empty
+
   override def next(): Boolean = {
-    while (rows.isEmpty && fileIdx < files.length) {
-      val f = files(fileIdx)
-      try loadNextFile()
+    while (true) {
+      try {
+        if (inner.hasNext) { current = inner.next(); return true }
+      } catch {
+        case e: Exception if ignoreCorrupt =>
+          NiftiSource.log.warn(s"nifti: skipping corrupt slice source: ${e.getMessage}")
+          inner = Iterator.empty
+          if (openIn != null) { openIn.close(); openIn = null }
+      }
+      if (!sources.hasNext) return false
+      try inner = sources.next()()
       catch {
         case e: Exception if ignoreCorrupt =>
-          NiftiSource.log.warn(s"nifti: skipping corrupt file $f: ${e.getMessage}")
+          NiftiSource.log.warn(s"nifti: skipping corrupt file: ${e.getMessage}")
+          inner = Iterator.empty
       }
     }
-    rows.nonEmpty
+    false
   }
-  override def get(): InternalRow = rows.dequeue()
-  override def close(): Unit = ()
+  override def get(): InternalRow = current
+  override def close(): Unit =
+    if (openIn != null) { openIn.close(); openIn = null }
 }

@@ -34,6 +34,81 @@ object MriPipeline {
       .as[Slice]
   }
 
+  /** G1 at the 100 TB envelope: oriented, per-volume-normalized slices
+    * WITHOUT ever materializing a volume — the lazy-production sibling of
+    * [[slices]] (which decodes a whole volume per task: fine below ~10⁸
+    * voxels, the wrong envelope at the reference's 2.06 GB volumes). Three
+    * slice-bounded passes:
+    *   1. per-volume clip points: one mergeable percentile-sketch pass
+    *      over the AXIAL planes (each voxel appears in exactly one axial
+    *      plane, so the sketch sees the volume exactly once) through the
+    *      pushed-down DSv2 plane reads;
+    *   2. the (base → vmin, vmax) table — O(#volumes) rows — broadcasts;
+    *   3. lazily-read oriented planes normalize per-row against the
+    *      broadcast cuts ([[Image.normalizeWithCuts]]).
+    * Clip-point estimator per the A4 policy: the same Greenwald-Khanna
+    * summary `approx_percentile` uses (rank error ≤ n/accuracy, memory
+    * O(accuracy·log n) per volume regardless of volume size), but driven
+    * as a PER-PARTITION sketch in a tight loop over each plane's float
+    * array rather than a 5·10⁸-row explode through a hash aggregate — the
+    * per-value row/group-lookup overhead dominated the whole job (measured
+    * ~280 s of a 354 s end-to-end run at this volume; the loop form cuts
+    * it ~10×). The reference's np.percentile over an in-RAM volume
+    * (v2/nii_to_lmdb_paralel.py:248-257) is the [[slices]] path. A task
+    * never holds more than one plane plus a sketch — MriVolumeScaleSpec
+    * drives a reference-shaped (960, 840, 640) volume through this into a
+    * sharded LMDB store and pins total reads to one clip pass + the
+    * processed planes. */
+  def slicesLazy(spark: SparkSession, root: String,
+      orients: Seq[String] = Nifti.Orientations,
+      pmin: Double = 0.5, pmax: Double = 99.5,
+      accuracy: Int = graft.functions.Percentiles.DefaultAccuracy): Dataset[Slice] = {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.util.QuantileSummaries
+    val relErr = 1.0 / accuracy
+    implicit val skEnc: org.apache.spark.sql.Encoder[(String, QuantileSummaries)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.STRING,
+        org.apache.spark.sql.Encoders.javaSerialization[QuantileSummaries])
+    val cuts = Nifti.rawSlices(spark, root)
+      .filter(col("orient") === "axial")
+      .select(col("base"), col("pixels"))
+      .as[(String, Array[Float])]
+      .mapPartitions { it =>
+        // one sketch per volume seen by this partition; planes stream
+        // through one at a time (slice-bounded)
+        val sk = scala.collection.mutable.HashMap.empty[String, QuantileSummaries]
+        it.foreach { case (b, px) =>
+          var s = sk.getOrElse(b,
+            new QuantileSummaries(QuantileSummaries.defaultCompressThreshold, relErr))
+          var i = 0
+          while (i < px.length) { s = s.insert(px(i).toDouble); i += 1 }
+          sk(b) = s
+        }
+        sk.iterator.map { case (b, s) => (b, s.compress()) }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (b, it) =>
+        // mergeable: the shuffle carries O(partitions) tiny sketches per
+        // volume, never pixel data
+        val merged = it.map(_._2).reduce((a, c) => a.merge(c))
+        (b, merged.query(pmin / 100.0).get, merged.query(pmax / 100.0).get)
+      }
+      .toDF("base", "vmin", "vmax")
+    val normalize = udf { (px: Seq[Float], vmin: Double, vmax: Double) =>
+      Image.normalizeWithCuts(px.toArray, vmin, vmax)._1
+    }
+    Nifti.rawSlices(spark, root)
+      .filter(col("orient").isin(orients: _*))
+      .join(broadcast(cuts), Seq("base"))
+      .select(
+        concat(col("base"), lit("__"), col("orient"), lit("__slice_"),
+          lpad(col("idx").cast("string"), 3, "0")).as("sliceId"),
+        col("base"), col("orient"), col("idx"), col("h"), col("w"),
+        normalize(col("pixels"), col("vmin"), col("vmax")).as("pixels"))
+      .as[Slice]
+  }
+
   /** W1: metadata-only split plan — deterministic hash-cut over xxhash64 of
     * the slice id, ratio cut train/val/test (v2 defaults 0.95/0.03/0.02).
     * Pure per-row hash-cut, not a global rank: a rank needs a
@@ -149,7 +224,12 @@ object MriPipeline {
     import spark.implicits._
     val p = Degrade.preset(preset)
     val scale = p.fatorReducao
-    slices.joinWith(split, slices("sliceId") === split("sliceId"))
+    // the split PLAN broadcasts (one ~60 B row per slice id — ~600 MB even
+    // at 10M slices): shuffling the pixel-bearing slice rows into a
+    // sort-merge join instead measured +500 s on one reference volume
+    // (6 GB of planes through sort+spill), and at 100 TB it would shuffle
+    // the whole corpus to attach a label
+    slices.joinWith(broadcast(split), slices("sliceId") === split("sliceId"))
       .flatMap { case (sl, lbl) =>
         val sliceSeed =
           if (seedMode == "slice") Rng.sliceSeed(sl.base, sl.orient, sl.idx, seed) else seed

@@ -36,14 +36,29 @@ object Image {
   def robustPercentileNormalize(vol: Array[Float], pmin: Double, pmax: Double)
       : (Array[Float], Double, Double) = {
     val vmin = nanPercentile(vol, pmin)
-    var vmax = nanPercentile(vol, pmax)
+    val vmax = nanPercentile(vol, pmax)
+    val (out, lo, hi) = normalizeWithCuts(vol, vmin, vmax)
+    (out, lo, hi)
+  }
+
+  /** The clip-and-scale core of K2 with the clip points supplied by the
+    * caller — the per-row form for pipelines that compute a volume's
+    * (vmin, vmax) once in a distributed pass and then normalize each
+    * lazily-read slice against the broadcast cuts
+    * ([[graft.MriPipeline.slicesLazy]]), mirroring how the reference
+    * precomputes `vol_norm[base]` and hands (vmin, vmax) to every slice
+    * job (v2/nii_to_lmdb_paralel.py:248-257, 317-330). */
+  def normalizeWithCuts(xs: Array[Float], vminIn: Double, vmaxIn: Double)
+      : (Array[Float], Double, Double) = {
+    val vmin = vminIn
+    var vmax = vmaxIn
     if (vmax <= vmin + 1e-8) vmax = vmin + 1e-8
     val den = (vmax - vmin).toFloat
     val lo = vmin.toFloat
-    val out = new Array[Float](vol.length)
+    val out = new Array[Float](xs.length)
     var i = 0
-    while (i < vol.length) {
-      val v = (vol(i) - lo) / den
+    while (i < xs.length) {
+      val v = (xs(i) - lo) / den
       out(i) = if (v < 0f) 0f else if (v > 1f) 1f else v
       i += 1
     }

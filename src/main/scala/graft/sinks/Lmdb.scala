@@ -342,25 +342,60 @@ object Lmdb {
   // ---------------------------------------------------------------- reader
 
   /** Independent strict reader: parses only the documented layout, validates
-    * magic/version/page size, picks the live meta by txnid — the same walk
-    * a stock liblmdb performs, minus locks (read-only snapshot). */
+    * magic/version, picks the live meta by txnid — the same walk a stock
+    * liblmdb performs, minus locks (read-only snapshot).
+    *
+    * Accepts ARBITRARY valid environments, not just this module's bulk
+    * output (round-6 verdict #5): the page size comes from meta 0 (liblmdb
+    * reads the header at offset 0 first, then meta 1 at `psize` —
+    * mdb_env_read_header), branch node-0 keys are never compared (stock
+    * split pages keep a real key there; mdb_node_search starts at 1), and
+    * [[auditTree]] validates by ROOT REACHABILITY so envs with freed /
+    * stale / reused pages — the normal state after incremental write txns
+    * — audit cleanly ([[audit]]'s every-page walk remains the stricter
+    * gate for this module's own append-only bulk layout). MDB_DUPSORT
+    * sub-databases are out of scope and rejected explicitly. */
   final class Env(dir: File) extends AutoCloseable {
     private val raf = new RandomAccessFile(new File(dir, DataFileName), "r")
 
+    /** Env page size, from the free-DB pad alias in meta 0 (liblmdb writes
+      * it there at env init; mdb_env_read_header trusts page 0). */
+    val psize: Int = {
+      val probe = new Array[Byte](PageHdrSz + 28)
+      raf.seek(0); raf.readFully(probe)
+      val bb = ByteBuffer.wrap(probe).order(ByteOrder.LITTLE_ENDIAN)
+      require((bb.getShort(10) & PMeta) != 0, "page 0 is not a meta page")
+      require(bb.getInt(PageHdrSz) == Magic,
+        f"bad magic 0x${bb.getInt(PageHdrSz)}%08x")
+      val ps = bb.getInt(PageHdrSz + 24)
+      require(ps >= 512 && ps <= 65536 && Integer.bitCount(ps) == 1,
+        s"implausible page size $ps")
+      ps
+    }
+
     private def readPage(pgno: Long): ByteBuffer = {
-      val buf = new Array[Byte](PageSize)
-      raf.seek(pgno * PageSize)
+      val buf = new Array[Byte](psize)
+      raf.seek(pgno * psize)
       raf.readFully(buf)
       ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
     }
 
-    private def parseMeta(pgno: Long): (Long, Stat) = {
+    private def parseMeta(pgno: Long): (Long, Stat, Stat) = {
       val p = readPage(pgno)
       require((p.getShort(10) & PMeta) != 0, s"page $pgno is not a meta page")
       val m = PageHdrSz
       require(p.getInt(m) == Magic, f"bad magic 0x${p.getInt(m)}%08x")
       require(p.getInt(m + 4) == DataVersion, s"unsupported version ${p.getInt(m + 4)}")
-      require(p.getInt(m + 24) == PageSize, s"unsupported page size ${p.getInt(m + 24)}")
+      require(p.getInt(m + 24) == psize, s"meta $pgno page size ${p.getInt(m + 24)} != $psize")
+      val free = Stat(
+        depth = p.getShort(m + 30).toInt,
+        branchPages = p.getLong(m + 32),
+        leafPages = p.getLong(m + 40),
+        overflowPages = p.getLong(m + 48),
+        entries = p.getLong(m + 56),
+        root = p.getLong(m + 64),
+        lastPg = p.getLong(m + 120),
+        mapSize = p.getLong(m + 16))
       val stat = Stat(
         depth = p.getShort(m + 78).toInt,
         branchPages = p.getLong(m + 80),
@@ -370,13 +405,14 @@ object Lmdb {
         root = p.getLong(m + 112),
         lastPg = p.getLong(m + 120),
         mapSize = p.getLong(m + 16))
-      (p.getLong(m + 128), stat)
+      (p.getLong(m + 128), stat, free)
     }
 
-    val stat: Stat = {
-      val (t0, s0) = parseMeta(0L)
-      val (t1, s1) = parseMeta(1L)
-      if (t1 > t0) s1 else s0
+    /** (main DB stat, free DB stat) of the live meta. */
+    val (stat: Stat, freeStat: Stat) = {
+      val (t0, s0, f0) = parseMeta(0L)
+      val (t1, s1, f1) = parseMeta(1L)
+      if (t1 > t0) (s1, f1) else (s0, f0)
     }
 
     private def numKeys(p: ByteBuffer): Int = ((p.getShort(12) & 0xffff) - PageHdrSz) / 2
@@ -395,20 +431,22 @@ object Lmdb {
       val dlen = (p.getShort(off) & 0xffff) | ((p.getShort(off + 2) & 0xffff) << 16)
       val ksize = p.getShort(off + 6) & 0xffff
       val flags = p.getShort(off + 4) & 0xffff
+      require((flags & 0x06) == 0,
+        f"DUPSORT/sub-DB leaf node (flags 0x$flags%02x) — out of scope")
       if ((flags & FBigData) != 0) {
         val ovPgno = p.getLong(off + NodeSz + ksize)
         val head = readPage(ovPgno)
         require((head.getShort(10) & POverflow) != 0, s"page $ovPgno not overflow")
         val npages = head.getInt(12)
         val all = new Array[Byte](dlen)
-        val firstChunk = math.min(dlen, PageSize - PageHdrSz)
+        val firstChunk = math.min(dlen, psize - PageHdrSz)
         System.arraycopy(head.array(), PageHdrSz, all, 0, firstChunk)
         var got = firstChunk
         var pg = ovPgno + 1
         while (got < dlen) {
           require(pg < ovPgno + npages, "overflow chain shorter than value")
-          val chunk = math.min(dlen - got, PageSize)
-          raf.seek(pg * PageSize)
+          val chunk = math.min(dlen - got, psize)
+          raf.seek(pg * psize)
           raf.readFully(all, got, chunk)
           got += chunk
           pg += 1
@@ -495,7 +533,7 @@ object Lmdb {
         } else {
           val lo = p.getShort(12) & 0xffff
           val up = p.getShort(14) & 0xffff
-          require(lo >= PageHdrSz && lo <= up && up <= PageSize,
+          require(lo >= PageHdrSz && lo <= up && up <= psize,
             s"bad lower/upper $lo/$up at $pgno")
           val nk = numKeys(p)
           if ((flags & PBranch) != 0) {
@@ -520,6 +558,93 @@ object Lmdb {
       require(leaf == stat.leafPages, s"leaf pages $leaf != meta ${stat.leafPages}")
       require(overflow == stat.overflowPages, s"overflow pages $overflow != meta ${stat.overflowPages}")
       require(entries == stat.entries, s"entries $entries != meta ${stat.entries}")
+      stat
+    }
+
+    /** Structural audit by ROOT REACHABILITY — the form that accepts any
+      * valid environment, including ones a stock liblmdb produced through
+      * incremental write transactions: such an env legally contains freed,
+      * stale and reused pages that no page-order walk can type-check
+      * (old tree versions keep their bytes until reallocation — MVCC), so
+      * the audit descends from the live roots instead, checking node
+      * sorting, separator ordering, bounds, and page-count/entry parity
+      * against the meta for BOTH the main and the free DB. Overlap between
+      * the two trees or a page visited twice is corruption and throws. */
+    def auditTree(): Stat = {
+      val seen = scala.collection.mutable.HashSet.empty[Long]
+      var branch = 0L; var leaf = 0L; var overflow = 0L; var entries = 0L
+      def walk(pgno: Long, level: Int, lowBound: Array[Byte]): Unit = {
+        require(pgno >= 2 && pgno <= stat.lastPg, s"pgno $pgno outside data range")
+        require(seen.add(pgno), s"page $pgno reachable twice")
+        val p = readPage(pgno)
+        require(p.getLong(0) == pgno, s"pgno mismatch at $pgno: ${p.getLong(0)}")
+        val flags = p.getShort(10) & 0xffff
+        val lo = p.getShort(12) & 0xffff
+        val up = p.getShort(14) & 0xffff
+        require(lo >= PageHdrSz && lo <= up && up <= psize,
+          s"bad lower/upper $lo/$up at $pgno")
+        val nk = numKeys(p)
+        if (level > 1) {
+          require((flags & PBranch) != 0, s"expected branch at $pgno")
+          require(nk >= 2, s"branch page $pgno has $nk children")
+          branch += 1
+          var prevSep: Array[Byte] = null
+          (0 until nk).foreach { i =>
+            val off = nodeOff(p, i)
+            val sep = nodeKey(p, off)
+            // node 0's key is never consulted by search (stock pages keep
+            // arbitrary bytes there); separators from node 1 on must be
+            // strictly ascending
+            if (i >= 2) require(cmpKeys(prevSep, sep) < 0, s"unsorted branch $pgno")
+            if (i >= 1) prevSep = sep
+            walk(branchPgno(p, off), level - 1, if (i == 0) lowBound else sep)
+          }
+        } else {
+          require((flags & PLeaf) != 0, s"expected leaf at $pgno")
+          var prev: Array[Byte] = null
+          (0 until nk).foreach { i =>
+            val off = nodeOff(p, i)
+            val k = nodeKey(p, off)
+            if (prev == null) {
+              // first key must not fall below the branch separator that
+              // routed here (separator keys equal the subtree's low key)
+              if (lowBound != null && lowBound.length > 0)
+                require(cmpKeys(lowBound, k) <= 0,
+                  s"leaf $pgno key below its subtree separator")
+            } else require(cmpKeys(prev, k) < 0, s"unsorted leaf $pgno")
+            prev = k
+            val nflags = p.getShort(off + 4) & 0xffff
+            require((nflags & 0x06) == 0,
+              f"DUPSORT/sub-DB leaf node (flags 0x$nflags%02x) — out of scope")
+            if ((nflags & FBigData) != 0) {
+              val ovPgno = p.getLong(off + NodeSz + k.length)
+              val head = readPage(ovPgno)
+              require((head.getShort(10) & POverflow) != 0, s"page $ovPgno not overflow")
+              val npages = head.getInt(12)
+              require(npages >= 1, s"overflow chain of $npages pages at $ovPgno")
+              (0 until npages).foreach(j => require(seen.add(ovPgno + j),
+                s"overflow page ${ovPgno + j} reachable twice"))
+              overflow += npages
+            }
+          }
+          entries += nk
+          leaf += 1
+        }
+      }
+      if (stat.root != PInvalid) walk(stat.root, stat.depth, null)
+      require(branch == stat.branchPages, s"branch pages $branch != meta ${stat.branchPages}")
+      require(leaf == stat.leafPages, s"leaf pages $leaf != meta ${stat.leafPages}")
+      require(overflow == stat.overflowPages, s"overflow pages $overflow != meta ${stat.overflowPages}")
+      require(entries == stat.entries, s"entries $entries != meta ${stat.entries}")
+      // free DB: same walk, INTEGERKEY leaves (u64 txnid → pgno list values)
+      if (freeStat.root != PInvalid) {
+        branch = 0; leaf = 0; entries = 0
+        walk(freeStat.root, freeStat.depth, null)
+        require(branch == freeStat.branchPages && leaf == freeStat.leafPages,
+          s"free DB pages $branch/$leaf != meta ${freeStat.branchPages}/${freeStat.leafPages}")
+        require(entries == freeStat.entries,
+          s"free DB entries $entries != meta ${freeStat.entries}")
+      }
       stat
     }
 

@@ -253,6 +253,80 @@ class LmdbSpec extends AnyFunSuite {
     w.close()
   }
 
+  test("stock-shaped envs (scattered pages, freelist, stale metas, 4K/8K pages) read clean") {
+    // liblmdb itself is not installable here (zero egress); the fixture
+    // writer (tools/make_lmdb_fixture.py) is an INDEPENDENT generator that
+    // emulates the states a stock writer leaves after three COW write
+    // txns: scattered live pages interleaved with stale tree bytes, a
+    // populated FREE DB, txnid 3 with a stale-but-valid second meta, real
+    // keys in branch node 0, and the OS-page-size variants our bulk
+    // writer never emits. The reader must get/iterate/audit all of it.
+    import scala.sys.process._
+    for ((psize, seed) <- Seq((4096, 1234), (8192, 99))) {
+      val dir = freshDir()
+      val out = new StringBuilder
+      val rc = Seq("python3", "/root/repo/tools/make_lmdb_fixture.py",
+        dir.getAbsolutePath, psize.toString, seed.toString)
+        .!(ProcessLogger(s => out.append(s).append('\n'), s => out.append(s).append('\n')))
+      assert(rc == 0, s"fixture generation failed:\n$out")
+      // parse the manifest without a JSON lib: {"key": "md5hex", ...}
+      val manifest = new String(java.nio.file.Files.readAllBytes(
+        new File(dir, "fixture.json").toPath), US_ASCII)
+      val entryRe = """"([^"]+)":\s*"([a-f0-9]{32})"""".r
+      val expected = entryRe.findAllMatchIn(
+        manifest.substring(manifest.indexOf("\"entries\""))).map(m =>
+        m.group(1) -> m.group(2)).toMap
+      val deleted = {
+        val tail = manifest.substring(manifest.indexOf("\"deleted\""))
+        """"([^"]+)"""".r.findAllMatchIn(tail.stripPrefix("\"deleted\""))
+          .map(_.group(1)).filterNot(_ == "deleted").toSeq
+      }
+      assert(expected.size == 140, s"manifest parse drift: ${expected.size}")
+
+      val env = new Lmdb.Env(dir)
+      try {
+        assert(env.psize == psize)
+        assert(env.stat.entries == expected.size)
+        // the live meta is txnid 3 → slot 1; parseMeta also validated the
+        // STALE slot-0 meta (txnid 2) en route
+        // full iteration: every live key present, every value md5-exact,
+        // memcmp-ordered
+        val got = env.iterator.map { case (k, v) =>
+          (new String(k, US_ASCII),
+            java.security.MessageDigest.getInstance("MD5").digest(v)
+              .map(b => f"${b & 0xff}%02x").mkString)
+        }.toSeq
+        assert(got.map(_._1) == got.map(_._1).sorted)
+        assert(got.toMap == expected, "iterated content != fixture manifest")
+        // point gets: live keys resolve through scattered/reused pages
+        expected.keysIterator.take(40).foreach { k =>
+          val v = env.get(k.getBytes(US_ASCII))
+          assert(v.isDefined, s"missing live key $k")
+        }
+        // deleted keys are gone (their old leaf bytes may still sit in
+        // stale pages — the descent must not find them)
+        deleted.take(20).foreach { k =>
+          assert(env.get(k.getBytes(US_ASCII)).isEmpty, s"resurrected key $k")
+        }
+        // reachability audit: main + free DB, counts vs meta
+        env.auditTree()
+        assert(env.freeStat.entries > 0, "fixture must carry a populated free DB")
+      } finally env.close()
+    }
+  }
+
+  test("auditTree accepts this module's own bulk envs too") {
+    val dir = freshDir()
+    val entries = (0 until 5000).map(i => kv(f"key$i%08d", s"value-$i" * 7))
+    Lmdb.write(dir, entries.iterator)
+    val env = new Lmdb.Env(dir)
+    try {
+      val s = env.auditTree()
+      assert(s.entries == 5000)
+      assert(s == env.audit()) // both audits agree on a bulk env
+    } finally env.close()
+  }
+
   test("cmpKeys is memcmp: unsigned bytes, shorter-prefix-first") {
     assert(Lmdb.cmpKeys(Array[Byte](1), Array[Byte](2)) < 0)
     assert(Lmdb.cmpKeys(Array[Byte](-1), Array[Byte](1)) > 0, "0xff > 0x01 unsigned")

@@ -70,6 +70,14 @@ object Fft {
     val sinT = new Array[Double](n)
     val bfr = new Array[Double](m)
     val bfi = new Array[Double](m)
+    // per-thread convolution scratch, reused across calls (tables are
+    // ThreadLocal already): a fresh 2·m-double pair per call put the
+    // Bluestein tier at ~57 MB of garbage per 960×840 fft2 — at 32
+    // concurrent degrade tasks the young-gen churn was the memory-
+    // bandwidth bottleneck, not the arithmetic. Reuse is bitwise
+    // neutral: every slot is overwritten below n and zero-filled above.
+    val ar = new Array[Double](m)
+    val ai = new Array[Double](m)
     locally {
       var j = 0
       while (j < n) {
@@ -107,7 +115,9 @@ object Fft {
     val t = chirpFor(n)
     val m = t.m
     val cosT = t.cosT; val sinT = t.sinT
-    val ar = new Array[Double](m); val ai = new Array[Double](m)
+    val ar = t.ar; val ai = t.ai
+    java.util.Arrays.fill(ar, n, m, 0.0)
+    java.util.Arrays.fill(ai, n, m, 0.0)
     var j = 0
     while (j < n) {
       // a_j = x_j * e^{-iπj²/n}

@@ -68,12 +68,17 @@ object NiftiSource {
   /** Payload bytes fetched across all scans in this JVM (test hook). */
   val bytesRead = new AtomicLong(0L)
 
-  /** Planes per slice-mode task. 64 axial planes of the reference's
+  /** Minimum planes per slice-mode task; small planes pack more per task
+    * up to [[TargetTaskBytes]]. 64 axial planes of the reference's
     * (960, 840, 640) volume ≈ 200 MB of pixel work — a few seconds of
     * degrade per task, enough to amortize scheduling, small enough that a
     * single volume still fans out 30+ ways (the reference's per-slice job
     * granularity, batched). */
   val PlanesPerTask = 64
+
+  /** Pixel bytes a slice-mode task aims to own (the
+    * spark.sql.files.maxPartitionBytes analog for plane ranges). */
+  val TargetTaskBytes: Long = 192L << 20
 
   val headersSchema: StructType = StructType(Seq(
     StructField("path", StringType, nullable = false),
@@ -196,7 +201,16 @@ private[sources] class NiftiScan(root: String, mode: String, pathPattern: String
             for (o <- Nifti.Orientations if NiftiFilters.orientAllowed(pushed, o)) {
               val idxs = (0 until Nifti.sliceCount(h.dims, o))
                 .filter(i => NiftiFilters.idxAllowed(pushed, i))
-              idxs.grouped(NiftiSource.PlanesPerTask).foreach { g =>
+              // planes per task scale inversely with plane size (clinical
+              // 192² planes would otherwise make ~150 KB tasks), capped at
+              // PlanesPerTask so huge volumes still fan out wide
+              val planeBytes = o match {
+                case "sagittal" => h.dims(2).toLong * h.dims(0) * math.max(1, Nifti.bytesPerVoxel(h.datatype))
+                case _ => h.dims(0).toLong * h.dims(1) * math.max(1, Nifti.bytesPerVoxel(h.datatype))
+              }
+              val perTask = math.max(NiftiSource.PlanesPerTask,
+                math.min(4096, (NiftiSource.TargetTaskBytes / math.max(1L, planeBytes)).toInt))
+              idxs.grouped(perTask).foreach { g =>
                 parts += NiftiInputPartition(Array(f),
                   Array(NiftiSliceRange(f, o, g.toArray)))
               }

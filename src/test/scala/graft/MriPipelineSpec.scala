@@ -180,4 +180,48 @@ class MriPipelineSpec extends AnyFunSuite {
         again.map(l => (l.sliceId, l.split)).toMap, s"seed $seed: retry-stable")
     }
   }
+
+  test("slicesLazy matches the eager path (ids, shapes, pixels within sketch tolerance)") {
+    // mixed fixture: two seekable .nii (the plane-range streaming path)
+    // plus one .nii.gz (exercises the documented legacy whole-file
+    // fallback THROUGH slicesLazy)
+    val inDir = java.nio.file.Files.createTempDirectory("mri_lazy_").toFile
+    val dims = Array(20, 18, 4)
+    (0 until 3).foreach { v =>
+      val vol = Array.tabulate(dims.product) { i =>
+        val x = i % 20; val y = (i / 20) % 18
+        if (math.hypot(x - 10, y - 9) < 6) 200f + ((i * 7 + v) % 30) else ((i + v) % 12).toFloat
+      }
+      val bytes = Nifti.encode(vol, dims, Array(0.5, 0.5, 0.5))
+      if (v == 2) {
+        val bos = new java.io.ByteArrayOutputStream()
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(bytes); g.close()
+        java.nio.file.Files.write(new java.io.File(inDir, s"vol$v.nii.gz").toPath, bos.toByteArray)
+      } else {
+        java.nio.file.Files.write(new java.io.File(inDir, s"vol$v.nii").toPath, bytes)
+      }
+    }
+    def keyed(rows: Array[model.Slice]): Map[String, model.Slice] =
+      rows.map(s => s.sliceId -> s).toMap
+    val eager = keyed(MriPipeline.slices(spark, inDir.getAbsolutePath).collect())
+    val lazy_ = keyed(MriPipeline.slicesLazy(spark, inDir.getAbsolutePath).collect())
+    assert(lazy_.keySet == eager.keySet)
+    assert(eager.size == 3 * (4 + 4 + 18))
+    lazy_.foreach { case (id, sl) =>
+      val es = eager(id)
+      assert(sl.h == es.h && sl.w == es.w, s"$id shape")
+      assert(sl.pixels.forall(v => v >= 0f && v <= 1f), s"$id range")
+      // clip points come from a Greenwald-Khanna sample (no interpolation)
+      // vs the eager path's interpolated exact percentile — on this value
+      // distribution (range ~230, neighbor gaps ≤ ~2) the cut drift bounds
+      // the per-pixel difference well under 0.03
+      var i = 0
+      while (i < sl.pixels.length) {
+        assert(math.abs(sl.pixels(i) - es.pixels(i)) <= 0.03f,
+          s"$id pixel $i: ${sl.pixels(i)} vs ${es.pixels(i)}")
+        i += 1
+      }
+    }
+  }
 }

@@ -67,15 +67,19 @@ object LmdbStore {
     * [[write]]/[[append]] — spec observability only (EntrySpec pins that
     * sink inputs reach the store with no shuffle beyond the caller's own
     * explicit partitioning: the per-partition env build needs partition-
-    * LOCAL sorted keys, never a global sort). */
+    * LOCAL sorted keys, never a global sort). Bounded: a streaming
+    * foreachBatch append records one plan per micro-batch, and an
+    * unbounded queue would leak plan strings for the JVM lifetime. */
   private[graft] val lastWritePlans =
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private val MaxRecordedPlans = 8
 
   private def writeBatch(df: DataFrame, root: File, baseShard: Int): Unit = {
     root.mkdirs()
     val prepared = df.select(col("key").cast("string"), col("value"))
       .sortWithinPartitions("key")
     lastWritePlans.add(prepared.queryExecution.executedPlan.toString())
+    while (lastWritePlans.size > MaxRecordedPlans) lastWritePlans.poll()
     prepared
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         val pid = baseShard + org.apache.spark.TaskContext.getPartitionId()

@@ -93,9 +93,15 @@ object Bench {
     var prewarmSec = 0.0
     if (prewarm) {
       val t0 = System.nanoTime()
-      graft.operators.TextOps.prewarmShared(spark, sfDir)
-      graft.operators.VectorOps.prewarmShared(spark, sfDir)
-      graft.operators.CorpusOps.prewarmShared(spark, sfDir)
+      // non-fatal: a prewarm failure must degrade to the lazy-build
+      // behavior, never kill the sweep before a single query is measured
+      try {
+        graft.operators.TextOps.prewarmShared(spark, sfDir)
+        graft.operators.VectorOps.prewarmShared(spark, sfDir)
+        graft.operators.CorpusOps.prewarmShared(spark, sfDir)
+      } catch {
+        case e: Throwable => System.err.println(s"[bench] prewarm failed: ${e.getMessage}")
+      }
       prewarmSec = (System.nanoTime() - t0) / 1e9
       println(s"""{"prewarm_sec":${r3(prewarmSec)}}""")
     }

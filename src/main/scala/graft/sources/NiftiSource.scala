@@ -58,7 +58,8 @@ class NiftiSource extends TableProvider with DataSourceRegister {
         throw new IllegalArgumentException("nifti source requires a load path")),
       opts.getOrDefault("mode", "headers"),
       opts.getOrDefault("pathPattern", ".*\\.nii(\\.gz)?$"),
-      opts.getBoolean("ignoreCorrupt", false))
+      opts.getBoolean("ignoreCorrupt", false),
+      NiftiSource.optionFilters(opts))
   }
 }
 
@@ -111,30 +112,55 @@ object NiftiSource {
     case "volumes" => volumesSchema
     case m => throw new IllegalArgumentException(s"nifti mode must be headers|slices|volumes, got $m")
   }
+
+  /** Option-declared scan narrowing (`orient`, `idxMin`, `idxMax`): the
+    * same predicates pushFilters accepts, but seeded from reader options.
+    * Catalyst's V2 pushdown rule only runs on BATCH plans — a STREAMING
+    * query's `.filter(orient === ...)` stays a post-scan filter — so these
+    * options are how a streaming ingest (or any caller that wants the
+    * narrowing guaranteed rather than optimizer-dependent) pins it. */
+  def optionFilters(opts: CaseInsensitiveStringMap): Array[Filter] = {
+    val fs = ArrayBuffer.empty[Filter]
+    Option(opts.get("orient")).foreach { v =>
+      val parts = v.split(',').map(_.trim).filter(_.nonEmpty)
+      parts.foreach { o => require(Nifti.Orientations.contains(o),
+        s"unknown orient option value: $o") }
+      fs += (if (parts.length == 1) EqualTo("orient", parts.head)
+             else In("orient", parts.toArray[Any]))
+    }
+    Option(opts.get("idxMin")).foreach(v => fs += GreaterThanOrEqual("idx", v.toInt))
+    Option(opts.get("idxMax")).foreach(v => fs += LessThanOrEqual("idx", v.toInt))
+    fs.toArray
+  }
 }
 
 private[sources] class NiftiTable(root: String, mode: String, pathPattern: String,
-    ignoreCorrupt: Boolean) extends Table with SupportsRead {
+    ignoreCorrupt: Boolean, optionFilters: Array[Filter] = Array.empty)
+    extends Table with SupportsRead {
   override def name(): String = s"nifti($mode):$root"
   override def schema(): StructType = NiftiSource.schemaFor(mode)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new NiftiScanBuilder(root, mode, pathPattern, ignoreCorrupt)
+    new NiftiScanBuilder(root, mode, pathPattern, ignoreCorrupt,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt), optionFilters)
 }
 
 private[sources] class NiftiScanBuilder(root: String, mode: String, pathPattern: String,
-    ignoreCorrupt: Boolean)
+    ignoreCorrupt: Boolean, maxFilesPerTrigger: Option[Int] = None,
+    optionFilters: Array[Filter] = Array.empty)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-  private var pushed: Array[Filter] = Array.empty
+  private var pushed: Array[Filter] = optionFilters
   private var required: StructType = NiftiSource.schemaFor(mode)
 
   /** Accept orient/idx predicates as scan-narrowing hints; every filter is
     * also returned for Spark to re-evaluate, so partially-handled
-    * conjunctions stay correct. */
+    * conjunctions stay correct. Option-declared filters (orient/idxMin/
+    * idxMax reader options) are ALWAYS retained — they are the caller's
+    * scan definition, not optimizer hints. */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    if (mode == "slices") pushed = filters.filter {
+    if (mode == "slices") pushed = optionFilters ++ filters.filter {
       case EqualTo("orient", _: String) | In("orient", _) => true
       case EqualTo("idx", _) | In("idx", _) => true
       case GreaterThan("idx", _) | GreaterThanOrEqual("idx", _) => true
@@ -149,20 +175,40 @@ private[sources] class NiftiScanBuilder(root: String, mode: String, pathPattern:
     required = requiredSchema
 
   override def build(): Scan =
-    new NiftiScan(root, mode, pathPattern, pushed, required, ignoreCorrupt)
+    new NiftiScan(root, mode, pathPattern, pushed, required, ignoreCorrupt,
+      maxFilesPerTrigger)
 }
 
 private[sources] class NiftiScan(root: String, mode: String, pathPattern: String,
-    pushed: Array[Filter], required: StructType, ignoreCorrupt: Boolean)
+    pushed: Array[Filter], required: StructType, ignoreCorrupt: Boolean,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new NiftiMicroBatchStream(root, mode, pathPattern, pushed, required,
+      ignoreCorrupt, maxFilesPerTrigger)
   override def description(): String =
     s"NiftiScan(mode=$mode, root=$root, pushed=${pushed.mkString(",")}, " +
       s"columns=${required.fieldNames.mkString(",")})"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    NiftiPlanner.plan(NiftiPlanner.listSorted(root, pathPattern),
+      mode, pushed, required, ignoreCorrupt)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NiftiReaderFactory(mode, pushed, required, ignoreCorrupt)
+}
+
+/** File listing + partition planning, shared by the batch scan and the
+  * micro-batch stream (which plans exactly the NEW files of each batch
+  * through the same path, so streaming inherits the plane-range fan-out,
+  * the pushdown narrowing and the documented fallbacks unchanged). */
+private[sources] object NiftiPlanner {
+
+  def listSorted(root: String, pathPattern: String): Seq[String] = {
     val p = new Path(root)
     val fs = p.getFileSystem(new Configuration())
     val files = ArrayBuffer.empty[String]
@@ -171,7 +217,11 @@ private[sources] class NiftiScan(root: String, mode: String, pathPattern: String
       val f = it.next()
       if (f.isFile && f.getPath.getName.matches(pathPattern)) files += f.getPath.toString
     }
-    val sorted = files.sorted // deterministic partition planning
+    files.sorted.toSeq // deterministic partition planning
+  }
+
+  def plan(sorted: Seq[String], mode: String, pushed: Array[Filter],
+      required: StructType, ignoreCorrupt: Boolean): Array[InputPartition] = {
     // headers: bin-pack many files per task (each costs one 352-byte read);
     // volumes: one file per task (a whole decoded volume is the row);
     // slices: PLANE-RANGE partitions planned from each file's 352-byte
@@ -229,9 +279,6 @@ private[sources] class NiftiScan(root: String, mode: String, pathPattern: String
       groups.map(g => NiftiInputPartition(g): InputPartition)
     }
   }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new NiftiReaderFactory(mode, pushed, required, ignoreCorrupt)
 }
 
 private[sources] case class NiftiInputPartition(paths: Array[String],

@@ -284,7 +284,59 @@ object MriOps {
       .orderBy("s_suppkey", "orient")
   }
 
+  /** §2.11 + S1–S4: STREAMING NIfTI ingest end-to-end. Volumes land in a
+    * watched dir in two waves; `readStream.format("nifti")` admits each
+    * wave as its own micro-batch (offset = admitted-file set), a streaming
+    * aggregation accumulates per-(volume, orientation) slice counts and
+    * the EXACT voxel sum, and the drained table is hash-compared against
+    * DuckDB's analytic re-derivation (voxel values are integers ≤255
+    * synthesized from the supplier key, so the float sum is exact in any
+    * order and generate_series re-creates it). Proves: incremental
+    * admission, stream/batch scan parity, and content integrity — not
+    * just geometry (the q52 pattern, upgraded to the streaming path). */
+  private def q212(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    // bounded driver work: |supplier| keys (metadata); the pixel work all
+    // happens in executor tasks of the streaming scan
+    val keys = t(s, dir, "supplier").select(col("s_suppkey").cast("long"))
+      .as[Long].collect().filter(_ % 5 == 0).sorted
+    val stage = graft.Scratch.fresh("nifti_stream_q212_")
+    val dims = Array(10, 8, 6)
+    def land(sk: Long): Unit = {
+      val vol = Array.tabulate(dims.product)(i => ((sk * 97 + i * 11) % 256).toFloat)
+      val bytes = Nifti.encode(vol, dims, Array(0.2, 0.2, 0.2))
+      val tmp = java.nio.file.Paths.get(stage, f".vol$sk%05d.tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      java.nio.file.Files.move(tmp, java.nio.file.Paths.get(stage, f"vol$sk%05d.nii"),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      ()
+    }
+    val (wave1, wave2) = keys.partition(k => (k / 5) % 2 == 0)
+    wave1.foreach(land)
+    val agg = s.readStream.format("nifti").option("mode", "slices").load(stage)
+      .withColumn("slice_sum", expr("aggregate(pixels, 0D, (a, x) -> a + CAST(x AS DOUBLE))"))
+      .groupBy("base", "orient")
+      .agg(count(lit(1)).as("n_slices"), sum("slice_sum").as("pix_sum"))
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      s.conf.getOption("spark.graft.stream.benchParts").getOrElse("8"))
+    try {
+      val q = agg.writeStream.format("memory").queryName("nifti_stream_ingest")
+        .outputMode("complete").start()
+      try {
+        q.processAllAvailable() // wave 1 admitted
+        wave2.foreach(land)
+        q.processAllAvailable() // wave 2 admitted incrementally
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    s.table("nifti_stream_ingest")
+      .select(regexp_extract(col("base"), "vol(\\d+)", 1).cast("long").as("s_suppkey"),
+        col("orient"), col("n_slices"), col("pix_sum").cast("long").as("pix_sum"))
+      .orderBy("s_suppkey", "orient")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q212_nifti_stream_ingest" -> (q212 _),
     "q37_spgr_signal" -> (q37 _),
     "q38_tmap_scale" -> (q38 _),
     "q39_snr_target" -> (q39 _),
@@ -303,6 +355,24 @@ object MriOps {
   )
 
   val oracles: Map[String, String] = Map(
+    // analytic re-derivation of the streamed ingest: slice counts from the
+    // (10,8,6) geometry, voxel sums from the synthesis formula — every
+    // voxel appears in exactly one slice per orientation, so each
+    // orientation's sum is the whole volume's sum
+    "q212_nifti_stream_ingest" ->
+      """WITH keys AS (SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey
+        |  FROM supplier WHERE s_suppkey % 5 = 0),
+        |px AS (SELECT k.s_suppkey,
+        |  CAST(sum((k.s_suppkey * 97 + g.i * 11) % 256) AS BIGINT) AS pix_sum
+        |  FROM keys k, (SELECT unnest(generate_series(0, 479)) AS i) g
+        |  GROUP BY 1)
+        |SELECT k.s_suppkey, o.orient,
+        |  CAST(CASE WHEN o.orient = 'sagittal' THEN 8 ELSE 6 END AS BIGINT) AS n_slices,
+        |  p.pix_sum
+        |FROM keys k
+        |JOIN px p USING (s_suppkey),
+        |  (SELECT unnest(['axial', 'coronal', 'sagittal']) AS orient) o
+        |ORDER BY s_suppkey, orient""".stripMargin,
     // q50–q52 oracle the structural outputs of the kernel pipelines — the
     // downsample geometry, slice counts and tiling-grid sizes DuckDB can
     // derive analytically — plus retry-stability/sanity booleans; the

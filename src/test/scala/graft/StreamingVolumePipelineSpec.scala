@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Nifti
+
+/** The continuous-dataset-build loop, composed end-to-end: a HEADERS-mode
+  * NIfTI stream watches the landing dir (352 bytes per new file — the
+  * watch itself never touches payloads), and each micro-batch runs the
+  * batch pipeline (slices → split plan → v2 degrade → tile → dark filter)
+  * over exactly its NEW volumes and appends to one genuine-LMDB store.
+  *
+  * The invariant that makes incremental == rebuild: every kernel is
+  * per-slice seeded (K13) and the split is a per-sliceId hash cut, so the
+  * records a volume produces are independent of which batch it arrived in.
+  * The spec proves it byte-for-byte: two landing waves through the stream,
+  * then one batch run over all volumes, and the stores must agree on the
+  * exact key set and value bytes.
+  */
+class StreamingVolumePipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dims = Array(16, 14, 6)
+
+  private def land(dir: String, sk: Int): Unit = {
+    val vol = Array.tabulate(dims.product)(i => ((sk * 97 + i * 11) % 256).toFloat)
+    val bytes = Nifti.encode(vol, dims, Array(0.2, 0.2, 0.2))
+    val tmp = Paths.get(dir, f".vol$sk%03d.tmp")
+    Files.write(tmp, bytes)
+    Files.move(tmp, Paths.get(dir, f"vol$sk%03d.nii"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    ()
+  }
+
+  /** The per-batch unit of work: run the batch pipeline over exactly
+    * `paths` and append the records. Symlinks scope the pipeline's scan to
+    * the batch's files without copying payload bytes. */
+  private def processNewVolumes(s: SparkSession, paths: Seq[String], store: String): Unit = {
+    if (paths.isEmpty) return
+    val scope = Scratch.freshPath("stream_batch_")
+    paths.foreach { p =>
+      val uri = new java.net.URI(p)
+      val local = if (uri.getScheme == null) Paths.get(p) else Paths.get(uri)
+      Files.createSymbolicLink(scope.resolve(local.getFileName.toString), local)
+    }
+    val sl = MriPipeline.slices(s, scope.toString)
+    val plan = MriPipeline.planSplit(sl)
+    val rec = MriPipeline.degradeToRecords(sl, plan, "3tFlash", crop = 8, step = 4)
+    sinks.LmdbStore.append(
+      rec.toDF().select(col("key"), col("value")), store)
+  }
+
+  test("streamed incremental build is byte-identical to a batch rebuild") {
+    val landing = Files.createTempDirectory("vol_landing_").toString
+    val streamStore = Scratch.fresh("stream_store_")
+    new java.io.File(streamStore).delete()
+    sinks.LmdbStore.create(streamStore)
+
+    (0 until 2).foreach(land(landing, _))
+    var batches = 0
+    val q = spark.readStream.format("nifti").option("mode", "headers")
+      .load(landing)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val paths = batch.select("path").collect().map(_.getString(0)).sorted
+        processNewVolumes(spark, paths.toSeq, streamStore)
+        if (paths.nonEmpty) batches += 1
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      land(landing, 2) // third volume lands mid-stream
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(batches >= 2, s"expected two incremental waves, saw $batches")
+
+    // batch rebuild over the full landing dir
+    val batchStore = Scratch.fresh("batch_store_")
+    new java.io.File(batchStore).delete()
+    sinks.LmdbStore.create(batchStore)
+    val sl = MriPipeline.slices(spark, landing)
+    val rec = MriPipeline.degradeToRecords(sl, MriPipeline.planSplit(sl),
+      "3tFlash", crop = 8, step = 4)
+    sinks.LmdbStore.append(rec.toDF().select(col("key"), col("value")), batchStore)
+
+    def digest(store: String): Map[String, String] =
+      sinks.LmdbStore.read(spark, store)
+        .select(col("key").cast("string"), md5(col("value")).as("h"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+    val streamed = digest(streamStore)
+    val batch = digest(batchStore)
+    assert(streamed.nonEmpty, "pipeline produced no records")
+    assert(streamed.keySet == batch.keySet,
+      s"key sets differ: only-streamed=${(streamed.keySet -- batch.keySet).take(3)} " +
+        s"only-batch=${(batch.keySet -- streamed.keySet).take(3)}")
+    assert(streamed == batch, "value bytes differ between incremental and rebuild")
+
+    // every shard of the incrementally-built store stays a valid LMDB env
+    val audits = sinks.LmdbStore.auditAll(streamStore)
+    assert(audits.nonEmpty)
+    assert(audits.map(_._2.entries).sum == streamed.size)
+  }
+}

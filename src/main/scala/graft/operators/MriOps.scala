@@ -299,7 +299,7 @@ object MriOps {
     // bounded driver work: |supplier| keys (metadata); the pixel work all
     // happens in executor tasks of the streaming scan
     val keys = t(s, dir, "supplier").select(col("s_suppkey").cast("long"))
-      .as[Long].collect().filter(_ % 5 == 0).sorted
+      .as[Long].collect().filter(_ % 25 == 0).sorted
     val stage = graft.Scratch.fresh("nifti_stream_q212_")
     val dims = Array(10, 8, 6)
     def land(sk: Long): Unit = {
@@ -311,7 +311,7 @@ object MriOps {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       ()
     }
-    val (wave1, wave2) = keys.partition(k => (k / 5) % 2 == 0)
+    val (wave1, wave2) = keys.partition(k => (k / 25) % 2 == 0)
     wave1.foreach(land)
     val agg = s.readStream.format("nifti").option("mode", "slices").load(stage)
       .withColumn("slice_sum", expr("aggregate(pixels, 0D, (a, x) -> a + CAST(x AS DOUBLE))"))
@@ -361,7 +361,7 @@ object MriOps {
     // orientation's sum is the whole volume's sum
     "q212_nifti_stream_ingest" ->
       """WITH keys AS (SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey
-        |  FROM supplier WHERE s_suppkey % 5 = 0),
+        |  FROM supplier WHERE s_suppkey % 25 = 0),
         |px AS (SELECT k.s_suppkey,
         |  CAST(sum((k.s_suppkey * 97 + g.i * 11) % 256) AS BIGINT) AS pix_sum
         |  FROM keys k, (SELECT unnest(generate_series(0, 479)) AS i) g

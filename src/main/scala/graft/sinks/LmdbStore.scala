@@ -53,6 +53,41 @@ object LmdbStore {
     writeBatch(df, root, baseShard = if (ids.isEmpty) 0 else ids.max + 1)
   }
 
+  /** EXACTLY-ONCE batch append for at-least-once callers (a streaming
+    * foreachBatch replays its batch after a failure): the committed batch
+    * ids ride IN the manifest (`#batch:<id>` ledger lines, so shard list
+    * and ledger commit in one atomic rename), a replayed id is a no-op,
+    * and shard dirs left by a crashed attempt (on disk but not in the
+    * committed manifest) are swept before writing — without the sweep an
+    * orphan would be adopted by the next successful commit's dir listing
+    * and its keys double-counted. Single writer per store, as with every
+    * append flow here. Returns true iff this call committed the batch. */
+  def appendBatch(df: DataFrame, path: String, batchId: Long): Boolean = {
+    val root = new File(path)
+    val committed = committedShards(path)
+    if (committedBatchIds(path).contains(batchId)) return false
+    sweepUncommitted(root, committed.map(_.getName).toSet)
+    val ids = committed.map(_.getName.stripPrefix("shard-").toInt)
+    writeBatch(df, root, baseShard = if (ids.isEmpty) 0 else ids.max + 1,
+      batchId = Some(batchId))
+    true
+  }
+
+  /** Batch ids this store has durably committed (ledger lines of the
+    * manifest; empty for stores written by non-batch flows). */
+  def committedBatchIds(path: String): Set[Long] =
+    manifestLines(path).filter(_.startsWith("#batch:"))
+      .map(_.stripPrefix("#batch:").toLong).toSet
+
+  private def sweepUncommitted(root: File, committedNames: Set[String]): Unit =
+    Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.matches("shard-\\d+") && !committedNames(f.getName))
+      .foreach { dir =>
+        new File(dir, Lmdb.DataFileName).delete()
+        new File(dir, KeyBloom.FileName).delete()
+        dir.delete()
+      }
+
   /** Create an empty committed store (zero shards) so a purely append-based
     * flow — e.g. a streaming foreachBatch sink — can start from batch 0. */
   def create(path: String): Unit = {
@@ -74,7 +109,8 @@ object LmdbStore {
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val MaxRecordedPlans = 8
 
-  private def writeBatch(df: DataFrame, root: File, baseShard: Int): Unit = {
+  private def writeBatch(df: DataFrame, root: File, baseShard: Int,
+      batchId: Option[Long] = None): Unit = {
     root.mkdirs()
     val prepared = df.select(col("key").cast("string"), col("value"))
       .sortWithinPartitions("key")
@@ -117,25 +153,40 @@ object LmdbStore {
       // NUMERIC order, not lexicographic: "shard-100000" < "shard-99999"
       // as strings, which would flip newest-wins once appends pass 10^5
       .sortBy(_.stripPrefix("shard-").toLong)
+    // ledger lines carry forward + the batch being committed, so shard
+    // list and batch ledger are one atomic unit
+    val ledger = (prevLedger(root) ++ batchId.map(id => s"#batch:$id")).distinct
     // tmp + atomic rename: a reader calling committedShards mid-commit
     // sees the complete old manifest or the complete new one, never a
     // truncated file (Files.write alone opens with TRUNCATE_EXISTING)
     val tmpManifest = new File(root, "_MANIFEST.tmp-" +
       java.util.UUID.randomUUID().toString.take(8))
     java.nio.file.Files.write(tmpManifest.toPath,
-      shards.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+      (ledger ++ shards).mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
     java.nio.file.Files.move(tmpManifest.toPath, new File(root, "_MANIFEST").toPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     ()
   }
 
-  private def committedShards(path: String): Seq[File] = {
+  private def manifestLines(path: String): Seq[String] = {
     val manifest = new File(path, "_MANIFEST")
     require(manifest.exists(), s"no _MANIFEST in $path (uncommitted store)")
     new String(java.nio.file.Files.readAllBytes(manifest.toPath), StandardCharsets.UTF_8)
-      .split('\n').iterator.filter(_.nonEmpty).map(new File(path, _)).toSeq
+      .split('\n').iterator.filter(_.nonEmpty).toSeq
   }
+
+  private def prevLedger(root: File): Seq[String] =
+    if (new File(root, "_MANIFEST").exists())
+      manifestLines(root.getPath).filter(_.startsWith("#"))
+    else Nil
+
+  private def committedShards(path: String): Seq[File] =
+    // only shard lines name directories; `#`-prefixed lines are the batch
+    // ledger (and any future metadata), invisible to pre-ledger readers'
+    // shard walks by construction of the filter
+    manifestLines(path).filter(_.matches("shard-\\d+"))
+      .map(new File(path, _))
 
   /** Tree descents actually performed by [[get]] — spec observability for
     * the Bloom skip path (not part of the public API surface). */

@@ -42,9 +42,12 @@ class StreamingVolumePipelineSpec extends AnyFunSuite {
   }
 
   /** The per-batch unit of work: run the batch pipeline over exactly
-    * `paths` and append the records. Symlinks scope the pipeline's scan to
-    * the batch's files without copying payload bytes. */
-  private def processNewVolumes(s: SparkSession, paths: Seq[String], store: String): Unit = {
+    * `paths` and append the records under the micro-batch's id — replays
+    * of a committed batch are no-ops (exactly-once on top of
+    * foreachBatch's at-least-once contract). Symlinks scope the pipeline's
+    * scan to the batch's files without copying payload bytes. */
+  private def processNewVolumes(s: SparkSession, paths: Seq[String], store: String,
+      batchId: Long): Unit = {
     if (paths.isEmpty) return
     val scope = Scratch.freshPath("stream_batch_")
     paths.foreach { p =>
@@ -55,8 +58,9 @@ class StreamingVolumePipelineSpec extends AnyFunSuite {
     val sl = MriPipeline.slices(s, scope.toString)
     val plan = MriPipeline.planSplit(sl)
     val rec = MriPipeline.degradeToRecords(sl, plan, "3tFlash", crop = 8, step = 4)
-    sinks.LmdbStore.append(
-      rec.toDF().select(col("key"), col("value")), store)
+    sinks.LmdbStore.appendBatch(
+      rec.toDF().select(col("key"), col("value")), store, batchId)
+    ()
   }
 
   test("streamed incremental build is byte-identical to a batch rebuild") {
@@ -70,9 +74,9 @@ class StreamingVolumePipelineSpec extends AnyFunSuite {
     val q = spark.readStream.format("nifti").option("mode", "headers")
       .load(landing)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val paths = batch.select("path").collect().map(_.getString(0)).sorted
-        processNewVolumes(spark, paths.toSeq, streamStore)
+        processNewVolumes(spark, paths.toSeq, streamStore, batchId)
         if (paths.nonEmpty) batches += 1
         ()
       }
@@ -110,5 +114,45 @@ class StreamingVolumePipelineSpec extends AnyFunSuite {
     val audits = sinks.LmdbStore.auditAll(streamStore)
     assert(audits.nonEmpty)
     assert(audits.map(_._2.entries).sum == streamed.size)
+  }
+
+  test("appendBatch is exactly-once: replays no-op, crashed-attempt orphans are swept") {
+    import spark.implicits._
+    val store = Scratch.fresh("batch_once_")
+    new java.io.File(store).delete()
+    sinks.LmdbStore.create(store)
+    def df(tag: String) = Seq(
+      (s"$tag/a", s"$tag-va".getBytes), (s"$tag/b", s"$tag-vb".getBytes)
+    ).toDF("key", "value")
+
+    assert(sinks.LmdbStore.appendBatch(df("b0"), store, 0L))
+    // at-least-once replay of batch 0 (foreachBatch retry): must be a no-op
+    assert(!sinks.LmdbStore.appendBatch(df("b0"), store, 0L))
+    assert(sinks.LmdbStore.committedBatchIds(store) == Set(0L))
+
+    // crashed attempt: shards on disk, manifest never rewritten — the next
+    // commit must not adopt them (pre-ledger behavior re-listed every
+    // shard-* dir, double-counting the replayed keys)
+    val root = new java.io.File(store)
+    val committed = root.listFiles().filter(_.getName.matches("shard-\\d+")).map(_.getName)
+    val orphan = new java.io.File(root, f"shard-${committed.map(_.stripPrefix("shard-").toInt).max + 1}%05d")
+    val src = new java.io.File(root, committed.head)
+    orphan.mkdirs()
+    Files.copy(src.toPath.resolve(sinks.Lmdb.DataFileName),
+      orphan.toPath.resolve(sinks.Lmdb.DataFileName))
+
+    assert(sinks.LmdbStore.appendBatch(df("b1"), store, 1L))
+    // the orphan was swept before the write (its NAME may be legitimately
+    // reused by the new batch's shards) — the content proves it: without
+    // the sweep the orphan's b0 replay keys would be double-counted
+    val keys = sinks.LmdbStore.read(spark, store)
+      .select("key").as[String].collect().sorted.toSeq
+    assert(keys == Seq("b0/a", "b0/b", "b1/a", "b1/b"),
+      s"exactly the two committed batches, no orphan adoption: $keys")
+    assert(sinks.LmdbStore.committedBatchIds(store) == Set(0L, 1L))
+
+    // ledger lines are invisible to the shard walk: audit + point lookup
+    assert(sinks.LmdbStore.auditAll(store).map(_._2.entries).sum == 4)
+    assert(sinks.LmdbStore.get(store, "b1/a").map(new String(_)).contains("b1-va"))
   }
 }

@@ -236,48 +236,102 @@ private[sources] object NiftiPlanner {
     // per-range header re-reads would multiply that by the orientation
     // count for zero payload parallelism gain
     if (mode == "slices" && required.fieldNames.contains("pixels")) {
-      val parts = ArrayBuffer.empty[InputPartition]
-      for (f <- sorted) {
-        try {
-          val (fs2, path, len) = NiftiIo.open(f)
-          // planning header reads are excluded from bytesRead: the counter
-          // exists to prove PIXEL-read discipline (NiftiScaleSpec pins the
-          // reader's own 352-byte header granularity separately)
-          val h = Nifti.parseHeader(NiftiIo.readPrefix(fs2, path,
-            if (NiftiIo.isGzipName(path)) 4096 else 352, len, count = false))
-          val rangeable = !NiftiIo.isGzipName(path) && Nifti.bytesPerVoxel(h.datatype) > 0
-          if (!rangeable) parts += NiftiInputPartition(Array(f))
-          else {
-            for (o <- Nifti.Orientations if NiftiFilters.orientAllowed(pushed, o)) {
-              val idxs = (0 until Nifti.sliceCount(h.dims, o))
-                .filter(i => NiftiFilters.idxAllowed(pushed, i))
-              // planes per task scale inversely with plane size (clinical
-              // 192² planes would otherwise make ~150 KB tasks), capped at
-              // PlanesPerTask so huge volumes still fan out wide
-              val planeBytes = o match {
-                case "sagittal" => h.dims(2).toLong * h.dims(0) * math.max(1, Nifti.bytesPerVoxel(h.datatype))
-                case _ => h.dims(0).toLong * h.dims(1) * math.max(1, Nifti.bytesPerVoxel(h.datatype))
-              }
-              val perTask = math.max(NiftiSource.PlanesPerTask,
-                math.min(4096, (NiftiSource.TargetTaskBytes / math.max(1L, planeBytes)).toInt))
-              idxs.grouped(perTask).foreach { g =>
-                parts += NiftiInputPartition(Array(f),
-                  Array(NiftiSliceRange(f, o, g.toArray)))
-              }
+      // Planning header reads run on a bounded driver-side pool (the
+      // parquet footer-read pool analog): 100k clinical files at ~5 ms per
+      // header would otherwise serialize into minutes of planning.
+      // Excluded from bytesRead: the counter exists to prove PIXEL-read
+      // discipline (NiftiScaleSpec pins the reader's own 352-byte header
+      // granularity separately). Results are consumed in `sorted` order,
+      // so the plan stays deterministic.
+      val headers: Seq[(String, Option[Nifti.Header])] = fetchHeaders(sorted, ignoreCorrupt)
+      val legacy = ArrayBuffer.empty[InputPartition]
+      val ranges = ArrayBuffer.empty[(NiftiSliceRange, Long)] // with pixel bytes
+      for ((f, hOpt) <- headers; h <- hOpt) {
+        val rangeable = !NiftiIo.isGzipName(new Path(f)) && Nifti.bytesPerVoxel(h.datatype) > 0
+        if (!rangeable) legacy += NiftiInputPartition(Array(f))
+        else {
+          for (o <- Nifti.Orientations if NiftiFilters.orientAllowed(pushed, o)) {
+            val idxs = (0 until Nifti.sliceCount(h.dims, o))
+              .filter(i => NiftiFilters.idxAllowed(pushed, i))
+            // planes per task scale inversely with plane size (clinical
+            // 192² planes would otherwise make ~150 KB tasks), capped at
+            // PlanesPerTask so huge volumes still fan out wide
+            val planeBytes = o match {
+              case "sagittal" => h.dims(2).toLong * h.dims(0) * math.max(1, Nifti.bytesPerVoxel(h.datatype))
+              case _ => h.dims(0).toLong * h.dims(1) * math.max(1, Nifti.bytesPerVoxel(h.datatype))
+            }
+            val perTask = math.max(NiftiSource.PlanesPerTask,
+              math.min(4096, (NiftiSource.TargetTaskBytes / math.max(1L, planeBytes)).toInt))
+            idxs.grouped(perTask).foreach { g =>
+              ranges += ((NiftiSliceRange(f, o, g.toArray), planeBytes * g.length))
             }
           }
-        } catch {
-          case e: Exception if ignoreCorrupt =>
-            NiftiSource.log.warn(s"nifti: skipping corrupt file $f: ${e.getMessage}")
         }
       }
-      parts.toArray
+      (legacy ++ packRanges(ranges.toSeq)).toArray
     } else {
       val groups =
         if (mode == "headers") sorted.grouped(128).map(_.toArray).toArray
         else sorted.map(Array(_)).toArray
       groups.map(g => NiftiInputPartition(g): InputPartition)
     }
+  }
+
+  /** Parallel planning-time header fetch, `sorted` order preserved. A
+    * corrupt file yields None under ignoreCorrupt, else rethrows. */
+  private def fetchHeaders(sorted: Seq[String], ignoreCorrupt: Boolean)
+      : Seq[(String, Option[Nifti.Header])] = {
+    if (sorted.isEmpty) return Nil
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, sorted.size))
+    try {
+      val futures = sorted.map { f =>
+        f -> pool.submit(new java.util.concurrent.Callable[Either[Exception, Nifti.Header]] {
+          override def call(): Either[Exception, Nifti.Header] =
+            try {
+              val (fs2, path, len) = NiftiIo.open(f)
+              Right(Nifti.parseHeader(NiftiIo.readPrefix(fs2, path,
+                if (NiftiIo.isGzipName(path)) 4096 else 352, len, count = false)))
+            } catch { case e: Exception => Left(e) }
+        })
+      }
+      futures.map { case (f, fut) =>
+        fut.get() match {
+          case Right(h) => (f, Some(h))
+          case Left(e) if ignoreCorrupt =>
+            NiftiSource.log.warn(s"nifti: skipping corrupt file $f: ${e.getMessage}")
+            (f, None)
+          case Left(e) => throw e
+        }
+      }
+    } finally pool.shutdown()
+  }
+
+  /** Pack plane ranges across files into partitions. Single huge volumes
+    * keep their near-[[NiftiSource.TargetTaskBytes]] one-range tasks; a
+    * corpus of SMALL volumes coalesces (1000 clinical volumes × 3 orients
+    * would otherwise be 3000 ~8 MB tasks) — budget is the lesser of the
+    * target task size and an even split across 2× the scheduler's
+    * parallelism, so small corpora still fan out to every core. */
+  private def packRanges(ranges: Seq[(NiftiSliceRange, Long)]): Seq[InputPartition] = {
+    if (ranges.isEmpty) return Nil
+    val total = ranges.iterator.map(_._2).sum
+    val parallelism = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.defaultParallelism).getOrElse(32)
+    val budget = math.max(1L, math.min(NiftiSource.TargetTaskBytes,
+      total / math.max(1, 2 * parallelism)))
+    val out = ArrayBuffer.empty[InputPartition]
+    val cur = ArrayBuffer.empty[NiftiSliceRange]
+    var curBytes = 0L
+    for ((r, b) <- ranges) {
+      if (cur.nonEmpty && curBytes + b > budget) {
+        out += NiftiInputPartition(cur.map(_.path).distinct.toArray, cur.toArray)
+        cur.clear(); curBytes = 0L
+      }
+      cur += r; curBytes += b
+    }
+    if (cur.nonEmpty) out += NiftiInputPartition(cur.map(_.path).distinct.toArray, cur.toArray)
+    out.toSeq
   }
 }
 

@@ -251,4 +251,27 @@ class NiftiSourceSpec extends AnyFunSuite {
     // 2 files (1 plain + 1 gz), same dims
     assert(counts == Map("axial" -> 12L, "coronal" -> 12L, "sagittal" -> 16L))
   }
+
+  test("small-volume corpus coalesces plane ranges across files; scan stays complete") {
+    // 30 small volumes would be 90 per-(file, orient) tasks unpacked; the
+    // range packer coalesces them toward 2× the scheduler parallelism
+    // while a per-range budget floor keeps every core busy
+    val dir = Files.createTempDirectory("nifti_pack_").toString
+    (0 until 30).foreach { v =>
+      val bytes = Nifti.encode(mkVolume(v), dims, Array(0.5, 0.5, 0.5))
+      Files.write(Paths.get(dir, f"vol$v%02d.nii"), bytes)
+    }
+    val df = spark.read.format("nifti").option("mode", "slices").load(dir)
+    val nParts = df.rdd.getNumPartitions
+    val par = spark.sparkContext.defaultParallelism
+    assert(nParts <= 2 * par + 1, s"expected packed partitions, got $nParts")
+    assert(nParts >= math.min(par, 30), s"packing must not collapse parallelism: $nParts")
+    // completeness + per-slice integrity survive multi-file tasks
+    assert(df.count() == 30L * (6 + 6 + 8))
+    val some = df.filter(col("base") === "vol17" && col("orient") === "coronal" && col("idx") === 3)
+      .collect()
+    assert(some.length == 1)
+    val expected = Nifti.sliceOf(mkVolume(17), dims, "coronal", 3)._1
+    assert(pixelsOf(some.head) == expected.toSeq)
+  }
 }

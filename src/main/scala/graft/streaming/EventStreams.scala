@@ -769,14 +769,22 @@ object EventStreams {
       .parquet(d.toString)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.sinks.LmdbStore.append(
+        graft.sinks.LmdbStore.appendBatch(
           batch.select(format_string("e%010d", col("event_id")).as("key"),
-            col("props").cast("binary").as("value")), store)
+            col("props").cast("binary").as("value")), store, batchId)
         nBatches += 1
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+
+    // foreachBatch's contract is at-least-once: simulate the failure-retry
+    // replay of batch 0 — the manifest's batch ledger makes it a no-op, and
+    // because n_stored/entries_stat below count the POST-replay store, the
+    // existing equalities prove no key was double-appended
+    val replayed = graft.sinks.LmdbStore.appendBatch(
+      ev.select(format_string("e%010d", col("event_id")).as("key"),
+        col("props").cast("binary").as("value")), store, 0L)
 
     val back = graft.sinks.LmdbStore.read(s, store)
       .select(col("key"), md5(col("value")).as("h"))
@@ -784,8 +792,9 @@ object EventStreams {
       md5(col("props").cast("binary")).as("h"))
     val matched = back.join(expected, Seq("key", "h")).count()
     val entriesStat = graft.sinks.LmdbStore.auditAll(store).map(_._2.entries).sum
-    Seq((expected.count(), back.count(), matched, entriesStat, nBatches >= 2))
-      .toDF("n_expected", "n_stored", "n_hash_matched", "entries_stat", "multi_batch")
+    Seq((expected.count(), back.count(), matched, entriesStat, nBatches >= 2, !replayed))
+      .toDF("n_expected", "n_stored", "n_hash_matched", "entries_stat",
+        "multi_batch", "exactly_once")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -918,7 +927,7 @@ object EventStreams {
     "q206_stream_to_lmdb" ->
       """SELECT count(*) AS n_expected, count(*) AS n_stored,
         | count(*) AS n_hash_matched, count(*) AS entries_stat,
-        | TRUE AS multi_batch
+        | TRUE AS multi_batch, TRUE AS exactly_once
         |FROM events WHERE event_id % 20 = 0""".stripMargin,
     "q85_stream_stream_join" ->
       """WITH c AS (SELECT user_id, ts AS c_ts FROM events WHERE event_type = 'click'),

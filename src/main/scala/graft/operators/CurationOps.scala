@@ -614,7 +614,36 @@ object CurationOps {
       .orderBy("source", "lang")
   }
 
+  /** Training-reader epoch plan — the consumption side of the WebDataset
+    * tar sink (sinks/Tar.scala): each epoch draws a fresh seeded
+    * permutation of the shard list (the portable multiplicative hash of
+    * q13, so the oracle replays it exactly) and deals shards to W workers
+    * round-robin by rank. Deterministic and coordination-free: every
+    * worker derives its own shard list from (epoch, W, worker). The
+    * per-(epoch, worker) rollup carries shard/doc/char loads plus a
+    * permutation signature — epochs provably differ while each covers
+    * every shard exactly once. Scale: the shuffle is over the SHARD LIST
+    * (|corpus| / shard_size rows), never documents. */
+  private def q213(s: SparkSession, dir: String): DataFrame = {
+    val shards = t(s, dir, "documents")
+      .groupBy(expr("CAST(doc_id div 64 AS BIGINT)").as("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+    val we = Window.partitionBy("epoch").orderBy("h", "shard_id")
+    shards
+      .withColumn("epoch", explode(array(lit(0L), lit(1L), lit(2L))))
+      .withColumn("h", expr("((shard_id * 2654435761 + epoch * 97 + 7) % 4294967296)"))
+      .withColumn("rk", row_number().over(we).cast("long"))
+      .withColumn("worker", expr("(rk - 1) % 8"))
+      .groupBy("epoch", "worker")
+      .agg(count(lit(1)).as("n_shards"),
+        sum("n_docs").as("n_docs"),
+        sum("n_chars").as("n_chars"),
+        sum(expr("shard_id * rk")).as("perm_sig"))
+      .orderBy("epoch", "worker")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q213_epoch_shuffle" -> (q213 _),
     "q197_quota_sample" -> (q197 _),
     "q193_quota_alloc" -> (q193 _),
     "q191_containment_join" -> (q191 _),
@@ -633,6 +662,21 @@ object CurationOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q213_epoch_shuffle" ->
+      """WITH shards AS (SELECT CAST(doc_id // 64 AS BIGINT) AS shard_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
+        |  FROM documents GROUP BY 1),
+        |e AS (SELECT s.*, g.epoch,
+        |  ((s.shard_id * 2654435761 + g.epoch * 97 + 7) % 4294967296) AS h
+        |  FROM shards s, (SELECT unnest([0, 1, 2]) AS epoch) g),
+        |r AS (SELECT *, CAST(row_number() OVER
+        |    (PARTITION BY epoch ORDER BY h, shard_id) AS BIGINT) AS rk FROM e)
+        |SELECT CAST(epoch AS BIGINT) AS epoch, (rk - 1) % 8 AS worker,
+        |  CAST(count(*) AS BIGINT) AS n_shards,
+        |  CAST(sum(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(shard_id * rk) AS BIGINT) AS perm_sig
+        |FROM r GROUP BY 1, 2 ORDER BY epoch, worker""".stripMargin,
     "q197_quota_sample" ->
       """WITH strata AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs
         |  FROM documents GROUP BY source, lang),

@@ -817,7 +817,46 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** URL canonicalization + dedup (the Common-Crawl-style pre-fetch dedup
+    * step). The corpus has no URL column, so URLs are synthesized
+    * deterministically (q92's injection pattern) with the classic
+    * near-duplicate forms — mixed-case host, explicit default port,
+    * tracking params, trailing slash, fragment — and canonicalized by
+    * lowercased host, port strip, utm strip, fragment strip, trailing-
+    * slash strip. 500 canonical targets under ~5 variant spellings each;
+    * the rollup proves the collapse ratio and that every canonical form
+    * is scheme://lower-host/path. Per-row regex work, one count
+    * aggregation — text never shuffles. */
+  private def q214(s: SparkSession, dir: String): DataFrame = {
+    val urls = t(s, dir, "documents")
+      .withColumn("url", concat(
+        lit("https://"),
+        when(col("doc_id") % 3 === 0, lit("WWW.Example.COM")).otherwise(lit("www.example.com")),
+        when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
+        lit("/docs/"), (col("doc_id") % 500).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("?utm_source=feed&utm_campaign=x")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("#sec2")).otherwise(lit(""))))
+      .withColumn("host", lower(regexp_extract(col("url"), "https://([^/:?#]+)", 1)))
+      .withColumn("path", regexp_replace(
+        regexp_extract(col("url"), "https://[^/?#]+([^?#]*)", 1), "/$", ""))
+      .withColumn("canon", concat(lit("https://"), col("host"), col("path")))
+    val perCanon = urls.groupBy("canon")
+      .agg(count(lit(1)).as("n_raw"), countDistinct("url").as("n_forms"),
+        // portable canonical-set signature: the doc number survives in the
+        // path, the q13 multiplicative hash replays in DuckDB exactly
+        expr("((CAST(regexp_extract(canon, '/docs/([0-9]+)$', 1) AS BIGINT)" +
+          " * 2654435761 + 13) % 4294967296)").as("h"))
+    perCanon.agg(
+      sum("n_raw").cast("long").as("n_urls"),
+      count(lit(1)).as("n_canonical"),
+      max("n_forms").cast("long").as("max_forms"),
+      sum(when(col("n_forms") > 1, 1L).otherwise(0L)).as("n_collapsed"),
+      sum("h").cast("long").as("canon_sig"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_url_canonical" -> (q214 _),
     "q108_hashed_classifier" -> (q108 _),
     "q102_cluster_sizes" -> (q102 _),
     "q100_stored_sig_dedup" -> (q100 _),
@@ -885,6 +924,30 @@ object TextOps {
       | FROM hs)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q214_url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM' ELSE 'www.example.com' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+        |  '/docs/' || CAST(doc_id % 500 AS VARCHAR) ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+        |  CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_campaign=x' ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END AS url
+        |  FROM documents),
+        |c AS (SELECT url,
+        |  'https://' || lower(regexp_extract(url, 'https://([^/:?#]+)', 1)) ||
+        |  regexp_replace(regexp_extract(url, 'https://[^/?#]+([^?#]*)', 1), '/$', '') AS canon
+        |  FROM u),
+        |p AS (SELECT canon, CAST(count(*) AS BIGINT) AS n_raw,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_forms,
+        |  ((CAST(regexp_extract(canon, '/docs/([0-9]+)$', 1) AS BIGINT) * 2654435761 + 13) % 4294967296) AS h
+        |  FROM c GROUP BY canon)
+        |SELECT CAST(sum(n_raw) AS BIGINT) AS n_urls,
+        |  CAST(count(*) AS BIGINT) AS n_canonical,
+        |  CAST(max(n_forms) AS BIGINT) AS max_forms,
+        |  CAST(sum(CASE WHEN n_forms > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_collapsed,
+        |  CAST(sum(h) AS BIGINT) AS canon_sig
+        |FROM p""".stripMargin,
     "q108_hashed_classifier" ->
       """WITH wf AS (SELECT source, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w
         |  FROM documents

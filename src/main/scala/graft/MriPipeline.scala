@@ -291,6 +291,57 @@ object MriPipeline {
     if (meta.nonEmpty) writeRunMeta(path, meta)
   }
 
+  /** Continuous form of the flagship job (the reference re-runs
+    * `v2/nii_to_lmdb_paralel.py` over the whole input dir per new scan
+    * session): watch `landingDir` with a HEADERS-mode NIfTI stream
+    * (352 bytes per new file — the watch never touches payload), and per
+    * micro-batch run the batch pipeline over exactly the NEW volumes and
+    * append to one genuine-LMDB store under the micro-batch's id.
+    *
+    * Exactly-once end to end: land volumes by atomic rename; give a
+    * `checkpoint` dir and a crashed/restarted query replays its
+    * uncommitted batch from the offset log while
+    * [[graft.sinks.LmdbStore.appendBatch]]'s ledger no-ops anything the
+    * store already has. Per-slice seeding + the hash-cut split make the
+    * appended records identical to what a batch rebuild would produce
+    * (StreamingVolumePipelineSpec pins this byte-for-byte).
+    *
+    * The per-batch path collection is bounded metadata (the NEW file
+    * names); all pixel work runs in the pipeline's executor tasks. */
+  def streamIngest(spark: SparkSession, landingDir: String, store: String,
+      preset: String = "3tFlash", crop: Int = 128, step: Int = 64,
+      seed: Long = 123, splitSeed: Long = 42, checkpoint: Option[String] = None,
+      maxFilesPerTrigger: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    if (!new java.io.File(store, "_MANIFEST").exists())
+      graft.sinks.LmdbStore.create(store)
+    val reader = spark.readStream.format("nifti").option("mode", "headers")
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val writer = reader.load(landingDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val paths = batch.select("path").collect().map(_.getString(0)).sorted
+        if (paths.nonEmpty) {
+          val scope = Scratch.freshPath("ingest_batch_")
+          paths.foreach { p =>
+            val uri = new java.net.URI(p)
+            val local = if (uri.getScheme == null) java.nio.file.Paths.get(p)
+              else java.nio.file.Paths.get(uri)
+            java.nio.file.Files.createSymbolicLink(
+              scope.resolve(local.getFileName.toString), local)
+          }
+          val sl = slices(spark, scope.toString)
+          val rec = degradeToRecords(sl, planSplit(sl, splitSeed), preset, crop, step,
+            seed = seed)
+          graft.sinks.LmdbStore.appendBatch(
+            rec.toDF().select(col("key"), col("value")), store, batchId)
+        }
+        ()
+      }
+    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    writer.start()
+  }
+
   /** S13 run-level manifest: the `dataset_meta.txt` analog
     * (v2/nii_to_lmdb.py:306-323) — one `k: v` line per config entry, written
     * next to the shards so a store is self-describing. */

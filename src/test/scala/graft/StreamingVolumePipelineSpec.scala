@@ -41,52 +41,22 @@ class StreamingVolumePipelineSpec extends AnyFunSuite {
     ()
   }
 
-  /** The per-batch unit of work: run the batch pipeline over exactly
-    * `paths` and append the records under the micro-batch's id — replays
-    * of a committed batch are no-ops (exactly-once on top of
-    * foreachBatch's at-least-once contract). Symlinks scope the pipeline's
-    * scan to the batch's files without copying payload bytes. */
-  private def processNewVolumes(s: SparkSession, paths: Seq[String], store: String,
-      batchId: Long): Unit = {
-    if (paths.isEmpty) return
-    val scope = Scratch.freshPath("stream_batch_")
-    paths.foreach { p =>
-      val uri = new java.net.URI(p)
-      val local = if (uri.getScheme == null) Paths.get(p) else Paths.get(uri)
-      Files.createSymbolicLink(scope.resolve(local.getFileName.toString), local)
-    }
-    val sl = MriPipeline.slices(s, scope.toString)
-    val plan = MriPipeline.planSplit(sl)
-    val rec = MriPipeline.degradeToRecords(sl, plan, "3tFlash", crop = 8, step = 4)
-    sinks.LmdbStore.appendBatch(
-      rec.toDF().select(col("key"), col("value")), store, batchId)
-    ()
-  }
 
   test("streamed incremental build is byte-identical to a batch rebuild") {
     val landing = Files.createTempDirectory("vol_landing_").toString
     val streamStore = Scratch.fresh("stream_store_")
     new java.io.File(streamStore).delete()
-    sinks.LmdbStore.create(streamStore)
 
     (0 until 2).foreach(land(landing, _))
-    var batches = 0
-    val q = spark.readStream.format("nifti").option("mode", "headers")
-      .load(landing)
-      .writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val paths = batch.select("path").collect().map(_.getString(0)).sorted
-        processNewVolumes(spark, paths.toSeq, streamStore, batchId)
-        if (paths.nonEmpty) batches += 1
-        ()
-      }
-      .start()
+    val q = MriPipeline.streamIngest(spark, landing, streamStore, crop = 8, step = 4)
     try {
       q.processAllAvailable()
       land(landing, 2) // third volume lands mid-stream
       q.processAllAvailable()
     } finally q.stop()
-    assert(batches >= 2, s"expected two incremental waves, saw $batches")
+    assert(sinks.LmdbStore.committedBatchIds(streamStore).size >= 2,
+      s"expected two incremental waves in the ledger: " +
+        sinks.LmdbStore.committedBatchIds(streamStore))
 
     // batch rebuild over the full landing dir
     val batchStore = Scratch.fresh("batch_store_")
@@ -114,6 +84,33 @@ class StreamingVolumePipelineSpec extends AnyFunSuite {
     val audits = sinks.LmdbStore.auditAll(streamStore)
     assert(audits.nonEmpty)
     assert(audits.map(_._2.entries).sum == streamed.size)
+  }
+
+  test("checkpointed restart resumes the ingest without re-appending") {
+    val landing = Files.createTempDirectory("vol_landing_ckpt_").toString
+    val store = Scratch.fresh("ingest_ckpt_store_")
+    new java.io.File(store).delete()
+    val ckpt = Scratch.fresh("ingest_ckpt_")
+    def start() = MriPipeline.streamIngest(spark, landing, store,
+      crop = 8, step = 4, checkpoint = Some(ckpt))
+
+    land(landing, 0)
+    val q1 = start()
+    try q1.processAllAvailable() finally q1.stop()
+    val after1 = sinks.LmdbStore.read(spark, store).count()
+    assert(after1 > 0)
+
+    land(landing, 1)
+    val q2 = start() // restart from the offset log
+    try q2.processAllAvailable() finally q2.stop()
+
+    val rows = sinks.LmdbStore.read(spark, store)
+      .select(col("key").cast("string")).collect().map(_.getString(0)).toSeq
+    assert(rows.size == rows.distinct.size, "restart must not re-append keys")
+    // both volumes' records present, each exactly once: vol000 keys from
+    // the pre-restart run, vol001 only after
+    assert(rows.exists(_.contains("vol000")) && rows.exists(_.contains("vol001")))
+    assert(rows.count(_.contains("vol000")).toLong == after1)
   }
 
   test("appendBatch is exactly-once: replays no-op, crashed-attempt orphans are swept") {

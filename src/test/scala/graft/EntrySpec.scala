@@ -304,6 +304,24 @@ class EntrySpec extends AnyFunSuite {
     }
   }
 
+  test("round-7 additions keep their scale shape (q213/q214)") {
+    val dir = "/root/testdata/sf0.001"
+    // q213 (epoch shuffle): the permutation runs over the SHARD LIST — the
+    // document scan collapses to one partial/final aggregate pair before
+    // any window/shuffle, and nothing joins
+    val p213 = SparkEntry.queries("q213_epoch_shuffle")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(!p213.contains("Join"), s"q213 must not join:\n$p213")
+    assert("HashAggregate".r.findAllIn(p213).length >= 2,
+      s"q213 must pre-aggregate documents to shards before the window:\n$p213")
+    // q214 (URL canonicalization): per-row regex work + aggregation only —
+    // the text corpus is never joined and never range-shuffled
+    val p214 = SparkEntry.queries("q214_url_canonical")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(!p214.contains("Join") && !p214.contains("Exchange rangepartitioning"),
+      s"q214 must stay scan+aggregate:\n$p214")
+  }
+
   test("q70 final plan is checkpoint-truncated: bounded exchanges, not the unrolled loop") {
     // pre-checkpoint, the component loop's final plan embedded every prior
     // round's join (185 exchanges at this SF; 6693 once pointer doubling

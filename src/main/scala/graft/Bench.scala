@@ -99,6 +99,7 @@ object Bench {
         graft.operators.TextOps.prewarmShared(spark, sfDir)
         graft.operators.VectorOps.prewarmShared(spark, sfDir)
         graft.operators.CorpusOps.prewarmShared(spark, sfDir)
+        graft.operators.CurationOps.prewarmShared(spark, sfDir)
       } catch {
         case e: Throwable => System.err.println(s"[bench] prewarm failed: ${e.getMessage}")
       }

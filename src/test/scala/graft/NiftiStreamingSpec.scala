@@ -157,6 +157,29 @@ class NiftiStreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a corrupt file landing mid-stream does not kill a 24/7 ingest (ignoreCorrupt)") {
+    val dir = Files.createTempDirectory("nifti_stream_corrupt_").toString
+    land(dir, "vol00.nii", 0)
+    val q = spark.readStream.format("nifti").option("mode", "slices")
+      .option("ignoreCorrupt", "true")
+      .load(dir)
+      .groupBy("base").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("nifti_corrupt")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      // a truncated scan file lands next to a good one
+      Files.write(Paths.get(dir, "vol_bad.nii"), Array.fill[Byte](100)(7))
+      land(dir, "vol02.nii", 2)
+      q.processAllAvailable()
+      assert(q.isActive, "ignoreCorrupt stream must survive a bad file")
+      val got = spark.table("nifti_corrupt").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == Map("vol00" -> slicesPerVol.toLong, "vol02" -> slicesPerVol.toLong),
+        s"good volumes processed, corrupt skipped: $got")
+    } finally q.stop()
+  }
+
   test("orient/idx options narrow the BATCH scan identically") {
     val dir = Files.createTempDirectory("nifti_opt_batch_").toString
     land(dir, "vol00.nii", 0)

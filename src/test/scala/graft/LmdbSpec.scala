@@ -262,7 +262,7 @@ class LmdbSpec extends AnyFunSuite {
     // keys in branch node 0, and the OS-page-size variants our bulk
     // writer never emits. The reader must get/iterate/audit all of it.
     import scala.sys.process._
-    for ((psize, seed) <- Seq((4096, 1234), (8192, 99))) {
+    for ((psize, seed) <- Seq((4096, 1234), (8192, 99), (16384, 7))) {
       val dir = freshDir()
       val out = new StringBuilder
       val rc = Seq("python3", "/root/repo/tools/make_lmdb_fixture.py",

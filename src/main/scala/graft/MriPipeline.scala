@@ -311,12 +311,15 @@ object MriPipeline {
   def streamIngest(spark: SparkSession, landingDir: String, store: String,
       preset: String = "3tFlash", crop: Int = 128, step: Int = 64,
       seed: Long = 123, splitSeed: Long = 42, checkpoint: Option[String] = None,
-      maxFilesPerTrigger: Option[Int] = None)
+      maxFilesPerTrigger: Option[Int] = None, ignoreCorrupt: Boolean = false,
+      pathPattern: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     if (!new java.io.File(store, "_MANIFEST").exists())
       graft.sinks.LmdbStore.create(store)
     val reader = spark.readStream.format("nifti").option("mode", "headers")
+      .option("ignoreCorrupt", ignoreCorrupt)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    pathPattern.foreach(p => reader.option("pathPattern", p))
     val writer = reader.load(landingDir)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -324,9 +327,11 @@ object MriPipeline {
         if (paths.nonEmpty) {
           val scope = Scratch.freshPath("ingest_batch_")
           paths.foreach { p =>
-            val uri = new java.net.URI(p)
-            val local = if (uri.getScheme == null) java.nio.file.Paths.get(p)
-              else java.nio.file.Paths.get(uri)
+            // Hadoop Path strings are UNENCODED (a space stays a space), so
+            // java.net.URI(p) would throw; Path.toUri.getPath decodes safely
+            // for any local path shape
+            val local = java.nio.file.Paths.get(
+              new org.apache.hadoop.fs.Path(p).toUri.getPath)
             java.nio.file.Files.createSymbolicLink(
               scope.resolve(local.getFileName.toString), local)
           }
@@ -338,7 +343,16 @@ object MriPipeline {
         }
         ()
       }
-    checkpoint.foreach(c => writer.option("checkpointLocation", c))
+    // The store's batch ledger dedups on the STREAM's batchId, which is
+    // only unique within one checkpoint lineage — a restart with a fresh
+    // checkpoint restarts ids at 0 and the ledger would silently no-op
+    // every new batch as a "replay". So the DEFAULT checkpoint lives
+    // inside the store itself (dot-named: invisible to the manifest walk
+    // and the orphan sweep): same store → same lineage, restarts resume
+    // from the offset log. Callers overriding `checkpoint` own keeping
+    // that pairing stable.
+    writer.option("checkpointLocation",
+      checkpoint.getOrElse(new java.io.File(store, "._ingest_ckpt").getAbsolutePath))
     writer.start()
   }
 

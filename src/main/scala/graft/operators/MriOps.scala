@@ -319,7 +319,7 @@ object MriOps {
       .agg(count(lit(1)).as("n_slices"), sum("slice_sum").as("pix_sum"))
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions",
-      s.conf.getOption("spark.graft.stream.benchParts").getOrElse("8"))
+      graft.streaming.EventStreams.streamParts(s))
     try {
       val q = agg.writeStream.format("memory").queryName("nifti_stream_ingest")
         .outputMode("complete").start()

@@ -61,7 +61,12 @@ object LmdbStore {
     * committed manifest) are swept before writing — without the sweep an
     * orphan would be adopted by the next successful commit's dir listing
     * and its keys double-counted. Single writer per store, as with every
-    * append flow here. Returns true iff this call committed the batch. */
+    * append flow here. Batch ids are only unique within ONE streaming
+    * checkpoint lineage — pair a store with a stable checkpoint dir
+    * (MriPipeline.streamIngest defaults the checkpoint INSIDE the store
+    * for exactly this reason); a fresh checkpoint restarts ids at 0 and
+    * the ledger would treat the new query's batches as replays.
+    * Returns true iff this call committed the batch. */
   def appendBatch(df: DataFrame, path: String, batchId: Long): Boolean = {
     val root = new File(path)
     val committed = committedShards(path)
@@ -79,9 +84,18 @@ object LmdbStore {
     manifestLines(path).filter(_.startsWith("#batch:"))
       .map(_.stripPrefix("#batch:").toLong).toSet
 
+  /** Uncommitted residue = shard dirs on disk but not in the manifest
+    * (a crashed attempt's renamed output) AND `shard-N.tmp-*` dirs (a
+    * crashed TASK's pre-rename output — Spark's retry took a fresh tmp
+    * name, so the old one would otherwise leak one partial env per
+    * crashed attempt, forever, in a 24/7 ingest). */
   private def sweepUncommitted(root: File, committedNames: Set[String]): Unit =
     Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.getName.matches("shard-\\d+") && !committedNames(f.getName))
+      .filter { f =>
+        val n = f.getName
+        (n.matches("shard-\\d+") && !committedNames(n)) ||
+          n.matches("shard-\\d+\\.tmp-.*")
+      }
       .foreach { dir =>
         new File(dir, Lmdb.DataFileName).delete()
         new File(dir, KeyBloom.FileName).delete()

@@ -282,8 +282,11 @@ private[sources] object NiftiPlanner {
   private def fetchHeaders(sorted: Seq[String], ignoreCorrupt: Boolean)
       : Seq[(String, Option[Nifti.Header])] = {
     if (sorted.isEmpty) return Nil
+    // daemon threads: a failed plan must never block JVM exit on queued
+    // header reads
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(32, sorted.size))
+      math.min(32, sorted.size),
+      (r: Runnable) => { val t = new Thread(r, "nifti-header-fetch"); t.setDaemon(true); t })
     try {
       val futures = sorted.map { f =>
         f -> pool.submit(new java.util.concurrent.Callable[Either[Exception, Nifti.Header]] {
@@ -301,7 +304,12 @@ private[sources] object NiftiPlanner {
           case Left(e) if ignoreCorrupt =>
             NiftiSource.log.warn(s"nifti: skipping corrupt file $f: ${e.getMessage}")
             (f, None)
-          case Left(e) => throw e
+          case Left(e) =>
+            // drop the still-queued reads — without this, planning a 100k-
+            // file corpus would keep burning driver I/O after the scan
+            // already failed on an earlier corrupt file
+            pool.shutdownNow()
+            throw e
         }
       }
     } finally pool.shutdown()

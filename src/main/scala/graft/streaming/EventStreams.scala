@@ -44,7 +44,7 @@ object EventStreams {
     * are partition-count-invariant — same aggregations, same watermarks —
     * so the correctness gate, which never sets the conf, is unchanged).
     * On a production cluster you would size it to cores × smallish. */
-  private def streamParts(s: SparkSession): String =
+  private[graft] def streamParts(s: SparkSession): String =
     s.conf.getOption("spark.graft.stream.benchParts").getOrElse("8")
 
   /** Run a streaming DF to a memory sink and return the materialized table.

@@ -86,13 +86,19 @@ class StreamingVolumePipelineSpec extends AnyFunSuite {
     assert(audits.map(_._2.entries).sum == streamed.size)
   }
 
-  test("checkpointed restart resumes the ingest without re-appending") {
-    val landing = Files.createTempDirectory("vol_landing_ckpt_").toString
+  test("restart resumes the ingest without re-appending (default in-store checkpoint)") {
+    // the landing dir deliberately contains a SPACE: Hadoop path strings
+    // are unencoded, so this pins the foreachBatch path handling that a
+    // java.net.URI parse would crash on
+    val landing = Files.createTempDirectory("vol landing ").toString
     val store = Scratch.fresh("ingest_ckpt_store_")
     new java.io.File(store).delete()
-    val ckpt = Scratch.fresh("ingest_ckpt_")
+    // no explicit checkpoint: the default lives inside the store, so a
+    // restarted query CONTINUES the store's batch-id lineage — a fresh
+    // checkpoint per run would restart ids at 0 and the ledger would
+    // silently no-op every new batch as a replay
     def start() = MriPipeline.streamIngest(spark, landing, store,
-      crop = 8, step = 4, checkpoint = Some(ckpt))
+      crop = 8, step = 4)
 
     land(landing, 0)
     val q1 = start()
@@ -137,8 +143,15 @@ class StreamingVolumePipelineSpec extends AnyFunSuite {
     orphan.mkdirs()
     Files.copy(src.toPath.resolve(sinks.Lmdb.DataFileName),
       orphan.toPath.resolve(sinks.Lmdb.DataFileName))
+    // and a crashed TASK's pre-rename tmp dir — must also be swept, or a
+    // 24/7 ingest leaks one partial env per crashed attempt
+    val tmpOrphan = new java.io.File(root, "shard-00099.tmp-deadbeef")
+    tmpOrphan.mkdirs()
+    Files.copy(src.toPath.resolve(sinks.Lmdb.DataFileName),
+      tmpOrphan.toPath.resolve(sinks.Lmdb.DataFileName))
 
     assert(sinks.LmdbStore.appendBatch(df("b1"), store, 1L))
+    assert(!tmpOrphan.exists(), "crashed-task tmp dir must be swept")
     // the orphan was swept before the write (its NAME may be legitimately
     // reused by the new batch's shards) — the content proves it: without
     // the sweep the orphan's b0 replay keys would be double-counted

@@ -49,6 +49,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val (localDir, localDirKind) = pickLocalDir()
+    // spark.local.dir covers SHUFFLE, but streaming checkpoints (each
+    // micro-batch writes offset/commit/state-delta files; ~20 streaming
+    // queries × parts × batches) and every Scratch staging dir (stream
+    // sources, KV/LMDB stores, PNG sinks) resolve through java.io.tmpdir
+    // — disk /tmp. Point it at the same per-run tmpfs dir (swept by the
+    // dead-pid cleanup like everything else) so the sweep's small-file
+    // storms never touch disk. Opt-out knob + recorded in the summary
+    // env, as for the other measurement-config fields.
+    val tmpdirMoved = localDirKind == "tmpfs" &&
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_TMPFS_TMPDIR", "1") == "1"
+    if (tmpdirMoved) System.setProperty("java.io.tmpdir", localDir)
     val gcInterval = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC_INTERVAL", "90s")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -192,7 +203,8 @@ object Bench {
     // artifact alone (round-6 ADVICE — r01-r05 were disk-backed, no GC
     // timer, no prewarm)
     val env = s""""localdir":"$localDirKind","gc_interval":"$gcInterval"""" +
-      s""","gc_every":$gcEvery,"prewarm":$prewarm,"prewarm_sec":${r3(prewarmSec)}"""
+      s""","gc_every":$gcEvery,"prewarm":$prewarm,"prewarm_sec":${r3(prewarmSec)}""" +
+      s""","tmpdir_tmpfs":$tmpdirMoved"""
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries_n":${results.size},"median":${r3(median)},$env,"rerun":$rr,"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -26,9 +26,11 @@ object MriPipeline {
     * robust-normalized slices. */
   def slices(spark: SparkSession, root: String,
       orients: Seq[String] = Nifti.Orientations,
-      pmin: Double = 0.5, pmax: Double = 99.5): Dataset[Slice] = {
+      pmin: Double = 0.5, pmax: Double = 99.5,
+      pathPattern: String = ".*\\.nii(\\.gz)?$",
+      ignoreCorrupt: Boolean = false): Dataset[Slice] = {
     import spark.implicits._
-    Nifti.slices(spark, root, orients, pmin, pmax)
+    Nifti.slices(spark, root, orients, pmin, pmax, pathPattern, ignoreCorrupt)
       .select(col("slice_id").as("sliceId"), col("base"), col("orient"),
         col("idx"), col("h"), col("w"), col("pixels"))
       .as[Slice]
@@ -82,7 +84,14 @@ object MriPipeline {
           var s = sk.getOrElse(b,
             new QuantileSummaries(QuantileSummaries.defaultCompressThreshold, relErr))
           var i = 0
-          while (i < px.length) { s = s.insert(px(i).toDouble); i += 1 }
+          // NaN voxels (post-registration masking) are excluded exactly as
+          // the batch path's nanPercentile excludes them — a NaN inserted
+          // into the sketch poisons its ordering invariants
+          while (i < px.length) {
+            val v = px(i)
+            if (!v.isNaN) s = s.insert(v.toDouble)
+            i += 1
+          }
           sk(b) = s
         }
         sk.iterator.map { case (b, s) => (b, s.compress()) }
@@ -102,8 +111,11 @@ object MriPipeline {
       .filter(col("orient").isin(orients: _*))
       .join(broadcast(cuts), Seq("base"))
       .select(
-        concat(col("base"), lit("__"), col("orient"), lit("__slice_"),
-          lpad(col("idx").cast("string"), 3, "0")).as("sliceId"),
+        // %03d (min-width, like the batch path's f"slice_$i%03d") — NOT
+        // lpad, which TRUNCATES idx >= 1000 to 3 chars and collides ids
+        // on volumes with 1000+ planes
+        concat(col("base"), lit("__"), col("orient"),
+          format_string("__slice_%03d", col("idx"))).as("sliceId"),
         col("base"), col("orient"), col("idx"), col("h"), col("w"),
         normalize(col("pixels"), col("vmin"), col("vmax")).as("pixels"))
       .as[Slice]
@@ -326,20 +338,40 @@ object MriPipeline {
         val paths = batch.select("path").collect().map(_.getString(0)).sorted
         if (paths.nonEmpty) {
           val scope = Scratch.freshPath("ingest_batch_")
-          paths.foreach { p =>
-            // Hadoop Path strings are UNENCODED (a space stays a space), so
-            // java.net.URI(p) would throw; Path.toUri.getPath decodes safely
-            // for any local path shape
-            val local = java.nio.file.Paths.get(
-              new org.apache.hadoop.fs.Path(p).toUri.getPath)
-            java.nio.file.Files.createSymbolicLink(
-              scope.resolve(local.getFileName.toString), local)
+          try {
+            paths.zipWithIndex.foreach { case (p, i) =>
+              // Hadoop Path strings are UNENCODED (a space stays a space),
+              // so java.net.URI(p) would throw; Path.toUri.getPath decodes
+              // safely for any local path shape. One subdir per file: the
+              // landing listing is recursive, so two subdirectories may
+              // legally hold the same basename (volume ids must still be
+              // corpus-unique for distinct record keys, as in the batch
+              // pipeline — but a name clash must not crash the stream).
+              val local = java.nio.file.Paths.get(
+                new org.apache.hadoop.fs.Path(p).toUri.getPath)
+              val sub = java.nio.file.Files.createDirectory(
+                scope.resolve(f"f$i%05d"))
+              java.nio.file.Files.createSymbolicLink(
+                sub.resolve(local.getFileName.toString), local)
+            }
+            // pattern ".*": the scope holds EXACTLY the admitted files, so
+            // the inner read must not re-filter (a custom watch pathPattern
+            // would otherwise admit files the default inner pattern drops —
+            // ledger-committed but never ingested); ignoreCorrupt passes
+            // through so a payload-corrupt file skips instead of poisoning
+            // the replayed batch forever
+            val sl = slices(spark, scope.toString, pathPattern = ".*",
+              ignoreCorrupt = ignoreCorrupt)
+            val rec = degradeToRecords(sl, planSplit(sl, splitSeed), preset, crop, step,
+              seed = seed)
+            graft.sinks.LmdbStore.appendBatch(
+              rec.toDF().select(col("key"), col("value")), store, batchId)
+            ()
+          } finally {
+            // a 24/7 ingest must not leak one symlink dir per micro-batch
+            // until JVM exit
+            Scratch.delete(scope)
           }
-          val sl = slices(spark, scope.toString)
-          val rec = degradeToRecords(sl, planSplit(sl, splitSeed), preset, crop, step,
-            seed = seed)
-          graft.sinks.LmdbStore.appendBatch(
-            rec.toDF().select(col("key"), col("value")), store, batchId)
         }
         ()
       }

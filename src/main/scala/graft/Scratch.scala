@@ -24,6 +24,11 @@ object Scratch {
   def freshPath(prefix: String): java.nio.file.Path =
     java.nio.file.Files.createTempDirectory(root, prefix)
 
+  /** Eagerly drop a scratch dir a long-running caller is done with (the
+    * exit hook only covers JVM shutdown — a 24/7 streaming job would
+    * otherwise accumulate one dir per micro-batch). */
+  def delete(p: java.nio.file.Path): Unit = deleteRecursively(p.toFile)
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val kids = f.listFiles()
     if (kids != null) kids.foreach(deleteRecursively)

@@ -570,9 +570,26 @@ object Lmdb {
       * sorting, separator ordering, bounds, and page-count/entry parity
       * against the meta for BOTH the main and the free DB. Overlap between
       * the two trees or a page visited twice is corruption and throws. */
+    /** MDB_INTEGERKEY order (mdb_cmp_cint): native-endian fixed-width
+      * unsigned ints — NOT memcmp. The free DB's keys are u64 txnids, so
+      * e.g. 255 (FF 00 ..) sorts before 256 (00 01 ..) by VALUE while
+      * memcmp says the opposite; any env with a few hundred write txns
+      * straddles such a boundary. */
+    private def cmpIntKeys(a: Array[Byte], b: Array[Byte]): Int = {
+      if (a.length != b.length) return a.length - b.length
+      var i = a.length - 1
+      while (i >= 0) {
+        val x = a(i) & 0xff; val y = b(i) & 0xff
+        if (x != y) return x - y
+        i -= 1
+      }
+      0
+    }
+
     def auditTree(): Stat = {
       val seen = scala.collection.mutable.HashSet.empty[Long]
       var branch = 0L; var leaf = 0L; var overflow = 0L; var entries = 0L
+      var cmp: (Array[Byte], Array[Byte]) => Int = cmpKeys
       def walk(pgno: Long, level: Int, lowBound: Array[Byte]): Unit = {
         require(pgno >= 2 && pgno <= stat.lastPg, s"pgno $pgno outside data range")
         require(seen.add(pgno), s"page $pgno reachable twice")
@@ -595,7 +612,7 @@ object Lmdb {
             // node 0's key is never consulted by search (stock pages keep
             // arbitrary bytes there); separators from node 1 on must be
             // strictly ascending
-            if (i >= 2) require(cmpKeys(prevSep, sep) < 0, s"unsorted branch $pgno")
+            if (i >= 2) require(cmp(prevSep, sep) < 0, s"unsorted branch $pgno")
             if (i >= 1) prevSep = sep
             walk(branchPgno(p, off), level - 1, if (i == 0) lowBound else sep)
           }
@@ -609,9 +626,9 @@ object Lmdb {
               // first key must not fall below the branch separator that
               // routed here (separator keys equal the subtree's low key)
               if (lowBound != null && lowBound.length > 0)
-                require(cmpKeys(lowBound, k) <= 0,
+                require(cmp(lowBound, k) <= 0,
                   s"leaf $pgno key below its subtree separator")
-            } else require(cmpKeys(prev, k) < 0, s"unsorted leaf $pgno")
+            } else require(cmp(prev, k) < 0, s"unsorted leaf $pgno")
             prev = k
             val nflags = p.getShort(off + 4) & 0xffff
             require((nflags & 0x06) == 0,
@@ -636,9 +653,11 @@ object Lmdb {
       require(leaf == stat.leafPages, s"leaf pages $leaf != meta ${stat.leafPages}")
       require(overflow == stat.overflowPages, s"overflow pages $overflow != meta ${stat.overflowPages}")
       require(entries == stat.entries, s"entries $entries != meta ${stat.entries}")
-      // free DB: same walk, INTEGERKEY leaves (u64 txnid → pgno list values)
+      // free DB: same walk, but MDB_INTEGERKEY leaves (u64 txnid → pgno
+      // list values) order by integer VALUE, not memcmp
       if (freeStat.root != PInvalid) {
         branch = 0; leaf = 0; entries = 0
+        cmp = cmpIntKeys
         walk(freeStat.root, freeStat.depth, null)
         require(branch == freeStat.branchPages && leaf == freeStat.leafPages,
           s"free DB pages $branch/$leaf != meta ${freeStat.branchPages}/${freeStat.leafPages}")

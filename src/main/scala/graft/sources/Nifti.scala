@@ -279,10 +279,12 @@ object Nifti {
   /** S1+S3: recursive dir scan with name-regex predicate → decoded volume
     * rows, via the nifti DataSource V2 (one file per task; projecting away
     * `pixels` degrades the scan to a header-only metadata pass). */
-  def volumes(spark: SparkSession, root: String, pathPattern: String = ".*\\.nii(\\.gz)?$"): DataFrame =
+  def volumes(spark: SparkSession, root: String, pathPattern: String = ".*\\.nii(\\.gz)?$",
+      ignoreCorrupt: Boolean = false): DataFrame =
     spark.read.format("nifti")
       .option("mode", "volumes")
       .option("pathPattern", pathPattern)
+      .option("ignoreCorrupt", ignoreCorrupt)
       .load(root)
       .select(col("path"), col("shape"), col("zooms"), col("pixels"))
 
@@ -312,10 +314,12 @@ object Nifti {
     * (reference v2/nii_to_lmdb.py:217-227). */
   def slices(spark: SparkSession, root: String,
       orients: Seq[String] = Orientations,
-      pmin: Double = 0.5, pmax: Double = 99.5): DataFrame = {
+      pmin: Double = 0.5, pmax: Double = 99.5,
+      pathPattern: String = ".*\\.nii(\\.gz)?$",
+      ignoreCorrupt: Boolean = false): DataFrame = {
     import spark.implicits._
     val orientsB = orients.toArray
-    volumes(spark, root)
+    volumes(spark, root, pathPattern, ignoreCorrupt)
       .select(col("path"), col("shape"), col("pixels"))
       .as[(String, Array[Int], Array[Float])]
       .flatMap { case (path, dims, vol) =>

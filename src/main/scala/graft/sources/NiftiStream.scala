@@ -64,10 +64,31 @@ private[sources] class NiftiMicroBatchStream(root: String, mode: String,
   /** New files since `start`, capped by the read limit, in lexicographic
     * order (deterministic admission: a capped batch takes the SMALLEST
     * pending paths, so two runs over the same landing order admit
-    * identically). */
+    * identically).
+    *
+    * Under ignoreCorrupt, a file must pass a 352-byte header probe BEFORE
+    * admission: once admitted, a file is in the offset forever, so a
+    * TRANSIENT read failure at planning time (NFS hiccup, still-uploading
+    * file on a non-atomic-rename FS) that the planner then "skipped as
+    * corrupt" would be permanent silent data loss. Un-probeable files stay
+    * PENDING and are re-probed each trigger — transient errors heal into a
+    * later batch, truly corrupt files cost one bounded header read per
+    * trigger (and keep logging) until removed. */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val seen = NiftiStreamOffset.of(start).files.toSet
-    val fresh = visibleNow().filterNot(seen)
+    val fresh0 = visibleNow().filterNot(seen)
+    val fresh = if (!ignoreCorrupt) fresh0 else fresh0.filter { f =>
+      try {
+        val (fs, path, len) = NiftiIo.open(f)
+        NiftiIo.headerOf(fs, path, len)
+        true
+      } catch {
+        case e: Exception =>
+          NiftiSource.log.warn(
+            s"nifti stream: deferring unreadable file $f: ${e.getMessage}")
+          false
+      }
+    }
     def cap(l: ReadLimit): Int = l match {
       case f: ReadMaxFiles => f.maxFiles()
       case c: CompositeReadLimit => c.getReadLimits.map(cap).min

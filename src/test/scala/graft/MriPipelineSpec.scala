@@ -224,4 +224,29 @@ class MriPipelineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("slicesLazy ids stay distinct and batch-identical past 1000 planes; NaN voxels don't poison the sketch") {
+    // (2, 2, 1050): 1050 axial planes of 4 voxels — tiny bytes, but idx
+    // reaches 4 digits, where lpad-style padding TRUNCATES ('1009'→'100')
+    // and collides ids; %03d is min-width and must not. A few NaN voxels
+    // exercise the nanPercentile-parity skip in the clip-point sketch.
+    val inDir = java.nio.file.Files.createTempDirectory("mri_lazy_big_").toFile
+    val dims = Array(2, 2, 1050)
+    val vol = Array.tabulate(dims.product)(i =>
+      if (i % 97 == 0) Float.NaN else (i % 251).toFloat)
+    java.nio.file.Files.write(new java.io.File(inDir, "volx.nii").toPath,
+      Nifti.encode(vol, dims, Array(0.5, 0.5, 0.5)))
+    val lzy = MriPipeline.slicesLazy(spark, inDir.getAbsolutePath,
+      orients = Seq("axial")).collect()
+    assert(lzy.length == 1050)
+    val ids = lzy.map(_.sliceId)
+    assert(ids.distinct.length == 1050, "sliceIds must not collide past idx 999")
+    val eagerIds = MriPipeline.slices(spark, inDir.getAbsolutePath,
+      orients = Seq("axial")).collect().map(_.sliceId)
+    assert(ids.sorted.toSeq == eagerIds.sorted.toSeq,
+      "lazy and batch paths must agree on the id scheme")
+    // the NaN voxels must not poison the normalization: all non-NaN
+    // outputs stay in [0, 1]
+    assert(lzy.flatMap(_.pixels).filterNot(_.isNaN).forall(v => v >= 0f && v <= 1f))
+  }
 }

@@ -6,11 +6,16 @@ this script plays the role of a stock writer for reader-generality tests:
 it emulates the on-disk state liblmdb leaves after a SEQUENCE OF WRITE
 TRANSACTIONS — the states graft's bulk EnvWriter never produces:
 
-  * three committed txns with copy-on-write page turnover:
-      txn 1 builds a tree; txn 2 rewrites it (tree-1 pages are freed into
-      the FREE DB under key txnid=2); txn 3 rewrites again, REUSING txn-1's
-      freed pages (liblmdb's allocator consumes old-enough freelist
-      entries) and freeing tree-2's pages under txnid=3;
+  * three committed txns with copy-on-write page turnover, numbered as
+    the LAST of a longer history (254..256) so the free DB's INTEGERKEY
+    u64 keys straddle the 0x100 byte boundary — 255 = FF 00.. sorts
+    BEFORE 256 = 00 01.. by integer value but AFTER it by memcmp, the
+    ordering trap mdb_cmp_cint exists for:
+      txn 254 builds a tree; txn 255 rewrites it (tree-1 pages are freed
+      into the FREE DB under key txnid=255); txn 256 rewrites again,
+      REUSING txn-254's freed pages (liblmdb's allocator consumes
+      old-enough freelist entries) and freeing tree-2's pages under
+      txnid=256;
   * therefore: scattered page allocation (live tree interleaved with stale
     pages), stale-but-parseable old tree bytes, a stale-but-valid second
     meta page, a populated FREE DB (INTEGERKEY, MDB_IDL values), txnid > 1;
@@ -169,9 +174,12 @@ class Fixture:
             parents.append((chunk[0][0], pg))
         return parents
 
-    def build_tree(self, data, pool):
-        """data: dict key->value. Returns (root, depth, stats)."""
-        items = sorted(data.items())
+    def build_tree(self, data, pool, presorted=None):
+        """data: dict key->value. Returns (root, depth, stats).
+        presorted: pre-ordered [(k, v)] for non-memcmp comparators
+        (the free DB is MDB_INTEGERKEY: u64 txnids in INTEGER order,
+        which diverges from byte order once txnids straddle 0x100)."""
+        items = presorted if presorted is not None else sorted(data.items())
         if not items:
             return P_INVALID, 0, (0, 0, 0, 0)
         overflow = 0
@@ -201,8 +209,7 @@ class Fixture:
             items.append((struct.pack("<Q", txnid), val))
         if not items:
             return P_INVALID, 0, (0, 0, 0, 0)
-        data = dict(items)
-        return self.build_tree(data, pool)
+        return self.build_tree(None, pool, presorted=items)
 
     # -------------------------------------------------- meta pages
     def write_meta(self, slot, txnid, main, free, last_pg):
@@ -250,7 +257,7 @@ def main(outdir, psize, seed):
     pages_before = set()
     root1 = fx.build_tree(dict(data), [])
     tree1_pages = set(fx.pages) - pages_before
-    fx.write_meta(1, 1, root1, (P_INVALID, 0, (0, 0, 0, 0)), fx.next_pg - 1)
+    fx.write_meta(1, 254, root1, (P_INVALID, 0, (0, 0, 0, 0)), fx.next_pg - 1)
 
     # ---- txn 2: rewrite (COW): tree-1 pages freed under txnid 2 ---------
     for k in rnd.sample(sorted(data), 30):
@@ -264,9 +271,9 @@ def main(outdir, psize, seed):
     # single-page frees only (overflow chains freed too, but as runs —
     # keep the IDL single pages for simplicity: legal, liblmdb IDLs are
     # flat pgno lists either way)
-    fx.free_db[2] = sorted(tree1_pages)
+    fx.free_db[255] = sorted(tree1_pages)
     free2 = fx.build_free_db([])
-    fx.write_meta(0, 2, root2, free2, fx.next_pg - 1)
+    fx.write_meta(0, 255, root2, free2, fx.next_pg - 1)
 
     # ---- txn 3: rewrite again, REUSING txn-1's freed single pages -------
     deleted = rnd.sample(sorted(data), 35)
@@ -276,7 +283,7 @@ def main(outdir, psize, seed):
         data[rand_key(rnd)] = rand_value(rnd, psize)
     # the allocator consumes (part of) freelist entry 2 — shuffled, so the
     # live tree lands scattered between stale txn-2 pages
-    reusable = sorted(fx.free_db[2])
+    reusable = sorted(fx.free_db[255])
     rnd.shuffle(reusable)
     pool = reusable[: len(reusable) // 2]
     consumed = set(pool)
@@ -284,10 +291,10 @@ def main(outdir, psize, seed):
     consumed -= set(pool)  # what build_tree actually popped
     # entry 2 shrinks to its unconsumed remainder; tree-2's pages are
     # freed under txnid 3
-    fx.free_db[2] = sorted(set(fx.free_db[2]) - consumed)
-    fx.free_db[3] = sorted(tree2_pages)
+    fx.free_db[255] = sorted(set(fx.free_db[255]) - consumed)
+    fx.free_db[256] = sorted(tree2_pages)
     free3 = fx.build_free_db([])
-    fx.write_meta(1, 3, root3, free3, fx.next_pg - 1)
+    fx.write_meta(1, 256, root3, free3, fx.next_pg - 1)
 
     # ---- serialize ------------------------------------------------------
     last_pg = fx.next_pg - 1

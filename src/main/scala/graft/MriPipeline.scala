@@ -99,9 +99,12 @@ object MriPipeline {
       .groupByKey(_._1)
       .mapGroups { (b, it) =>
         // mergeable: the shuffle carries O(partitions) tiny sketches per
-        // volume, never pixel data
+        // volume, never pixel data. An all-NaN volume leaves the sketch
+        // EMPTY — degrade to NaN cuts like the batch path's nanPercentile
+        // instead of throwing on query().get
         val merged = it.map(_._2).reduce((a, c) => a.merge(c))
-        (b, merged.query(pmin / 100.0).get, merged.query(pmax / 100.0).get)
+        (b, merged.query(pmin / 100.0).getOrElse(Double.NaN),
+          merged.query(pmax / 100.0).getOrElse(Double.NaN))
       }
       .toDF("base", "vmin", "vmax")
     val normalize = udf { (px: Seq[Float], vmin: Double, vmax: Double) =>
@@ -162,8 +165,10 @@ object MriPipeline {
       .select(col("base"), explode(expr(orientArr)).as("orient"), col("shape"))
       .select(col("base"), col("orient"),
         explode(expr("sequence(0, CASE WHEN orient = 'sagittal' THEN shape[1] - 1 ELSE shape[2] - 1 END)")).as("idx"))
-      .select(concat(col("base"), lit("__"), col("orient"), lit("__slice_"),
-        lpad(col("idx").cast("string"), 3, "0")).as("sliceId"))
+      // %03d min-width, same as the slice producers — lpad TRUNCATES idx
+      // >= 1000 and the plan's labels would stop matching real slice ids
+      .select(concat(col("base"), lit("__"), col("orient"),
+        format_string("__slice_%03d", col("idx"))).as("sliceId"))
       .withColumn("b", pmod(xxhash64(col("sliceId"), lit(seed)), lit(1000L)))
       .withColumn("split",
         when(col("b") < cut1, "train").when(col("b") < cut2, "val").otherwise("test"))

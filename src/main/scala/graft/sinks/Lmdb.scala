@@ -561,15 +561,6 @@ object Lmdb {
       stat
     }
 
-    /** Structural audit by ROOT REACHABILITY — the form that accepts any
-      * valid environment, including ones a stock liblmdb produced through
-      * incremental write transactions: such an env legally contains freed,
-      * stale and reused pages that no page-order walk can type-check
-      * (old tree versions keep their bytes until reallocation — MVCC), so
-      * the audit descends from the live roots instead, checking node
-      * sorting, separator ordering, bounds, and page-count/entry parity
-      * against the meta for BOTH the main and the free DB. Overlap between
-      * the two trees or a page visited twice is corruption and throws. */
     /** MDB_INTEGERKEY order (mdb_cmp_cint): native-endian fixed-width
       * unsigned ints — NOT memcmp. The free DB's keys are u64 txnids, so
       * e.g. 255 (FF 00 ..) sorts before 256 (00 01 ..) by VALUE while
@@ -586,6 +577,17 @@ object Lmdb {
       0
     }
 
+    /** Structural audit by ROOT REACHABILITY — the form that accepts any
+      * valid environment, including ones a stock liblmdb produced through
+      * incremental write transactions: such an env legally contains freed,
+      * stale and reused pages that no page-order walk can type-check
+      * (old tree versions keep their bytes until reallocation — MVCC), so
+      * the audit descends from the live roots instead, checking node
+      * sorting (memcmp for the main DB, integer order for the
+      * INTEGERKEY free DB), separator ordering, bounds, and
+      * page-count/entry parity against the meta for BOTH the main and
+      * the free DB. Overlap between the two trees or a page visited
+      * twice is corruption and throws. */
     def auditTree(): Stat = {
       val seen = scala.collection.mutable.HashSet.empty[Long]
       var branch = 0L; var leaf = 0L; var overflow = 0L; var entries = 0L

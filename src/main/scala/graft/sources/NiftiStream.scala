@@ -77,25 +77,31 @@ private[sources] class NiftiMicroBatchStream(root: String, mode: String,
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val seen = NiftiStreamOffset.of(start).files.toSet
     val fresh0 = visibleNow().filterNot(seen)
-    val fresh = if (!ignoreCorrupt) fresh0 else fresh0.filter { f =>
-      try {
-        val (fs, path, len) = NiftiIo.open(f)
-        NiftiIo.headerOf(fs, path, len)
-        true
-      } catch {
-        case e: Exception =>
-          NiftiSource.log.warn(
-            s"nifti stream: deferring unreadable file $f: ${e.getMessage}")
-          false
-      }
-    }
     def cap(l: ReadLimit): Int = l match {
       case f: ReadMaxFiles => f.maxFiles()
       case c: CompositeReadLimit => c.getReadLimits.map(cap).min
       case _: ReadAllAvailable => Int.MaxValue
       case _ => Int.MaxValue // rows/bytes limits are not meaningful pre-scan here
     }
-    val admitted = fresh.take(cap(limit))
+    // probe LAZILY after the cap ordering so a capped trigger pays
+    // cap + failures probes, not one per pending backlog file (a 100k-file
+    // backlog at maxFilesPerTrigger=100 would otherwise re-probe the whole
+    // backlog every trigger); admission order is unchanged — the smallest
+    // pending READABLE paths win
+    val admitted =
+      (if (!ignoreCorrupt) fresh0.iterator
+       else fresh0.iterator.filter { f =>
+         try {
+           val (fs, path, len) = NiftiIo.open(f)
+           NiftiIo.headerOf(fs, path, len)
+           true
+         } catch {
+           case e: Exception =>
+             NiftiSource.log.warn(
+               s"nifti stream: deferring unreadable file $f: ${e.getMessage}")
+             false
+         }
+       }).take(cap(limit)).toSeq
     NiftiStreamOffset((seen ++ admitted).toSeq.sorted)
   }
 

@@ -287,8 +287,9 @@ class LmdbSpec extends AnyFunSuite {
       try {
         assert(env.psize == psize)
         assert(env.stat.entries == expected.size)
-        // the live meta is txnid 3 → slot 1; parseMeta also validated the
-        // STALE slot-0 meta (txnid 2) en route
+        // the live meta is txnid 256 → slot 1; parseMeta also validated
+        // the STALE slot-0 meta (txnid 255) en route — ids straddle 0x100
+        // so the free DB's INTEGERKEY order diverges from memcmp
         // full iteration: every live key present, every value md5-exact,
         // memcmp-ordered
         val got = env.iterator.map { case (k, v) =>

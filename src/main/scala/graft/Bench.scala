@@ -111,6 +111,7 @@ object Bench {
         graft.operators.VectorOps.prewarmShared(spark, sfDir)
         graft.operators.CorpusOps.prewarmShared(spark, sfDir)
         graft.operators.CurationOps.prewarmShared(spark, sfDir)
+        graft.operators.SuffixOps.prewarmShared(spark, sfDir)
       } catch {
         case e: Throwable => System.err.println(s"[bench] prewarm failed: ${e.getMessage}")
       }

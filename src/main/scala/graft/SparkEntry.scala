@@ -31,6 +31,7 @@ object SparkEntry {
       operators.AnalyticsOps.queries ++
       operators.CurationOps.queries ++
       operators.RngParityOps.queries ++
+      operators.SuffixOps.queries ++
       streaming.EventStreams.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -48,5 +49,6 @@ object SparkEntry {
       operators.AnalyticsOps.oracles ++
       operators.CurationOps.oracles ++
       operators.RngParityOps.oracles ++
+      operators.SuffixOps.oracles ++
       streaming.EventStreams.oracles
 }

@@ -1,0 +1,356 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import graft.{SessionCache, Tables}
+
+/** Suffix-array tier: corpus-wide substring-duplication analysis via a
+  * DISTRIBUTED suffix-array construction (prefix doubling) — the primitive
+  * behind exact substring-level training-data dedup (the suffix-array
+  * dedup of the "Deduplicating Training Data Makes Language Models
+  * Better" line of work), which n-gram hashing cannot replace: hashing a
+  * fixed gram width answers "does this exact W-gram repeat", while the
+  * suffix order + LCP answers "what is the LONGEST repeated substring
+  * through this position" for every position at once.
+  *
+  * Algorithm (q215): rank every suffix of every document by its first
+  * `Cap` characters with O(log Cap) prefix-doubling rounds. Each round
+  * combines the current rank at `pos` with the rank at `pos + width`
+  * (0-sentinel past end-of-document, so a short suffix sorts before any
+  * extension of it — matching lexicographic order on truncated
+  * substrings), then re-densifies ranks with a distributed dense-rank:
+  * distinct pairs → range-partitioned sort → zipWithIndex → join back.
+  * No single-partition window anywhere; every step is a shuffle or a
+  * range-sort over (corpus-length)-many narrow rows. The doubling stops
+  * early once every rank class is a singleton (the classic termination),
+  * or at `Cap`. `Cap` is a parameter of the construction — the driver
+  * gate pins Cap=64 because the DuckDB oracle must re-derive the same
+  * order from `substr(text, pos, 64)`; at 100 TB the same loop runs to
+  * 2^k ≥ longest-repeat with k distributed sorts, which IS the published
+  * scale algorithm (pDC3 / prefix-doubling MapReduce SA construction).
+  *
+  * LCP tier (q216): with the total suffix order in hand, a position's
+  * longest duplicated prefix is max(LCP with rank-predecessor, LCP with
+  * rank-successor) — equal substrings are CONTIGUOUS in suffix order, so
+  * only the two neighbors need comparing (never all-pairs). The output
+  * counts positions that start a ≥20-char (and ≥40-char) substring
+  * occurring at least twice anywhere in the corpus — the per-position
+  * "is this span memorizable boilerplate" signal span-granular dedup
+  * acts on.
+  *
+  * Scale shape: rows are (doc_id, pos, rank) — ~|corpus| narrow rows;
+  * the doubling shuffles carry three longs per character, the final
+  * prefix strings are materialized ONCE (Cap bytes/row) for the LCP
+  * compare, and the neighbor lookup is a self-join on rank±1 (shuffle on
+  * a dense unique key: no skew possible). Nothing is quadratic; memory
+  * per task is partition-bounded.
+  *
+  * Hash-stability: every output column is an exact integer or a rounded
+  * ratio of exact integers; suffix comparison is byte-wise on ASCII text
+  * in both engines (binary collation).
+  */
+object SuffixOps {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables(s, dir, n)
+
+  /** Rank-prefix cap pinned by the oracle (see scaladoc above). */
+  val Cap = 64
+
+  /** Distributed contiguous 1-based sequence ids in `keys` order: global
+    * range-partitioned sort, then zipWithIndex (per-partition offsets from
+    * one lightweight count pass) — the scale-honest row_number that never
+    * funnels rows through a single-partition window. */
+  private def seqIdBy(df: DataFrame, idCol: String, keys: Column*): DataFrame = {
+    val s = df.sparkSession
+    val sorted = df.orderBy(keys: _*)
+    val schema = sorted.schema.add(idCol, LongType, nullable = false)
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
+    s.createDataFrame(rdd, schema)
+  }
+
+  /** One densification: replace the (r, r2) pair with its dense rank over
+    * the corpus-wide pair order. Returns the re-ranked rows (materialized —
+    * see below) plus the number of distinct pairs (== row count ⟺ the
+    * order is total and the doubling can stop).
+    *
+    * The result is eagerly localCheckpoint-ed: `cur` feeds BOTH sides of
+    * the next round's self-join, so without lineage truncation the
+    * logical plan doubles every round (2^rounds copies of the base scan —
+    * the same blowup q70's component loop truncates the same way). */
+  private def denseRankPairs(cur: DataFrame): (DataFrame, Long) = {
+    val pairs = cur.select("r", "r2").distinct()
+    val ranked = seqIdBy(pairs, "nr", col("r"), col("r2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDistinct = ranked.count()
+    val next = cur.join(ranked, Seq("r", "r2"))
+      .select(col("doc_id"), col("pos"), col("nr").as("r"))
+      .localCheckpoint(true)
+    ranked.unpersist(false)
+    (next, nDistinct)
+  }
+
+  /** The shared suffix-rank table: (doc_id, source, pos, rank, p64) with
+    * `rank` the 1-based position of suffix (doc_id, pos) in the corpus-wide
+    * order by (first-Cap-chars, doc_id, pos), and `p64` those first Cap
+    * characters (for the LCP compare). Session-cached: q215/q216 and any
+    * downstream dedup share one build. */
+  def suffixRanks(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrBuild(s, s"suffix_rank${Cap}_$dir") {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      val base = docs
+        .withColumn("pos", explode(sequence(lit(1), length(col("text")))))
+        .select(col("doc_id"), col("pos"),
+          expr("CAST(ascii(substr(text, pos, 1)) AS BIGINT)").as("r"))
+        .localCheckpoint(true)
+      val total = base.count()
+      var cur = base
+      var width = 1
+      var done = false
+      while (width < Cap && !done) {
+        val d = width
+        val right = cur.select(col("doc_id"), (col("pos") - d).as("pos"), col("r").as("r2"))
+        val joined = cur.join(right, Seq("doc_id", "pos"), "left")
+          .withColumn("r2", coalesce(col("r2"), lit(0L)))
+        val (next, nDistinct) = denseRankPairs(joined)
+        cur = next
+        width *= 2
+        done = nDistinct == total
+      }
+      val ranked = seqIdBy(cur, "rank", col("r"), col("doc_id"), col("pos"))
+      ranked.join(docs, "doc_id")
+        .select(col("doc_id"), col("source"), col("pos"), col("rank"),
+          expr(s"substr(text, pos, $Cap)").as("p64"))
+    }
+
+  /** Bench untimed-warmup hook (same contract as TextOps.prewarmShared):
+    * materialize the shared suffix-rank table once so the per-query
+    * timings measure the q215/q216 plans, not the one-time build. */
+  private[graft] def prewarmShared(s: SparkSession, dir: String): Unit = {
+    suffixRanks(s, dir).count()
+    ()
+  }
+
+  // ---------------------------------------------------------------------
+  // q215 — distributed suffix-array rank (prefix doubling)
+  // ---------------------------------------------------------------------
+
+  /** Per-source verification aggregates over the full suffix order: the
+    * exact rank sum, a (rank, pos)-mixing checksum that pins the
+    * assignment (not just the multiset) of ranks, and the rank of the
+    * source's lexicographically-first suffix. */
+  private def q215(s: SparkSession, dir: String): DataFrame =
+    suffixRanks(s, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_suffixes"),
+        sum("rank").as("sum_rank"),
+        sum((col("rank") % 1000003L) * (col("pos").cast("long") % 1009L)).as("rank_pos_mix"),
+        min("rank").as("first_rank"))
+      .orderBy("source")
+
+  // ---------------------------------------------------------------------
+  // q216 — duplicated-substring coverage via LCP with rank neighbors
+  // ---------------------------------------------------------------------
+
+  /** Common-prefix length of `p64` with the (possibly null) neighbor
+    * prefix in `other`, capped at Cap and at both string lengths. The
+    * mismatch scan and the no-mismatch sentinel behave identically to the
+    * DuckDB oracle's list_position (both return 0 when no mismatch). */
+  private def withCpl(df: DataFrame, other: String, out: String): DataFrame = df
+    .withColumn("_m", expr(
+      s"array_position(transform(sequence(1, $Cap), k -> substr(p64, k, 1) = substr($other, k, 1)), false)"))
+    .withColumn(out,
+      when(col(other).isNull, lit(0L))
+        .otherwise(least(
+          when(col("_m") === 0, lit(Cap.toLong)).otherwise(col("_m") - 1),
+          length(col("p64")).cast("long"),
+          length(col(other)).cast("long"))))
+    .drop("_m")
+
+  /** Per-position longest duplicated prefix: (doc_id, source, pos,
+    * dup_len) with dup_len = max(LCP with rank-predecessor, LCP with
+    * rank-successor) — the shared core of q216 (coverage counts) and
+    * q217 (span removal). The neighbor lookup is a self-join on rank±1:
+    * a shuffle on a dense unique key, never a global window. */
+  private def dupLens(s: SparkSession, dir: String): DataFrame = {
+    val r = suffixRanks(s, dir)
+    val prev = r.select((col("rank") + 1).as("rank"), col("p64").as("prev_p"))
+    val next = r.select((col("rank") - 1).as("rank"), col("p64").as("next_p"))
+    val nbr = r.join(prev, Seq("rank"), "left").join(next, Seq("rank"), "left")
+    withCpl(withCpl(nbr, "prev_p", "lcp_prev"), "next_p", "lcp_next")
+      .withColumn("dup_len", greatest(col("lcp_prev"), col("lcp_next")))
+      .select(col("doc_id"), col("source"), col("pos"), col("dup_len"))
+  }
+
+  /** Per-source duplicated-substring coverage: how many positions start a
+    * substring of length ≥20 (≥40) that occurs at least twice anywhere in
+    * the corpus, plus the longest duplicated prefix seen. */
+  private def q216(s: SparkSession, dir: String): DataFrame =
+    dupLens(s, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("dup_len") >= 20, 1L).otherwise(0L)).as("n_dup20"),
+        sum(when(col("dup_len") >= 40, 1L).otherwise(0L)).as("n_dup40"),
+        max("dup_len").as("max_dup_len"),
+        sum("dup_len").as("sum_dup_len"))
+      .withColumn("dup_frac20", round(col("n_dup20").cast("double") / col("n_pos"), 6))
+      .orderBy("source")
+
+  // ---------------------------------------------------------------------
+  // q217 — exact-substring span removal (the dedup executor)
+  // ---------------------------------------------------------------------
+
+  /** Minimum duplicated-prefix length that opens a removal interval
+    * (Lee et al.'s ExactSubstr uses 50 on BPE tokens; 40 chars here,
+    * detectable up to Cap). Pinned by the oracle. */
+  val MinSpan = 40
+
+  /** The operation the suffix tier exists for: REMOVE duplicated spans.
+    * Every position whose longest duplicated prefix is ≥ MinSpan opens
+    * the interval [pos, pos + dup_len); per-document overlapping
+    * intervals merge via gaps-and-islands over a doc-partitioned window
+    * (partitioned by doc_id — per-doc state only, never a global
+    * window), and the query reports per-source removal accounting:
+    * docs touched, merged spans, chars removed/kept. Deterministic and
+    * integer-exact, so the cleansed-corpus geometry is hash-gated; the
+    * byte-level rewrite is then a trivial per-row substring splice over
+    * the merged intervals.
+    *
+    * Scale shape: the interval set is the ≥MinSpan positions only (a
+    * small fraction of the corpus); the window state is one running
+    * max per document; everything downstream of dupLens is one shuffle
+    * on doc_id. */
+  private def q217(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = dupLens(s, dir)
+      .filter(col("dup_len") >= MinSpan)
+      .select(col("doc_id"), col("source"), col("pos"),
+        (col("pos") + col("dup_len")).as("e"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val prevMax = byDoc.rowsBetween(Window.unboundedPreceding, -1)
+    val isl = spans
+      .withColumn("max_e", max("e").over(prevMax))
+      .withColumn("new_isl",
+        when(col("max_e").isNull || col("pos") > col("max_e"), 1L).otherwise(0L))
+      .withColumn("isl", sum("new_isl").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+    val merged = isl.groupBy("doc_id", "source", "isl")
+      .agg(min("pos").as("sp"), max("e").as("ep"))
+    val perDoc = merged.groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_spans"), sum(col("ep") - col("sp")).as("removed"))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"), length(col("text")).cast("long").as("len"))
+    docs.join(perDoc.drop("source"), Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_spans", "removed"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_spans") > 0, 1L).otherwise(0L)).as("n_docs_affected"),
+        sum("n_spans").as("n_spans"),
+        sum("removed").as("removed_chars"),
+        sum(col("len") - col("removed")).as("kept_chars"))
+      .withColumn("removed_frac",
+        round(col("removed_chars").cast("double") /
+          (col("removed_chars") + col("kept_chars")), 6))
+      .orderBy("source")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_suffix_rank" -> (q215 _),
+    "q216_dup_substrings" -> (q216 _),
+    "q217_span_removal" -> (q217 _))
+
+  def oracles: Map[String, String] = Map(
+    "q215_suffix_rank" ->
+      """WITH p AS (SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+        |    substr(text, CAST(i AS INT), 64) AS p64
+        |  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)),
+        |r AS (SELECT source, pos,
+        |    row_number() OVER (ORDER BY p64, doc_id, pos) AS rank
+        |  FROM p)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_suffixes,
+        |  CAST(sum(rank) AS BIGINT) AS sum_rank,
+        |  CAST(sum((rank % 1000003) * (pos % 1009)) AS BIGINT) AS rank_pos_mix,
+        |  CAST(min(rank) AS BIGINT) AS first_rank
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "q216_dup_substrings" ->
+      """WITH p AS (SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+        |    substr(text, CAST(i AS INT), 64) AS p64
+        |  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)),
+        |r AS (SELECT source, p64,
+        |    lag(p64)  OVER (ORDER BY p64, doc_id, pos) AS prev_p,
+        |    lead(p64) OVER (ORDER BY p64, doc_id, pos) AS next_p
+        |  FROM p),
+        |c AS (SELECT source,
+        |    CASE WHEN prev_p IS NULL THEN 0 ELSE least(
+        |      CASE WHEN list_position(list_transform(range(1, 65),
+        |             k -> substr(p64, CAST(k AS INT), 1) = substr(prev_p, CAST(k AS INT), 1)), false) = 0
+        |           THEN 64
+        |           ELSE list_position(list_transform(range(1, 65),
+        |             k -> substr(p64, CAST(k AS INT), 1) = substr(prev_p, CAST(k AS INT), 1)), false) - 1 END,
+        |      length(p64), length(prev_p)) END AS lcp_prev,
+        |    CASE WHEN next_p IS NULL THEN 0 ELSE least(
+        |      CASE WHEN list_position(list_transform(range(1, 65),
+        |             k -> substr(p64, CAST(k AS INT), 1) = substr(next_p, CAST(k AS INT), 1)), false) = 0
+        |           THEN 64
+        |           ELSE list_position(list_transform(range(1, 65),
+        |             k -> substr(p64, CAST(k AS INT), 1) = substr(next_p, CAST(k AS INT), 1)), false) - 1 END,
+        |      length(p64), length(next_p)) END AS lcp_next
+        |  FROM r),
+        |d AS (SELECT source, greatest(lcp_prev, lcp_next) AS dup_len FROM c)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN dup_len >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup20,
+        |  CAST(sum(CASE WHEN dup_len >= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup40,
+        |  CAST(max(dup_len) AS BIGINT) AS max_dup_len,
+        |  CAST(sum(dup_len) AS BIGINT) AS sum_dup_len,
+        |  round(CAST(sum(CASE WHEN dup_len >= 20 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac20
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
+    "q217_span_removal" ->
+      """WITH p AS (SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+        |    substr(text, CAST(i AS INT), 64) AS p64
+        |  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)),
+        |r AS (SELECT doc_id, source, pos, p64,
+        |    lag(p64)  OVER (ORDER BY p64, doc_id, pos) AS prev_p,
+        |    lead(p64) OVER (ORDER BY p64, doc_id, pos) AS next_p
+        |  FROM p),
+        |c AS (SELECT doc_id, source, pos, greatest(
+        |    CASE WHEN prev_p IS NULL THEN 0 ELSE least(
+        |      CASE WHEN list_position(list_transform(range(1, 65),
+        |             k -> substr(p64, CAST(k AS INT), 1) = substr(prev_p, CAST(k AS INT), 1)), false) = 0
+        |           THEN 64
+        |           ELSE list_position(list_transform(range(1, 65),
+        |             k -> substr(p64, CAST(k AS INT), 1) = substr(prev_p, CAST(k AS INT), 1)), false) - 1 END,
+        |      length(p64), length(prev_p)) END,
+        |    CASE WHEN next_p IS NULL THEN 0 ELSE least(
+        |      CASE WHEN list_position(list_transform(range(1, 65),
+        |             k -> substr(p64, CAST(k AS INT), 1) = substr(next_p, CAST(k AS INT), 1)), false) = 0
+        |           THEN 64
+        |           ELSE list_position(list_transform(range(1, 65),
+        |             k -> substr(p64, CAST(k AS INT), 1) = substr(next_p, CAST(k AS INT), 1)), false) - 1 END,
+        |      length(p64), length(next_p)) END) AS dup_len
+        |  FROM r),
+        |s AS (SELECT doc_id, source, pos, pos + dup_len AS e FROM c WHERE dup_len >= 40),
+        |i AS (SELECT doc_id, source, pos, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |        OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS ni
+        |  FROM s),
+        |j AS (SELECT doc_id, source, pos, e,
+        |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM i),
+        |m AS (SELECT doc_id, source, isl, min(pos) AS sp, max(e) AS ep
+        |  FROM j GROUP BY 1, 2, 3),
+        |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(ep - sp) AS BIGINT) AS removed
+        |  FROM m GROUP BY 1),
+        |d AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len FROM documents)
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN coalesce(pd.n_spans, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_affected,
+        |  CAST(sum(coalesce(pd.n_spans, 0)) AS BIGINT) AS n_spans,
+        |  CAST(sum(coalesce(pd.removed, 0)) AS BIGINT) AS removed_chars,
+        |  CAST(sum(d.len - coalesce(pd.removed, 0)) AS BIGINT) AS kept_chars,
+        |  round(CAST(sum(coalesce(pd.removed, 0)) AS DOUBLE) / sum(d.len), 6) AS removed_frac
+        |FROM d LEFT JOIN pd USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin)
+}

@@ -322,6 +322,39 @@ class EntrySpec extends AnyFunSuite {
       s"q214 must stay scan+aggregate:\n$p214")
   }
 
+  test("suffix tier plans keep their scale shape (q215/q216)") {
+    val dir = "/root/testdata/sf0.001"
+    // q215/q216 (suffix-array tier): every join in the doubling and in the
+    // LCP neighbor lookup is an equi-join on (doc_id,pos), (r,r2) or
+    // rank±1 — an all-pairs join anywhere would mean the suffix order is
+    // being derived by comparison instead of rank doubling. And no
+    // single-partition window: the global order comes from range-sort +
+    // zipWithIndex, never a partition-less row_number.
+    val p215 = SparkEntry.queries("q215_suffix_rank")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(!p215.contains("CartesianProduct") && !p215.contains("BroadcastNestedLoopJoin"),
+      s"q215 must not contain an all-pairs join:\n$p215")
+    assert(!p215.contains("Window"), s"q215 must not use a window:\n$p215")
+    val p216 = SparkEntry.queries("q216_dup_substrings")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(!p216.contains("CartesianProduct") && !p216.contains("BroadcastNestedLoopJoin"),
+      s"q216 must not contain an all-pairs join:\n$p216")
+    assert(!p216.contains("Window"), s"q216 must not use a window:\n$p216")
+    // q217 merges removal intervals with a window — but it must be the
+    // doc-partitioned gaps-and-islands window (per-doc state), never a
+    // partition-less global one, and still no all-pairs join anywhere.
+    val p217 = SparkEntry.queries("q217_span_removal")(spark, dir)
+      .queryExecution.executedPlan.toString()
+    assert(!p217.contains("CartesianProduct") && !p217.contains("BroadcastNestedLoopJoin"),
+      s"q217 must not contain an all-pairs join:\n$p217")
+    val specs = "windowspecdefinition\\(([^,)]*)".r.findAllMatchIn(p217).map(_.group(1)).toList
+    assert(specs.nonEmpty, s"q217 should use a window for interval merging:\n$p217")
+    specs.foreach { first =>
+      assert(first.startsWith("doc_id"),
+        s"q217 window must be partitioned by doc_id, got spec starting with '$first':\n$p217")
+    }
+  }
+
   test("q70 final plan is checkpoint-truncated: bounded exchanges, not the unrolled loop") {
     // pre-checkpoint, the component loop's final plan embedded every prior
     // round's join (185 exchanges at this SF; 6693 once pointer doubling

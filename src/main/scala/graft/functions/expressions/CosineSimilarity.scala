@@ -109,6 +109,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ZOrder.info, ZOrder.builder))
     e.injectFunction((FunctionIdentifier(LevenshteinWithin.name),
       LevenshteinWithin.info, LevenshteinWithin.builder))
+    e.injectFunction((FunctionIdentifier(CommonPrefixLen.name),
+      CommonPrefixLen.info, CommonPrefixLen.builder))
     e.injectOptimizerRule(_ => RegexCountToRLike)
   }
 }

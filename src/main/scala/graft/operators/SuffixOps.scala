@@ -99,14 +99,30 @@ object SuffixOps {
   def suffixRanks(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrBuild(s, s"suffix_rank${Cap}_$dir") {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      // Initial rank width: pure-ASCII text packs the first 8 chars into
+      // one BIGINT (8 × 7 bits = 56 bits; ascii('') = 0 IS the 0-sentinel,
+      // so short suffixes pad exactly like the doubling's coalesce(r2, 0))
+      // — the packed value orders identically to the 8-char prefix string,
+      // so the doubling starts at width 8 and needs 3 rounds to Cap=64
+      // instead of 6. Any codepoint ≥ 128 would break the 7-bit packing,
+      // so a one-row scan gates the fast start (width-1 fallback keeps
+      // full generality).
+      val nonAscii = docs
+        .agg(coalesce(max(col("text").rlike("[^\\u0000-\\u007F]")), lit(false)))
+        .collect()(0).getBoolean(0)
+      val startWidth = if (nonAscii) 1 else 8
+      val rSql =
+        if (nonAscii) "CAST(ascii(substr(text, pos, 1)) AS BIGINT)"
+        else (0 until 8)
+          .map(i => s"CAST(ascii(substr(text, pos + $i, 1)) AS BIGINT) * ${1L << (7 * (7 - i))}")
+          .mkString(" + ")
       val base = docs
         .withColumn("pos", explode(sequence(lit(1), length(col("text")))))
-        .select(col("doc_id"), col("pos"),
-          expr("CAST(ascii(substr(text, pos, 1)) AS BIGINT)").as("r"))
+        .select(col("doc_id"), col("pos"), expr(rSql).as("r"))
         .localCheckpoint(true)
       val total = base.count()
       var cur = base
-      var width = 1
+      var width = startWidth
       var done = false
       while (width < Cap && !done) {
         val d = width
@@ -129,6 +145,7 @@ object SuffixOps {
     * timings measure the q215/q216 plans, not the one-time build. */
   private[graft] def prewarmShared(s: SparkSession, dir: String): Unit = {
     suffixRanks(s, dir).count()
+    dupLens(s, dir).count()
     ()
   }
 
@@ -154,34 +171,33 @@ object SuffixOps {
   // ---------------------------------------------------------------------
 
   /** Common-prefix length of `p64` with the (possibly null) neighbor
-    * prefix in `other`, capped at Cap and at both string lengths. The
-    * mismatch scan and the no-mismatch sentinel behave identically to the
-    * DuckDB oracle's list_position (both return 0 when no mismatch). */
+    * prefix in `other` — the native `graft_cpl` expression (a fused
+    * byte-walk; the HOF transform/array_position formulation allocated a
+    * 64-element array per row per neighbor and dominated the dupLens
+    * build). Both strings are ≤ Cap chars, so the result is inherently
+    * Cap-capped; a null neighbor (rank 1 / rank N) contributes 0, exactly
+    * like the oracle's CASE WHEN ... IS NULL THEN 0. */
   private def withCpl(df: DataFrame, other: String, out: String): DataFrame = df
-    .withColumn("_m", expr(
-      s"array_position(transform(sequence(1, $Cap), k -> substr(p64, k, 1) = substr($other, k, 1)), false)"))
     .withColumn(out,
       when(col(other).isNull, lit(0L))
-        .otherwise(least(
-          when(col("_m") === 0, lit(Cap.toLong)).otherwise(col("_m") - 1),
-          length(col("p64")).cast("long"),
-          length(col(other)).cast("long"))))
-    .drop("_m")
+        .otherwise(expr(s"graft_cpl(p64, $other)")))
 
   /** Per-position longest duplicated prefix: (doc_id, source, pos,
     * dup_len) with dup_len = max(LCP with rank-predecessor, LCP with
     * rank-successor) — the shared core of q216 (coverage counts) and
     * q217 (span removal). The neighbor lookup is a self-join on rank±1:
     * a shuffle on a dense unique key, never a global window. */
-  private def dupLens(s: SparkSession, dir: String): DataFrame = {
-    val r = suffixRanks(s, dir)
-    val prev = r.select((col("rank") + 1).as("rank"), col("p64").as("prev_p"))
-    val next = r.select((col("rank") - 1).as("rank"), col("p64").as("next_p"))
-    val nbr = r.join(prev, Seq("rank"), "left").join(next, Seq("rank"), "left")
-    withCpl(withCpl(nbr, "prev_p", "lcp_prev"), "next_p", "lcp_next")
-      .withColumn("dup_len", greatest(col("lcp_prev"), col("lcp_next")))
-      .select(col("doc_id"), col("source"), col("pos"), col("dup_len"))
-  }
+  private def dupLens(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrBuild(s, s"suffix_dup${Cap}_$dir") {
+      graft.functions.expressions.CommonPrefixLen.register(s)
+      val r = suffixRanks(s, dir)
+      val prev = r.select((col("rank") + 1).as("rank"), col("p64").as("prev_p"))
+      val next = r.select((col("rank") - 1).as("rank"), col("p64").as("next_p"))
+      val nbr = r.join(prev, Seq("rank"), "left").join(next, Seq("rank"), "left")
+      withCpl(withCpl(nbr, "prev_p", "lcp_prev"), "next_p", "lcp_next")
+        .withColumn("dup_len", greatest(col("lcp_prev"), col("lcp_next")))
+        .select(col("doc_id"), col("source"), col("pos"), col("dup_len"))
+    }
 
   /** Per-source duplicated-substring coverage: how many positions start a
     * substring of length ≥20 (≥40) that occurs at least twice anywhere in

@@ -34,6 +34,32 @@ class ExpressionSpec extends AnyFunSuite {
     assert(withNull(0).isNullAt(0))
   }
 
+  test("graft_cpl: char-level common prefix, multi-byte safety, null-safe, SQL-callable") {
+    graft.functions.expressions.CommonPrefixLen.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (1L, "abcdef", "abcxyz"),   // plain ASCII: 3
+      (2L, "same", "same"),       // identical: 4
+      (3L, "", "anything"),       // empty: 0
+      (4L, "abc", "abcdef"),      // proper prefix: 3
+      (5L, "héllo", "hèllo"), // é vs è share the lead UTF-8 byte 0xC3:
+                                  // a byte-prefix count would credit a
+                                  // partial char; char-level answer is 1
+      (6L, "éa", "éb")  // multi-byte char fully matches: 1
+    ).toDF("id", "a", "b")
+    df.createOrReplaceTempView("cpl_t")
+    val got = spark.sql("SELECT id, graft_cpl(a, b) AS c FROM cpl_t ORDER BY id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 4L, 3L -> 0L, 4L -> 3L, 5L -> 1L, 6L -> 1L))
+    val withNull = spark.sql("SELECT graft_cpl(a, NULL) FROM cpl_t LIMIT 1").collect()
+    assert(withNull(0).isNullAt(0))
+    // interpreted eval agrees with the SQL (codegen) path
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val v = graft.functions.expressions.CommonPrefixLen(
+      Literal("héllo"), Literal("hèllo")).eval(null)
+    assert(v == 1L)
+  }
+
   test("graft_cosine interpreted eval matches codegen path") {
     import org.apache.spark.sql.catalyst.expressions.Literal
     import org.apache.spark.sql.catalyst.util.ArrayData

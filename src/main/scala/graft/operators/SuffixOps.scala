@@ -98,7 +98,14 @@ object SuffixOps {
     * downstream dedup share one build. */
   def suffixRanks(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrBuild(s, s"suffix_rank${Cap}_$dir") {
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("source"), col("text"))
+      ranksOf(t(s, dir, "documents").select(col("doc_id"), col("source"), col("text")))
+    }
+
+  /** The construction itself, over any (doc_id, source, text) frame —
+    * separated from the table/cache wiring so adversarial corpora
+    * (periodic strings, single-char runs, shared prefixes) can drive it
+    * directly in tests. */
+  private[graft] def ranksOf(docs: DataFrame): DataFrame = {
       // Initial rank width: pure-ASCII text packs the first 8 chars into
       // one BIGINT (8 × 7 bits = 56 bits; ascii('') = 0 IS the 0-sentinel,
       // so short suffixes pad exactly like the doubling's coalesce(r2, 0))
@@ -116,7 +123,11 @@ object SuffixOps {
         else (0 until 8)
           .map(i => s"CAST(ascii(substr(text, pos + $i, 1)) AS BIGINT) * ${1L << (7 * (7 - i))}")
           .mkString(" + ")
+      // empty documents contribute no suffixes — and must be excluded
+      // BEFORE sequence(): Spark's sequence(1, 0) auto-steps DOWN to
+      // [1, 0], which would fabricate two bogus positions per empty doc
       val base = docs
+        .where(length(col("text")) > 0)
         .withColumn("pos", explode(sequence(lit(1), length(col("text")))))
         .select(col("doc_id"), col("pos"), expr(rSql).as("r"))
         .localCheckpoint(true)
@@ -189,15 +200,20 @@ object SuffixOps {
     * a shuffle on a dense unique key, never a global window. */
   private def dupLens(s: SparkSession, dir: String): DataFrame =
     SessionCache.getOrBuild(s, s"suffix_dup${Cap}_$dir") {
-      graft.functions.expressions.CommonPrefixLen.register(s)
-      val r = suffixRanks(s, dir)
-      val prev = r.select((col("rank") + 1).as("rank"), col("p64").as("prev_p"))
-      val next = r.select((col("rank") - 1).as("rank"), col("p64").as("next_p"))
-      val nbr = r.join(prev, Seq("rank"), "left").join(next, Seq("rank"), "left")
-      withCpl(withCpl(nbr, "prev_p", "lcp_prev"), "next_p", "lcp_next")
-        .withColumn("dup_len", greatest(col("lcp_prev"), col("lcp_next")))
-        .select(col("doc_id"), col("source"), col("pos"), col("dup_len"))
+      dupLensOf(s, suffixRanks(s, dir))
     }
+
+  /** LCP-with-rank-neighbors core over any suffix-rank frame (see
+    * ranksOf for why the wiring is separated). */
+  private[graft] def dupLensOf(s: SparkSession, r: DataFrame): DataFrame = {
+    graft.functions.expressions.CommonPrefixLen.register(s)
+    val prev = r.select((col("rank") + 1).as("rank"), col("p64").as("prev_p"))
+    val next = r.select((col("rank") - 1).as("rank"), col("p64").as("next_p"))
+    val nbr = r.join(prev, Seq("rank"), "left").join(next, Seq("rank"), "left")
+    withCpl(withCpl(nbr, "prev_p", "lcp_prev"), "next_p", "lcp_next")
+      .withColumn("dup_len", greatest(col("lcp_prev"), col("lcp_next")))
+      .select(col("doc_id"), col("source"), col("pos"), col("dup_len"))
+  }
 
   /** Per-source duplicated-substring coverage: how many positions start a
     * substring of length ≥20 (≥40) that occurs at least twice anywhere in

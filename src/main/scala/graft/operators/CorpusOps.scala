@@ -463,7 +463,50 @@ object CorpusOps {
       .orderBy(col("rrf_nano").desc, col("doc_id")).limit(20)
   }
 
+  // ---------------------------------------------------------------------
+  // q220 — CCNet-style per-language perplexity bucketing
+  // ---------------------------------------------------------------------
+
+  /** The CCNet head/middle/tail split (Wenzek et al., 2020): score every
+    * document by per-token cross-entropy under a PER-LANGUAGE add-one-
+    * smoothed unigram LM, then cut each language's corpus into equal
+    * thirds by score rank (head = most LM-like). Ranks order by the
+    * 6-decimal-rounded score with doc_id tiebreak so the cut is a total
+    * order both engines reproduce (raw float order would be ulp-fragile).
+    *
+    * Scale shape: the LM tables are per-language word counts (bounded by
+    * vocabulary, broadcast to the scoring join, the q122 pattern); the
+    * per-language ntile is the one full-sort stage — at 100 TB CCNet
+    * itself replaces it with fixed cutoffs learned from a held-out sample,
+    * which drops the window for two broadcast threshold compares (the
+    * same sampled-cuts route as q178's range planner). */
+  private def q220(s: SparkSession, dir: String): DataFrame = {
+    val tok = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(array_remove(split(lower(col("text")), "\\s+"), "")).as("word"))
+    val tf = tok.groupBy("doc_id", "lang", "word").agg(count(lit(1)).as("c"))
+    val wc = tf.groupBy("lang", "word").agg(sum("c").as("cw"))
+    val totals = wc.groupBy("lang").agg(sum("cw").as("n"), count(lit(1)).as("v"))
+    val perDoc = tf.join(broadcast(wc), Seq("lang", "word"))
+      .join(broadcast(totals), Seq("lang"))
+      .withColumn("nll", -col("c").cast("double") *
+        log2((col("cw") + 1).cast("double") / (col("n") + col("v")).cast("double")))
+      .groupBy("doc_id", "lang")
+      .agg(sum("c").as("n_tok"), sum("nll").as("h_sum"))
+      .withColumn("hr", round(col("h_sum") / col("n_tok"), 6))
+    val wnd = Window.partitionBy("lang").orderBy(col("hr"), col("doc_id"))
+    perDoc.withColumn("bucket", ntile(3).over(wnd).cast("long"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        round(avg("hr"), 4).as("avg_h"))
+      .withColumn("tier",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle").otherwise("tail"))
+      .orderBy("lang", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q220_ccnet_buckets" -> (q220 _),
     "q195_rank_fusion" -> (q195 _),
     "q138_char_entropy" -> (q138 _),
     "q139_source_divergence" -> (q139 _),
@@ -479,6 +522,23 @@ object CorpusOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q220_ccnet_buckets" ->
+      """WITH tok AS (SELECT doc_id, lang,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, lang, word, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1,2,3),
+        |wc AS (SELECT lang, word, CAST(sum(c) AS BIGINT) AS cw FROM tf GROUP BY 1,2),
+        |tot AS (SELECT lang, CAST(sum(cw) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS v FROM wc GROUP BY 1),
+        |doc AS (SELECT tf.doc_id, tf.lang, CAST(sum(c) AS BIGINT) AS n_tok,
+        |    sum(-c * log2((cw + 1.0) / (n + v))) AS h_sum
+        |  FROM tf JOIN wc USING (lang, word) JOIN tot USING (lang) GROUP BY 1,2),
+        |h AS (SELECT doc_id, lang, n_tok, round(h_sum / n_tok, 6) AS hr FROM doc),
+        |b AS (SELECT *, CAST(ntile(3) OVER (PARTITION BY lang ORDER BY hr, doc_id) AS BIGINT) AS bucket FROM h)
+        |SELECT lang, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  round(avg(hr), 4) AS avg_h,
+        |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 2 THEN 'middle' ELSE 'tail' END AS tier
+        |FROM b GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
     "q195_rank_fusion" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS word

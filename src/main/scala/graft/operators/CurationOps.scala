@@ -659,7 +659,73 @@ object CurationOps {
       .orderBy("epoch", "worker")
   }
 
+  // ---------------------------------------------------------------------
+  // q219 — DSIR hashed-n-gram importance weighting
+  // ---------------------------------------------------------------------
+
+  /** Data Selection via Importance Resampling (Xie et al., 2023): score
+    * every document by how much more likely its hashed n-gram features are
+    * under a TARGET distribution (here the curated proxy `src0`) than
+    * under the raw corpus. The model is a 1024-bucket hashed bigram
+    * table — tiny by construction (that is DSIR's point), so it collects
+    * to the driver (≤ B rows, corpus-size-independent — the same bounded-
+    * collect class as q77's codebook) and rides back as a broadcast
+    * literal array; scoring is then a PER-ROW fold over the document's
+    * gram buckets with zero shuffle before the final per-source rollup —
+    * one corpus pass at 100 TB.
+    *
+    * Two scores per document: the float log importance weight
+    * Σ_g [ln p̂_target(b(g)) − ln p̂_raw(b(g))] (add-one smoothed), and an
+    * EXACT integer enrichment score (2·|grams in target-enriched buckets|
+    * − |grams|, enrichment decided by the cross-multiplied integer test
+    * (ct+1)(Nr+B) > (cr+1)(Nt+B)) so the selection count in the gate is
+    * immune to libm ulp skew. Gram hashing is the established
+    * `conv(substr(md5,1,8),16,10)` cross-engine form. */
+  private def q219(s: SparkSession, dir: String): DataFrame = {
+    val B = 1024
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        array_remove(split(col("text"), "\\s+"), "").as("w"))
+      .filter(size(col("w")) >= 3)
+      .withColumn("grams", expr(
+        "concat(w, transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1])))"))
+      .withColumn("bk", expr(
+        s"transform(grams, g -> cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint) % $B)"))
+    val cnt = docs.select(col("source"), explode(col("bk")).as("b"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("cr"),
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("ct"))
+      .collect()                                   // ≤ B rows — bounded
+    val nr = cnt.map(_.getLong(1)).sum
+    val nt = cnt.map(_.getLong(2)).sum
+    val lam = Array.fill(B)(math.log(nr + B.toDouble) - math.log(nt + B.toDouble))
+    val enr = Array.fill(B)(if (nr + B > nt + B) 1L else 0L)
+    cnt.foreach { r =>
+      val b = r.getLong(0).toInt; val cr = r.getLong(1); val ct = r.getLong(2)
+      lam(b) = math.log(ct + 1.0) - math.log(nt + B.toDouble) -
+        math.log(cr + 1.0) + math.log(nr + B.toDouble)
+      enr(b) = if ((ct + 1) * (nr + B) > (cr + 1) * (nt + B)) 1L else 0L
+    }
+    val lamLit = typedLit(lam.toSeq)
+    val enrLit = typedLit(enr.toSeq)
+    docs
+      .withColumn("n_grams", size(col("grams")).cast("long"))
+      .withColumn("n_enr", aggregate(col("bk"), lit(0L),
+        (a, b) => a + element_at(enrLit, (b + 1).cast("int"))))
+      .withColumn("logw", aggregate(col("bk"), lit(0.0d),
+        (a, b) => a + element_at(lamLit, (b + 1).cast("int"))))
+      .withColumn("score", col("n_enr") * 2 - col("n_grams"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_grams").as("n_grams"),
+        sum("score").as("sum_score"),
+        sum(when(col("score") > 0, 1L).otherwise(0L)).as("n_sel"),
+        round(avg("logw"), 4).as("avg_logw"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q219_dsir_weights" -> (q219 _),
     "q213_epoch_shuffle" -> (q213 _),
     "q197_quota_sample" -> (q197 _),
     "q193_quota_alloc" -> (q193 _),
@@ -679,6 +745,30 @@ object CurationOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q219_dsir_weights" ->
+      """WITH w AS (SELECT doc_id, source, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
+        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
+        |g AS (SELECT doc_id, source, list_concat(w, [w[i+1] || ' ' || w[i+2] for i in range(len(w)-1)]) AS grams FROM wf),
+        |tok AS (SELECT doc_id, source, CAST(('0x'||substr(md5(gr),1,8)) AS BIGINT) % 1024 AS b
+        |  FROM (SELECT doc_id, source, unnest(grams) AS gr FROM g)),
+        |cnt AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
+        |    CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct
+        |  FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cr) AS BIGINT) AS nr, CAST(sum(ct) AS BIGINT) AS nt FROM cnt),
+        |lam AS (SELECT b,
+        |    ln(ct + 1.0) - ln(nt + 1024.0) - ln(cr + 1.0) + ln(nr + 1024.0) AS lam,
+        |    CASE WHEN (ct + 1) * (nr + 1024) > (cr + 1) * (nt + 1024) THEN 1 ELSE 0 END AS enr
+        |  FROM cnt CROSS JOIN tot),
+        |pd AS (SELECT tok.doc_id, tok.source, CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(enr) AS BIGINT) AS n_enr, sum(lam.lam) AS logw
+        |  FROM tok JOIN lam USING (b) GROUP BY 1, 2),
+        |sc AS (SELECT source, n_grams, 2 * n_enr - n_grams AS score, logw FROM pd)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_grams) AS BIGINT) AS n_grams,
+        |  CAST(sum(score) AS BIGINT) AS sum_score,
+        |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sel,
+        |  round(avg(logw), 4) AS avg_logw
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     "q213_epoch_shuffle" ->
       """WITH shards AS (SELECT CAST(doc_id // 64 AS BIGINT) AS shard_id,
         |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars

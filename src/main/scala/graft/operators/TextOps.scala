@@ -855,7 +855,139 @@ object TextOps {
       sum("h").cast("long").as("canon_sig"))
   }
 
+  // ---------------------------------------------------------------------
+  // q218 — Gopher-style document quality rules
+  // ---------------------------------------------------------------------
+
+  /** Per-document quality gates with all thresholds evaluated in EXACT
+    * integer arithmetic (no double ever reaches a comparison), the
+    * Gopher/RedPajama rule-set shape (cf. "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", appendix A1.1):
+    *
+    *   r1  word count in [50, 100000]
+    *   r2  mean word length in [3, 10]        (3·nw ≤ Σ|w| ≤ 10·nw)
+    *   r3  ≥ 2 distinct required stopwords present
+    *   r4  distinct-word ratio ≥ 0.5          (2·n_distinct ≥ nw)
+    *   r5  stopword fraction in [0.02, 0.30]  (50·n_stop ≥ nw ∧ 10·n_stop ≤ 3·nw)
+    *
+    * Every rule is a per-row map over the words array (higher-order
+    * functions, zero shuffle); the only exchange is the final per-source
+    * rollup — the exact shape a 100 TB quality-filter pass needs. */
+  private def gated(s: SparkSession, dir: String): DataFrame =
+    gopherGates(words(s, dir))
+
+  /** Gate core over any frame carrying a `w` words-array column —
+    * separated from the table read so the boundary algebra is unit-
+    * testable on synthetic word lists (GopherGateSpec). */
+  private[graft] def gopherGates(in: DataFrame): DataFrame = {
+    val stop = "array('the','a','of','and','to')"
+    in
+      .withColumn("nw", size(col("w")).cast("long"))
+      .withColumn("sum_wl", expr(
+        "aggregate(w, cast(0 as bigint), (a, x) -> a + length(x))"))
+      .withColumn("n_stop", expr(
+        s"cast(size(filter(w, x -> array_contains($stop, x))) as bigint)"))
+      .withColumn("n_stop_d", expr(
+        s"cast(size(array_intersect(array_distinct(w), $stop)) as bigint)"))
+      .withColumn("n_dist", size(array_distinct(col("w"))).cast("long"))
+      .withColumn("r1", col("nw") >= 50 && col("nw") <= 100000L)
+      .withColumn("r2", col("sum_wl") >= col("nw") * 3 && col("sum_wl") <= col("nw") * 10)
+      .withColumn("r3", col("n_stop_d") >= 2)
+      .withColumn("r4", col("n_dist") * 2 >= col("nw"))
+      .withColumn("r5", col("n_stop") * 50 >= col("nw") && col("n_stop") * 10 <= col("nw") * 3)
+  }
+
+  /** Per-source rule report: independent pass counts per rule, all-pass
+    * count, and a half-up integer-micro retention share (q149 rounding
+    * rule — no float rounding in the gate path). */
+  private def q218(s: SparkSession, dir: String): DataFrame = {
+    def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L)).as(s"n_$c")
+    gated(s, dir)
+      .withColumn("all_pass",
+        col("r1") && col("r2") && col("r3") && col("r4") && col("r5"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        cnt("r1"), cnt("r2"), cnt("r3"), cnt("r4"), cnt("r5"),
+        sum(when(col("all_pass"), 1L).otherwise(0L)).as("n_pass"))
+      .withColumn("retention",
+        expr("(2 * n_pass * 1000000 + n_docs) div (2 * n_docs)").cast("double") / 1000000.0)
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------------
+  // q221 — curation attrition funnel (gates → exact dedup)
+  // ---------------------------------------------------------------------
+
+  /** The per-stage attrition table every production curation pipeline
+    * publishes: documents surviving each gate applied IN SEQUENCE
+    * (r1 → r1∧r2 → … → all five), then corpus-wide exact dedup over the
+    * survivors (keep the min doc_id per md5(text) — dedup runs AFTER the
+    * cheap per-row gates, so the only shuffle on the expensive stage sees
+    * already-filtered rows; at 100 TB that ordering is the difference
+    * between hashing the corpus and hashing the survivors). */
+  private def q221(s: SparkSession, dir: String): DataFrame = {
+    val g = gated(s, dir)
+      .withColumn("s1", col("r1"))
+      .withColumn("s2", col("s1") && col("r2"))
+      .withColumn("s3", col("s2") && col("r3"))
+      .withColumn("s4", col("s3") && col("r4"))
+      .withColumn("s5", col("s4") && col("r5"))
+    val keepW = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+    val d = g.filter(col("s5"))
+      .withColumn("keeper", col("doc_id") === min("doc_id").over(keepW))
+      .select(col("doc_id"), col("keeper"))
+    def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L)).as(s"n_$c")
+    g.join(d, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        cnt("s1"), cnt("s2"), cnt("s3"), cnt("s4"), cnt("s5"),
+        sum(when(col("keeper") === true, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("retention",
+        expr("(2 * n_kept * 1000000 + n_docs) div (2 * n_docs)").cast("double") / 1000000.0)
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------------
+  // q222 — quality-classifier threshold sweep (operating-point table)
+  // ---------------------------------------------------------------------
+
+  /** The tuning table behind every "score > τ" curation gate: confusion
+    * counts and precision/recall at a fixed grid of thresholds, with the
+    * curated proxy source (`src0`) as pseudo-positive label and q108's
+    * hashed linear model as the classifier. Scores and confusion counts
+    * are exact integers; precision/recall are half-up integer micro
+    * quotients (q149 rule), so the whole table is float-free.
+    *
+    * Scale shape: one per-row scoring pass (zero shuffle), a broadcast of
+    * the 9-row threshold grid, and one rollup keyed by threshold — the
+    * corpus is scanned once regardless of grid size. */
+  private def q222(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val grid = Seq(-30000L, -10000L, -3000L, -1000L, 0L, 1000L, 3000L, 10000L, 30000L)
+    val scored = words(s, dir)
+      .withColumn("raw", hashedScoreRaw(col("w")))
+      .withColumn("pos", col("source") === "src0")
+      .select("raw", "pos")
+    scored.crossJoin(broadcast(grid.toDF("thr")))
+      .groupBy("thr")
+      .agg(
+        sum(when(col("pos") && col("raw") > col("thr"), 1L).otherwise(0L)).as("tp"),
+        sum(when(!col("pos") && col("raw") > col("thr"), 1L).otherwise(0L)).as("fp"),
+        sum(when(col("pos") && col("raw") <= col("thr"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pos") && col("raw") <= col("thr"), 1L).otherwise(0L)).as("tn"))
+      .withColumn("prec", expr(
+        "case when tp + fp = 0 then cast(null as double) " +
+          "else cast((2 * tp * 1000000 + (tp + fp)) div (2 * (tp + fp)) as double) / 1000000.0 end"))
+      .withColumn("recall", expr(
+        "cast((2 * tp * 1000000 + (tp + fn)) div (2 * (tp + fn)) as double) / 1000000.0"))
+      .orderBy("thr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_classifier_sweep" -> (q222 _),
+    "q218_gopher_rules" -> (q218 _),
+    "q221_curation_funnel" -> (q221 _),
     "q214_url_canonical" -> (q214 _),
     "q108_hashed_classifier" -> (q108 _),
     "q102_cluster_sizes" -> (q102 _),
@@ -923,7 +1055,86 @@ object TextOps {
       |       AS BIGINT) AS simhash
       | FROM hs)""".stripMargin
 
+  /** Shared CTE prefix for the q218/q221 gate family — the integer-exact
+    * Gopher rules over the whitespace word array (mirrors `gated`). */
+  private val gopherCte =
+    """w AS (SELECT doc_id, source, text,
+      |        list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w
+      |      FROM documents),
+      |wf AS (SELECT * FROM w WHERE len(w) >= 3),
+      |f AS (SELECT doc_id, source, text,
+      |  CAST(len(w) AS BIGINT) AS nw,
+      |  CAST(list_aggregate([CAST(length(t) AS BIGINT) for t in w], 'sum') AS BIGINT) AS sum_wl,
+      |  CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+      |  CAST(len(list_intersect(list_distinct(w), ['the','a','of','and','to'])) AS BIGINT) AS n_stop_d,
+      |  CAST(len(list_distinct(w)) AS BIGINT) AS n_dist
+      | FROM wf),
+      |r AS (SELECT doc_id, source, text,
+      |  (nw >= 50 AND nw <= 100000) AS r1,
+      |  (sum_wl >= nw * 3 AND sum_wl <= nw * 10) AS r2,
+      |  (n_stop_d >= 2) AS r3,
+      |  (n_dist * 2 >= nw) AS r4,
+      |  (n_stop * 50 >= nw AND n_stop * 10 <= nw * 3) AS r5
+      | FROM f)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q222_classifier_sweep" ->
+      """WITH wf AS (SELECT source, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w
+        |  FROM documents
+        |  WHERE len(list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '')) >= 3),
+        |g AS (SELECT source,
+        |    list_concat(w, [w[i+1] || ' ' || w[i+2] for i in range(len(w)-1)]) AS grams FROM wf),
+        |r AS (SELECT source = 'src0' AS pos,
+        |    CAST(list_aggregate(
+        |      [ (CAST(('0x'||substr(md5(gr),1,8)) AS BIGINT) % 65536 * 2654435761 % 2001) - 1000
+        |        for gr in grams], 'sum') AS BIGINT) AS raw
+        |  FROM g),
+        |t AS (SELECT CAST(unnest([-30000,-10000,-3000,-1000,0,1000,3000,10000,30000]) AS BIGINT) AS thr),
+        |c AS (SELECT thr,
+        |  CAST(sum(CASE WHEN pos AND raw > thr THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN NOT pos AND raw > thr THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN pos AND raw <= thr THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(sum(CASE WHEN NOT pos AND raw <= thr THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        | FROM r CROSS JOIN t GROUP BY 1)
+        |SELECT thr, tp, fp, fn, tn,
+        |  CASE WHEN tp + fp = 0 THEN NULL
+        |       ELSE CAST((2*tp*1000000 + (tp+fp)) // (2*(tp+fp)) AS DOUBLE) / 1000000.0 END AS prec,
+        |  CAST((2*tp*1000000 + (tp+fn)) // (2*(tp+fn)) AS DOUBLE) / 1000000.0 AS recall
+        |FROM c ORDER BY thr""".stripMargin,
+    "q218_gopher_rules" ->
+      s"""WITH $gopherCte,
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n_r1,
+        |  CAST(sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS n_r2,
+        |  CAST(sum(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS n_r3,
+        |  CAST(sum(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) AS n_r4,
+        |  CAST(sum(CASE WHEN r5 THEN 1 ELSE 0 END) AS BIGINT) AS n_r5,
+        |  CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        | FROM r GROUP BY 1)
+        |SELECT source, n_docs, n_r1, n_r2, n_r3, n_r4, n_r5, n_pass,
+        |  CAST((2 * n_pass * 1000000 + n_docs) // (2 * n_docs) AS DOUBLE) / 1000000.0 AS retention
+        |FROM a ORDER BY source""".stripMargin,
+    "q221_curation_funnel" ->
+      s"""WITH $gopherCte,
+        |s AS (SELECT doc_id, source, text, r1 AS s1, (r1 AND r2) AS s2,
+        |  (r1 AND r2 AND r3) AS s3, (r1 AND r2 AND r3 AND r4) AS s4,
+        |  (r1 AND r2 AND r3 AND r4 AND r5) AS s5 FROM r),
+        |k AS (SELECT doc_id,
+        |    (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS keeper
+        |  FROM s WHERE s5),
+        |j AS (SELECT s.*, coalesce(k.keeper, false) AS keeper
+        |  FROM s LEFT JOIN k USING (doc_id)),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_s1,
+        |  CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_s2,
+        |  CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_s3,
+        |  CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_s4,
+        |  CAST(sum(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS n_s5,
+        |  CAST(sum(CASE WHEN keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        | FROM j GROUP BY 1)
+        |SELECT source, n_docs, n_s1, n_s2, n_s3, n_s4, n_s5, n_kept,
+        |  CAST((2 * n_kept * 1000000 + n_docs) // (2 * n_docs) AS DOUBLE) / 1000000.0 AS retention
+        |FROM a ORDER BY source""".stripMargin,
     "q214_url_canonical" ->
       """WITH u AS (SELECT doc_id,
         |  'https://' ||

@@ -810,7 +810,56 @@ object VectorOps {
       s"\nSELECT a AS vec_id, CAST(c AS BIGINT) AS core_deg FROM r$kcorePeelRounds ORDER BY vec_id"
   }
 
+  // ---------------------------------------------------------------------
+  // q223 — quantization recall audit (SQ8 vs exact top-k)
+  // ---------------------------------------------------------------------
+
+  /** The evaluation every compressed-index deployment needs before
+    * swapping SQ8 codes in for raw vectors: per-probe recall@10 of the
+    * quantized-reconstruction neighbor ranking against the exact one,
+    * over a bounded probe set (the q33 broadcast-probe pattern — the
+    * brute-force side IS the audit's ground truth, so a corpus-scale run
+    * samples probes, never pairs). Both rankings order by 6-decimal-
+    * rounded cosine with vec_id tiebreak (cross-engine total order), and
+    * both window ranks share the probe_id partition key, so ranking costs
+    * ONE exchange + two sorts. Reconstruction is q109's codec verbatim. */
+  private def q223(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+      .select(col("vec_id"), expr("transform(embedding, v -> cast(v as double))").as("xd"))
+      .withColumn("mn", expr("array_min(xd)"))
+      .withColumn("mx", expr("array_max(xd)"))
+      .filter(col("mx") > col("mn"))
+      .withColumn("sc", expr("(mx - mn) / 255.0D"))
+      .withColumn("rq", expr(
+        "transform(xd, v -> mn + cast(cast(round((v - mn) / sc, 0) as bigint) as double) * sc)"))
+      .select("vec_id", "xd", "rq")
+    val probes = base.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("probe_id"), col("xd").as("pxd"), col("rq").as("prq"))
+    def cosE(a: String, b: String) = expr(
+      s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
+         | / sqrt(aggregate($a, 0D, (acc, v) -> acc + v * v)
+         |        * aggregate($b, 0D, (acc, v) -> acc + v * v))""".stripMargin)
+    val scored = base.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos_e", round(cosE("xd", "pxd"), 6))
+      .withColumn("cos_q", round(cosE("rq", "prq"), 6))
+      .select("probe_id", "vec_id", "cos_e", "cos_q")
+    val we = Window.partitionBy("probe_id").orderBy(col("cos_e").desc, col("vec_id"))
+    val wq = Window.partitionBy("probe_id").orderBy(col("cos_q").desc, col("vec_id"))
+    scored
+      .withColumn("rk_e", row_number().over(we).cast("long"))
+      .withColumn("rk_q", row_number().over(wq).cast("long"))
+      .groupBy("probe_id")
+      .agg(
+        sum(when(col("rk_e") <= 10 && col("rk_q") <= 10, 1L).otherwise(0L)).as("n_hit"),
+        min(when(col("rk_e") <= 10, col("cos_q"))).as("worst_q_cos_of_true"),
+        max(when(col("rk_e") <= 10, col("cos_e"))).as("best_cos"))
+      .withColumn("recall10", col("n_hit").cast("double") / 10.0)
+      .orderBy("probe_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q223_quant_recall" -> (q223 _),
     "q192_knn_core" -> (q192 _),
     "q202_knn_core_banded" -> (q202 _),
     "q116_pq_quantize" -> (q116 _),
@@ -844,6 +893,32 @@ object VectorOps {
       |  FROM embeddings, (SELECT unnest([0,1,2,3]) AS k) ks)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q223_quant_recall" ->
+      """WITH e AS (SELECT vec_id, [CAST(v AS DOUBLE) for v in embedding] AS xd FROM embeddings),
+        |p AS (SELECT vec_id, xd, list_min(xd) AS mn, list_max(xd) AS mx FROM e),
+        |f AS (SELECT vec_id, xd, mn, (mx - mn) / 255.0 AS sc FROM p WHERE mx > mn),
+        |r AS (SELECT vec_id, xd,
+        |    [mn + CAST(CAST(round((v - mn) / sc, 0) AS BIGINT) AS DOUBLE) * sc for v in xd] AS rq
+        |  FROM f),
+        |pr AS (SELECT vec_id AS probe_id, xd AS pxd, rq AS prq FROM r WHERE vec_id % 50 = 0),
+        |sc2 AS (SELECT pr.probe_id, r.vec_id,
+        |  round(list_aggregate([r.xd[i+1] * pr.pxd[i+1] for i in range(len(r.xd))], 'sum')
+        |    / sqrt(list_aggregate([x*x for x in r.xd], 'sum')
+        |           * list_aggregate([x*x for x in pr.pxd], 'sum')), 6) AS cos_e,
+        |  round(list_aggregate([r.rq[i+1] * pr.prq[i+1] for i in range(len(r.rq))], 'sum')
+        |    / sqrt(list_aggregate([x*x for x in r.rq], 'sum')
+        |           * list_aggregate([x*x for x in pr.prq], 'sum')), 6) AS cos_q
+        |  FROM r CROSS JOIN pr WHERE r.vec_id <> pr.probe_id),
+        |rk AS (SELECT *,
+        |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_e DESC, vec_id) AS BIGINT) AS rk_e,
+        |  CAST(row_number() OVER (PARTITION BY probe_id ORDER BY cos_q DESC, vec_id) AS BIGINT) AS rk_q
+        |  FROM sc2)
+        |SELECT probe_id,
+        |  CAST(sum(CASE WHEN rk_e <= 10 AND rk_q <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  min(CASE WHEN rk_e <= 10 THEN cos_q END) AS worst_q_cos_of_true,
+        |  max(CASE WHEN rk_e <= 10 THEN cos_e END) AS best_cos,
+        |  CAST(sum(CASE WHEN rk_e <= 10 AND rk_q <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10.0 AS recall10
+        |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
     "q192_knn_core" -> kcoreOracle,
     "q202_knn_core_banded" -> kcoreBandedOracle,
     // q116: exactly-computable counts + the in-query contract booleans as

@@ -322,6 +322,54 @@ class EntrySpec extends AnyFunSuite {
       s"q214 must stay scan+aggregate:\n$p214")
   }
 
+  test("curation tier plans keep their scale shape (q218/q219/q220/q221)") {
+    val dir = "/root/testdata/sf0.001"
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString()
+    // q218 (Gopher rules): per-row gates + one per-source rollup — the
+    // corpus is never joined; the only exchanges are the rollup's hash
+    // partitioning and the final presentation sort
+    val p218 = plan("q218_gopher_rules")
+    assert(!p218.contains("Join"), s"q218 must not join:\n$p218")
+    assert("Exchange hashpartitioning".r.findAllIn(p218).length <= 1,
+      s"q218 must shuffle only for the per-source rollup:\n$p218")
+    // q219 (DSIR): the hashed model is a driver-bounded literal — the
+    // scoring pass must contain NO join at all (a join against the bucket
+    // table would shuffle gram rows; DSIR's point is the one-pass fold)
+    val p219 = plan("q219_dsir_weights")
+    assert(!p219.contains("Join"), s"q219 scoring must be join-free:\n$p219")
+    // q220 (CCNet buckets): the LM tables join broadcast (vocabulary-
+    // bounded build sides), never sort-merge, and the tercile window
+    // partitions by language — a global window would serialize the corpus
+    val p220 = plan("q220_ccnet_buckets")
+    assert(!p220.contains("SortMergeJoin"), s"q220 LM joins must broadcast:\n$p220")
+    assert(p220.contains("windowspecdefinition(lang#"),
+      s"q220's ntile must partition by lang:\n$p220")
+    // q221 (funnel): the dedup stage's min-doc window partitions by the
+    // content hash (never a global window), and nothing is all-pairs
+    val p221 = plan("q221_curation_funnel")
+    assert(!p221.contains("CartesianProduct") && !p221.contains("BroadcastNestedLoopJoin"),
+      s"q221 must not contain an all-pairs join:\n$p221")
+    assert(p221.contains("windowspecdefinition(_w") || p221.contains("windowspecdefinition(md5"),
+      s"q221's dedup window must partition by content hash:\n$p221")
+    // q222 (threshold sweep): one scoring pass — the 9-row grid broadcasts
+    // (never shuffles the corpus against it) and the only hash exchange is
+    // the per-threshold rollup
+    val p222 = plan("q222_classifier_sweep")
+    assert(!p222.contains("SortMergeJoin") && p222.contains("BroadcastExchange"),
+      s"q222's grid must broadcast:\n$p222")
+    assert("Exchange hashpartitioning".r.findAllIn(p222).length <= 1,
+      s"q222 must shuffle only for the rollup:\n$p222")
+    // q223 (quantization recall): probes broadcast (bounded audit set) and
+    // BOTH neighbor rankings ride ONE probe_id exchange — a second window
+    // shuffle would double the pair-table movement for no reason
+    val p223 = plan("q223_quant_recall")
+    assert(p223.contains("BroadcastExchange") && !p223.contains("SortMergeJoin"),
+      s"q223's probe side must broadcast:\n$p223")
+    assert("Exchange hashpartitioning\\(probe_id".r.findAllIn(p223).length == 1,
+      s"q223's two rankings must share one probe_id exchange:\n$p223")
+  }
+
   test("suffix tier plans keep their scale shape (q215/q216)") {
     val dir = "/root/testdata/sf0.001"
     // q215/q216 (suffix-array tier): every join in the doubling and in the

@@ -984,7 +984,44 @@ object TextOps {
       .orderBy("thr")
   }
 
+  // ---------------------------------------------------------------------
+  // q224 — quality-aware near-dup survivor selection
+  // ---------------------------------------------------------------------
+
+  /** Production near-dup dedup does NOT keep the minimum doc_id — it keeps
+    * the best-quality member of each duplicate cluster (the SlimPajama /
+    * RefinedWeb convention). This query selects each q70 connected
+    * component's representative by the EXACT-INTEGER q108 classifier score
+    * (argmax raw, min doc_id tiebreak — no float ever enters the
+    * comparator, so the survivor set is bit-stable across engines and
+    * retries) and reports the per-source keep/drop ledger.
+    *
+    * Scale shape: the component labels come from the shared checkpointed
+    * q70 loop (plan O(1) per round); the argmax window partitions by
+    * component over CLUSTERED docs only (singletons never enter the
+    * window); survivor flags attach back via equi-join on doc_id. */
+  private def q224(s: SparkSession, dir: String): DataFrame = {
+    val comp = withLoopParallelism(s)(q70Loop(s, dedupEdges(s, dir)))
+    val scored = words(s, dir)
+      .withColumn("raw", hashedScoreRaw(col("w")))
+      .select(col("doc_id"), col("source"), col("raw"))
+    val wnd = org.apache.spark.sql.expressions.Window.partitionBy("component")
+    val reps = scored.join(comp, Seq("doc_id"))
+      .withColumn("key", struct(col("raw"), (col("doc_id") * -1).as("nid")))
+      .withColumn("is_rep", col("key") === max("key").over(wnd))
+      .select(col("doc_id"), col("is_rep"))
+    scored.join(reps, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_rep").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
+        sum(when(col("is_rep") === true, 1L).otherwise(0L)).as("n_reps"),
+        sum(when(col("is_rep") === false, 1L).otherwise(0L)).as("n_dropped"))
+      .withColumn("n_kept", col("n_docs") - col("n_dropped"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_cluster_best_keep" -> (q224 _),
     "q222_classifier_sweep" -> (q222 _),
     "q218_gopher_rules" -> (q218 _),
     "q221_curation_funnel" -> (q221 _),
@@ -1078,6 +1115,36 @@ object TextOps {
       | FROM f)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q224_cluster_best_keep" ->
+      s"""WITH $shingleCte,
+         |e0 AS (SELECT a AS u, b_id AS v FROM jac WHERE jac >= 0.8),
+         |edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
+         |reach AS (
+         |  WITH RECURSIVE rr(src, dst) AS (
+         |    SELECT u, v FROM edges
+         |    UNION
+         |    SELECT rr.src, e.v FROM rr JOIN edges e ON rr.dst = e.u
+         |  ) SELECT src, dst FROM rr),
+         |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
+         |  FROM reach GROUP BY src),
+         |g AS (SELECT doc_id, source,
+         |    list_concat(w, [w[i+1] || ' ' || w[i+2] for i in range(len(w)-1)]) AS grams FROM wf),
+         |sc AS (SELECT doc_id, source,
+         |    CAST(list_aggregate(
+         |      [ (CAST(('0x'||substr(md5(gr),1,8)) AS BIGINT) % 65536 * 2654435761 % 2001) - 1000
+         |        for gr in grams], 'sum') AS BIGINT) AS raw
+         |  FROM g),
+         |cl AS (SELECT sc.doc_id, sc.raw, comp.component FROM sc JOIN comp USING (doc_id)),
+         |rep AS (SELECT doc_id,
+         |    (row_number() OVER (PARTITION BY component ORDER BY raw DESC, doc_id) = 1) AS is_rep
+         |  FROM cl),
+         |j AS (SELECT sc.source, rep.is_rep FROM sc LEFT JOIN rep USING (doc_id))
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN is_rep IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
+         |  CAST(sum(CASE WHEN is_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_reps,
+         |  CAST(sum(CASE WHEN NOT is_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+         |  CAST(count(*) - sum(CASE WHEN NOT is_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q222_classifier_sweep" ->
       """WITH wf AS (SELECT source, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w
         |  FROM documents

@@ -368,6 +368,16 @@ class EntrySpec extends AnyFunSuite {
       s"q223's probe side must broadcast:\n$p223")
     assert("Exchange hashpartitioning\\(probe_id".r.findAllIn(p223).length == 1,
       s"q223's two rankings must share one probe_id exchange:\n$p223")
+    // q224 (survivor selection): the argmax window partitions by component
+    // (clustered docs only — singletons never enter the window), the final
+    // plan is checkpoint-truncated like q70's, and nothing is all-pairs
+    val p224 = plan("q224_cluster_best_keep")
+    assert(p224.contains("windowspecdefinition(component#"),
+      s"q224's argmax must partition by component:\n$p224")
+    assert(!p224.contains("CartesianProduct") && !p224.contains("BroadcastNestedLoopJoin"),
+      s"q224 must not contain an all-pairs join:\n$p224")
+    val exch224 = "Exchange".r.findAllIn(p224).size
+    assert(exch224 <= 12, s"q224 final plan has $exch224 exchanges — lineage not truncated:\n$p224")
   }
 
   test("suffix tier plans keep their scale shape (q215/q216)") {

@@ -681,16 +681,38 @@ object CurationOps {
     * (ct+1)(Nr+B) > (cr+1)(Nt+B)) so the selection count in the gate is
     * immune to libm ulp skew. Gram hashing is the established
     * `conv(substr(md5,1,8),16,10)` cross-engine form. */
+  /** Gram buckets (unigrams then bigrams, in document order) — a compiled
+    * UDF rather than a `transform(..., md5)` HOF: Catalyst lambda bodies
+    * evaluate INTERPRETED per element (the q34 lesson), and at sf0.1 the
+    * interpreted md5+conv per gram plus a per-element `element_at` on a
+    * 1024-slot literal array made q219 the slowest query of the whole
+    * sweep (21 s; this form runs it in ~1 s). The UDF computes the
+    * IDENTICAL integer arithmetic: first 4 md5 bytes as an unsigned int
+    * (the established conv(substr(md5,1,8),16,10) form), mod 1024. */
+  private val dsirBuckets = udf { (w: Seq[String]) =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(g: String): Long = {
+      val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.reset()
+      val h4 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      h4 % 1024L
+    }
+    val out = new Array[Long](2 * w.length - 1)
+    var i = 0
+    while (i < w.length) { out(i) = bucket(w(i)); i += 1 }
+    i = 0
+    while (i + 1 < w.length) { out(w.length + i) = bucket(w(i) + " " + w(i + 1)); i += 1 }
+    out.toSeq
+  }
+
   private def q219(s: SparkSession, dir: String): DataFrame = {
     val B = 1024
     val docs = t(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         array_remove(split(col("text"), "\\s+"), "").as("w"))
       .filter(size(col("w")) >= 3)
-      .withColumn("grams", expr(
-        "concat(w, transform(sequence(0, size(w)-2), i -> concat(w[i], ' ', w[i+1])))"))
-      .withColumn("bk", expr(
-        s"transform(grams, g -> cast(conv(substring(md5(g), 1, 8), 16, 10) as bigint) % $B)"))
+      .withColumn("bk", dsirBuckets(col("w")))
     val cnt = docs.select(col("source"), explode(col("bk")).as("b"))
       .groupBy("b")
       .agg(count(lit(1)).as("cr"),
@@ -706,14 +728,19 @@ object CurationOps {
         math.log(cr + 1.0) + math.log(nr + B.toDouble)
       enr(b) = if ((ct + 1) * (nr + B) > (cr + 1) * (nt + B)) 1L else 0L
     }
-    val lamLit = typedLit(lam.toSeq)
-    val enrLit = typedLit(enr.toSeq)
+    // per-doc fold over the bucket list with the model captured in the
+    // closure (8 KB, task-serialized) — same left-to-right order as the
+    // bucket list itself (unigrams then bigrams)
+    val fold = udf { (bk: Seq[Long]) =>
+      var ne = 0L; var lw = 0.0d; var i = 0
+      while (i < bk.length) { val b = bk(i).toInt; ne += enr(b); lw += lam(b); i += 1 }
+      (ne, lw)
+    }
     docs
-      .withColumn("n_grams", size(col("grams")).cast("long"))
-      .withColumn("n_enr", aggregate(col("bk"), lit(0L),
-        (a, b) => a + element_at(enrLit, (b + 1).cast("int"))))
-      .withColumn("logw", aggregate(col("bk"), lit(0.0d),
-        (a, b) => a + element_at(lamLit, (b + 1).cast("int"))))
+      .withColumn("n_grams", size(col("bk")).cast("long"))
+      .withColumn("sc", fold(col("bk")))
+      .withColumn("n_enr", col("sc._1"))
+      .withColumn("logw", col("sc._2"))
       .withColumn("score", col("n_enr") * 2 - col("n_grams"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),

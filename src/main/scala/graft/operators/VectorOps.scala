@@ -858,7 +858,51 @@ object VectorOps {
       .orderBy("probe_id")
   }
 
+  // ---------------------------------------------------------------------
+  // q225 — LSH index recall audit (banded candidates vs exact top-k)
+  // ---------------------------------------------------------------------
+
+  /** The companion audit to q223 for the INDEX side: how many of each
+    * probe's true (exact-cosine) top-5 neighbors does the q34 4×16-bit
+    * hyperplane index even retain as candidates? This is the recall curve
+    * every ANN deployment tunes bands/bits against; q202/q211 made
+    * banded-vs-exact an honest semantic split, and this query MEASURES the
+    * split per probe instead of asserting it. Exact side reuses the q33
+    * broadcast-probe pattern (bounded probe set); candidate side shuffles
+    * on band keys only; hits are an integer set intersection (banding is
+    * integer-exact, ranks order by rounded cosine + vec_id), so recall is
+    * bit-stable. */
+  private def q225(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    val top = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(cosCol(s, "pe", "embedding"), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("probe_id", "vec_id")
+    val bd = banded(s, dir)
+    val probeB = bd.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("bk"), col("bv"))
+    val cand = probeB.join(bd, Seq("bk", "bv"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id").distinct()
+    val candN = cand.groupBy("probe_id").agg(count(lit(1)).as("n_cand"))
+    top.join(cand.withColumn("hit", lit(1L)), Seq("probe_id", "vec_id"), "left")
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_top"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .join(candN, Seq("probe_id"), "left")
+      .withColumn("n_cand", coalesce(col("n_cand"), lit(0L)))
+      .withColumn("recall5",
+        col("n_hits").cast("double") / col("n_top").cast("double"))
+      .orderBy("probe_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_ann_recall" -> (q225 _),
     "q223_quant_recall" -> (q223 _),
     "q192_knn_core" -> (q192 _),
     "q202_knn_core_banded" -> (q202 _),
@@ -893,6 +937,27 @@ object VectorOps {
       |  FROM embeddings, (SELECT unnest([0,1,2,3]) AS k) ks)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q225_ann_recall" ->
+      s"""WITH $bandsSql,
+         |sc AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS vec_id, round($cosSql, 6) AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id),
+         |top AS (SELECT probe_id, vec_id FROM (
+         |  SELECT probe_id, vec_id,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk FROM sc)
+         |  WHERE rk <= 5),
+         |cand AS (SELECT DISTINCT x.vec_id AS probe_id, y.vec_id AS vec_id
+         |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.bv = y.bv
+         |    AND x.vec_id % 100 = 0 AND x.vec_id <> y.vec_id),
+         |cn AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY 1),
+         |h AS (SELECT top.probe_id,
+         |    CAST(count(*) AS BIGINT) AS n_top,
+         |    CAST(sum(CASE WHEN cand.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM top LEFT JOIN cand USING (probe_id, vec_id) GROUP BY 1)
+         |SELECT h.probe_id, h.n_top, h.n_hits,
+         |  coalesce(cn.n_cand, 0) AS n_cand,
+         |  CAST(h.n_hits AS DOUBLE) / CAST(h.n_top AS DOUBLE) AS recall5
+         |FROM h LEFT JOIN cn USING (probe_id) ORDER BY h.probe_id""".stripMargin,
     "q223_quant_recall" ->
       """WITH e AS (SELECT vec_id, [CAST(v AS DOUBLE) for v in embedding] AS xd FROM embeddings),
         |p AS (SELECT vec_id, xd, list_min(xd) AS mn, list_max(xd) AS mx FROM e),

@@ -378,6 +378,14 @@ class EntrySpec extends AnyFunSuite {
       s"q224 must not contain an all-pairs join:\n$p224")
     val exch224 = "Exchange".r.findAllIn(p224).size
     assert(exch224 <= 12, s"q224 final plan has $exch224 exchanges — lineage not truncated:\n$p224")
+    // q225 (LSH recall audit): the exact side is the bounded broadcast-
+    // probe build (BNLJ allowed THERE only); the candidate side must stay
+    // an equi-join on band keys — a cartesian anywhere else would mean the
+    // index audit itself went all-pairs
+    val p225 = plan("q225_ann_recall")
+    assert(!p225.contains("CartesianProduct"), s"q225 must not cartesian:\n$p225")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p225).length <= 1,
+      s"q225's only non-equi join is the bounded exact-probe build:\n$p225")
   }
 
   test("suffix tier plans keep their scale shape (q215/q216)") {

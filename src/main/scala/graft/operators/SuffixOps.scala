@@ -215,6 +215,101 @@ object SuffixOps {
       .select(col("doc_id"), col("source"), col("pos"), col("dup_len"))
   }
 
+  // ---------------------------------------------------------------------
+  // q226 — cross-source contamination spans (runs decomposition)
+  // ---------------------------------------------------------------------
+
+  /** Per-position longest common prefix with any suffix from a DIFFERENT
+    * source — the exact-substring cross-corpus contamination signal (the
+    * train/test-leakage finding of the "Deduplicating Training Data" line:
+    * fixed-width n-gram hashing answers "does this W-gram cross sources",
+    * this answers "what is the LONGEST span shared with another source
+    * through every position" in one pass).
+    *
+    * Why no scan is needed: LCP(i, j) over the suffix order is the MIN of
+    * adjacent LCPs in (j, i], so it only shrinks with rank distance — the
+    * best different-source partner of suffix i is always the NEAREST one,
+    * which is the last row of the adjacent maximal same-source RUN. Hence
+    * cross_len decomposes into per-run running minima:
+    *   F(i) = running min of lcp_prev within i's run  (partner: prev run)
+    *   B(i) = reversed running min of lcp_next        (partner: next run)
+    *   cross_len(i) = max(F, B), zeroed at the first/last run.
+    * Run ids are a distributed prefix sum of source-change flags — the
+    * Percentiles.exactByRank idiom: range-partition by rank, per-partition
+    * flag subtotals, a 32-row offset window over pid, then a running sum
+    * per pid. No global window anywhere; the per-run windows are streaming
+    * running-mins over runs whose length is corpus-interleaving-bounded. */
+  private def crossLens(s: SparkSession, dir: String): DataFrame =
+    SessionCache.getOrBuild(s, s"suffix_cross${Cap}_$dir") {
+      crossLensOf(s, suffixRanks(s, dir))
+    }
+
+  private[graft] def crossLensOf(s: SparkSession, r: DataFrame): DataFrame = {
+    val (plan, ranged) = crossLensPlan(s, r)
+    val out = plan.localCheckpoint(true)
+    ranged.unpersist()
+    out
+  }
+
+  /** The un-checkpointed build plan plus the pinned range-partitioned
+    * intermediate — separated so EntrySpec can assert the window/join
+    * shape of the BUILD (the cached table the queries read hides it). */
+  private[graft] def crossLensPlan(s: SparkSession, r: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.expressions.CommonPrefixLen.register(s)
+    val prev = r.select((col("rank") + 1).as("rank"),
+      col("p64").as("prev_p"), col("source").as("prev_src"))
+    val next = r.select((col("rank") - 1).as("rank"), col("p64").as("next_p"))
+    val nbr = r.join(prev, Seq("rank"), "left").join(next, Seq("rank"), "left")
+    val flagged = withCpl(withCpl(nbr, "prev_p", "lcp_prev"), "next_p", "lcp_next")
+      .withColumn("sf",
+        when(col("prev_src").isNull || col("prev_src") =!= col("source"), 1L).otherwise(0L))
+    val parts = s.sessionState.conf.numShufflePartitions
+    // pid must be identical for the subtotal and running-sum consumers —
+    // two materializations of a range exchange draw different sampling
+    // boundaries (the Percentiles rule), so the pin is load-bearing.
+    val ranged = flagged.repartitionByRange(parts, col("rank"))
+      .sortWithinPartitions("rank")
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wOff = Window.partitionBy(lit(0)).orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("pid").agg(sum("sf").as("pf"))
+      .withColumn("off", coalesce(sum("pf").over(wOff), lit(0L)))
+      .select("pid", "off")
+    val wRun = Window.partitionBy("pid").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withRun = ranged.join(broadcast(offsets), Seq("pid"))
+      .withColumn("run_id", col("off") + sum("sf").over(wRun))
+    val maxRun = withRun.agg(max("run_id").as("max_run"))
+    val wF = Window.partitionBy("run_id").orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wB = Window.partitionBy("run_id").orderBy(col("rank").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val out = withRun
+      .withColumn("f_raw", min("lcp_prev").over(wF))
+      .withColumn("b_raw", min("lcp_next").over(wB))
+      .crossJoin(broadcast(maxRun))
+      .withColumn("f", when(col("run_id") === 1L, 0L).otherwise(col("f_raw")))
+      .withColumn("b", when(col("run_id") === col("max_run"), 0L).otherwise(col("b_raw")))
+      .withColumn("cross_len", greatest(col("f"), col("b")))
+      .select(col("doc_id"), col("source"), col("pos"), col("cross_len"))
+    (out, ranged)
+  }
+
+  /** Per-source cross-source contamination coverage: positions starting a
+    * ≥20 (≥40) char span that also occurs verbatim in ANOTHER source. */
+  private def q226(s: SparkSession, dir: String): DataFrame =
+    crossLens(s, dir).groupBy("source")
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("cross_len") >= 20, 1L).otherwise(0L)).as("n_cross20"),
+        sum(when(col("cross_len") >= 40, 1L).otherwise(0L)).as("n_cross40"),
+        max("cross_len").as("max_cross_len"),
+        sum("cross_len").as("sum_cross_len"))
+      .withColumn("cross_frac20",
+        round(col("n_cross20").cast("double") / col("n_pos"), 6))
+      .orderBy("source")
+
   /** Per-source duplicated-substring coverage: how many positions start a
     * substring of length ≥20 (≥40) that occurs at least twice anywhere in
     * the corpus, plus the longest duplicated prefix seen. */
@@ -288,9 +383,53 @@ object SuffixOps {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_suffix_rank" -> (q215 _),
     "q216_dup_substrings" -> (q216 _),
-    "q217_span_removal" -> (q217 _))
+    "q217_span_removal" -> (q217 _),
+    "q226_cross_source_spans" -> (q226 _))
+
+  /** The q216 oracle's per-neighbor LCP expression, parameterized on the
+    * neighbor column (DuckDB list-lambda byte walk, Cap-capped). */
+  private def lcpSql(other: String): String =
+    s"""CASE WHEN $other IS NULL THEN 0 ELSE least(
+       |      CASE WHEN list_position(list_transform(range(1, 65),
+       |             k -> substr(p64, CAST(k AS INT), 1) = substr($other, CAST(k AS INT), 1)), false) = 0
+       |           THEN 64
+       |           ELSE list_position(list_transform(range(1, 65),
+       |             k -> substr(p64, CAST(k AS INT), 1) = substr($other, CAST(k AS INT), 1)), false) - 1 END,
+       |      length(p64), length($other)) END""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q226_cross_source_spans" ->
+      s"""WITH p AS (SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+         |    substr(text, CAST(i AS INT), 64) AS p64
+         |  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)),
+         |o AS (SELECT doc_id, source, pos, p64,
+         |    row_number() OVER (ORDER BY p64, doc_id, pos) AS rank,
+         |    lag(p64)  OVER (ORDER BY p64, doc_id, pos) AS prev_p,
+         |    lead(p64) OVER (ORDER BY p64, doc_id, pos) AS next_p,
+         |    lag(source) OVER (ORDER BY p64, doc_id, pos) AS prev_src
+         |  FROM p),
+         |c AS (SELECT source, rank,
+         |    ${lcpSql("prev_p")} AS lcp_prev,
+         |    ${lcpSql("next_p")} AS lcp_next,
+         |    CASE WHEN prev_src IS NULL OR prev_src <> source THEN 1 ELSE 0 END AS sf
+         |  FROM o),
+         |rn AS (SELECT *, sum(sf) OVER (ORDER BY rank) AS run_id FROM c),
+         |mx AS (SELECT max(run_id) AS mr FROM rn),
+         |fb AS (SELECT source, run_id,
+         |    min(lcp_prev) OVER (PARTITION BY run_id ORDER BY rank) AS f_raw,
+         |    min(lcp_next) OVER (PARTITION BY run_id ORDER BY rank DESC) AS b_raw
+         |  FROM rn),
+         |x AS (SELECT source, greatest(
+         |    CASE WHEN run_id = 1 THEN 0 ELSE f_raw END,
+         |    CASE WHEN run_id = (SELECT mr FROM mx) THEN 0 ELSE b_raw END) AS cross_len
+         |  FROM fb)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_pos,
+         |  CAST(sum(CASE WHEN cross_len >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross20,
+         |  CAST(sum(CASE WHEN cross_len >= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross40,
+         |  CAST(max(cross_len) AS BIGINT) AS max_cross_len,
+         |  CAST(sum(cross_len) AS BIGINT) AS sum_cross_len,
+         |  round(CAST(sum(CASE WHEN cross_len >= 20 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS cross_frac20
+         |FROM x GROUP BY source ORDER BY source""".stripMargin,
     "q215_suffix_rank" ->
       """WITH p AS (SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
         |    substr(text, CAST(i AS INT), 64) AS p64

@@ -419,6 +419,23 @@ class EntrySpec extends AnyFunSuite {
       assert(first.startsWith("doc_id"),
         s"q217 window must be partitioned by doc_id, got spec starting with '$first':\n$p217")
     }
+    // q226 (cross-source spans): assert on the BUILD plan (the cached
+    // table the query reads hides it). Every window must carry a
+    // partition expression — the run_id running-mins, the pid running
+    // sum, and the 32-row lit(0) offset window; a partition-LESS window
+    // over corpus rows would be the global scan the runs decomposition
+    // exists to avoid. The only nested-loop join allowed is the 1-row
+    // max_run broadcast.
+    val (crossPlan, crossRanged) = graft.operators.SuffixOps.crossLensPlan(
+      spark, graft.operators.SuffixOps.suffixRanks(spark, dir))
+    val p226 = crossPlan.queryExecution.executedPlan.toString()
+    crossRanged.unpersist()
+    assert(!p226.contains("CartesianProduct"), s"q226 must not cartesian:\n$p226")
+    assert(!p226.contains("], [], ["), s"q226 must not use a partition-less window:\n$p226")
+    assert(p226.contains("windowspecdefinition(run_id#"),
+      s"q226's running mins must partition by run_id:\n$p226")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p226).length <= 1,
+      s"q226's only nested-loop join is the 1-row max_run broadcast:\n$p226")
   }
 
   test("q70 final plan is checkpoint-truncated: bounded exchanges, not the unrolled loop") {

@@ -29,7 +29,8 @@ class SuffixPropSpec extends AnyFunSuite {
     * (first-Cap-chars, doc_id, pos); plus per-position dup_len from a
     * neighbor LCP scan. */
   private def bruteForce(docs: Seq[(Long, String, String)])
-      : (Map[(Long, Int), Long], Map[(Long, Int), Long]) = {
+      : (Map[(Long, Int), Long], Map[(Long, Int), Long], Map[(Long, Int), Long]) = {
+    val srcOf = docs.map { case (id, src, _) => id -> src }.toMap
     val sufs = docs.flatMap { case (id, _, txt) =>
       (1 to txt.length).map { p =>
         (id, p, txt.substring(p - 1, math.min(txt.length, p - 1 + SuffixOps.Cap)))
@@ -50,13 +51,23 @@ class SuffixPropSpec extends AnyFunSuite {
       val ln = if (i < sorted.length - 1) cpl(pref, sorted(i + 1)._3) else 0L
       (id, p) -> math.max(lp, ln)
     }.toMap
-    (ranks, dup)
+    // cross-source: max LCP against EVERY suffix from a different source
+    // (quadratic on purpose — independent of the runs decomposition under
+    // test, which claims the nearest adjacent-run edge suffices)
+    val cross = sufs.map { case (id, p, pref) =>
+      val best = sufs.iterator
+        .filter { case (id2, _, _) => srcOf(id2) != srcOf(id) }
+        .map { case (_, _, pref2) => cpl(pref, pref2) }
+        .foldLeft(0L)(math.max)
+      (id, p) -> best
+    }.toMap
+    (ranks, dup, cross)
   }
 
   private def check(docs: Seq[(Long, String, String)], label: String): Unit = {
     import spark.implicits._
     val df = docs.toDF("doc_id", "source", "text")
-    val (expRanks, expDup) = bruteForce(docs)
+    val (expRanks, expDup, expCross) = bruteForce(docs)
     val gotRanks = SuffixOps.ranksOf(df)
     val rankRows = gotRanks.collect()
       .map(r => (r.getLong(0), r.getAs[Number]("pos").intValue()) -> r.getLong(r.fieldIndex("rank")))
@@ -70,6 +81,13 @@ class SuffixPropSpec extends AnyFunSuite {
       .toMap
     expDup.foreach { case (k, v) =>
       assert(gotDup(k) == v, s"$label: dup_len at $k")
+    }
+    val gotCross = SuffixOps.crossLensOf(spark, gotRanks).collect()
+      .map(r => (r.getLong(0), r.getAs[Number]("pos").intValue()) -> r.getLong(r.fieldIndex("cross_len")))
+      .toMap
+    expCross.foreach { case (k, v) =>
+      assert(gotCross(k) == v, s"$label: cross_len at $k")
+      assert(gotCross(k) <= gotDup(k), s"$label: cross_len must never exceed dup_len at $k")
     }
   }
 
@@ -121,5 +139,14 @@ class SuffixPropSpec extends AnyFunSuite {
       (id, s"r${id % 3}", Array.fill(len)(if (rnd.nextBoolean()) 'a' else 'b').mkString)
     }
     check(docs, "random-ab")
+  }
+
+  test("planted cross-source contamination: the shared span is found at full length") {
+    val leak = "this exact fifty-plus-character span leaks between sources!"
+    check(Seq(
+      (1L, "train", "prefix junk " + leak + " suffix junk"),
+      (2L, "evalu", "other words " + leak),
+      (3L, "train", "unrelated content entirely"),
+      (4L, "third", "more unrelated filler text")), "planted-leak")
   }
 }

@@ -157,6 +157,7 @@ object SuffixOps {
   private[graft] def prewarmShared(s: SparkSession, dir: String): Unit = {
     suffixRanks(s, dir).count()
     dupLens(s, dir).count()
+    crossLens(s, dir).count()
     ()
   }
 
@@ -347,12 +348,18 @@ object SuffixOps {
     * small fraction of the corpus); the window state is one running
     * max per document; everything downstream of dupLens is one shuffle
     * on doc_id. */
-  private def q217(s: SparkSession, dir: String): DataFrame = {
+  private def q217(s: SparkSession, dir: String): DataFrame =
+    spanRemoval(s, dir,
+      dupLens(s, dir).filter(col("dup_len") >= MinSpan)
+        .select(col("doc_id"), col("source"), col("pos"),
+          (col("pos") + col("dup_len")).as("e")))
+
+  /** Gaps-and-islands span merge + per-source removal accounting over any
+    * (doc_id, source, pos, e) interval frame — the shared executor of
+    * q217 (any-duplicate removal) and q227 (cross-source
+    * decontamination). Window state is one running max per document. */
+  private def spanRemoval(s: SparkSession, dir: String, spans: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val spans = dupLens(s, dir)
-      .filter(col("dup_len") >= MinSpan)
-      .select(col("doc_id"), col("source"), col("pos"),
-        (col("pos") + col("dup_len")).as("e"))
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val prevMax = byDoc.rowsBetween(Window.unboundedPreceding, -1)
     val isl = spans
@@ -380,11 +387,26 @@ object SuffixOps {
       .orderBy("source")
   }
 
+  /** q227 — exact-substring DECONTAMINATION executor: remove from every
+    * document the spans (≥ MinSpan chars) that also occur verbatim in a
+    * DIFFERENT source — the "scrub eval overlap out of train" operation
+    * (Lee et al.'s ExactSubstr applied cross-corpus), with per-source
+    * removal accounting. Same merged-interval machinery as q217; only the
+    * span generator differs (crossLens instead of dupLens), so the two
+    * queries' accounting columns are directly comparable — the q217/q227
+    * delta is exactly the WITHIN-source duplication. */
+  private def q227(s: SparkSession, dir: String): DataFrame =
+    spanRemoval(s, dir,
+      crossLens(s, dir).filter(col("cross_len") >= MinSpan)
+        .select(col("doc_id"), col("source"), col("pos"),
+          (col("pos") + col("cross_len")).as("e")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_suffix_rank" -> (q215 _),
     "q216_dup_substrings" -> (q216 _),
     "q217_span_removal" -> (q217 _),
-    "q226_cross_source_spans" -> (q226 _))
+    "q226_cross_source_spans" -> (q226 _),
+    "q227_decontaminate_spans" -> (q227 _))
 
   /** The q216 oracle's per-neighbor LCP expression, parameterized on the
     * neighbor column (DuckDB list-lambda byte walk, Cap-capped). */
@@ -398,6 +420,57 @@ object SuffixOps {
        |      length(p64), length($other)) END""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q227_decontaminate_spans" ->
+      s"""WITH p AS (SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+         |    substr(text, CAST(i AS INT), 64) AS p64
+         |  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)),
+         |o AS (SELECT doc_id, source, pos, p64,
+         |    row_number() OVER (ORDER BY p64, doc_id, pos) AS rank,
+         |    lag(p64)  OVER (ORDER BY p64, doc_id, pos) AS prev_p,
+         |    lead(p64) OVER (ORDER BY p64, doc_id, pos) AS next_p,
+         |    lag(source) OVER (ORDER BY p64, doc_id, pos) AS prev_src
+         |  FROM p),
+         |c AS (SELECT doc_id, source, pos, rank,
+         |    ${lcpSql("prev_p")} AS lcp_prev,
+         |    ${lcpSql("next_p")} AS lcp_next,
+         |    CASE WHEN prev_src IS NULL OR prev_src <> source THEN 1 ELSE 0 END AS sf
+         |  FROM o),
+         |rn AS (SELECT *, sum(sf) OVER (ORDER BY rank) AS run_id FROM c),
+         |mx AS (SELECT max(run_id) AS mr FROM rn),
+         |fb AS (SELECT doc_id, source, pos, run_id,
+         |    min(lcp_prev) OVER (PARTITION BY run_id ORDER BY rank) AS f_raw,
+         |    min(lcp_next) OVER (PARTITION BY run_id ORDER BY rank DESC) AS b_raw
+         |  FROM rn),
+         |x AS (SELECT doc_id, source, pos, greatest(
+         |    CASE WHEN run_id = 1 THEN 0 ELSE f_raw END,
+         |    CASE WHEN run_id = (SELECT mr FROM mx) THEN 0 ELSE b_raw END) AS cross_len
+         |  FROM fb),
+         |sp AS (SELECT doc_id, source, pos, pos + cross_len AS e FROM x WHERE cross_len >= 40),
+         |i AS (SELECT doc_id, source, pos, e,
+         |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+         |        OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |      THEN 1 ELSE 0 END AS ni
+         |  FROM sp),
+         |j AS (SELECT doc_id, source, pos, e,
+         |    sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |  FROM i),
+         |m AS (SELECT doc_id, source, isl, min(pos) AS sp2, max(e) AS ep
+         |  FROM j GROUP BY 1, 2, 3),
+         |pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |    CAST(sum(ep - sp2) AS BIGINT) AS removed
+         |  FROM m GROUP BY 1),
+         |d AS (SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len FROM documents)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN coalesce(pd.n_spans, 0) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_affected,
+         |  CAST(sum(coalesce(pd.n_spans, 0)) AS BIGINT) AS n_spans,
+         |  CAST(sum(coalesce(pd.removed, 0)) AS BIGINT) AS removed_chars,
+         |  CAST(sum(d.len - coalesce(pd.removed, 0)) AS BIGINT) AS kept_chars,
+         |  round(CAST(sum(coalesce(pd.removed, 0)) AS DOUBLE) / sum(d.len), 6) AS removed_frac
+         |FROM d LEFT JOIN pd USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
     "q226_cross_source_spans" ->
       s"""WITH p AS (SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
          |    substr(text, CAST(i AS INT), 64) AS p64

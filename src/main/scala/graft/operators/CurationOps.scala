@@ -751,7 +751,52 @@ object CurationOps {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------------
+  // q228 — size-balanced output-shard planning (serpentine LPT)
+  // ---------------------------------------------------------------------
+
+  /** The shard bin-packing planner every shard writer (tar/LMDB/parquet)
+    * runs before writing: assign documents to K=16 output shards balanced
+    * by BYTES, not count — a modulo split over doc ids leaves shards as
+    * unbalanced as the size distribution is skewed, and unbalanced shards
+    * become stragglers for every downstream trainer epoch. The classic
+    * distributed-friendly approximation of LPT (longest processing time
+    * first): one global sort by (n_chars desc, doc_id), then SERPENTINE
+    * striping — group g of K docs deals left-to-right when g is even and
+    * right-to-left when odd, so the "k-th largest in every group" bias of
+    * plain round-robin cancels pairwise and max/min shard bytes → 1 as
+    * n/K grows. Fully deterministic: the member signature (sum of a
+    * multiplicative hash of (doc_id, shard)) pins the exact assignment,
+    * not just the totals.
+    *
+    * Scale shape: ONE range exchange (the global sort), ranks via
+    * per-partition zipWithIndex offsets ([[Ranks.seqIdBy]] — no
+    * single-partition window anywhere), then per-row arithmetic and a
+    * K-row rollup. The imbalance figure is an exact integer ppm ratio
+    * (max·10⁶ div min) so no float reaches the output. */
+  private def q228(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val ranked = Ranks.seqIdBy(docs, "rn", col("n_chars").desc, col("doc_id").asc)
+    val assigned = ranked
+      .withColumn("g", expr("CAST((rn - 1) DIV 16 AS BIGINT)"))
+      .withColumn("p", expr("CAST((rn - 1) % 16 AS BIGINT)"))
+      .withColumn("shard_id",
+        when(col("g") % 2 === 0, col("p")).otherwise(lit(15L) - col("p")))
+      .withColumn("h", expr("(doc_id * 2654435761L + shard_id) % 4294967296L"))
+    val perShard = assigned.groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").cast("long").as("shard_chars"),
+        sum("h").cast("long").as("member_sig"))
+    val spread = perShard.agg(
+      max("shard_chars").as("mx"), min("shard_chars").as("mn"))
+    perShard.crossJoin(broadcast(spread))
+      .withColumn("imb_ppm", expr("CAST((mx * 1000000L) DIV mn AS BIGINT)"))
+      .select("shard_id", "n_docs", "shard_chars", "member_sig", "imb_ppm")
+      .orderBy("shard_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q228_shard_binpack" -> (q228 _),
     "q219_dsir_weights" -> (q219 _),
     "q213_epoch_shuffle" -> (q213 _),
     "q197_quota_sample" -> (q197 _),
@@ -772,6 +817,22 @@ object CurationOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q228_shard_binpack" ->
+      """WITH r AS (SELECT doc_id, n_chars,
+        |    row_number() OVER (ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents),
+        |a AS (SELECT doc_id, n_chars,
+        |    CASE WHEN ((rn - 1) // 16) % 2 = 0 THEN (rn - 1) % 16
+        |         ELSE 15 - ((rn - 1) % 16) END AS shard_id
+        |  FROM r),
+        |p AS (SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+        |    CAST(sum((doc_id * 2654435761 + shard_id) % 4294967296) AS BIGINT) AS member_sig
+        |  FROM a GROUP BY 1),
+        |s AS (SELECT max(shard_chars) AS mx, min(shard_chars) AS mn FROM p)
+        |SELECT shard_id, n_docs, shard_chars, member_sig,
+        |  CAST((mx * 1000000) // mn AS BIGINT) AS imb_ppm
+        |FROM p, s ORDER BY shard_id""".stripMargin,
     "q219_dsir_weights" ->
       """WITH w AS (SELECT doc_id, source, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
         |wf AS (SELECT * FROM w WHERE len(w) >= 3),

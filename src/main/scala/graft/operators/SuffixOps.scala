@@ -58,17 +58,11 @@ object SuffixOps {
   /** Rank-prefix cap pinned by the oracle (see scaladoc above). */
   val Cap = 64
 
-  /** Distributed contiguous 1-based sequence ids in `keys` order: global
-    * range-partitioned sort, then zipWithIndex (per-partition offsets from
-    * one lightweight count pass) — the scale-honest row_number that never
-    * funnels rows through a single-partition window. */
-  private def seqIdBy(df: DataFrame, idCol: String, keys: Column*): DataFrame = {
-    val s = df.sparkSession
-    val sorted = df.orderBy(keys: _*)
-    val schema = sorted.schema.add(idCol, LongType, nullable = false)
-    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ (i + 1L)) }
-    s.createDataFrame(rdd, schema)
-  }
+  /** Distributed contiguous 1-based sequence ids in `keys` order — see
+    * [[Ranks.seqIdBy]] (promoted to a shared helper; the bin-packing
+    * planner uses the same idiom). */
+  private def seqIdBy(df: DataFrame, idCol: String, keys: Column*): DataFrame =
+    Ranks.seqIdBy(df, idCol, keys: _*)
 
   /** One densification: replace the (r, r2) pair with its dense rank over
     * the corpus-wide pair order. Returns the re-ranked rows (materialized —

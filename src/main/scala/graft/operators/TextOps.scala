@@ -1031,7 +1031,109 @@ object TextOps {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------------
+  // q229 — MinHash estimator error audit (est vs exact Jaccard)
+  // ---------------------------------------------------------------------
+
+  /** The "are 8 permutations enough" audit every MinHash deployment owes
+    * its dedup thresholds: for each LSH candidate pair, the signature
+    * ESTIMATE (matching components / 8) against the EXACT shingle Jaccard,
+    * profiled as cumulative |error| buckets at 1/16, 1/8, 1/4 plus a
+    * mean-|error| figure — the empirical counterpart of the
+    * Var[est] = J(1-J)/k bound that says how far the banding thresholds
+    * can be trusted (the q225 recall-audit pattern applied to the
+    * signature tier instead of the index tier).
+    *
+    * All error arithmetic is integer-exact cross-multiplication:
+    * est − jac = (m·U − 8·I) / (8·U) with m = matching components,
+    * I = |A∩B|, U = |A∪B| — no float reaches a bucket boundary, and the
+    * mean is one division of exact integer sums (per-pair half-up ppm).
+    *
+    * Scale shape: the verified-pair table (shared `jaccard` cache —
+    * candidates only, never all-pairs) joins the 8-column signature table
+    * twice on a dense doc key and the shingle-count table twice; the
+    * audit output is one row. Nothing is quadratic; every join input is
+    * narrow. */
+  private def q229(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val m = minhashes(s, dir)
+    val m8 = (0 until 8)
+      .map(j => when(col(s"ma.h$j") === col(s"mb.h$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val pairs = jaccard(s, dir).select("a", "b_id", "inter")
+      .join(sizes.as("za"), col("a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("b_id") === col("zb.doc_id"))
+      .select(col("a"), col("b_id"), col("inter"),
+        (col("za.n") + col("zb.n") - col("inter")).as("u"))
+      .join(m.as("ma"), col("a") === col("ma.doc_id"))
+      .join(m.as("mb"), col("b_id") === col("mb.doc_id"))
+      .withColumn("m8", m8)
+      .withColumn("anum", abs(col("m8") * col("u") - lit(8L) * col("inter")))
+      .withColumn("den", lit(8L) * col("u"))
+      .withColumn("ppm", expr(
+        "CAST(((anum * 1000000) + (den DIV 2)) DIV den AS BIGINT)"))
+    pairs.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(col("anum") * 16 < col("den"), 1L).otherwise(0L)).as("n_lt_16th"),
+      sum(when(col("anum") * 8 < col("den"), 1L).otherwise(0L)).as("n_lt_8th"),
+      sum(when(col("anum") * 4 < col("den"), 1L).otherwise(0L)).as("n_lt_4th"),
+      sum("ppm").cast("long").as("sum_abs_err_ppm"),
+      expr("CAST((sum(ppm) + (count(1) DIV 2)) DIV count(1) AS BIGINT)")
+        .as("mean_abs_err_ppm"))
+  }
+
+  // ---------------------------------------------------------------------
+  // q230 — Unicode NFC normalization pass (graft_nfc expression)
+  // ---------------------------------------------------------------------
+
+  /** Composed spelling of the probe phrase (U+00E9 twice) and its NFD
+    * decomposition (e + U+0301) — byte-for-byte the same pair in the
+    * Spark plan and the DuckDB oracle because BOTH strings interpolate
+    * from these vals. */
+  private val NfcComposed = "caf\u00e9 r\u00e9sum\u00e9"
+  private val NfcDecomposed = "cafe\u0301 re\u0301sume\u0301"
+
+  /** The normalization pass every curation stack runs BEFORE hashing:
+    * Unicode NFC (the custom codegen'd `graft_nfc` expression — Spark SQL
+    * has no normalizer), control-character strip, whitespace squeeze,
+    * trim. The corpus is pure ASCII, so the unicode surface is
+    * synthesized deterministically (the q92/q214 injection pattern):
+    * 250 snippet groups, each spelled composed by half its docs and
+    * NFD-decomposed by the other half, some groups carrying a control
+    * char + ragged spacing. The rollup proves the operational point —
+    * n_raw_distinct collapses ~2:1 to n_norm_distinct, i.e. without this
+    * pass every downstream content hash, shingle, and suffix rank would
+    * treat trivially-respelled duplicates as distinct documents.
+    *
+    * Scale shape: per-row map (ASCII fast path returns the input
+    * UTF8String untouched — no allocation on the dominant path), one
+    * per-source rollup; the distinct counts are hash aggregates over
+    * bounded-cardinality synthesized strings. */
+  private def q230(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.expressions.NfcNormalize.register(s)
+    val raw = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      .withColumn("snippet", concat(
+        lit("snippet "), (col("doc_id") % 250).cast("string"), lit(" "),
+        when((col("doc_id") / 250).cast("long") % 2 === 0, lit(NfcComposed))
+          .otherwise(lit(NfcDecomposed)),
+        when(col("doc_id") % 250 % 5 === 0,
+          lit("  twin  spaces ")).otherwise(lit(""))))
+      .withColumn("norm", trim(regexp_replace(regexp_replace(
+        expr("graft_nfc(snippet)"), "[\\x00-\\x1f]", ""), " +", " ")))
+    raw.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("norm") =!= col("snippet"), 1L).otherwise(0L)).as("n_changed"),
+        sum(length(col("snippet"))).cast("long").as("raw_chars"),
+        sum(length(col("norm"))).cast("long").as("norm_chars"),
+        countDistinct("snippet").as("n_raw_distinct"),
+        countDistinct("norm").as("n_norm_distinct"))
+      .orderBy("source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q229_minhash_error_audit" -> (q229 _),
+    "q230_unicode_normalize" -> (q230 _),
     "q224_cluster_best_keep" -> (q224 _),
     "q222_classifier_sweep" -> (q222 _),
     "q218_gopher_rules" -> (q218 _),
@@ -1126,6 +1228,47 @@ object TextOps {
       | FROM f)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q229_minhash_error_audit" ->
+      s"""WITH $shingleCte,
+         |e AS (SELECT j.a, j.b_id, j.inter, za.n + zb.n - j.inter AS u,
+         |    (CASE WHEN ma.h0 = mb.h0 THEN 1 ELSE 0 END +
+         |     CASE WHEN ma.h1 = mb.h1 THEN 1 ELSE 0 END +
+         |     CASE WHEN ma.h2 = mb.h2 THEN 1 ELSE 0 END +
+         |     CASE WHEN ma.h3 = mb.h3 THEN 1 ELSE 0 END +
+         |     CASE WHEN ma.h4 = mb.h4 THEN 1 ELSE 0 END +
+         |     CASE WHEN ma.h5 = mb.h5 THEN 1 ELSE 0 END +
+         |     CASE WHEN ma.h6 = mb.h6 THEN 1 ELSE 0 END +
+         |     CASE WHEN ma.h7 = mb.h7 THEN 1 ELSE 0 END) AS m8
+         |  FROM jac j
+         |  JOIN sizes za ON j.a = za.doc_id JOIN sizes zb ON j.b_id = zb.doc_id
+         |  JOIN m ma ON j.a = ma.doc_id JOIN m mb ON j.b_id = mb.doc_id),
+         |x AS (SELECT abs(m8 * u - 8 * inter) AS anum, 8 * u AS den FROM e)
+         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(CASE WHEN anum * 16 < den THEN 1 ELSE 0 END) AS BIGINT) AS n_lt_16th,
+         |  CAST(sum(CASE WHEN anum * 8 < den THEN 1 ELSE 0 END) AS BIGINT) AS n_lt_8th,
+         |  CAST(sum(CASE WHEN anum * 4 < den THEN 1 ELSE 0 END) AS BIGINT) AS n_lt_4th,
+         |  CAST(sum(((anum * 1000000) + (den // 2)) // den) AS BIGINT) AS sum_abs_err_ppm,
+         |  CAST((sum(((anum * 1000000) + (den // 2)) // den) + (count(*) // 2))
+         |    // count(*) AS BIGINT) AS mean_abs_err_ppm
+         |FROM x""".stripMargin,
+    "q230_unicode_normalize" ->
+      s"""WITH r AS (SELECT doc_id, source,
+         |    'snippet ' || CAST(doc_id % 250 AS VARCHAR) || ' ' ||
+         |    CASE WHEN (doc_id // 250) % 2 = 0 THEN '$NfcComposed' ELSE '$NfcDecomposed' END ||
+         |    CASE WHEN (doc_id % 250) % 5 = 0 THEN chr(7) || '  twin  spaces ' ELSE '' END
+         |      AS snippet
+         |  FROM documents),
+         |n AS (SELECT doc_id, source, snippet,
+         |    trim(regexp_replace(regexp_replace(nfc_normalize(snippet),
+         |      '[\\x00-\\x1f]', '', 'g'), ' +', ' ', 'g')) AS norm
+         |  FROM r)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN norm <> snippet THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+         |  CAST(sum(length(snippet)) AS BIGINT) AS raw_chars,
+         |  CAST(sum(length(norm)) AS BIGINT) AS norm_chars,
+         |  CAST(count(DISTINCT snippet) AS BIGINT) AS n_raw_distinct,
+         |  CAST(count(DISTINCT norm) AS BIGINT) AS n_norm_distinct
+         |FROM n GROUP BY source ORDER BY source""".stripMargin,
     "q224_cluster_best_keep" ->
       s"""WITH $shingleCte,
          |e0 AS (SELECT a AS u, b_id AS v FROM jac WHERE jac >= 0.8),

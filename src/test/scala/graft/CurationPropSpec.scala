@@ -150,4 +150,39 @@ class CurationPropSpec extends AnyFunSuite {
     assert(micro == 2198437500L &&
       BigDecimal(micro, 6) == BigDecimal("2198.437500"))
   }
+
+  test("serpentine LPT striping: beats modulo striping and bounds the spread on skewed sizes") {
+    // the q228 assignment rule, simulated locally on adversarial size
+    // distributions: Zipf-ish (heavy head), uniform, and constant. The
+    // CONTRACT of serpentine striping over a desc-sorted order: (a) never
+    // worse than plain modulo striping, (b) max-min shard load bounded by
+    // the largest single item (each K-group contributes at most its own
+    // within-group spread, and consecutive groups deal in opposite
+    // directions, cancelling the positional bias modulo accumulates).
+    val k = 16
+    for (round <- 1 to 12) {
+      val n = 200 + rand.nextInt(3000)
+      val sizes = (0 until n).map { _ =>
+        rand.nextInt(4) match {
+          case 0 => (50000.0 / (1 + rand.nextInt(500))).toLong + 1 // zipf-ish
+          case 1 => 1L + rand.nextInt(1000)                        // uniform
+          case 2 => 500L                                           // constant
+          case _ => math.abs(rand.nextGaussian() * 300).toLong + 1 // half-normal
+        }
+      }.sortBy(-_)
+      val serp = Array.fill(k)(0L)
+      val modu = Array.fill(k)(0L)
+      sizes.zipWithIndex.foreach { case (sz, i) =>
+        val g = i / k; val p = i % k
+        serp(if (g % 2 == 0) p else k - 1 - p) += sz
+        modu(p) += sz
+      }
+      val serpSpread = serp.max - serp.min
+      val moduSpread = modu.max - modu.min
+      assert(serpSpread <= moduSpread,
+        s"round $round: serpentine spread $serpSpread > modulo spread $moduSpread (n=$n)")
+      assert(serpSpread <= sizes.max,
+        s"round $round: serpentine spread $serpSpread exceeds largest item ${sizes.max} (n=$n)")
+    }
+  }
 }

@@ -521,4 +521,27 @@ class EntrySpec extends AnyFunSuite {
     w.put("ok__key-1.npy", Array[Byte](9), Seq(1), "b")
     assert(w.close() == 1)
   }
+
+  test("round-7 late additions keep their scale shape (q228/q229/q230)") {
+    val dir = "/root/testdata/sf0.001"
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString()
+    // q228 (shard bin-packing): the global size order must come from the
+    // range-sort + zipWithIndex idiom, never a single-partition window;
+    // the only nested-loop is the broadcast of the 1-row max/min spread
+    val p228 = plan("q228_shard_binpack")
+    assert(!p228.contains("Window"), s"q228 must not use a window for the global rank:\n$p228")
+    assert(!p228.contains("CartesianProduct"), s"q228 must not cartesian:\n$p228")
+    // q229 (minhash error audit): every join is an equi-join on a dense
+    // doc key over the bounded candidate-pair table — nothing all-pairs
+    val p229 = plan("q229_minhash_error_audit")
+    assert(!p229.contains("CartesianProduct") && !p229.contains("BroadcastNestedLoopJoin"),
+      s"q229 must not contain an all-pairs join:\n$p229")
+    // q230 (NFC normalize): per-row map + per-source rollup — the corpus
+    // is never joined; graft_nfc must survive into the physical plan
+    val p230 = plan("q230_unicode_normalize")
+    assert(!p230.contains("Join"), s"q230 must stay scan+aggregate:\n$p230")
+    assert(p230.toLowerCase.contains("nfcnormalize") || p230.contains("graft_nfc"),
+      s"q230 must run the native graft_nfc expression:\n$p230")
+  }
 }

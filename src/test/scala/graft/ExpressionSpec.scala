@@ -207,4 +207,41 @@ class ExpressionSpec extends AnyFunSuite {
     assert(m(16)(5) >= 0.7, s"default IVF recall@3 = ${m(16)(5)}")
     assert(m(16)(5) >= m(16)(3) - 1e-9)
   }
+
+  test("graft_nfc: NFC composition, ASCII identity fast path, null-safe, SQL-callable") {
+    graft.functions.expressions.NfcNormalize.register(spark)
+    import spark.implicits._
+    val composed = "caf\u00e9 r\u00e9sum\u00e9"
+    val decomposed = "cafe\u0301 re\u0301sume\u0301"
+    val df = Seq(
+      (1L, decomposed),          // NFD input -> composed output
+      (2L, composed),            // already-NFC input -> unchanged
+      (3L, "plain ascii text"),  // ASCII fast path -> unchanged
+      (4L, ""),                  // empty
+      (5L, "mix \u0041\u030a ring") // A + combining ring -> U+00C5
+    ).toDF("id", "s")
+    df.createOrReplaceTempView("nfc_t")
+    val rows = spark.sql("SELECT id, graft_nfc(s) AS n FROM nfc_t ORDER BY id").collect()
+    assert(rows(0).getString(1) == composed, "NFD must compose to NFC")
+    assert(rows(1).getString(1) == composed)
+    assert(rows(2).getString(1) == "plain ascii text")
+    assert(rows(3).getString(1) == "")
+    assert(rows(4).getString(1) == "mix \u00c5 ring")
+    assert(rows(0).getString(1).length == composed.length &&
+      decomposed.length == composed.length + 3, "char counts must reflect composition")
+    val withNull = spark.sql("SELECT graft_nfc(NULL)").collect()
+    assert(withNull(0).isNullAt(0))
+    // fast path: pure-ASCII and already-normalized inputs return the SAME
+    // UTF8String instance (no allocation on the dominant path)
+    import org.apache.spark.unsafe.types.UTF8String
+    val ascii = UTF8String.fromString("abc def")
+    assert(graft.functions.expressions.NfcNormalize.nfc(ascii) eq ascii)
+    val already = UTF8String.fromString(composed)
+    assert(graft.functions.expressions.NfcNormalize.nfc(already) eq already)
+    // interpreted (non-codegen) path computes the same value
+    val interp = graft.functions.expressions.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal(UTF8String.fromString(decomposed),
+        org.apache.spark.sql.types.StringType)).eval(null)
+    assert(interp.toString == composed)
+  }
 }

@@ -1131,7 +1131,132 @@ object TextOps {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------------
+  // q231 — subword tokenization (WordPiece-style greedy longest match)
+  // ---------------------------------------------------------------------
+
+  /** Fixed subword vocabulary (token, id) — multi-char merges first, then
+    * the single-character alphabet as the fallback tier (the WordPiece
+    * base-vocab convention). A val so the Spark UDF and the DuckDB
+    * oracle's VALUES list interpolate from the SAME table. */
+  private[graft] val WpVocab: Seq[(String, Int)] =
+    Seq("str", "eam", "wind", "ow", "bat", "ch", "ta", "ble", "jo", "in",
+      "agg", "sort", "key", "data", "row", "scan", "filt", "er", "merge",
+      "query").zipWithIndex ++
+      ('a' to 'z').map(_.toString).zipWithIndex.map { case (c, i) => (c, 20 + i) }
+
+  /** Greedy longest-prefix segmentation of one word against [[WpVocab]]:
+    * returns (n_tokens, n_unk, id_sum). A character with no vocab match
+    * is consumed as one UNK token (contributes to n_unk, not id_sum) —
+    * so tokenization always terminates and covers every byte. */
+  private[graft] def wpSegment(word: String): (Long, Long, Long) = {
+    val byLenDesc = WpVocab.sortBy { case (t, _) => (-t.length, t) }
+    var i = 0
+    var nTok = 0L
+    var nUnk = 0L
+    var idSum = 0L
+    while (i < word.length) {
+      var matched = -1
+      var mLen = 0
+      var j = 0
+      while (matched < 0 && j < byLenDesc.length) {
+        val (t, id) = byLenDesc(j)
+        if (word.startsWith(t, i)) { matched = id; mLen = t.length }
+        j += 1
+      }
+      if (matched >= 0) { idSum += matched; i += mLen } else { nUnk += 1; i += 1 }
+      nTok += 1
+    }
+    (nTok, nUnk, idSum)
+  }
+
+  /** The token-yield report every mixture/budget plan needs: documents
+    * tokenized with a REAL subword tokenizer (greedy longest-match over a
+    * fixed merge vocabulary — the WordPiece inference rule), not
+    * whitespace counting, rolled up per source as token counts, UNK
+    * counts, an exact token-id checksum, and integer-ppm fertility
+    * (tokens per word).
+    *
+    * Scale shape — "tokenize the dictionary, not the corpus": the
+    * segmentation loop runs once per DISTINCT word (a vocabulary-bounded
+    * table, sublinear in corpus size), and the corpus contributes only a
+    * (source, word) count aggregation that joins the segmented dictionary
+    * on the word key. At 100 TB the heavy text pass is therefore ONE
+    * map-side-combinable count agg; the per-word segmentation cost is
+    * amortized over every occurrence. The DuckDB oracle replays the exact
+    * greedy rule with a recursive CTE + LATERAL longest-prefix probe over
+    * the same interpolated vocabulary. */
+  private def q231(s: SparkSession, dir: String): DataFrame = {
+    val seg = udf { (w: String) =>
+      val (t, u, i) = wpSegment(w); (t, u, i)
+    }
+    val occ = words(s, dir)
+      .select(col("source"), explode(col("w")).as("word"))
+      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
+    val dict = occ.select("word").distinct()
+      .withColumn("seg", seg(col("word")))
+      .select(col("word"), col("seg._1").as("n_tok"),
+        col("seg._2").as("n_unk"), col("seg._3").as("idsum"))
+    occ.join(dict, Seq("word"))
+      .groupBy("source")
+      .agg(sum("cnt").cast("long").as("n_words"),
+        sum(col("n_tok") * col("cnt")).cast("long").as("n_tokens"),
+        sum(col("n_unk") * col("cnt")).cast("long").as("n_unk"),
+        sum(col("idsum") * col("cnt")).cast("long").as("id_checksum"))
+      .withColumn("fertility_ppm", expr(
+        "CAST(((n_tokens * 1000000) + (n_words DIV 2)) DIV n_words AS BIGINT)"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------------
+  // q232 — filter ablation (per-rule attrition attribution)
+  // ---------------------------------------------------------------------
+
+  /** The ablation table behind every "which gate is costing us data"
+    * decision: for each Gopher rule, how many documents fail it at all
+    * (marginal), how many fail ONLY it (unique attribution — exactly the
+    * docs that would be rescued by dropping the rule), and the corpus
+    * pass rate with the rule removed. n_pass_without = n_pass_all +
+    * n_fail_only is an identity, published precomputed so the consumer
+    * never re-derives it wrong. Rates are half-up integer-ppm (the q149
+    * rounding rule).
+    *
+    * Scale shape: the gate columns come from the same per-row map as
+    * q218; the per-rule rollup is a 5-way stack of the gated frame
+    * (metadata columns only — the words array is dropped BEFORE the
+    * stack, so the corpus text contributes one scan), each branch a
+    * map-side-combinable count aggregation; output is 5 rows. */
+  private def q232(s: SparkSession, dir: String): DataFrame = {
+    val g = gated(s, dir)
+      .withColumn("n_fail", (0 until 5).map(i =>
+        when(col(s"r${i + 1}"), 0).otherwise(1)).reduce(_ + _))
+      .select((1 to 5).map(i => col(s"r$i")) :+ col("n_fail"): _*)
+    val stacked = g.select(expr(
+      """stack(5,
+        |  'r1', r1, 'r2', r2,
+        |  'r3', r3, 'r4', r4,
+        |  'r5', r5)""".stripMargin).as(Seq("rule", "pass")),
+      col("n_fail"))
+    val perRule = stacked.groupBy("rule").agg(
+      sum(when(!col("pass"), 1L).otherwise(0L)).as("n_fail_rule"),
+      sum(when(!col("pass") && col("n_fail") === 1, 1L).otherwise(0L))
+        .as("n_fail_only"))
+    val totals = g.agg(count(lit(1)).as("n_docs"),
+      sum(when(col("n_fail") === 0, 1L).otherwise(0L)).as("n_pass_all"))
+    perRule.crossJoin(broadcast(totals))
+      .withColumn("n_pass_without", col("n_pass_all") + col("n_fail_only"))
+      .withColumn("pass_ppm", expr(
+        "CAST((2 * n_pass_all * 1000000 + n_docs) DIV (2 * n_docs) AS BIGINT)"))
+      .withColumn("pass_without_ppm", expr(
+        "CAST((2 * n_pass_without * 1000000 + n_docs) DIV (2 * n_docs) AS BIGINT)"))
+      .select("rule", "n_docs", "n_fail_rule", "n_fail_only",
+        "n_pass_all", "n_pass_without", "pass_ppm", "pass_without_ppm")
+      .orderBy("rule")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_gate_ablation" -> (q232 _),
+    "q231_wordpiece_tokenize" -> (q231 _),
     "q229_minhash_error_audit" -> (q229 _),
     "q230_unicode_normalize" -> (q230 _),
     "q224_cluster_best_keep" -> (q224 _),
@@ -1227,7 +1352,90 @@ object TextOps {
       |  (n_stop * 50 >= nw AND n_stop * 10 <= nw * 3) AS r5
       | FROM f)""".stripMargin
 
+  /** DuckDB VALUES list interpolated from [[WpVocab]] — one source of
+    * truth for both engines. */
+  private def wpVocabValues: String =
+    WpVocab.map { case (t, i) => s"('$t',$i)" }.mkString(",")
+
   val oracles: Map[String, String] = Map(
+    "q232_gate_ablation" ->
+      """WITH w AS (SELECT doc_id, source,
+        |        list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w
+        |      FROM documents),
+        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
+        |f AS (SELECT doc_id,
+        |  CAST(len(w) AS BIGINT) AS nw,
+        |  CAST(list_aggregate([CAST(length(t) AS BIGINT) for t in w], 'sum') AS BIGINT) AS sum_wl,
+        |  CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+        |  CAST(len(list_intersect(list_distinct(w), ['the','a','of','and','to'])) AS BIGINT) AS n_stop_d,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_dist
+        | FROM wf),
+        |r AS (SELECT doc_id,
+        |  (nw >= 50 AND nw <= 100000) AS r1,
+        |  (sum_wl >= nw * 3 AND sum_wl <= nw * 10) AS r2,
+        |  (n_stop_d >= 2) AS r3,
+        |  (n_dist * 2 >= nw) AS r4,
+        |  (n_stop * 50 >= nw AND n_stop * 10 <= nw * 3) AS r5
+        | FROM f),
+        |nf AS (SELECT *,
+        |  (CASE WHEN r1 THEN 0 ELSE 1 END + CASE WHEN r2 THEN 0 ELSE 1 END +
+        |   CASE WHEN r3 THEN 0 ELSE 1 END + CASE WHEN r4 THEN 0 ELSE 1 END +
+        |   CASE WHEN r5 THEN 0 ELSE 1 END) AS n_fail
+        | FROM r),
+        |st AS (
+        |  SELECT 'r1' AS rule, r1 AS pass, n_fail FROM nf UNION ALL
+        |  SELECT 'r2', r2, n_fail FROM nf UNION ALL
+        |  SELECT 'r3', r3, n_fail FROM nf UNION ALL
+        |  SELECT 'r4', r4, n_fail FROM nf UNION ALL
+        |  SELECT 'r5', r5, n_fail FROM nf),
+        |pr AS (SELECT rule,
+        |  CAST(sum(CASE WHEN NOT pass THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_rule,
+        |  CAST(sum(CASE WHEN NOT pass AND n_fail = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_only
+        | FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN n_fail = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+        | FROM nf)
+        |SELECT rule, n_docs, n_fail_rule, n_fail_only, n_pass_all,
+        |  n_pass_all + n_fail_only AS n_pass_without,
+        |  CAST((2 * n_pass_all * 1000000 + n_docs) // (2 * n_docs) AS BIGINT) AS pass_ppm,
+        |  CAST((2 * (n_pass_all + n_fail_only) * 1000000 + n_docs) // (2 * n_docs) AS BIGINT)
+        |    AS pass_without_ppm
+        |FROM pr, tot ORDER BY rule""".stripMargin,
+    "q231_wordpiece_tokenize" ->
+      s"""WITH RECURSIVE vocab(tok, tid) AS (
+         |  SELECT * FROM (VALUES $wpVocabValues) v(tok, tid)),
+         |w AS (SELECT source,
+         |    unnest(list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '')) AS word
+         |  FROM documents
+         |  WHERE len(list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '')) >= 3),
+         |wc AS (SELECT source, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+         |dict AS (SELECT DISTINCT word FROM wc),
+         |seg AS (
+         |  SELECT word, word AS rest, 0::BIGINT AS n_tok, 0::BIGINT AS n_unk,
+         |    0::BIGINT AS idsum
+         |  FROM dict
+         |  UNION ALL
+         |  SELECT word,
+         |    CASE WHEN m.tok IS NULL THEN substr(rest, 2)
+         |         ELSE substr(rest, length(m.tok) + 1) END,
+         |    n_tok + 1,
+         |    n_unk + CASE WHEN m.tok IS NULL THEN 1 ELSE 0 END,
+         |    idsum + COALESCE(m.tid, 0)
+         |  FROM seg LEFT JOIN LATERAL (
+         |    SELECT v.tok, v.tid FROM vocab v
+         |    WHERE starts_with(seg.rest, v.tok)
+         |    ORDER BY length(v.tok) DESC LIMIT 1) m ON TRUE
+         |  WHERE rest <> ''),
+         |done AS (SELECT word, n_tok, n_unk, idsum FROM seg WHERE rest = '')
+         |SELECT source,
+         |  CAST(sum(cnt) AS BIGINT) AS n_words,
+         |  CAST(sum(n_tok * cnt) AS BIGINT) AS n_tokens,
+         |  CAST(sum(n_unk * cnt) AS BIGINT) AS n_unk,
+         |  CAST(sum(idsum * cnt) AS BIGINT) AS id_checksum,
+         |  CAST((sum(n_tok * cnt) * 1000000 + (sum(cnt) // 2)) // sum(cnt) AS BIGINT)
+         |    AS fertility_ppm
+         |FROM done JOIN wc USING (word)
+         |GROUP BY source ORDER BY source""".stripMargin,
     "q229_minhash_error_audit" ->
       s"""WITH $shingleCte,
          |e AS (SELECT j.a, j.b_id, j.inter, za.n + zb.n - j.inter AS u,

@@ -543,5 +543,18 @@ class EntrySpec extends AnyFunSuite {
     assert(!p230.contains("Join"), s"q230 must stay scan+aggregate:\n$p230")
     assert(p230.toLowerCase.contains("nfcnormalize") || p230.contains("graft_nfc"),
       s"q230 must run the native graft_nfc expression:\n$p230")
+    // q231 (subword tokenize): the segmentation UDF must run on the
+    // DISTINCT-word dictionary side only — exactly one equi-join (dict
+    // back to the (source, word) counts), nothing all-pairs
+    val p231 = plan("q231_wordpiece_tokenize")
+    assert(!p231.contains("CartesianProduct") && !p231.contains("BroadcastNestedLoopJoin"),
+      s"q231 must not contain an all-pairs join:\n$p231")
+    assert("Join".r.findAllIn(p231).length <= 1,
+      s"q231 must join the segmented dictionary back exactly once:\n$p231")
+    // q232 (gate ablation): per-row gates + 5-way stack + rollups — the
+    // only join is the broadcast of the 1-row totals
+    val p232 = plan("q232_gate_ablation")
+    assert(!p232.contains("SortMergeJoin") && !p232.contains("CartesianProduct"),
+      s"q232 must not shuffle-join the corpus:\n$p232")
   }
 }

@@ -133,4 +133,29 @@ class GopherGateSpec extends AnyFunSuite {
         s"dedup keeper count mismatch for $src")
     }
   }
+
+  test("wpSegment: greedy longest-prefix rule, UNK consumption, full coverage") {
+    import graft.operators.TextOps.wpSegment
+    // "stream" -> str + eam (greedy longest), never s|t|r|e|a|m
+    assert(wpSegment("stream") == (2L, 0L, 0L + 1L))
+    // "window" -> wind + ow
+    assert(wpSegment("window") == (2L, 0L, 2L + 3L))
+    // "batch" -> bat + ch
+    assert(wpSegment("batch") == (2L, 0L, 4L + 5L))
+    // greedy is NOT optimal and that is the spec: "sorta" -> sort + a,
+    // while "sorta" could also be s|o|r|t|a — greedy takes the merge
+    assert(wpSegment("sorta") == (2L, 0L, 11L + 20L + 0L))
+    // single chars fall back to the alphabet tier: "fast" -> f,a,s,t
+    val (n, u, ids) = wpSegment("fast")
+    assert(n == 4L && u == 0L && ids == (20 + 5) + (20 + 0) + (20 + 18) + (20 + 19))
+    // a char with no vocab entry is one UNK token, id_sum unchanged
+    assert(wpSegment("a9b") == (3L, 1L, (20 + 0) + (20 + 1)))
+    // empty word: zero tokens
+    assert(wpSegment("") == (0L, 0L, 0L))
+    // coverage: token count of any word is at most its length
+    for (w <- Seq("querystream", "xxzzqq", "aggsortkey", "merge")) {
+      val (nt, nu, _) = wpSegment(w)
+      assert(nt >= 1 && nt <= w.length && nu <= nt)
+    }
+  }
 }

@@ -55,7 +55,7 @@ object TextOps {
     * keeps them, so any doc with leading/trailing/double whitespace would
     * otherwise tokenize differently across engines (`array_remove` is a
     * codegen'd expression, unlike a `filter` HOF). */
-  private def words(s: SparkSession, dir: String): DataFrame =
+  private[graft] def words(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"),
         array_remove(split(col("text"), "\\s+"), "").as("w"))
@@ -120,7 +120,7 @@ object TextOps {
     * tier (q25/q26/q70/q88/q89/q102 all start from it) and is tiny —
     * candidate pairs only — so one materialization replaces up to six
     * re-runs of the two shingle self-joins per session. */
-  private def jaccard(s: SparkSession, dir: String): DataFrame =
+  private[graft] def jaccard(s: SparkSession, dir: String): DataFrame =
     shared(s, dir, "jaccard") {
       val sh = shingles(s, dir)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))

@@ -281,6 +281,20 @@ object SuffixOps {
       .rowsBetween(Window.unboundedPreceding, 0)
     val wB = Window.partitionBy("run_id").orderBy(col("rank").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
+    // Partner-run source attribution: every run has ONE source, run ids
+    // are dense, so the F/B partners' sources come from a tiny
+    // (run_id ± 1)-keyed equi-join against the per-run source table. The
+    // partner of a position is the PREV run when f >= b (ties to prev —
+    // the oracle applies the identical rule), else the NEXT run; whenever
+    // cross_len > 0 the chosen side's neighbor run exists, so the
+    // attribution is total on the spans any consumer looks at.
+    val runSrc = withRun.groupBy("run_id").agg(first("source").as("rsrc"))
+    // prun/nrun, not prev/next: the position-level frame already carries a
+    // prev_src column (the rank-neighbor source feeding the run flags)
+    val prevSrc = runSrc.select((col("run_id") + 1).as("run_id"),
+      col("rsrc").as("prun_src"))
+    val nextSrc = runSrc.select((col("run_id") - 1).as("run_id"),
+      col("rsrc").as("nrun_src"))
     val out = withRun
       .withColumn("f_raw", min("lcp_prev").over(wF))
       .withColumn("b_raw", min("lcp_next").over(wB))
@@ -288,7 +302,12 @@ object SuffixOps {
       .withColumn("f", when(col("run_id") === 1L, 0L).otherwise(col("f_raw")))
       .withColumn("b", when(col("run_id") === col("max_run"), 0L).otherwise(col("b_raw")))
       .withColumn("cross_len", greatest(col("f"), col("b")))
-      .select(col("doc_id"), col("source"), col("pos"), col("cross_len"))
+      .join(prevSrc, Seq("run_id"), "left")
+      .join(nextSrc, Seq("run_id"), "left")
+      .withColumn("partner_src",
+        when(col("f") >= col("b"), col("prun_src")).otherwise(col("nrun_src")))
+      .select(col("doc_id"), col("source"), col("pos"), col("cross_len"),
+        col("partner_src"))
     (out, ranged)
   }
 
@@ -304,6 +323,26 @@ object SuffixOps {
       .withColumn("cross_frac20",
         round(col("n_cross20").cast("double") / col("n_pos"), 6))
       .orderBy("source")
+
+  /** q233 — the contamination ATTRIBUTION matrix: q226's per-source
+    * coverage broken down by WHICH other source the shared span lives in
+    * — the "who leaks into whom" diagnostic that decides which pair of
+    * crawl sources actually overlaps (a union of many small mutual leaks
+    * and one dominant direction aggregate to the same q226 row; this
+    * matrix separates them). The partner source rides the runs
+    * decomposition for free: a position's best different-source match is
+    * the last element of the PREV run (when f ≥ b, ties to prev) or the
+    * first of the NEXT run — both attributed by a dense (run_id ± 1)
+    * equi-join against the per-run source table. Output is at most
+    * |sources|² rows. */
+  private def q233(s: SparkSession, dir: String): DataFrame =
+    crossLens(s, dir).filter(col("cross_len") >= 20)
+      .groupBy("source", "partner_src")
+      .agg(count(lit(1)).as("n_pos20"),
+        sum(when(col("cross_len") >= 40, 1L).otherwise(0L)).as("n_pos40"),
+        max("cross_len").as("max_cross_len"),
+        sum("cross_len").cast("long").as("sum_cross_len"))
+      .orderBy("source", "partner_src")
 
   /** Per-source duplicated-substring coverage: how many positions start a
     * substring of length ≥20 (≥40) that occurs at least twice anywhere in
@@ -400,7 +439,8 @@ object SuffixOps {
     "q216_dup_substrings" -> (q216 _),
     "q217_span_removal" -> (q217 _),
     "q226_cross_source_spans" -> (q226 _),
-    "q227_decontaminate_spans" -> (q227 _))
+    "q227_decontaminate_spans" -> (q227 _),
+    "q233_contamination_matrix" -> (q233 _))
 
   /** The q216 oracle's per-neighbor LCP expression, parameterized on the
     * neighbor column (DuckDB list-lambda byte walk, Cap-capped). */
@@ -465,6 +505,45 @@ object SuffixOps {
          |  round(CAST(sum(coalesce(pd.removed, 0)) AS DOUBLE) / sum(d.len), 6) AS removed_frac
          |FROM d LEFT JOIN pd USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    "q233_contamination_matrix" ->
+      s"""WITH p AS (SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
+         |    substr(text, CAST(i AS INT), 64) AS p64
+         |  FROM documents, unnest(range(1, length(text) + 1)) AS t(i)),
+         |o AS (SELECT doc_id, source, pos, p64,
+         |    row_number() OVER (ORDER BY p64, doc_id, pos) AS rank,
+         |    lag(p64)  OVER (ORDER BY p64, doc_id, pos) AS prev_p,
+         |    lead(p64) OVER (ORDER BY p64, doc_id, pos) AS next_p,
+         |    lag(source) OVER (ORDER BY p64, doc_id, pos) AS prev_src
+         |  FROM p),
+         |c AS (SELECT source, rank,
+         |    ${lcpSql("prev_p")} AS lcp_prev,
+         |    ${lcpSql("next_p")} AS lcp_next,
+         |    CASE WHEN prev_src IS NULL OR prev_src <> source THEN 1 ELSE 0 END AS sf
+         |  FROM o),
+         |rn AS (SELECT *, sum(sf) OVER (ORDER BY rank) AS run_id FROM c),
+         |mx AS (SELECT max(run_id) AS mr FROM rn),
+         |rs AS (SELECT run_id, min(source) AS rsrc FROM rn GROUP BY 1),
+         |fb AS (SELECT source, run_id,
+         |    min(lcp_prev) OVER (PARTITION BY run_id ORDER BY rank) AS f_raw,
+         |    min(lcp_next) OVER (PARTITION BY run_id ORDER BY rank DESC) AS b_raw
+         |  FROM rn),
+         |x AS (SELECT fb.source,
+         |    CASE WHEN fb.run_id = 1 THEN 0 ELSE f_raw END AS fz,
+         |    CASE WHEN fb.run_id = (SELECT mr FROM mx) THEN 0 ELSE b_raw END AS bz,
+         |    ps.rsrc AS prev_src, ns.rsrc AS next_src
+         |  FROM fb
+         |  LEFT JOIN rs ps ON ps.run_id = fb.run_id - 1
+         |  LEFT JOIN rs ns ON ns.run_id = fb.run_id + 1),
+         |y AS (SELECT source, greatest(fz, bz) AS cross_len,
+         |    CASE WHEN fz >= bz THEN prev_src ELSE next_src END AS partner_src
+         |  FROM x)
+         |SELECT source, partner_src,
+         |  CAST(count(*) AS BIGINT) AS n_pos20,
+         |  CAST(sum(CASE WHEN cross_len >= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos40,
+         |  CAST(max(cross_len) AS BIGINT) AS max_cross_len,
+         |  CAST(sum(cross_len) AS BIGINT) AS sum_cross_len
+         |FROM y WHERE cross_len >= 20
+         |GROUP BY source, partner_src ORDER BY source, partner_src""".stripMargin,
     "q226_cross_source_spans" ->
       s"""WITH p AS (SELECT doc_id, source, CAST(i AS BIGINT) AS pos,
          |    substr(text, CAST(i AS INT), 64) AS p64

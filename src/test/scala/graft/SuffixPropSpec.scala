@@ -29,7 +29,8 @@ class SuffixPropSpec extends AnyFunSuite {
     * (first-Cap-chars, doc_id, pos); plus per-position dup_len from a
     * neighbor LCP scan. */
   private def bruteForce(docs: Seq[(Long, String, String)])
-      : (Map[(Long, Int), Long], Map[(Long, Int), Long], Map[(Long, Int), Long]) = {
+      : (Map[(Long, Int), Long], Map[(Long, Int), Long], Map[(Long, Int), Long],
+         Map[(Long, Int), Map[String, Long]]) = {
     val srcOf = docs.map { case (id, src, _) => id -> src }.toMap
     val sufs = docs.flatMap { case (id, _, txt) =>
       (1 to txt.length).map { p =>
@@ -53,7 +54,9 @@ class SuffixPropSpec extends AnyFunSuite {
     }.toMap
     // cross-source: max LCP against EVERY suffix from a different source
     // (quadratic on purpose — independent of the runs decomposition under
-    // test, which claims the nearest adjacent-run edge suffices)
+    // test, which claims the nearest adjacent-run edge suffices), plus
+    // the per-SOURCE best (for partner-attribution soundness: q233's
+    // attributed source must actually achieve the max)
     val cross = sufs.map { case (id, p, pref) =>
       val best = sufs.iterator
         .filter { case (id2, _, _) => srcOf(id2) != srcOf(id) }
@@ -61,13 +64,18 @@ class SuffixPropSpec extends AnyFunSuite {
         .foldLeft(0L)(math.max)
       (id, p) -> best
     }.toMap
-    (ranks, dup, cross)
+    val crossBySrc = sufs.map { case (id, p, pref) =>
+      (id, p) -> sufs.groupBy { case (id2, _, _) => srcOf(id2) }
+        .view.mapValues(_.iterator.map { case (_, _, pref2) => cpl(pref, pref2) }
+          .foldLeft(0L)(math.max)).toMap
+    }.toMap
+    (ranks, dup, cross, crossBySrc)
   }
 
   private def check(docs: Seq[(Long, String, String)], label: String): Unit = {
     import spark.implicits._
     val df = docs.toDF("doc_id", "source", "text")
-    val (expRanks, expDup, expCross) = bruteForce(docs)
+    val (expRanks, expDup, expCross, expCrossBySrc) = bruteForce(docs)
     val gotRanks = SuffixOps.ranksOf(df)
     val rankRows = gotRanks.collect()
       .map(r => (r.getLong(0), r.getAs[Number]("pos").intValue()) -> r.getLong(r.fieldIndex("rank")))
@@ -82,12 +90,27 @@ class SuffixPropSpec extends AnyFunSuite {
     expDup.foreach { case (k, v) =>
       assert(gotDup(k) == v, s"$label: dup_len at $k")
     }
-    val gotCross = SuffixOps.crossLensOf(spark, gotRanks).collect()
+    val crossRows = SuffixOps.crossLensOf(spark, gotRanks).collect()
+    val gotCross = crossRows
       .map(r => (r.getLong(0), r.getAs[Number]("pos").intValue()) -> r.getLong(r.fieldIndex("cross_len")))
       .toMap
     expCross.foreach { case (k, v) =>
       assert(gotCross(k) == v, s"$label: cross_len at $k")
       assert(gotCross(k) <= gotDup(k), s"$label: cross_len must never exceed dup_len at $k")
+    }
+    // q233 partner-attribution soundness: wherever cross_len > 0, the
+    // attributed partner source must ACHIEVE that LCP (the brute force
+    // computes every source's best independently of the runs machinery)
+    crossRows.foreach { r =>
+      val k = (r.getLong(0), r.getAs[Number]("pos").intValue())
+      val cl = r.getLong(r.fieldIndex("cross_len"))
+      if (cl > 0) {
+        val partner = r.getString(r.fieldIndex("partner_src"))
+        assert(partner != null, s"$label: null partner at $k with cross_len $cl")
+        assert(expCrossBySrc(k).getOrElse(partner, 0L) == cl,
+          s"$label: partner $partner does not achieve cross_len $cl at $k " +
+            s"(per-source best: ${expCrossBySrc(k)})")
+      }
     }
   }
 

@@ -230,4 +230,23 @@ class VectorOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got == (1 to 5).map(i => i.toLong -> 4L).toMap)
   }
+
+  test("ivfPqTopK: exact 10-per-probe shape, no self, no dups, refine subset of shortlist cells") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = operators.VectorOps.ivfPqTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byProbe = rows.groupBy(_._1)
+    assert(byProbe.nonEmpty)
+    byProbe.foreach { case (p, rs) =>
+      assert(rs.length == 10, s"probe $p returned ${rs.length} != 10")
+      assert(rs.map(_._2).sorted.toSeq == (1L to 10L), s"probe $p ranks not 1..10")
+      assert(!rs.exists(_._3 == p), s"probe $p returned itself")
+      assert(rs.map(_._3).distinct.length == 10, s"probe $p returned duplicates")
+    }
+    // determinism: a second full run (fresh codebooks, fresh encode)
+    // reproduces the exact ranking — no RNG anywhere in the path
+    val again = operators.VectorOps.ivfPqTopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == again.toSeq, "IVF-PQ ranking must be retry-identical")
+  }
 }

@@ -1254,7 +1254,51 @@ object TextOps {
       .orderBy("rule")
   }
 
+  // q235 — Aho–Corasick blocklist scan (multi-literal contamination filter)
+
+  /** The fixed blocklist. Chosen to exercise every automaton edge case:
+    * nested patterns ("table" inside "fast table"/"table table" — output
+    * links), a self-bordered pattern ("a a", whose occurrences can
+    * overlap: greedy-non-overlap semantics resolve it identically to SQL
+    * replace()), multi-word phrases, and a pattern absent from the
+    * corpus vocabulary ("drop cascade" — zero-count rows must still be
+    * exact). */
+  private[graft] val blocklistPatterns: Array[String] = Array(
+    "fast table", "table table", "scan slow", "value part hash",
+    "window spark", "a a", "big vector", "table", "merge batch",
+    "drop cascade")
+
+  /** Blocklist hit matrix: per (pattern, source), how many documents
+    * contain the literal and how many (greedy non-overlapping)
+    * occurrences there are in total — the audit report a contamination /
+    * bad-content literal filter produces before documents are dropped.
+    *
+    * Scale shape: the automaton (built once from the pattern list,
+    * pattern-count-independent matching) is broadcast; the scan is a
+    * zero-shuffle per-row projection; the only exchange is the final
+    * (pattern, source) rollup — at most |patterns|·|sources| rows. A 10k
+    * entry blocklist costs the same text pass as this 10-entry one. */
+  private def q235(s: SparkSession, dir: String): DataFrame = {
+    val bc = s.sparkContext.broadcast(graft.functions.AhoCorasick.build(blocklistPatterns))
+    val hitsUdf = udf { (text: String) =>
+      val c = bc.value.countNonOverlapping(if (text == null) "" else text)
+      c.toSeq.zipWithIndex.map { case (n, pid) => (pid, n) }
+    }
+    val patDf = s.createDataFrame(
+      blocklistPatterns.zipWithIndex.map { case (p, i) => (i, p) }.toSeq)
+      .toDF("pid", "pat")
+    t(s, dir, "documents")
+      .select(col("source"), explode(hitsUdf(col("text"))).as("h"))
+      .select(col("source"), col("h._1").as("pid"), col("h._2").as("n"))
+      .join(broadcast(patDf), Seq("pid"))
+      .groupBy("pat", "source")
+      .agg(sum(when(col("n") > 0, 1L).otherwise(0L)).as("n_docs"),
+        sum(col("n").cast("long")).as("n_hits"))
+      .orderBy("pat", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q235_blocklist_scan" -> (q235 _),
     "q232_gate_ablation" -> (q232 _),
     "q231_wordpiece_tokenize" -> (q231 _),
     "q229_minhash_error_audit" -> (q229 _),
@@ -1358,6 +1402,19 @@ object TextOps {
     WpVocab.map { case (t, i) => s"('$t',$i)" }.mkString(",")
 
   val oracles: Map[String, String] = Map(
+    // replace() removes leftmost non-overlapping occurrences — exactly the
+    // automaton's greedy counting semantics (see AhoCorasick scaladoc)
+    "q235_blocklist_scan" ->
+      """WITH pats AS (SELECT * FROM (VALUES ('fast table'),('table table'),
+        |    ('scan slow'),('value part hash'),('window spark'),('a a'),
+        |    ('big vector'),('table'),('merge batch'),('drop cascade')) p(pat)),
+        |h AS (SELECT d.source, p.pat,
+        |    (length(d.text) - length(replace(d.text, p.pat, ''))) // length(p.pat) AS n
+        |  FROM documents d CROSS JOIN pats p)
+        |SELECT pat, source,
+        |  CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_hits
+        |FROM h GROUP BY pat, source""".stripMargin,
     "q232_gate_ablation" ->
       """WITH w AS (SELECT doc_id, source,
         |        list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w

@@ -834,6 +834,71 @@ object VectorOps {
   }
 
   // ---------------------------------------------------------------------
+  // q236 — SRHT random projection (64→16) + distance-preservation audit
+  // ---------------------------------------------------------------------
+
+  /** Johnson–Lindenstrauss dimensionality reduction in its FAST form — a
+    * subsampled randomized Hadamard transform (SRHT): y_j = Σ_i x_i · D_i
+    * · H(i, r_j), where D is a deterministic ±1 diagonal (md5 of the
+    * index — the same md5-derived-randomness convention the MinHash tier
+    * uses for cross-engine parity) and H(i, r) = (-1)^popcount(i AND r)
+    * is the Walsh–Hadamard matrix, sampling rows r_j = 4j+1. Structured
+    * projections beat a dense Gaussian at scale: no k×d matrix to
+    * broadcast (the sign is computed from the INDICES), and the transform
+    * is data-independent, so reduction is a zero-shuffle per-row map — at
+    * 100 TB this runs ahead of ANN indexing to cut every downstream
+    * distance computation 4×.
+    *
+    * The query is the AUDIT a production rollout needs: for the standard
+    * probe set, the histogram of |cos_exact − cos_projected| (20 buckets
+    * per unit), i.e. the measured distortion the JL lemma bounds. All
+    * sums run in ascending index order on both engines (the q33 FP-parity
+    * rule), and D/H are integer-exact, so the oracle matches by hash. */
+  private def q236(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64; val k = 16
+    val dSign: Array[Double] = Array.tabulate(dim) { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl_$i".getBytes("UTF-8"))
+      if ((md(0) & 0x80) == 0) 1.0 else -1.0
+    }
+    val projUdf = udf { (e: Seq[Float]) =>
+      val y = new Array[Double](k)
+      var j = 0
+      while (j < k) {
+        val r = 4 * j + 1
+        var acc = 0.0; var i = 0
+        while (i < dim) {
+          val h = if (Integer.bitCount(i & r) % 2 == 0) 1.0 else -1.0
+          acc += e(i).toDouble * dSign(i) * h
+          i += 1
+        }
+        y(j) = acc; j += 1
+      }
+      y.toSeq
+    }
+    val cosProj = udf { (a: Seq[Double], b: Seq[Double]) =>
+      var dot = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); i += 1 }
+      var na = 0.0; i = 0
+      while (i < a.length) { na += a(i) * a(i); i += 1 }
+      var nb = 0.0; i = 0
+      while (i < b.length) { nb += b(i) * b(i); i += 1 }
+      dot / math.sqrt(na * nb)
+    }
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      .withColumn("y", projUdf(col("embedding")))
+    val probes = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
+        col("y").as("py"))
+    broadcast(probes).join(emb, col("vec_id") =!= col("probe_id"))
+      .withColumn("ce", round(cosCol(s, "pe", "embedding"), 6))
+      .withColumn("cp", round(cosProj(col("py"), col("y")), 6))
+      .withColumn("bucket", floor(abs(col("ce") - col("cp")) * 20).cast("long"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("bucket")
+  }
+
+  // ---------------------------------------------------------------------
   // q192 — mutual-kNN graph 3-core (embedding dense-cluster extraction)
   // ---------------------------------------------------------------------
 
@@ -1106,6 +1171,7 @@ object VectorOps {
     "q116_pq_quantize" -> (q116 _),
     "q77_ann_ivf" -> (q77 _),
     "q234_ivfpq_adc" -> (q234 _),
+    "q236_jl_projection" -> (q236 _),
     "q33_cosine_topk" -> (q33 _),
     "q34_ann_lsh_bucket" -> (q34 _),
     "q35_embedding_stats" -> (q35 _),
@@ -1207,6 +1273,27 @@ object VectorOps {
         |  CAST(10 * count(*) AS BIGINT) AS n_results,
         |  TRUE AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    // SRHT audit: D from md5 (first hex char <8 ⇔ high bit clear), H from
+    // bit_count parity; every sum ascending-index so doubles match bitwise
+    "q236_jl_projection" ->
+      """WITH prj AS (SELECT vec_id, embedding,
+        |    [CAST(list_aggregate([CAST(embedding[i+1] AS DOUBLE)
+        |      * (CASE WHEN substr(md5('jl_'||CAST(i AS VARCHAR)),1,1) IN ('0','1','2','3','4','5','6','7') THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+        |      * (CASE WHEN bit_count(CAST(i AS BIGINT) & CAST(4*j+1 AS BIGINT)) % 2 = 0 THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END)
+        |      for i in range(len(embedding))], 'sum') AS DOUBLE) for j in range(16)] AS y
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS probe_id, b.vec_id AS vid,
+        |    round(list_aggregate([CAST(a.embedding[i+1] AS DOUBLE) * CAST(b.embedding[i+1] AS DOUBLE) for i in range(len(a.embedding))], 'sum')
+        |     / sqrt(list_aggregate([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in a.embedding], 'sum')
+        |            * list_aggregate([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in b.embedding], 'sum')), 6) AS ce,
+        |    round(list_aggregate([a.y[i+1]*b.y[i+1] for i in range(len(a.y))],'sum')
+        |      / sqrt(list_aggregate([x*x for x in a.y],'sum') * list_aggregate([x*x for x in b.y],'sum')), 6) AS cp
+        |  FROM prj a JOIN prj b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id % 100 = 0)
+        |SELECT CAST(floor(abs(ce - cp) * 20) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM pairs GROUP BY 1""".stripMargin,
     "q33_cosine_topk" ->
       s"""WITH sc AS (
          |  SELECT a.vec_id AS probe_id, b.vec_id AS vec_id, round($cosSql, 6) AS cos

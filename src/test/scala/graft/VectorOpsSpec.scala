@@ -249,4 +249,50 @@ class VectorOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(rows.toSeq == again.toSeq, "IVF-PQ ranking must be retry-identical")
   }
+
+  test("q236: sampled Hadamard rows are pairwise orthogonal (H construction pin)") {
+    val rows = (0 until 16).map(j => 4 * j + 1)
+    for (a <- rows; b <- rows if a != b) {
+      val dot = (0 until 64).map { i =>
+        val ha = if (Integer.bitCount(i & a) % 2 == 0) 1 else -1
+        val hb = if (Integer.bitCount(i & b) % 2 == 0) 1 else -1
+        ha * hb
+      }.sum
+      assert(dot == 0, s"rows $a,$b not orthogonal (dot=$dot)")
+    }
+  }
+
+  test("q236: distortion histogram matches a pure-JVM recomputation") {
+    val got = operators.VectorOps.queries("q236_jl_projection")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // independent path: collect raw embeddings, recompute D/H/projection/
+    // cosines/buckets without any Spark machinery
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val d = Array.tabulate(64) { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"jl_$i".getBytes("UTF-8"))
+      if ((md(0) & 0x80) == 0) 1.0 else -1.0
+    }
+    def proj(x: Array[Float]): Array[Double] = Array.tabulate(16) { j =>
+      val r = 4 * j + 1
+      (0 until 64).map(i =>
+        x(i).toDouble * d(i) * (if (Integer.bitCount(i & r) % 2 == 0) 1.0 else -1.0)).sum
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.indices.map(i => a(i) * b(i)).sum
+      dot / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    val ys = emb.map { case (id, x) => (id, proj(x)) }.toMap
+    val xs = emb.map { case (id, x) => (id, x.map(_.toDouble)) }.toMap
+    val exp = scala.collection.mutable.Map.empty[Long, Long]
+    for ((p, _) <- emb if p % 100 == 0; (v, _) <- emb if v != p) {
+      val ce = BigDecimal(cos(xs(p), xs(v))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val cp = BigDecimal(cos(ys(p), ys(v))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val bucket = math.floor(math.abs(ce - cp) * 20).toLong
+      exp(bucket) = exp.getOrElse(bucket, 0L) + 1L
+    }
+    assert(got == exp.toMap, s"got $got\nexpected $exp")
+  }
 }

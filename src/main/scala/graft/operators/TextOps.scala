@@ -1297,7 +1297,96 @@ object TextOps {
       .orderBy("pat", "source")
   }
 
+  // q237 — PassJoin edit-distance similarity self-join (τ=2)
+
+  /** Even τ+1-way segment split of a length-L string: (pos, len) per
+    * segment, the `L % (τ+1)` longer segments LAST. Both the index and
+    * probe sides must use the identical convention. */
+  private def segLens(L: Int, tau: Int): Array[(Int, Int)] = {
+    val k = tau + 1
+    val base = L / k; val rem = L % k
+    val out = new Array[(Int, Int)](k)
+    var p = 0; var i = 0
+    while (i < k) {
+      val l = if (i < k - rem) base else base + 1
+      out(i) = (p, l); p += l; i += 1
+    }
+    out
+  }
+
+  /** PassJoin (Li et al., VLDB'12) edit-distance self-join: every string
+    * is indexed under its τ+1 segments (pigeonhole: ≤τ edits leave at
+    * least one segment INTACT, and the intact segment's copy in the
+    * partner starts within ±τ of its home position), and probed with the
+    * bounded substring enumeration — ≤ (2τ+1)·(τ+1)·(2τ+1) keys per
+    * string. Candidates are therefore generated by an EQUI-join on
+    * (partner-length, segment-index, segment-content) — never an
+    * all-pairs comparison — then verified with the codegen'd levenshtein.
+    * This is the lossless form: the segment filter provably admits every
+    * true pair, so verification (not recall) is the only cost knob. At
+    * 100 TB the shuffle is the key join; key skew is bounded by segment
+    * content duplication — the same regime as the LSH band keys.
+    */
+  private[graft] def passJoinPairs(docs: DataFrame, tau: Int): DataFrame = {
+    // Zero-length segments (targets shorter than τ+1) index as ""-keys:
+    // the empty segment is trivially intact, so those strings degrade to
+    // an exhaustive within-length-window bucket — losslessness holds for
+    // ALL lengths, not just the ≥ τ+1 common case.
+    val idxKeys = udf { (t: String) =>
+      val L = t.length
+      segLens(L, tau).zipWithIndex.map { case ((p, l), i) =>
+        (L, i, t.substring(p, p + l))
+      }.toSeq
+    }
+    val probeKeys = udf { (t: String) =>
+      val ls = t.length
+      val buf = scala.collection.mutable.ListBuffer.empty[(Int, Int, String)]
+      var lt = math.max(1, ls - tau)
+      while (lt <= ls + tau) {
+        val segs = segLens(lt, tau)
+        var i = 0
+        while (i < segs.length) {
+          val (p, l) = segs(i)
+          if (l <= ls) {
+            var q = math.max(0, p - tau)
+            val qMax = math.min(ls - l, p + tau)
+            while (q <= qMax) { buf += ((lt, i, t.substring(q, q + l))); q += 1 }
+          }
+          i += 1
+        }
+        lt += 1
+      }
+      buf.distinct.toSeq
+    }
+    val idx = docs.select(col("doc_id").as("id_b"), col("t").as("tb"),
+      explode(idxKeys(col("t"))).as("k"))
+      .select(col("id_b"), col("tb"), col("k._1").as("kl"),
+        col("k._2").as("ki"), col("k._3").as("ks"))
+    val prb = docs.select(col("doc_id").as("id_a"), col("t").as("ta"),
+      explode(probeKeys(col("t"))).as("k"))
+      .select(col("id_a"), col("ta"), col("k._1").as("kl"),
+        col("k._2").as("ki"), col("k._3").as("ks"))
+    prb.join(idx, Seq("kl", "ki", "ks"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ta", "tb").distinct()
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .filter(col("dist") <= tau)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        col("dist").cast("long").as("dist"))
+  }
+
+  /** Fuzzy record-linkage over the 16-char document prefixes: all
+    * unordered pairs within edit distance 2, found via lossless PassJoin
+    * segment blocking + exact levenshtein verify (the oracle brute-forces
+    * the quadratic join; the engine never does). */
+  private def q237(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 16).as("t"))
+    passJoinPairs(docs, tau = 2).orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q237_editdist_join" -> (q237 _),
     "q235_blocklist_scan" -> (q235 _),
     "q232_gate_ablation" -> (q232 _),
     "q231_wordpiece_tokenize" -> (q231 _),
@@ -1402,6 +1491,14 @@ object TextOps {
     WpVocab.map { case (t, i) => s"('$t',$i)" }.mkString(",")
 
   val oracles: Map[String, String] = Map(
+    // the oracle is the quadratic ground truth the engine's lossless
+    // segment blocking must reproduce exactly
+    "q237_editdist_join" ->
+      """WITH d AS (SELECT doc_id, substr(text,1,16) AS t FROM documents)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+        |FROM d a JOIN d b ON b.doc_id > a.doc_id
+        |WHERE levenshtein(a.t, b.t) <= 2""".stripMargin,
     // replace() removes leftmost non-overlapping occurrences — exactly the
     // automaton's greedy counting semantics (see AhoCorasick scaladoc)
     "q235_blocklist_scan" ->

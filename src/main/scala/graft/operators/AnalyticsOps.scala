@@ -1170,7 +1170,41 @@ object AnalyticsOps {
       .orderBy("action")
   }
 
+  // q238 — rendezvous (HRW) consistent sharding + minimal-movement audit
+
+  /** Highest-random-weight shard assignment: doc → argmax over shards of
+    * md5(doc_id ++ '_' ++ shard), compared as hex strings (identical
+    * lexicographic order in both engines). The audit re-assigns under a
+    * 16 → 20 shard expansion and counts movement per original shard.
+    * Rendezvous hashing's minimal-disruption theorem — a document moves
+    * ONLY when one of the NEW shards wins its argmax, so exactly ~4/20 of
+    * rows move and none migrate between surviving shards — is made
+    * visible (and hash-gated) by the `n_moved_to_old` column, which must
+    * be 0 in every row. This is the re-sharding planner a 100 TB store
+    * needs: a modulo scheme reshuffles nearly every row; HRW touches
+    * only ~K_new/N of them.
+    *
+    * Scale shape: both argmaxes are computed per-row inside ONE
+    * `transform(sequence(0,19), ...)` + `array_max` projection (native
+    * Catalyst, no UDF, nothing broadcast); the only exchange is the
+    * 16-row final rollup. */
+  private def q238(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "documents").select(col("doc_id"))
+      .withColumn("arr", expr(
+        "transform(sequence(0,19), s -> struct(" +
+          "md5(concat(cast(doc_id as string),'_',cast(s as string))) as h, s as s))"))
+      .withColumn("s16", expr("array_max(filter(arr, x -> x.s < 16)).s"))
+      .withColumn("s20", expr("array_max(arr).s"))
+      .groupBy(col("s16").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("s20") =!= col("s16"), 1L).otherwise(0L)).as("n_moved"),
+        sum(when(col("s20") =!= col("s16") && col("s20") < 16, 1L).otherwise(0L))
+          .as("n_moved_to_old"))
+      .orderBy("shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q238_rendezvous_shards" -> (q238 _),
     "q199_merge_upsert" -> (q199 _),
     "q194_activity_streak" -> (q194 _),
     "q189_shortest_paths" -> (q189 _),
@@ -1221,6 +1255,21 @@ object AnalyticsOps {
   }
 
   val oracles: Map[String, String] = Map(
+    // arg_max ties are impossible (md5 hex is collision-free over this
+    // key space), so DuckDB's arg_max replays Spark's struct array_max
+    "q238_rendezvous_shards" ->
+      """WITH g AS (SELECT d.doc_id, s.s,
+        |    md5(concat(CAST(d.doc_id AS VARCHAR),'_',CAST(s.s AS VARCHAR))) AS h
+        |  FROM documents d CROSS JOIN generate_series(0,19) s(s)),
+        |a AS (SELECT doc_id,
+        |    arg_max(s, h) FILTER (WHERE s < 16) AS s16,
+        |    arg_max(s, h) AS s20
+        |  FROM g GROUP BY doc_id)
+        |SELECT CAST(s16 AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE s20 <> s16) AS BIGINT) AS n_moved,
+        |  CAST(count(*) FILTER (WHERE s20 <> s16 AND s20 < 16) AS BIGINT) AS n_moved_to_old
+        |FROM a GROUP BY 1""".stripMargin,
     "q151_knn_classify" ->
       s"""WITH sc AS (SELECT a.vec_id AS probe_id, CAST(a.label AS BIGINT) AS true_label,
          |    b.vec_id AS vec_id, CAST(b.label AS BIGINT) AS label, round(${VectorOps.cosSql}, 6) AS cos

@@ -1385,7 +1385,45 @@ object TextOps {
     passJoinPairs(docs, tau = 2).orderBy("doc_a", "doc_b")
   }
 
+  // q239 — classifier AUC (Mann–Whitney rank-sum, exact integer)
+
+  /** ROC-AUC of the stopword-density score as an en/non-en classifier,
+    * computed exactly via the Mann–Whitney identity AUC = (R⁺ −
+    * n⁺(n⁺+1)/2)/(n⁺n⁻) with MIDRANKS for ties (scores are ppm
+    * integers, so ties are the norm, not the edge case). All arithmetic
+    * stays integral — 2·midrank = c_lo + c_hi + 1 per tie group, and the
+    * final AUC is emitted ×10⁶ under floor division (numerator provably
+    * ≥ 0, so Spark DIV and DuckDB // agree) — the q174 cross-engine
+    * float-free rule. Completes the q222 threshold sweep: q222 gives
+    * operating points, q239 the threshold-free ranking quality.
+    *
+    * Scale shape: one groupBy(score) shuffle; the rank window runs over
+    * the AGGREGATED score table (≤ 10⁶ ppm values at any corpus size —
+    * data-size-independent), not the corpus. Exact-integer envelope:
+    * r2_pos ≤ 2N² needs N ≲ 2·10⁹ eval rows before Long overflow — far
+    * past any labeled eval set; past that, stratify. */
+  private def q239(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = words(s, dir)
+      .withColumn("nw", size(col("w")).cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(w, t -> t IN ('the','a','of','and','to','is','in')))").cast("long"))
+      .withColumn("score", expr("CAST((n_stop * 1000000) DIV nw AS BIGINT)"))
+      .withColumn("pos", when(col("lang") === "en", 1L).otherwise(0L))
+    val grp = d.groupBy("score")
+      .agg(count(lit(1)).as("n"), sum("pos").as("np"))
+    val w = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grp.withColumn("c_hi", sum("n").over(w))
+      .withColumn("r2", col("np") * (col("c_hi") - col("n") + col("c_hi") + 1L))
+      .agg(sum("np").as("n_pos"), sum(col("n") - col("np")).as("n_neg"),
+        sum("r2").as("r2_pos"))
+      .withColumn("auc_ppm", expr(
+        "CAST(((r2_pos - n_pos * (n_pos + 1)) * 1000000) DIV (2 * n_pos * n_neg) AS BIGINT)"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q239_classifier_auc" -> (q239 _),
     "q237_editdist_join" -> (q237 _),
     "q235_blocklist_scan" -> (q235 _),
     "q232_gate_ablation" -> (q232 _),
@@ -1491,6 +1529,25 @@ object TextOps {
     WpVocab.map { case (t, i) => s"('$t',$i)" }.mkString(",")
 
   val oracles: Map[String, String] = Map(
+    // midrank identity: 2·midrank over a tie group = c_lo + c_hi + 1;
+    // numerator ≥ 0 so floor (//) and truncating (DIV) division agree
+    "q239_classifier_auc" ->
+      """WITH w AS (SELECT lang, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
+        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
+        |f AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
+        |   (CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','is','in'))) AS BIGINT) * 1000000)
+        |     // CAST(len(w) AS BIGINT) AS score
+        | FROM wf),
+        |g AS (SELECT score, count(*) AS n, sum(pos) AS np FROM f GROUP BY score),
+        |r AS (SELECT score, n, np,
+        |   sum(n) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_hi
+        | FROM g),
+        |t AS (SELECT sum(np) AS n_pos, sum(n - np) AS n_neg,
+        |   sum(np * ((c_hi - n) + c_hi + 1)) AS r2_pos FROM r)
+        |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+        |  CAST(r2_pos AS BIGINT) AS r2_pos,
+        |  CAST(((r2_pos - n_pos*(n_pos+1)) * 1000000) // (2*n_pos*n_neg) AS BIGINT) AS auc_ppm
+        |FROM t""".stripMargin,
     // the oracle is the quadratic ground truth the engine's lossless
     // segment blocking must reproduce exactly
     "q237_editdist_join" ->

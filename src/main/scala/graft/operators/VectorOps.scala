@@ -899,6 +899,75 @@ object VectorOps {
   }
 
   // ---------------------------------------------------------------------
+  // q240 — retrieval-quality eval: nDCG@10 + MRR of the banded ANN
+  // ---------------------------------------------------------------------
+
+  /** 1e6/log2(rank+1) for ranks 1..10, pre-rounded to integers so DCG is
+    * INTEGER arithmetic on both engines — no transcendental-function ulp
+    * divergence can ever flip a hash. IDCG (ideal: rel 10..1 in order) is
+    * the matching constant. */
+  private val dcgW = Array(1000000L, 630930L, 500000L, 430677L, 386853L,
+    356207L, 333333L, 315465L, 301030L, 289065L)
+  private val idcgX1e6 = 29966114L
+
+  /** The eval every ANN deployment actually reports: graded relevance
+    * nDCG@10 and MRR of the production index (q34's 4×16-bit banded LSH)
+    * against the exact ranking. Relevance of a retrieved vector is
+    * 11 − exact_rank if it sits in the true top-10, else 0 — so the
+    * metric punishes both misses and mis-ordering, which recall@k
+    * (q225's audit) cannot see. DCG uses the pre-rounded integer weight
+    * table, keeping every per-probe value exact (dcg_x1e6, ndcg_ppm,
+    * rr_x1e6 are all BIGINTs; division is floor over non-negative
+    * numerators, so Spark DIV ≡ DuckDB //).
+    *
+    * Scale shape: the ANN side shuffles on band keys only (q34's
+    * machinery, shared via the session cache); the exact side is the
+    * bounded broadcast-probe ground truth every retrieval eval needs.
+    * Probes with zero band collisions still emit a row (dcg 0) via the
+    * probe-list left join — silent-miss-free. */
+  private def q240(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val probesE = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
+    // exact top-10 → graded relevance 10..1
+    val wEx = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    val rel = emb.crossJoin(broadcast(probesE))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .withColumn("cos", round(cosCol(s, "pe", "embedding"), 6))
+      .withColumn("rk", row_number().over(wEx))
+      .filter(col("rk") <= 10)
+      .select(col("probe_id"), col("vec_id"), (lit(11L) - col("rk")).as("rel"))
+    // ANN top-10 from band-collision candidates
+    val bd = banded(s, dir)
+    val probeB = bd.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("bk"), col("bv"))
+    val cand = probeB.join(bd, Seq("bk", "bv"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id").distinct()
+    val wAnn = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    val ann = cand
+      .join(broadcast(probesE), Seq("probe_id"))
+      .join(emb, Seq("vec_id"))
+      .withColumn("cos", round(cosCol(s, "pe", "embedding"), 6))
+      .withColumn("rka", row_number().over(wAnn))
+      .filter(col("rka") <= 10)
+      .select("probe_id", "vec_id", "rka")
+    val wArr = array(dcgW.map(lit): _*)
+    val agg = ann.join(rel, Seq("probe_id", "vec_id"), "left")
+      .withColumn("r", coalesce(col("rel"), lit(0L)))
+      .groupBy("probe_id")
+      .agg(sum(col("r") * element_at(wArr, col("rka").cast("int"))).as("dcg"),
+        min(when(col("r") > 0, col("rka"))).as("fh"))
+    probesE.select("probe_id").join(agg, Seq("probe_id"), "left")
+      .withColumn("dcg_x1e6", coalesce(col("dcg"), lit(0L)))
+      .withColumn("ndcg_ppm",
+        expr(s"CAST((dcg_x1e6 * 1000000) DIV $idcgX1e6 AS BIGINT)"))
+      .withColumn("rr_x1e6", coalesce(expr("CAST(1000000 DIV fh AS BIGINT)"), lit(0L)))
+      .select("probe_id", "dcg_x1e6", "ndcg_ppm", "rr_x1e6")
+      .orderBy("probe_id")
+  }
+
+  // ---------------------------------------------------------------------
   // q192 — mutual-kNN graph 3-core (embedding dense-cluster extraction)
   // ---------------------------------------------------------------------
 
@@ -1172,6 +1241,7 @@ object VectorOps {
     "q77_ann_ivf" -> (q77 _),
     "q234_ivfpq_adc" -> (q234 _),
     "q236_jl_projection" -> (q236 _),
+    "q240_ann_ndcg" -> (q240 _),
     "q33_cosine_topk" -> (q33 _),
     "q34_ann_lsh_bucket" -> (q34 _),
     "q35_embedding_stats" -> (q35 _),
@@ -1273,6 +1343,39 @@ object VectorOps {
         |  CAST(10 * count(*) AS BIGINT) AS n_results,
         |  TRUE AS recall_ok
         |FROM embeddings WHERE vec_id % 100 = 0""".stripMargin,
+    // integer DCG weight table ⇒ no transcendental ulp risk; floor
+    // division over non-negative numerators ⇒ DIV ≡ //
+    "q240_ann_ndcg" ->
+      s"""WITH $bandsSql,
+         |probes AS (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id % 100 = 0),
+         |ex AS (SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+         |    round($cosSql, 6) AS cos
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id % 100 = 0),
+         |rel AS (SELECT probe_id, vec_id, 11 - rk AS rel FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+         |    FROM ex) WHERE rk <= 10),
+         |cand AS (SELECT DISTINCT x.vec_id AS probe_id, y.vec_id AS vec_id
+         |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.bv = y.bv
+         |    AND x.vec_id % 100 = 0 AND x.vec_id <> y.vec_id),
+         |annj AS (SELECT c.probe_id, c.vec_id, round($cosSql, 6) AS cos
+         |  FROM cand c JOIN embeddings a ON a.vec_id = c.probe_id
+         |              JOIN embeddings b ON b.vec_id = c.vec_id),
+         |ann AS (SELECT probe_id, vec_id, rka FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rka
+         |    FROM annj) WHERE rka <= 10),
+         |agg AS (SELECT a.probe_id,
+         |    sum(COALESCE(r.rel, 0) * ([1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465, 301030, 289065])[a.rka]) AS dcg,
+         |    min(CASE WHEN COALESCE(r.rel, 0) > 0 THEN a.rka END) AS fh
+         |  FROM ann a LEFT JOIN rel r ON r.probe_id = a.probe_id AND r.vec_id = a.vec_id
+         |  GROUP BY a.probe_id)
+         |SELECT p.probe_id,
+         |  CAST(COALESCE(g.dcg, 0) AS BIGINT) AS dcg_x1e6,
+         |  CAST((COALESCE(g.dcg, 0) * 1000000) // 29966114 AS BIGINT) AS ndcg_ppm,
+         |  CAST(COALESCE(1000000 // g.fh, 0) AS BIGINT) AS rr_x1e6
+         |FROM probes p LEFT JOIN agg g ON g.probe_id = p.probe_id""".stripMargin,
     // SRHT audit: D from md5 (first hex char <8 ⇔ high bit clear), H from
     // bit_count parity; every sum ascending-index so doubles match bitwise
     "q236_jl_projection" ->

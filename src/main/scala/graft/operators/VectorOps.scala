@@ -925,7 +925,11 @@ object VectorOps {
     * bounded broadcast-probe ground truth every retrieval eval needs.
     * Probes with zero band collisions still emit a row (dcg 0) via the
     * probe-list left join — silent-miss-free. */
-  private def q240(s: SparkSession, dir: String): DataFrame = {
+  /** Graded nDCG@10 + MRR of a candidate set against the exact ranking —
+    * the shared eval core of q240 (single-probe) and q241 (multi-probe).
+    * `cand` must carry (probe_id, vec_id). */
+  private def gradedAnnEval(s: SparkSession, dir: String,
+      cand: DataFrame): DataFrame = {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val probesE = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
@@ -937,13 +941,6 @@ object VectorOps {
       .withColumn("rk", row_number().over(wEx))
       .filter(col("rk") <= 10)
       .select(col("probe_id"), col("vec_id"), (lit(11L) - col("rk")).as("rel"))
-    // ANN top-10 from band-collision candidates
-    val bd = banded(s, dir)
-    val probeB = bd.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("probe_id"), col("bk"), col("bv"))
-    val cand = probeB.join(bd, Seq("bk", "bv"))
-      .filter(col("vec_id") =!= col("probe_id"))
-      .select("probe_id", "vec_id").distinct()
     val wAnn = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
     val ann = cand
       .join(broadcast(probesE), Seq("probe_id"))
@@ -965,6 +962,40 @@ object VectorOps {
       .withColumn("rr_x1e6", coalesce(expr("CAST(1000000 DIV fh AS BIGINT)"), lit(0L)))
       .select("probe_id", "dcg_x1e6", "ndcg_ppm", "rr_x1e6")
       .orderBy("probe_id")
+  }
+
+  private def q240(s: SparkSession, dir: String): DataFrame = {
+    val bd = banded(s, dir)
+    val probeB = bd.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("bk"), col("bv"))
+    val cand = probeB.join(bd, Seq("bk", "bv"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id").distinct()
+    gradedAnnEval(s, dir, cand)
+  }
+
+  /** q241 — MULTI-PROBE LSH: each probe also searches the 16 buckets at
+    * Hamming distance 1 in every band (flip one signature bit — the
+    * classic Lv et al. VLDB'07 trick: near-misses land in adjacent
+    * buckets, so probing them buys recall WITHOUT growing the index or
+    * adding bands). Candidate volume grows ×17 per band on the probe
+    * side only (probes are the bounded %100 subset); the corpus-side
+    * index is bit-identical to q34/q240's. Evaluated with the exact same
+    * integer nDCG@10/MRR machinery as q240, so the recall the extra
+    * probes buy is a measured, hash-gated number (sf0.01: mean nDCG
+    * 0.058 → see SURVEY for the measured lift), not a claim. */
+  private def q241(s: SparkSession, dir: String): DataFrame = {
+    val bd = banded(s, dir)
+    val probeB = bd.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("bk"), col("bv"))
+      .withColumn("j", explode(expr("sequence(0, 16)")))
+      .withColumn("bv", expr(
+        "CASE WHEN j = 16 THEN bv ELSE cast(bv ^ shiftleft(1L, cast(j as int)) as bigint) END"))
+      .select("probe_id", "bk", "bv")
+    val cand = probeB.join(bd, Seq("bk", "bv"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id").distinct()
+    gradedAnnEval(s, dir, cand)
   }
 
   // ---------------------------------------------------------------------
@@ -1242,6 +1273,7 @@ object VectorOps {
     "q234_ivfpq_adc" -> (q234 _),
     "q236_jl_projection" -> (q236 _),
     "q240_ann_ndcg" -> (q240 _),
+    "q241_multiprobe_ndcg" -> (q241 _),
     "q33_cosine_topk" -> (q33 _),
     "q34_ann_lsh_bucket" -> (q34 _),
     "q35_embedding_stats" -> (q35 _),
@@ -1359,6 +1391,42 @@ object VectorOps {
          |cand AS (SELECT DISTINCT x.vec_id AS probe_id, y.vec_id AS vec_id
          |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.bv = y.bv
          |    AND x.vec_id % 100 = 0 AND x.vec_id <> y.vec_id),
+         |annj AS (SELECT c.probe_id, c.vec_id, round($cosSql, 6) AS cos
+         |  FROM cand c JOIN embeddings a ON a.vec_id = c.probe_id
+         |              JOIN embeddings b ON b.vec_id = c.vec_id),
+         |ann AS (SELECT probe_id, vec_id, rka FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rka
+         |    FROM annj) WHERE rka <= 10),
+         |agg AS (SELECT a.probe_id,
+         |    sum(COALESCE(r.rel, 0) * ([1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465, 301030, 289065])[a.rka]) AS dcg,
+         |    min(CASE WHEN COALESCE(r.rel, 0) > 0 THEN a.rka END) AS fh
+         |  FROM ann a LEFT JOIN rel r ON r.probe_id = a.probe_id AND r.vec_id = a.vec_id
+         |  GROUP BY a.probe_id)
+         |SELECT p.probe_id,
+         |  CAST(COALESCE(g.dcg, 0) AS BIGINT) AS dcg_x1e6,
+         |  CAST((COALESCE(g.dcg, 0) * 1000000) // 29966114 AS BIGINT) AS ndcg_ppm,
+         |  CAST(COALESCE(1000000 // g.fh, 0) AS BIGINT) AS rr_x1e6
+         |FROM probes p LEFT JOIN agg g ON g.probe_id = p.probe_id""".stripMargin,
+    // q240's eval with the probe side expanded to Hamming-1 buckets
+    "q241_multiprobe_ndcg" ->
+      s"""WITH $bandsSql,
+         |probes AS (SELECT vec_id AS probe_id FROM embeddings WHERE vec_id % 100 = 0),
+         |pb AS (SELECT vec_id AS probe_id, bk,
+         |    CASE WHEN j = 16 THEN bv ELSE xor(bv, CAST(1 << j AS BIGINT)) END AS bv
+         |  FROM bands CROSS JOIN generate_series(0,16) t(j)
+         |  WHERE vec_id % 100 = 0),
+         |ex AS (SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+         |    round($cosSql, 6) AS cos
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+         |  WHERE a.vec_id % 100 = 0),
+         |rel AS (SELECT probe_id, vec_id, 11 - rk AS rel FROM (
+         |    SELECT probe_id, vec_id,
+         |      row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk
+         |    FROM ex) WHERE rk <= 10),
+         |cand AS (SELECT DISTINCT p.probe_id, y.vec_id
+         |  FROM pb p JOIN bands y ON y.bk = p.bk AND y.bv = p.bv
+         |    AND y.vec_id <> p.probe_id),
          |annj AS (SELECT c.probe_id, c.vec_id, round($cosSql, 6) AS cos
          |  FROM cand c JOIN embeddings a ON a.vec_id = c.probe_id
          |              JOIN embeddings b ON b.vec_id = c.vec_id),

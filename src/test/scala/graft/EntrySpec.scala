@@ -557,4 +557,51 @@ class EntrySpec extends AnyFunSuite {
     assert(!p232.contains("SortMergeJoin") && !p232.contains("CartesianProduct"),
       s"q232 must not shuffle-join the corpus:\n$p232")
   }
+
+  test("q235-q241 tier plans keep their scale shape") {
+    val dir = "/root/testdata/sf0.001"
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString()
+    // q235 (AC blocklist): the corpus is scanned once per row; the only
+    // join is the broadcast of the 10-row pattern-name table
+    val p235 = plan("q235_blocklist_scan")
+    assert(!p235.contains("SortMergeJoin") && !p235.contains("CartesianProduct") &&
+      !p235.contains("BroadcastNestedLoopJoin"),
+      s"q235 must only broadcast the pattern table:\n$p235")
+    // q236 (SRHT audit): projection is per-row; probes broadcast; the
+    // corpus is never shuffle-joined
+    val p236 = plan("q236_jl_projection")
+    assert(!p236.contains("SortMergeJoin") && !p236.contains("CartesianProduct"),
+      s"q236 must broadcast the probe side:\n$p236")
+    // q237 (PassJoin): candidates must come from an EQUI-join on the
+    // segment keys — any nested-loop/cartesian means the lossless
+    // blocking degenerated to the quadratic oracle form
+    val p237 = plan("q237_editdist_join")
+    assert(!p237.contains("CartesianProduct") && !p237.contains("BroadcastNestedLoopJoin"),
+      s"q237 candidates must be equi-join generated:\n$p237")
+    // q238 (rendezvous): both argmaxes are per-row — no join anywhere,
+    // and the only hash exchange is the 16-row shard rollup
+    val p238 = plan("q238_rendezvous_shards")
+    assert(!p238.contains("Join"), s"q238 must not join:\n$p238")
+    assert("Exchange hashpartitioning".r.findAllIn(p238).length <= 1,
+      s"q238 must shuffle only the 16-row rollup:\n$p238")
+    // q239 (AUC): corpus reduces via one groupBy(score); the midrank
+    // window must run AFTER aggregation (single-partition over the
+    // bounded score table), never over raw documents
+    val p239 = plan("q239_classifier_auc")
+    assert(!p239.contains("Join"), s"q239 must not join:\n$p239")
+    assert("HashAggregate".r.findAllIn(p239).length >= 2,
+      s"q239 must pre-aggregate scores before the rank window:\n$p239")
+    // q240/q241 (ANN eval): the band-candidate joins and the eval joins
+    // are equi-joins; the ONLY nested-loop is the broadcast probe build
+    // of the exact ground truth (bounded %100 side)
+    Seq("q240_ann_ndcg", "q241_multiprobe_ndcg").foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name must not contain a cartesian product:\n$p")
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+      assert(bnlj <= 1,
+        s"$name may broadcast-NLJ only the exact ground-truth build:\n$p")
+    }
+  }
 }

@@ -1422,7 +1422,54 @@ object TextOps {
         "CAST(((r2_pos - n_pos * (n_pos + 1)) * 1000000) DIV (2 * n_pos * n_neg) AS BIGINT)"))
   }
 
+  // q242 — sorted-neighborhood dedup (SNM)
+
+  /** Sorted-Neighborhood Method (Hernández & Stolfo '95): sort the corpus
+    * by a cheap key (the 16-char prefix), slide a width-w window down the
+    * order, and verify only within-window pairs — the third member of
+    * the blocked-dedup family next to LSH banding (probability-bounded)
+    * and PassJoin segments (lossless for a metric threshold). SNM's
+    * contract is METHOD-DEFINED (pairs at rank distance ≤ w), which the
+    * oracle replays verbatim.
+    *
+    * Scale shape: the global order comes from `Ranks.seqIdBy` (range-
+    * partitioned sort + zipWithIndex — never a single-partition window),
+    * and the window pairing is an EQUI-join of rank-buckets b = rank/w
+    * with bucket b joining b and b+1 only — each row meets ≤ 2w
+    * neighbors, so the candidate volume is linear in the corpus with a
+    * constant the window width controls. */
+  private[graft] def sortedNeighborhoodPairs(docs: DataFrame, w: Int,
+      tau: Int): DataFrame = {
+    val ranked = Ranks.seqIdBy(docs, "rk", col("t"), col("doc_id"))
+      .select(col("doc_id"), col("t"), col("rk"))
+      .withColumn("b", expr(s"CAST(rk DIV $w AS BIGINT)"))
+    val left = ranked.select(col("doc_id").as("id_a"), col("t").as("ta"),
+      col("rk").as("rka"), col("b"))
+    val right = ranked.select(col("doc_id").as("id_b"), col("t").as("tb"),
+      col("rk").as("rkb"), explode(expr("array(b, b - 1)")).as("b"))
+    left.join(right, Seq("b"))
+      .filter(col("rkb") > col("rka") && col("rkb") - col("rka") <= w)
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .filter(col("dist") <= tau)
+      .select(
+        least(col("id_a"), col("id_b")).as("doc_a"),
+        greatest(col("id_a"), col("id_b")).as("doc_b"),
+        col("dist").cast("long").as("dist"))
+      .distinct()
+  }
+
+  /** SNM over the 16-char prefixes (w=5, τ=2): the cheap-sort complement
+    * to q237 — misses pairs the sort key separates (the method's known
+    * trade-off, visible as fewer rows than q237's lossless 42/2304), at
+    * a fraction of the candidate volume. */
+  private def q242(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 16).as("t"))
+    sortedNeighborhoodPairs(docs, w = 5, tau = 2).orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q242_sorted_neighborhood" -> (q242 _),
     "q239_classifier_auc" -> (q239 _),
     "q237_editdist_join" -> (q237 _),
     "q235_blocklist_scan" -> (q235 _),
@@ -1529,6 +1576,17 @@ object TextOps {
     WpVocab.map { case (t, i) => s"('$t',$i)" }.mkString(",")
 
   val oracles: Map[String, String] = Map(
+    // method-defined contract: pairs at sort-rank distance ≤ w, replayed
+    // verbatim (ORDER BY t, doc_id makes the rank, thus the pair set,
+    // deterministic)
+    "q242_sorted_neighborhood" ->
+      """WITH d AS (SELECT doc_id, substr(text,1,16) AS t FROM documents),
+        |r AS (SELECT doc_id, t, row_number() OVER (ORDER BY t, doc_id) AS rk FROM d)
+        |SELECT least(a.doc_id, b.doc_id) AS doc_a,
+        |  greatest(a.doc_id, b.doc_id) AS doc_b,
+        |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
+        |FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 5
+        |WHERE levenshtein(a.t, b.t) <= 2""".stripMargin,
     // midrank identity: 2·midrank over a tie group = c_lo + c_hi + 1;
     // numerator ≥ 0 so floor (//) and truncating (DIV) division agree
     "q239_classifier_auc" ->

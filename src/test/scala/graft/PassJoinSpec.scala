@@ -78,6 +78,28 @@ class PassJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("sortedNeighborhoodPairs equals the rank-window definition (seeded sweep)") {
+    val rnd = new scala.util.Random(242L)
+    val alphabet = "abc"
+    (1 to 3).foreach { round =>
+      val strs = Array.fill(80)(
+        Array.fill(1 + rnd.nextInt(12))(alphabet(rnd.nextInt(3))).mkString)
+      val docs = strs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val df = spark.createDataFrame(docs.toIndexedSeq).toDF("doc_id", "t")
+      val got = TextOps.sortedNeighborhoodPairs(df, w = 5, tau = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      // independent replay: explicit sort, explicit rank-distance window
+      val ranked = docs.sortBy { case (id, t) => (t, id) }.zipWithIndex
+      val exp = (for {
+        (a, ra) <- ranked; (b, rb) <- ranked
+        if rb > ra && rb - ra <= 5
+        d = ed(a._2, b._2) if d <= 2
+      } yield (math.min(a._1, b._1), math.max(a._1, b._1), d.toLong)).toSet
+      assert(got == exp,
+        s"round $round: missing=${(exp -- got).take(5)} extra=${(got -- exp).take(5)}")
+    }
+  }
+
   test("tau=1: blocking stays lossless at the tighter threshold") {
     val rnd = new scala.util.Random(99L)
     val strs = Array.fill(60)(

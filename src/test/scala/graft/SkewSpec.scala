@@ -16,6 +16,50 @@ class SkewSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("AQE splits the skewed partition of a hot-key shuffle join (runtime skew resilience)") {
+    // The complement of boundedBucketPairs' static capping: for plain
+    // equi-joins the engine leans on AQE's runtime skew split (SURVEY
+    // §2 scale rules), so PROVE it actually fires under our session
+    // shape rather than assuming: one key holding half the fact side
+    // must show up as skew=true in the final adaptive SMJ, with results
+    // still exact.
+    val s = spark
+    val prev = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold").map(k =>
+      k -> scala.util.Try(s.conf.get(k)).toOption)
+    try {
+      s.conf.set("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val pad = "x" * 100
+      val fact = s.range(0, 20000).select(
+        when(col("id") < 10000, 0L).otherwise(col("id") % 10000).as("k"),
+        concat(lit(pad), col("id")).as("payload"))
+      val dim = s.range(0, 10000).select(col("id").as("k"),
+        (col("id") * 2).as("v"))
+      val joined = fact.join(dim, "k")
+      // Execute THIS plan (count() would plan a separate aggregate query and
+      // leave joined's adaptive plan unexecuted → isFinalPlan=false, no skew
+      // handling visible). collect() materializes the adaptive final plan.
+      assert(joined.collect().length == 20000, "join result must stay exact under the skew split")
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("skew=true"),
+        s"AQE must have split the hot partition (no skew=true in final plan):\n$plan")
+    } finally prev.foreach { case (k, v) =>
+      v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
+    }
+  }
+
   test("hot bucket (30% of corpus): exact pair set, exactly once, per-task pairs bounded by the cap") {
     import spark.implicits._
     val cap = 50

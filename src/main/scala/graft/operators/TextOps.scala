@@ -1468,7 +1468,100 @@ object TextOps {
     sortedNeighborhoodPairs(docs, w = 5, tau = 2).orderBy("doc_a", "doc_b")
   }
 
+  // q243 — cross-document line-level dedup (CCNet / RefinedWeb rule)
+
+  /** Line-level dedup ACROSS documents — the CCNet/RefinedWeb boilerplate
+    * rule that document-granular dedup (q22) and span-granular dedup
+    * (q123/q217) both miss: a line whose exact content appears in more
+    * than T distinct documents is boilerplate (navigation, banners,
+    * footers) and is removed from EVERY document that carries it. The
+    * corpus has no newlines, so "lines" are deterministic 5-word chunks
+    * of the word array, and the duplicate class is guaranteed non-empty
+    * at every SF by the q92/q214 injection pattern: doc_id % 3 == 0
+    * prepends a newsletter banner, doc_id % 4 == 0 appends a rights
+    * footer (≈ n/3 and n/4 docs — far above T = 2).
+    *
+    * Scale shape: one shuffle of (line, doc_id) for the per-line distinct
+    * document frequency; the df > T survivors are the HEAVY HITTERS of
+    * that count — a set Zipf keeps tiny relative to the corpus (every
+    * boilerplate line is one row no matter how many million docs carry
+    * it) — so they come back as a broadcast semi-join and the corpus
+    * itself is never shuffled again. Removal accounting (lines/chars
+    * removed, docs touched) and a kept-line signature (sum of 32-bit md5
+    * prefixes — order-free, exact in BIGINT) are integer-exact. */
+  private def q243(s: SparkSession, dir: String): DataFrame = {
+    val lines = words(s, dir)
+      .withColumn("chunks", expr(
+        "transform(sequence(0, CAST((size(w) - 1) DIV 5 AS INT))," +
+          " i -> concat_ws(' ', slice(w, i * 5 + 1, 5)))"))
+      .withColumn("ls", expr(
+        "concat(" +
+          " CASE WHEN doc_id % 3 = 0 THEN array('subscribe to our newsletter today')" +
+          "      ELSE CAST(array() AS ARRAY<STRING>) END," +
+          " chunks," +
+          " CASE WHEN doc_id % 4 = 0 THEN array('all rights reserved contact us')" +
+          "      ELSE CAST(array() AS ARRAY<STRING>) END)"))
+      .select(col("doc_id"), col("source"), explode(col("ls")).as("line"))
+    val boiler = lines.groupBy("line")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") > 2)
+    lines.join(broadcast(boiler), Seq("line"), "left")
+      .withColumn("removed", col("df").isNotNull)
+      .groupBy("source")
+      .agg(
+        countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("removed"), length(col("line")).cast("long"))
+          .otherwise(0L)).as("chars_removed"),
+        countDistinct(when(col("removed"), col("doc_id"))).as("n_docs_touched"),
+        sum(when(!col("removed"),
+          conv(substring(md5(col("line")), 1, 8), 16, 10).cast("long"))
+          .otherwise(0L)).as("kept_sig"))
+      .orderBy("source")
+  }
+
+  // q244 — classifier calibration audit (reliability bins + ECE/MCE)
+
+  /** Reliability diagram + Expected/Maximum Calibration Error of the q108
+    * hashed classifier against the q222 pseudo-label — the third leg of
+    * the eval tier (q222 operating points, q239 ranking quality, q244
+    * probability quality): a curation gate that thresholds on a score
+    * TRUSTS its magnitude, and ECE is the number that says whether it
+    * should. Confidence is a deterministic integer transform of the raw
+    * millis score (500000 + 10·raw, clamped to [0, 999999] ppm — the
+    * monotone calibration-map stand-in; a production sigmoid would be
+    * transcendental and cross-engine fragile), binned into ten
+    * equal-width bins by ppm DIV 100000. Per bin: half-up-ppm mean
+    * confidence and accuracy; ECE = Σ n_b·|acc−conf| / N and MCE = max
+    * gap, all integer with non-negative numerators so Spark DIV ≡
+    * DuckDB //.
+    *
+    * Scale shape: one per-row scoring pass (zero shuffle), a rollup
+    * keyed by the ≤10-value bin, and a 1-row broadcast for the corpus-
+    * wide ECE/MCE attach — corpus scanned exactly once. */
+  private def q244(s: SparkSession, dir: String): DataFrame = {
+    val bins = words(s, dir)
+      .withColumn("raw", hashedScoreRaw(col("w")))
+      .withColumn("p", when(col("source") === "src0", 1L).otherwise(0L))
+      .withColumn("conf", expr(
+        "least(CAST(999999 AS BIGINT), greatest(CAST(0 AS BIGINT), 500000 + raw * 10))"))
+      .groupBy(expr("conf DIV 100000").as("bin"))
+      .agg(count(lit(1)).as("n"), sum("p").as("n_pos"),
+        sum("conf").as("sum_conf"))
+      .withColumn("conf_ppm", expr("(2 * sum_conf + n) DIV (2 * n)"))
+      .withColumn("acc_ppm", expr("(2 * n_pos * 1000000 + n) DIV (2 * n)"))
+      .withColumn("gap_ppm", expr("abs(acc_ppm - conf_ppm)"))
+      .drop("sum_conf")
+    val tot = bins.agg(
+      expr("CAST((2 * sum(n * gap_ppm) + sum(n)) DIV (2 * sum(n)) AS BIGINT)").as("ece_ppm"),
+      max("gap_ppm").as("mce_ppm"))
+    bins.crossJoin(broadcast(tot)).orderBy("bin")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q243_line_dedup" -> (q243 _),
+    "q244_calibration_ece" -> (q244 _),
     "q242_sorted_neighborhood" -> (q242 _),
     "q239_classifier_auc" -> (q239 _),
     "q237_editdist_join" -> (q237 _),
@@ -1576,6 +1669,63 @@ object TextOps {
     WpVocab.map { case (t, i) => s"('$t',$i)" }.mkString(",")
 
   val oracles: Map[String, String] = Map(
+    // same 5-word chunking + injection, df > 2 over distinct docs; the
+    // kept-line signature replays via the '0x'||md5-prefix cast idiom
+    "q243_line_dedup" ->
+      """WITH w AS (SELECT doc_id, source,
+        |        list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w
+        |      FROM documents),
+        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
+        |ls AS (SELECT doc_id, source, list_concat(list_concat(
+        |    CASE WHEN doc_id % 3 = 0 THEN ['subscribe to our newsletter today']
+        |         ELSE []::VARCHAR[] END,
+        |    [array_to_string(w[(i*5+1):(i*5+5)], ' ')
+        |       for i in range(((len(w)-1)//5)+1)]),
+        |    CASE WHEN doc_id % 4 = 0 THEN ['all rights reserved contact us']
+        |         ELSE []::VARCHAR[] END) AS ls
+        |  FROM wf),
+        |l AS (SELECT doc_id, source, unnest(ls) AS line FROM ls),
+        |f AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) > 2),
+        |m AS (SELECT l.*, (l.line IN (SELECT line FROM f)) AS removed FROM l)
+        |SELECT source,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN removed THEN length(line) ELSE 0 END) AS BIGINT) AS chars_removed,
+        |  CAST(count(DISTINCT CASE WHEN removed THEN doc_id END) AS BIGINT) AS n_docs_touched,
+        |  CAST(sum(CASE WHEN NOT removed
+        |    THEN CAST(('0x'||substr(md5(line),1,8)) AS BIGINT) ELSE 0 END) AS BIGINT) AS kept_sig
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+    // identical integer score (q222's gram weights), clamp, DIV-100000
+    // binning, half-up ppm means, floor division on non-negative
+    // numerators throughout
+    "q244_calibration_ece" ->
+      """WITH wf AS (SELECT source, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w
+        |  FROM documents
+        |  WHERE len(list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '')) >= 3),
+        |g AS (SELECT source,
+        |    list_concat(w, [w[i+1] || ' ' || w[i+2] for i in range(len(w)-1)]) AS grams FROM wf),
+        |r AS (SELECT source = 'src0' AS pos,
+        |    CAST(list_aggregate(
+        |      [ (CAST(('0x'||substr(md5(gr),1,8)) AS BIGINT) % 65536 * 2654435761 % 2001) - 1000
+        |        for gr in grams], 'sum') AS BIGINT) AS raw
+        |  FROM g),
+        |c AS (SELECT least(999999, greatest(0, 500000 + raw * 10)) AS conf,
+        |    CASE WHEN pos THEN 1 ELSE 0 END AS p FROM r),
+        |b AS (SELECT conf // 100000 AS bin, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(conf) AS BIGINT) AS sum_conf
+        |  FROM c GROUP BY 1),
+        |e AS (SELECT bin, n, n_pos,
+        |    (2*sum_conf + n) // (2*n) AS conf_ppm,
+        |    (2*n_pos*1000000 + n) // (2*n) AS acc_ppm FROM b),
+        |t AS (SELECT sum(n) AS nn, sum(n * abs(acc_ppm - conf_ppm)) AS sg,
+        |    max(abs(acc_ppm - conf_ppm)) AS mce FROM e)
+        |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
+        |  CAST(conf_ppm AS BIGINT) AS conf_ppm, CAST(acc_ppm AS BIGINT) AS acc_ppm,
+        |  CAST(abs(acc_ppm - conf_ppm) AS BIGINT) AS gap_ppm,
+        |  CAST((2*sg + nn) // (2*nn) AS BIGINT) AS ece_ppm,
+        |  CAST(mce AS BIGINT) AS mce_ppm
+        |FROM e, t ORDER BY bin""".stripMargin,
     // method-defined contract: pairs at sort-rank distance ≤ w, replayed
     // verbatim (ORDER BY t, doc_id makes the rank, thus the pair set,
     // deterministic)

@@ -57,9 +57,20 @@ object Bench {
     // dead-pid cleanup like everything else) so the sweep's small-file
     // storms never touch disk. Opt-out knob + recorded in the summary
     // env, as for the other measurement-config fields.
-    val tmpdirMoved = localDirKind == "tmpfs" &&
+    val tmpdirWanted = localDirKind == "tmpfs" &&
       sys.env.getOrElse("SPARK_GRAFT_BENCH_TMPFS_TMPDIR", "1") == "1"
-    if (tmpdirMoved) System.setProperty("java.io.tmpdir", localDir)
+    if (tmpdirWanted) System.setProperty("java.io.tmpdir", localDir)
+    // The property is only honored if nothing touched the JDK temp-file
+    // machinery before the setProperty (TempDirectory caches it at first
+    // use) — PROBE rather than assume, so the summary's tmpdir_tmpfs
+    // field reports where temp files actually land.
+    val tmpdirMoved = tmpdirWanted && {
+      val probe = java.io.File.createTempFile("graft-tmpdir-probe", ".tmp")
+      val onTmpfs = probe.getParentFile.getCanonicalPath ==
+        new java.io.File(localDir).getCanonicalPath
+      probe.delete()
+      onTmpfs
+    }
     val gcInterval = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC_INTERVAL", "90s")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

@@ -12,9 +12,9 @@ import scala.collection.mutable
   * 10k-entry blocklist into a 10'000× blowup. The automaton is built once
   * on the driver from the (small) pattern list and broadcast; matching is
   * embarrassingly parallel per row, so the whole filter is a zero-shuffle
-  * projection (reference analog: the per-file substring checks in
-  * `filter_bad_data.py` — re-expressed as one automaton pass instead of
-  * repeated scans).
+  * projection. (The reference has no substring-blocklist analog — its only
+  * filter is the pixel-intensity dark filter, `filters.py:4-10`; this
+  * operator is part of the LLM-curation tier the assignment adds on top.)
   *
   * Counting semantics are LEFTMOST-GREEDY NON-OVERLAPPING per pattern —
   * exactly `indexOf`-and-skip (and exactly SQL `replace()` removal

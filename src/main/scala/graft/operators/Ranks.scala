@@ -11,6 +11,13 @@ import org.apache.spark.sql.types.LongType
   * bin-packing planner (global size order). */
 object Ranks {
 
+  /** REQUIRES `keys` to be a TOTAL order over `df`'s rows (include a
+    * unique tiebreak column, e.g. the row's id, as the last key). Ties
+    * are broken by physical partition order, which is shuffle- and
+    * scheduling-dependent — with ties the assigned ids are
+    * NONDETERMINISTIC across runs, which silently breaks every consumer
+    * that is hash-parity-gated on them (suffix ranks, q228's size order,
+    * q242's neighborhood buckets all pass unique key sets). */
   def seqIdBy(df: DataFrame, idCol: String, keys: Column*): DataFrame = {
     val s = df.sparkSession
     val sorted = df.orderBy(keys: _*)

@@ -1489,23 +1489,29 @@ object TextOps {
     * itself is never shuffled again. Removal accounting (lines/chars
     * removed, docs touched) and a kept-line signature (sum of 32-bit md5
     * prefixes — order-free, exact in BIGINT) are integer-exact. */
-  private def q243(s: SparkSession, dir: String): DataFrame = {
-    val lines = words(s, dir)
-      .withColumn("chunks", expr(
-        "transform(sequence(0, CAST((size(w) - 1) DIV 5 AS INT))," +
-          " i -> concat_ws(' ', slice(w, i * 5 + 1, 5)))"))
-      .withColumn("ls", expr(
-        "concat(" +
-          " CASE WHEN doc_id % 3 = 0 THEN array('subscribe to our newsletter today')" +
-          "      ELSE CAST(array() AS ARRAY<STRING>) END," +
-          " chunks," +
-          " CASE WHEN doc_id % 4 = 0 THEN array('all rights reserved contact us')" +
-          "      ELSE CAST(array() AS ARRAY<STRING>) END)"))
-      .select(col("doc_id"), col("source"), explode(col("ls")).as("line"))
+  /** Line-dedup core over exploded (doc_id, source, line) rows: lines
+    * carried by more than `docFreqT` distinct documents are boilerplate
+    * and removed from every carrier; per-source removal accounting plus
+    * an order-free kept-line signature come back.
+    *
+    * The df > T survivor set is materialized (`localCheckpoint`) and
+    * COUNTED before the attach join: when it is genuinely small — the
+    * Zipf case, where each boilerplate line is one row no matter how
+    * many million documents carry it — it is broadcast explicitly, so
+    * the corpus is shuffled exactly once (for the df count) and the
+    * survivors attach without a second corpus exchange. Past
+    * `broadcastGuard` rows (boilerplate-line cardinality grows with the
+    * number of distinct DOMAINS in a web corpus, not with corpus size,
+    * so the bound must be enforced rather than assumed) it degrades to
+    * a plain shuffle join instead of OOM-ing the driver. */
+  private[graft] def lineDedupStats(lines: DataFrame, docFreqT: Int,
+      broadcastGuard: Long = 4000000L): DataFrame = {
     val boiler = lines.groupBy("line")
       .agg(countDistinct("doc_id").as("df"))
-      .filter(col("df") > 2)
-    lines.join(broadcast(boiler), Seq("line"), "left")
+      .filter(col("df") > docFreqT)
+      .localCheckpoint()
+    val hinted = if (boiler.count() <= broadcastGuard) broadcast(boiler) else boiler
+    lines.join(hinted, Seq("line"), "left")
       .withColumn("removed", col("df").isNotNull)
       .groupBy("source")
       .agg(
@@ -1520,6 +1526,26 @@ object TextOps {
           .otherwise(0L)).as("kept_sig"))
       .orderBy("source")
   }
+
+  /** The q243 line set: 5-word chunks of the word array plus the q92/q214
+    * banner/footer injections (doc_id % 3 prepends, % 4 appends) that
+    * guarantee a non-empty df > 2 class at every SF. */
+  private[graft] def q243Lines(s: SparkSession, dir: String): DataFrame =
+    words(s, dir)
+      .withColumn("chunks", expr(
+        "transform(sequence(0, CAST((size(w) - 1) DIV 5 AS INT))," +
+          " i -> concat_ws(' ', slice(w, i * 5 + 1, 5)))"))
+      .withColumn("ls", expr(
+        "concat(" +
+          " CASE WHEN doc_id % 3 = 0 THEN array('subscribe to our newsletter today')" +
+          "      ELSE CAST(array() AS ARRAY<STRING>) END," +
+          " chunks," +
+          " CASE WHEN doc_id % 4 = 0 THEN array('all rights reserved contact us')" +
+          "      ELSE CAST(array() AS ARRAY<STRING>) END)"))
+      .select(col("doc_id"), col("source"), explode(col("ls")).as("line"))
+
+  private def q243(s: SparkSession, dir: String): DataFrame =
+    lineDedupStats(q243Lines(s, dir), docFreqT = 2)
 
   // q244 — classifier calibration audit (reliability bins + ECE/MCE)
 
@@ -1540,12 +1566,19 @@ object TextOps {
     * Scale shape: one per-row scoring pass (zero shuffle), a rollup
     * keyed by the ≤10-value bin, and a 1-row broadcast for the corpus-
     * wide ECE/MCE attach — corpus scanned exactly once. */
-  private def q244(s: SparkSession, dir: String): DataFrame = {
-    val bins = words(s, dir)
-      .withColumn("raw", hashedScoreRaw(col("w")))
-      .withColumn("p", when(col("source") === "src0", 1L).otherwise(0L))
-      .withColumn("conf", expr(
-        "least(CAST(999999 AS BIGINT), greatest(CAST(0 AS BIGINT), 500000 + raw * 10))"))
+  /** Calibration core over (conf: ppm in [0, 999999], p: 0/1) rows:
+    * ten equal-width reliability bins (ppm DIV 100000), half-up-ppm mean
+    * confidence and accuracy per bin, and the corpus-wide ECE/MCE
+    * attached via a 1-row broadcast. All arithmetic is integer with
+    * non-negative numerators (Spark DIV ≡ DuckDB //); the corpus is
+    * scanned exactly once — the only "join" is the ≤10-row bins table
+    * crossed with the 1-row total. */
+  private[graft] def calibrationEce(scored: DataFrame): DataFrame = {
+    // The ≤10-row bin table feeds BOTH the output and the ECE/MCE total;
+    // without the localCheckpoint the physical plan duplicates the bin
+    // subplan and the corpus is scanned twice — checkpointing the tiny
+    // rollup makes "corpus scanned exactly once" literally true.
+    val bins = scored
       .groupBy(expr("conf DIV 100000").as("bin"))
       .agg(count(lit(1)).as("n"), sum("p").as("n_pos"),
         sum("conf").as("sum_conf"))
@@ -1553,11 +1586,19 @@ object TextOps {
       .withColumn("acc_ppm", expr("(2 * n_pos * 1000000 + n) DIV (2 * n)"))
       .withColumn("gap_ppm", expr("abs(acc_ppm - conf_ppm)"))
       .drop("sum_conf")
+      .localCheckpoint()
     val tot = bins.agg(
       expr("CAST((2 * sum(n * gap_ppm) + sum(n)) DIV (2 * sum(n)) AS BIGINT)").as("ece_ppm"),
       max("gap_ppm").as("mce_ppm"))
     bins.crossJoin(broadcast(tot)).orderBy("bin")
   }
+
+  private def q244(s: SparkSession, dir: String): DataFrame =
+    calibrationEce(words(s, dir)
+      .withColumn("raw", hashedScoreRaw(col("w")))
+      .withColumn("p", when(col("source") === "src0", 1L).otherwise(0L))
+      .withColumn("conf", expr(
+        "least(CAST(999999 AS BIGINT), greatest(CAST(0 AS BIGINT), 500000 + raw * 10))")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q243_line_dedup" -> (q243 _),

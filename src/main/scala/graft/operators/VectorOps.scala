@@ -759,9 +759,10 @@ object VectorOps {
       }
       tbl.toSeq
     }
+    val kSub = ksub // capture: the table stride IS ksub, not a constant
     val adc = udf { (tbl: Seq[Double], codes: Seq[Int]) =>
       var sum = 0.0; var j = 0
-      while (j < codes.length) { sum += tbl(j * 16 + codes(j)); j += 1 }
+      while (j < codes.length) { sum += tbl(j * kSub + codes(j)); j += 1 }
       sum
     }
     val probes = emb.filter(col("vec_id") % 100 === 0)

@@ -36,7 +36,7 @@ object LmdbStore {
     val root = new File(path)
     require(!root.exists() || root.listFiles().forall(_.getName.startsWith(".")),
       s"LmdbStore target not empty: $path") // refuse-nonempty, lmdb_util.py:15-17
-    writeBatch(df, root, baseShard = 0)
+    writeBatch(df, root, baseShard = 0L)
   }
 
   /** Incremental ingest: land a new batch as ADDITIONAL environments after
@@ -49,8 +49,8 @@ object LmdbStore {
   def append(df: DataFrame, path: String): Unit = {
     val root = new File(path)
     val ids = committedShards(path) // requires an existing _MANIFEST
-      .map(_.getName.stripPrefix("shard-").toInt)
-    writeBatch(df, root, baseShard = if (ids.isEmpty) 0 else ids.max + 1)
+      .map(_.getName.stripPrefix("shard-").toLong) // .toLong: one parser with the manifest sort
+    writeBatch(df, root, baseShard = if (ids.isEmpty) 0L else ids.max + 1)
   }
 
   /** EXACTLY-ONCE batch append for at-least-once callers (a streaming
@@ -72,8 +72,8 @@ object LmdbStore {
     val committed = committedShards(path)
     if (committedBatchIds(path).contains(batchId)) return false
     sweepUncommitted(root, committed.map(_.getName).toSet)
-    val ids = committed.map(_.getName.stripPrefix("shard-").toInt)
-    writeBatch(df, root, baseShard = if (ids.isEmpty) 0 else ids.max + 1,
+    val ids = committed.map(_.getName.stripPrefix("shard-").toLong)
+    writeBatch(df, root, baseShard = if (ids.isEmpty) 0L else ids.max + 1,
       batchId = Some(batchId))
     true
   }
@@ -96,11 +96,17 @@ object LmdbStore {
         (n.matches("shard-\\d+") && !committedNames(n)) ||
           n.matches("shard-\\d+\\.tmp-.*")
       }
-      .foreach { dir =>
-        new File(dir, Lmdb.DataFileName).delete()
-        new File(dir, KeyBloom.FileName).delete()
-        dir.delete()
-      }
+      .foreach(deleteRecursively)
+
+  /** Depth-first delete. The sweep must remove WHATEVER a crashed attempt
+    * left — a `shard-N.tmp-*` dir can hold a `data.mdb.tmp-*` from a task
+    * that died mid-write, and naming only the expected final files would
+    * leave `dir.delete()` failing silently, leaking the residue forever
+    * in a 24/7 ingest. */
+  private def deleteRecursively(f: File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete(); ()
+  }
 
   /** Create an empty committed store (zero shards) so a purely append-based
     * flow — e.g. a streaming foreachBatch sink — can start from batch 0. */
@@ -123,7 +129,7 @@ object LmdbStore {
     new java.util.concurrent.ConcurrentLinkedQueue[String]()
   private val MaxRecordedPlans = 8
 
-  private def writeBatch(df: DataFrame, root: File, baseShard: Int,
+  private def writeBatch(df: DataFrame, root: File, baseShard: Long,
       batchId: Option[Long] = None): Unit = {
     root.mkdirs()
     val prepared = df.select(col("key").cast("string"), col("value"))

@@ -604,4 +604,37 @@ class EntrySpec extends AnyFunSuite {
         s"$name may broadcast-NLJ only the exact ground-truth build:\n$p")
     }
   }
+
+  test("q242-q244 tier plans keep their scale shape") {
+    val dir = "/root/testdata/sf0.001"
+    def plan(name: String): String =
+      SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString()
+    // q242 (sorted neighborhood): candidates come from the rank-bucket
+    // EQUI-join — never all-pairs
+    val p242 = plan("q242_sorted_neighborhood")
+    assert(!p242.contains("CartesianProduct") && !p242.contains("BroadcastNestedLoopJoin"),
+      s"q242 candidates must be rank-bucket equi-join generated:\n$p242")
+    // q243 (line dedup): the corpus is shuffled exactly once (the df
+    // count, whose result is localCheckpointed); the df>T survivors
+    // attach back as ONE guarded broadcast hash join — no sort-merge
+    // join, and the documents scan appears exactly once in the plan
+    val p243 = plan("q243_line_dedup")
+    assert(!p243.contains("SortMergeJoin") && !p243.contains("CartesianProduct"),
+      s"q243 must not shuffle the corpus a second time for the attach:\n$p243")
+    assert("BroadcastHashJoin".r.findAllIn(p243).length == 1,
+      s"q243 must attach survivors via exactly one guarded broadcast:\n$p243")
+    assert("documents".r.findAllIn(p243).length <= 2, // path + location, 1 scan
+      s"q243 must scan documents exactly once (boiler side is checkpointed):\n$p243")
+    // q244 (calibration): the corpus folds into the ≤10-row bin table in
+    // ONE zero-join scoring pass, which is localCheckpointed — so the
+    // final attach plan must contain NO file scan at all, and the only
+    // nested-loop is the 1-row ECE/MCE broadcast
+    val p244 = plan("q244_calibration_ece")
+    assert(!p244.contains("SortMergeJoin") && !p244.contains("CartesianProduct"),
+      s"q244 must not shuffle-join the corpus:\n$p244")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p244).length == 1,
+      s"q244 may broadcast only the 1-row ECE/MCE total:\n$p244")
+    assert(!p244.contains("FileScan") && !p244.contains("Exchange hashpartitioning"),
+      s"q244 must fold the corpus once into the checkpointed bin table:\n$p244")
+  }
 }

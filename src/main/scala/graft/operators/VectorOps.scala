@@ -91,6 +91,20 @@ object VectorOps {
           "stack(4, 0L, bands[0], 1L, bands[1], 2L, bands[2], 3L, bands[3]) AS (bk, bv)")
     }
 
+  /** Multi-probe expansion (Lv et al., VLDB'07) of a (…, bk, bv) probe
+    * frame: each row also probes the 16 buckets at Hamming distance 1 in
+    * its band (flip one signature bit) — near-misses land in adjacent
+    * buckets, so probing them buys recall WITHOUT growing the index or
+    * adding bands. Probe-side only (×17 rows on the bounded probe set);
+    * the corpus-side index is untouched. Shared by q241 (nDCG eval),
+    * q245 (decontamination), and q246 (recall audit). */
+  private def multiProbe(probeB: DataFrame): DataFrame =
+    probeB
+      .withColumn("j", explode(expr("sequence(0, 16)")))
+      .withColumn("bv", expr(
+        "CASE WHEN j = 16 THEN bv ELSE cast(bv ^ shiftleft(1L, cast(j as int)) as bigint) END"))
+      .drop("j")
+
   /** Brute-force cosine top-5 for a probe subset (vec_id % 100 == 0). */
   private def q33(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
@@ -220,11 +234,25 @@ object VectorOps {
     * rows never leave the final per-label rollup's map side. All joins
     * are equi-joins — EntrySpec asserts no cartesian/broadcast-NLJ
     * appears anywhere in the plan. */
-  private def q211(s: SparkSession, dir: String): DataFrame = {
+  private def q211(s: SparkSession, dir: String): DataFrame =
+    bandedDecontaminate(s, dir, multiprobe = false)
+
+  /** q245 — q211 with the EVAL side multi-probe-expanded (Hamming-1
+    * buckets, q241's trick wired into the production-shaped consumer
+    * where a recall miss = eval contamination SURVIVING into training
+    * data). Candidate volume grows ×17 on the bounded eval side only;
+    * the corpus-side index and plan shape are q211's, measured lift in
+    * SURVEY §18. */
+  private def q245(s: SparkSession, dir: String): DataFrame =
+    bandedDecontaminate(s, dir, multiprobe = true)
+
+  private def bandedDecontaminate(s: SparkSession, dir: String,
+      multiprobe: Boolean): DataFrame = {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("label"), col("embedding"))
     val bd = banded(s, dir)
-    val evalB = bd.filter(col("vec_id") % 50 === 0)
+    val evalB0 = bd.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("eval_id"), col("bk"), col("bv"))
+    val evalB = if (multiprobe) multiProbe(evalB0) else evalB0
     val cand = bd.filter(col("vec_id") % 50 =!= 0)
       .join(evalB, Seq("bk", "bv"))
       .select(col("vec_id"), col("eval_id")).distinct()
@@ -987,12 +1015,8 @@ object VectorOps {
     * 0.058 → see SURVEY for the measured lift), not a claim. */
   private def q241(s: SparkSession, dir: String): DataFrame = {
     val bd = banded(s, dir)
-    val probeB = bd.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("probe_id"), col("bk"), col("bv"))
-      .withColumn("j", explode(expr("sequence(0, 16)")))
-      .withColumn("bv", expr(
-        "CASE WHEN j = 16 THEN bv ELSE cast(bv ^ shiftleft(1L, cast(j as int)) as bigint) END"))
-      .select("probe_id", "bk", "bv")
+    val probeB = multiProbe(bd.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("bk"), col("bv")))
     val cand = probeB.join(bd, Seq("bk", "bv"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select("probe_id", "vec_id").distinct()
@@ -1235,7 +1259,18 @@ object VectorOps {
     * on band keys only; hits are an integer set intersection (banding is
     * integer-exact, ranks order by rounded cosine + vec_id), so recall is
     * bit-stable. */
-  private def q225(s: SparkSession, dir: String): DataFrame = {
+  private def q225(s: SparkSession, dir: String): DataFrame =
+    annRecallAudit(s, dir, multiprobe = false)
+
+  /** q246 — the q225 recall audit under multi-probe: same exact top-5
+    * ground truth, candidates from the Hamming-1-expanded probe set —
+    * the measured answer to "how much recall does multi-probe buy the
+    * production index", per probe, hash-gated. */
+  private def q246(s: SparkSession, dir: String): DataFrame =
+    annRecallAudit(s, dir, multiprobe = true)
+
+  private def annRecallAudit(s: SparkSession, dir: String,
+      multiprobe: Boolean): DataFrame = {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val probes = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
@@ -1247,8 +1282,9 @@ object VectorOps {
       .filter(col("rk") <= 5)
       .select("probe_id", "vec_id")
     val bd = banded(s, dir)
-    val probeB = bd.filter(col("vec_id") % 100 === 0)
+    val probeB0 = bd.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("probe_id"), col("bk"), col("bv"))
+    val probeB = if (multiprobe) multiProbe(probeB0) else probeB0
     val cand = probeB.join(bd, Seq("bk", "bv"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select("probe_id", "vec_id").distinct()
@@ -1266,6 +1302,8 @@ object VectorOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q225_ann_recall" -> (q225 _),
+    "q245_decontaminate_multiprobe" -> (q245 _),
+    "q246_ann_recall_multiprobe" -> (q246 _),
     "q223_quant_recall" -> (q223 _),
     "q192_knn_core" -> (q192 _),
     "q202_knn_core_banded" -> (q202 _),
@@ -1304,6 +1342,54 @@ object VectorOps {
       |  FROM embeddings, (SELECT unnest([0,1,2,3]) AS k) ks)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q246: q225's audit with the probe band set expanded to Hamming-1
+    // buckets (q241's pb CTE) — same exact top-5 ground truth
+    "q246_ann_recall_multiprobe" ->
+      s"""WITH $bandsSql,
+         |sc AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS vec_id, round($cosSql, 6) AS cos
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id),
+         |top AS (SELECT probe_id, vec_id FROM (
+         |  SELECT probe_id, vec_id,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk FROM sc)
+         |  WHERE rk <= 5),
+         |pb AS (SELECT vec_id AS probe_id, bk,
+         |    CASE WHEN j = 16 THEN bv ELSE xor(bv, CAST(1 << j AS BIGINT)) END AS bv
+         |  FROM bands CROSS JOIN generate_series(0,16) t(j)
+         |  WHERE vec_id % 100 = 0),
+         |cand AS (SELECT DISTINCT p.probe_id, y.vec_id
+         |  FROM pb p JOIN bands y ON y.bk = p.bk AND y.bv = p.bv
+         |    AND y.vec_id <> p.probe_id),
+         |cn AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY 1),
+         |h AS (SELECT top.probe_id,
+         |    CAST(count(*) AS BIGINT) AS n_top,
+         |    CAST(sum(CASE WHEN cand.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |  FROM top LEFT JOIN cand USING (probe_id, vec_id) GROUP BY 1)
+         |SELECT h.probe_id, h.n_top, h.n_hits,
+         |  coalesce(cn.n_cand, 0) AS n_cand,
+         |  CAST(h.n_hits AS DOUBLE) / CAST(h.n_top AS DOUBLE) AS recall5
+         |FROM h LEFT JOIN cn USING (probe_id) ORDER BY h.probe_id""".stripMargin,
+    // q245: q211's oracle with the eval band set Hamming-1-expanded
+    "q245_decontaminate_multiprobe" ->
+      s"""WITH $bandsSql,
+         |ev AS (SELECT vec_id AS eval_id, bk,
+         |    CASE WHEN j = 16 THEN bv ELSE xor(bv, CAST(1 << j AS BIGINT)) END AS bv
+         |  FROM bands CROSS JOIN generate_series(0,16) t(j)
+         |  WHERE vec_id % 50 = 0),
+         |cand AS (SELECT DISTINCT t.vec_id, e.eval_id
+         |  FROM bands t JOIN ev e ON t.bk = e.bk AND t.bv = e.bv
+         |  WHERE t.vec_id % 50 <> 0),
+         |sc AS (SELECT c.vec_id, max($cosSql) AS mc
+         |  FROM cand c JOIN embeddings a ON a.vec_id = c.vec_id
+         |              JOIN embeddings b ON b.vec_id = c.eval_id
+         |  GROUP BY c.vec_id)
+         |SELECT t.label, CAST(count(*) AS BIGINT) AS n_train,
+         |  CAST(count(sc.mc) AS BIGINT) AS n_candidates,
+         |  CAST(sum(CASE WHEN sc.mc >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  round(coalesce(max(sc.mc), -1.0), 6) AS max_band_cos
+         |FROM embeddings t LEFT JOIN sc ON sc.vec_id = t.vec_id
+         |WHERE t.vec_id % 50 <> 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q225_ann_recall" ->
       s"""WITH $bandsSql,
          |sc AS (

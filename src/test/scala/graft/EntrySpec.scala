@@ -603,6 +603,17 @@ class EntrySpec extends AnyFunSuite {
       assert(bnlj <= 1,
         s"$name may broadcast-NLJ only the exact ground-truth build:\n$p")
     }
+    // q245 (multi-probe decontamination): q211's all-equi-join shape must
+    // survive the probe expansion — the ×17 rides the bounded eval side
+    val p245 = plan("q245_decontaminate_multiprobe")
+    assert(!p245.contains("CartesianProduct") && !p245.contains("BroadcastNestedLoopJoin"),
+      s"q245 must keep q211's equi-join-only shape:\n$p245")
+    // q246 (multi-probe recall audit): only the exact ground-truth build
+    // may broadcast-NLJ; candidates stay band-key equi-joins
+    val p246 = plan("q246_ann_recall_multiprobe")
+    assert(!p246.contains("CartesianProduct") &&
+      "BroadcastNestedLoopJoin".r.findAllIn(p246).length <= 1,
+      s"q246 may broadcast-NLJ only the exact ground-truth build:\n$p246")
   }
 
   test("q242-q244 tier plans keep their scale shape") {

@@ -53,7 +53,7 @@ object KvStore {
     key
   }
 
-  final class ShardWriter(dirPath: String, shardId: Int, batchSize: Int = DefaultBatchSize) {
+  final class ShardWriter(dirPath: String, shardId: Long, batchSize: Int = DefaultBatchSize) {
     private val (fs, dir) = fsFor(dirPath)
     private val dataPath = new Path(dir, f"shard-$shardId%05d.kv")
     private val idxPath = new Path(dir, f"shard-$shardId%05d.idx")
@@ -178,14 +178,38 @@ object KvStore {
     fs.mkdirs(dir)
   }
 
-  /** Job commit: write the manifest naming every committed shard, in
-    * NUMERIC shard order (lexicographic flips at shard 100000). */
+  /** Create an empty COMMITTED store (zero shards, empty manifest) so a
+    * purely append-based flow — e.g. a streaming foreachBatch sink — can
+    * start from batch 0 (the LmdbStore.create symmetry). */
+  def createCommitted(path: String): Unit = {
+    create(path)
+    commitManifest(path, Nil, Nil)
+  }
+
+  /** Manifest commit: tmp + atomic overwrite-rename (FileContext, so the
+    * HDFS/local rename really replaces), shard list in NUMERIC order and
+    * ledger lines in one atomic unit — a reader mid-commit sees the
+    * complete old manifest or the complete new one, never a truncation. */
+  private def commitManifest(path: String, shards: Seq[String],
+      ledger: Seq[String]): Unit = {
+    val (_, dir) = fsFor(path)
+    val sorted = shards.sortBy(_.stripPrefix("shard-").stripSuffix(".kv").toLong)
+    val tmp = new Path(dir, "_MANIFEST.tmp-" +
+      java.util.UUID.randomUUID().toString.take(8))
+    val fs2 = tmp.getFileSystem(new Configuration())
+    writeString(fs2, tmp, (ledger ++ sorted).mkString("", "\n", "\n"))
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(dir.toUri, new Configuration())
+    fc.rename(tmp, new Path(dir, "_MANIFEST"),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+  }
+
+  /** Job commit (library path): manifest = every `.kv` currently in the
+    * dir, NUMERIC shard order (lexicographic flips at shard 100000). */
   def commit(path: String): Unit = {
     val (fs, dir) = fsFor(path)
     val shards = fs.listStatus(dir)
-      .map(_.getPath.getName).filter(_.matches("shard-\\d+\\.kv"))
-      .sortBy(_.stripPrefix("shard-").stripSuffix(".kv").toLong)
-    writeString(fs, new Path(dir, "_MANIFEST"), shards.mkString("", "\n", "\n"))
+      .map(_.getPath.getName).filter(_.matches("shard-\\d+\\.kv")).toSeq
+    commitManifest(path, shards, Nil)
   }
 
   /** Distributed write: one shard per partition of `df(key, value, shape,
@@ -201,12 +225,93 @@ object KvStore {
       .mode("append")
       .save()
 
-  private def committedShards(path: String): Seq[Path] = {
+  /** Append `df` as new shards AFTER the committed max (requires an
+    * existing manifest); goes through the same coordinator-gated DSv2
+    * sink, whose job commit merges old shards + new shards + carried
+    * ledger lines into one atomic manifest rename. */
+  def append(df: DataFrame, path: String, batchSize: Int = DefaultBatchSize): Unit =
+    appendInternal(df, path, batchSize, batchId = None)
+
+  /** EXACTLY-ONCE batch append for at-least-once callers (a streaming
+    * foreachBatch replays its batch after a failure): committed batch ids
+    * ride IN the manifest (`#batch:<id>` ledger lines, so shard list and
+    * ledger commit in one atomic rename), a replayed id is a no-op, and
+    * files left by a crashed attempt (shards on disk but not in the
+    * committed manifest, task-attempt `.tmp-*`) are swept before writing
+    * — without the sweep an orphan `.kv` would be adopted by the library
+    * path's next directory-listing commit and double-counted. Single
+    * writer per store; batch ids are only unique within ONE streaming
+    * checkpoint lineage (the LmdbStore.appendBatch contract).
+    * Returns true iff this call committed the batch. */
+  def appendBatch(df: DataFrame, path: String, batchId: Long,
+      batchSize: Int = DefaultBatchSize): Boolean = {
+    if (committedBatchIds(path).contains(batchId)) return false
+    sweepUncommitted(path)
+    appendInternal(df, path, batchSize, batchId = Some(batchId))
+    true
+  }
+
+  private def appendInternal(df: DataFrame, path: String, batchSize: Int,
+      batchId: Option[Long]): Unit = {
+    val ids = committedShards(path)
+      .map(_.getName.stripPrefix("shard-").stripSuffix(".kv").toLong)
+    val base = if (ids.isEmpty) 0L else ids.max + 1
+    df.select("key", "value", "shape", "dtype")
+      .write.format("kvstore")
+      .option("path", path)
+      .option("batchSize", batchSize)
+      .option("appendTo", "true")
+      .option("baseShard", base)
+      .options(batchId.map(id => Map("batchId" -> id.toString)).getOrElse(Map.empty))
+      .mode("append")
+      .save()
+  }
+
+  /** Batch ids this store has durably committed (ledger lines of the
+    * manifest; empty for stores written by non-batch flows). */
+  def committedBatchIds(path: String): Set[Long] =
+    manifestLines(path).filter(_.startsWith("#batch:"))
+      .map(_.stripPrefix("#batch:").toLong).toSet
+
+  /** Uncommitted residue = shard files on disk but not in the manifest (a
+    * crashed job's committed-named task output) and task-attempt
+    * `.tmp-*` files. Orphan sidecars of an uncommitted `.kv` go with it. */
+  private def sweepUncommitted(path: String): Unit = {
+    val (fs, dir) = fsFor(path)
+    val committed = committedShards(path).map(_.getName).toSet
+    fs.listStatus(dir).map(_.getPath).foreach { p =>
+      val n = p.getName
+      val stem = n.replaceAll("\\.(kv|idx|meta\\.txt|bloom)$", "")
+      val orphan = n.matches("shard-\\d+\\.(kv|idx|meta\\.txt|bloom)") &&
+        !committed(stem + ".kv")
+      if (n.contains(".tmp-") || orphan) fs.delete(p, true)
+    }
+  }
+
+  private[graft] def manifestLines(path: String): Seq[String] = {
     val (fs, dir) = fsFor(path)
     val manifest = new Path(dir, "_MANIFEST")
     require(fs.exists(manifest), s"no _MANIFEST in $path (uncommitted store)")
-    readString(fs, manifest).split('\n').iterator
-      .filter(_.nonEmpty).map(n => new Path(dir, n)).toSeq
+    readString(fs, manifest).split('\n').iterator.filter(_.nonEmpty).toSeq
+  }
+
+  private def committedShards(path: String): Seq[Path] = {
+    val (_, dir) = fsFor(path)
+    // only shard lines name files; `#`-prefixed lines are the batch
+    // ledger, invisible to shard walks by construction of the filter
+    manifestLines(path).filter(_.matches("shard-\\d+\\.kv"))
+      .map(n => new Path(dir, n))
+  }
+
+  private[sinks] def mergeCommit(path: String, newShards: Seq[String],
+      appendMode: Boolean, batchId: Option[Long]): Unit = {
+    val (prevShards, prevLedger) =
+      if (appendMode) {
+        val lines = manifestLines(path)
+        (lines.filter(_.matches("shard-\\d+\\.kv")), lines.filter(_.startsWith("#")))
+      } else (Nil, Nil)
+    val ledger = (prevLedger ++ batchId.map(id => s"#batch:$id")).distinct
+    commitManifest(path, prevShards ++ newShards, ledger)
   }
 
   private def loadIndex(fs: FileSystem, shard: Path): Seq[(String, Long, Int)] = {

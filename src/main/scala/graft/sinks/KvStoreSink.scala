@@ -40,7 +40,10 @@ class KvStoreSink extends TableProvider with DataSourceRegister {
     new KvSinkTable(
       Option(opts.get("path")).getOrElse(
         throw new IllegalArgumentException("kvstore sink requires option(\"path\", ...)")),
-      opts.getOrDefault("batchSize", KvStore.DefaultBatchSize.toString).toInt)
+      opts.getOrDefault("batchSize", KvStore.DefaultBatchSize.toString).toInt,
+      opts.getOrDefault("appendTo", "false").toBoolean,
+      opts.getOrDefault("baseShard", "0").toLong,
+      Option(opts.get("batchId")).map(_.toLong))
   }
 }
 
@@ -52,7 +55,8 @@ object KvStoreSink {
     StructField("dtype", StringType, nullable = false)))
 }
 
-private[sinks] class KvSinkTable(path: String, batchSize: Int)
+private[sinks] class KvSinkTable(path: String, batchSize: Int,
+    appendMode: Boolean, baseShard: Long, batchId: Option[Long])
     extends Table with SupportsWrite {
   override def name(): String = s"kvstore:$path"
   override def schema(): StructType = KvStoreSink.schema
@@ -67,7 +71,8 @@ private[sinks] class KvSinkTable(path: String, batchSize: Int)
     }
     override def build(): Write = new Write {
       override def toBatch: BatchWrite =
-        new KvBatchWrite(path, batchSize, idx("key"), idx("value"), idx("shape"), idx("dtype"))
+        new KvBatchWrite(path, batchSize, appendMode, baseShard, batchId,
+          idx("key"), idx("value"), idx("shape"), idx("dtype"))
     }
   }
 }
@@ -76,21 +81,24 @@ private[sinks] case class KvShardCommit(shardName: String, count: Long)
     extends WriterCommitMessage
 
 private[sinks] class KvBatchWrite(path: String, batchSize: Int,
+    appendMode: Boolean, baseShard: Long, batchId: Option[Long],
     keyIdx: Int, valIdx: Int, shapeIdx: Int, dtypeIdx: Int) extends BatchWrite {
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
-    KvStore.create(path) // driver-side: refuse a non-empty target up front
-    new KvWriterFactory(path, batchSize, keyIdx, valIdx, shapeIdx, dtypeIdx)
+    if (appendMode) KvStore.manifestLines(path) // require a committed store
+    else KvStore.create(path) // driver-side: refuse a non-empty target up front
+    new KvWriterFactory(path, batchSize, baseShard, keyIdx, valIdx, shapeIdx, dtypeIdx)
   }
 
   override def useCommitCoordinator(): Boolean = true
 
-  /** Job commit: manifest = exactly the coordinator-committed shards,
-    * in NUMERIC shard order (lexicographic flips at shard 100000). */
+  /** Job commit: manifest = exactly the coordinator-committed shards (in
+    * append mode merged with the prior manifest's shards + carried ledger
+    * lines, plus this batch's `#batch:<id>` if any), committed in one
+    * atomic rename. */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val shards = messages.collect { case KvShardCommit(n, c) if c > 0 => n }
-      .sortBy(_.stripPrefix("shard-").stripSuffix(".kv").toLong)
-    KvStore.writeText(path, "_MANIFEST", shards.mkString("", "\n", "\n"))
+    val shards = messages.collect { case KvShardCommit(n, c) if c > 0 => n }.toSeq
+    KvStore.mergeCommit(path, shards, appendMode, batchId)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -104,13 +112,13 @@ private[sinks] class KvBatchWrite(path: String, batchSize: Int,
   }
 }
 
-private[sinks] class KvWriterFactory(path: String, batchSize: Int,
+private[sinks] class KvWriterFactory(path: String, batchSize: Int, baseShard: Long,
     keyIdx: Int, valIdx: Int, shapeIdx: Int, dtypeIdx: Int) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(path, partitionId, batchSize, keyIdx, valIdx, shapeIdx, dtypeIdx)
+    new KvDataWriter(path, baseShard + partitionId, batchSize, keyIdx, valIdx, shapeIdx, dtypeIdx)
 }
 
-private[sinks] class KvDataWriter(path: String, partitionId: Int, batchSize: Int,
+private[sinks] class KvDataWriter(path: String, shardId: Long, batchSize: Int,
     keyIdx: Int, valIdx: Int, shapeIdx: Int, dtypeIdx: Int)
     extends DataWriter[InternalRow] {
 
@@ -118,7 +126,7 @@ private[sinks] class KvDataWriter(path: String, partitionId: Int, batchSize: Int
   private var count = 0L
 
   override def write(row: InternalRow): Unit = {
-    if (writer == null) writer = new KvStore.ShardWriter(path, partitionId, batchSize)
+    if (writer == null) writer = new KvStore.ShardWriter(path, shardId, batchSize)
     writer.put(
       row.getUTF8String(keyIdx).toString,
       row.getBinary(valIdx),
@@ -129,7 +137,7 @@ private[sinks] class KvDataWriter(path: String, partitionId: Int, batchSize: Int
 
   override def commit(): WriterCommitMessage = {
     if (writer != null) writer.close()
-    KvShardCommit(f"shard-$partitionId%05d.kv", count)
+    KvShardCommit(f"shard-$shardId%05d.kv", count)
   }
 
   // abort: close the stream and delete this attempt's tmp-named data file

@@ -16,2314 +16,12 @@ import graft.Tables
   *  - all hashing is deterministic (md5 of salted content) so task retries
   *    are stable (SURVEY.md K13 rule).
   */
-object TextOps {
+object TextOps extends TextSharedCore
+    with TextDedupQueries with TextCurationQueries with TextEvalQueries {
 
-  private def t(s: SparkSession, dir: String, n: String): DataFrame =
-    Tables(s, dir, n)
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    dedupQueries ++ curationQueries ++ evalQueries
 
-  /** Session-scoped shared intermediates. The shingle/signature projections
-    * feed MANY queries (q23/q24/q25/q26/q70/q82/q88 all start from shingles;
-    * q27/q28 from the simhash), and the LSH self-joins reference them on
-    * BOTH sides — without sharing, the q26 chain re-derives the shingle set
-    * 4-6× per run (the round-2 bench regression). One persisted copy per
-    * (session, sfDir) turns every re-derivation into a cache read; Spark's
-    * cache manager then substitutes it into any plan that embeds the same
-    * logical subtree. At 100 TB this is the "materialize the signature
-    * table once" step every production dedup pipeline has. */
-  private def shared(s: SparkSession, dir: String, name: String)(df: => DataFrame): DataFrame =
-    graft.SessionCache.getOrBuild(s, s"text|$dir|$name")(df)
-
-  /** Materialize every shared text-tier projection (a production pipeline's
-    * "build the signature tables once" step — Bench runs this in its
-    * UNTIMED warmup so per-query numbers measure plans, not the cache-build
-    * lottery; round-6 verdict #1). Dependency order matters: jaccard builds
-    * FROM the shingle/minhash caches, so each tier materializes before the
-    * next derives from it. */
-  private[graft] def prewarmShared(s: SparkSession, dir: String): Unit = {
-    shingles(s, dir).count()
-    minhashes(s, dir).count()
-    jaccard(s, dir).count()
-    components(s, dir).count()
-    simhashed(s, dir).count()
-    srcGrams(s, dir).count()
-    ()
-  }
-
-  /** doc_id + whitespace-tokenized words, docs with >= 3 words.
-    * Empty tokens are dropped on BOTH the engine and oracle sides: Java's
-    * split drops trailing empty strings while DuckDB's regexp_split_to_array
-    * keeps them, so any doc with leading/trailing/double whitespace would
-    * otherwise tokenize differently across engines (`array_remove` is a
-    * codegen'd expression, unlike a `filter` HOF). */
-  private[graft] def words(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"), col("text"),
-        array_remove(split(col("text"), "\\s+"), "").as("w"))
-      .filter(size(col("w")) >= 3)
-
-  /** Distinct 3-word shingles per doc (shared/persisted — see `shared`). */
-  private def shingles(s: SparkSession, dir: String): DataFrame =
-    shared(s, dir, "shingles") {
-      words(s, dir)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("sh"))
-        .distinct()
-    }
-
-  /** The same shingle set derived through a STRUCTURALLY DISTINCT plan —
-    * descending index walk + plain concat instead of ascending +
-    * concat_ws — for q82's determinism invariant. Distinctness is the
-    * point, not style: Spark's CacheManager substitutes a cached
-    * InMemoryRelation into any plan whose logical subtree exactly matches
-    * the persisted one (round-3 ADVICE), so an identical re-derivation
-    * would silently READ the shared `shingles` cache and the "independent
-    * second derivation" would exercise nothing. A different expression
-    * tree can never plan-match. EntrySpec asserts no InMemoryRelation
-    * appears under this plan even with the shared cache materialized. */
-  private[graft] def freshShingles(s: SparkSession, dir: String): DataFrame =
-    words(s, dir)
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(size(w)-3, 0, -1), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("sh"))
-      .distinct()
-
-  /** 8 salted MinHash values per doc (min of md5 over salted shingles);
-    * shared so the 2-band unpivot and the candidate self-join never re-run
-    * the shingle aggregation. */
-  private def minhashes(s: SparkSession, dir: String): DataFrame =
-    shared(s, dir, "minhashes") {
-      val aggs = (0 until 8).map(j => min(md5(concat(lit(s"$j|"), col("sh")))).as(s"h$j"))
-      shingles(s, dir).groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-    }
-
-  /** (doc_id, band k, band hash) — 2 bands of 4 minhashes each. */
-  private def bands(s: SparkSession, dir: String): DataFrame = {
-    val m = minhashes(s, dir)
-    val b1 = m.select(col("doc_id"), lit(1L).as("k"),
-      md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))).as("b"))
-    val b2 = m.select(col("doc_id"), lit(2L).as("k"),
-      md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))).as("b"))
-    b1.union(b2)
-  }
-
-  /** LSH candidate pairs: docs sharing any band bucket (a < b). */
-  private def candidates(s: SparkSession, dir: String): DataFrame = {
-    val bd = bands(s, dir)
-    bd.as("x").join(bd.as("y"),
-        col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b_id"))
-      .distinct()
-  }
-
-  /** Exact 3-gram Jaccard for the LSH candidates. Shared/persisted: the
-    * verified-pair table is the convergence point of the whole near-dup
-    * tier (q25/q26/q70/q88/q89/q102 all start from it) and is tiny —
-    * candidate pairs only — so one materialization replaces up to six
-    * re-runs of the two shingle self-joins per session. */
-  private[graft] def jaccard(s: SparkSession, dir: String): DataFrame =
-    shared(s, dir, "jaccard") {
-      val sh = shingles(s, dir)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = candidates(s, dir)
-        .join(sh.as("sa"), col("a") === col("sa.doc_id"))
-        .join(sh.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-        .groupBy("a", "b_id").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.as("za"), col("a") === col("za.doc_id"))
-        .join(sizes.as("zb"), col("b_id") === col("zb.doc_id"))
-        .select(col("a"), col("b_id"), col("inter"),
-          (col("inter").cast("double") /
-            (col("za.n") + col("zb.n") - col("inter")).cast("double")).as("jac"))
-    }
-
-  /** Per-row 32-bit SimHash from word-frequency-weighted md5 bits.
-    * Compiled Scala UDF rather than nested Catalyst HOFs: higher-order
-    * functions evaluate interpreted per element (32 × |words| lambda calls
-    * per doc dominated the sf0.1 bench at 32 s); the UDF runs the identical
-    * integer arithmetic (first 4 md5 bytes = conv(substr(md5,1,8),16,10))
-    * in a tight JVM loop, so the DuckDB oracle is unchanged. */
-  private val simhash32 = udf { (w: Seq[String]) =>
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hs = new Array[Long](w.length)
-    var i = 0
-    while (i < w.length) {
-      val d = md.digest(w(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      md.reset()
-      hs(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      i += 1
-    }
-    var sim = 0L
-    var k = 0
-    while (k < 32) {
-      var s = 0L
-      var j = 0
-      while (j < hs.length) { s += 2 * ((hs(j) >> k) & 1L) - 1; j += 1 }
-      if (s > 0) sim += 1L << k
-      k += 1
-    }
-    sim
-  }
-
-  private def simhashed(s: SparkSession, dir: String): DataFrame =
-    shared(s, dir, "simhashed") {
-      // cache only (doc_id, simhash): the blocked self-join reads this twice
-      words(s, dir).select(col("doc_id"), simhash32(col("w")).as("simhash"))
-    }
-
-  /** Skew-hardened all-pairs within buckets — the one skew case AQE cannot
-    * fix: AQE splits oversized SHUFFLE partitions, but when one bucket VALUE
-    * is hot the self-join work inside it is quadratic and still lands in
-    * one task. Decomposition instead: members of a bucket larger than `cap`
-    * are hash-assigned to ⌈size/cap⌉ cells and the bucket's pair space is
-    * covered by the triangle of cell pairs (lo ≤ hi), each a separate join
-    * key — so no task ever builds more than ~cap² pairs, while buckets at
-    * or under `cap` keep exactly one cell (zero replication overhead).
-    * Every pair is emitted exactly once: it matches only under the task key
-    * (min(cellA,cellB), max(cellA,cellB)).
-    *
-    * Returns one row per in-bucket pair: bucketCols, lo, hi, a, b_id, and
-    * a_/b_-prefixed payload columns. */
-  private[graft] def boundedBucketPairs(df: DataFrame, bucketCols: Seq[String],
-      idCol: String, payloadCols: Seq[String], cap: Int): DataFrame = {
-    require(cap > 0)
-    val sizes = df.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("bsz"))
-    val replicas = df.join(sizes, bucketCols)
-      .withColumn("n_cells", ceil(col("bsz").cast("double") / cap).cast("int"))
-      .withColumn("cell", pmod(xxhash64(col(idCol)), col("n_cells").cast("long")))
-      .withColumn("peer", explode(expr("sequence(0L, n_cells - 1L)")))
-      .withColumn("lo", least(col("cell"), col("peer")))
-      .withColumn("hi", greatest(col("cell"), col("peer")))
-    val keys = bucketCols ++ Seq("lo", "hi")
-    val left = replicas.select(
-      keys.map(col) ++ Seq(col(idCol).as("a"), col("cell").as("ca")) ++
-        payloadCols.map(c => col(c).as(s"a_$c")): _*)
-    val right = replicas.select(
-      keys.map(col) ++ Seq(col(idCol).as("b_id"), col("cell").as("cb")) ++
-        payloadCols.map(c => col(c).as(s"b_$c")): _*)
-    left.join(right, keys)
-      .filter(least(col("ca"), col("cb")) === col("lo") &&
-        greatest(col("ca"), col("cb")) === col("hi") &&
-        col("a") < col("b_id"))
-      .drop("ca", "cb")
-  }
-
-  // ---------------------------------------------------------------- queries
-
-  /** Exact dedup: content-hash groupBy; duplicates counted per lang. */
-  private def q22(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "documents")
-      .select(col("lang"), md5(col("text")).as("fp"))
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"), countDistinct("fp").as("n_unique"))
-      .orderBy("lang")
-
-  /** MinHash signature digest per doc (shingle→salted-min→md5 digest). */
-  private def q23(s: SparkSession, dir: String): DataFrame =
-    minhashes(s, dir)
-      .select(col("doc_id"), md5(concat((0 until 8).map(j => col(s"h$j")): _*)).as("sig"))
-      .orderBy("doc_id")
-
-  /** MinHash fast path: numeric xxhash64 signatures (min of a salted 64-bit
-    * hash per shingle) instead of min(md5-hex-string) — same one-shuffle
-    * shape as q23 but integer min-combine, no 32-char string materialization
-    * or lexicographic compares in the agg. DuckDB has no xxhash64, so the
-    * raw signatures can't hash-match; instead the query emits a single
-    * ALWAYS-NONEMPTY invariant row the signatures must satisfy:
-    *  - n_stable == n_docs: the signature recomputed through a SECOND,
-    *    cache-independent derivation (fresh shingle explode from `words`,
-    *    not the shared persisted copy) agrees per doc — a nondeterministic
-    *    or retry-unstable hash (the K13 failure mode) breaks it;
-    *  - n_violations == 0: within every exact-duplicate group (same
-    *    md5(text), DuckDB-computable) all signatures collapse to one value,
-    *    because the signature is a pure function of content. (At sf≤0.01
-    *    the corpus has no exact dups, so this alone would be vacuous —
-    *    hence the determinism leg, which covers every doc at every SF.)
-    * The md5 form (q23) remains the value-level parity variant; bench both
-    * to record the fast-path delta. */
-  private def q82(s: SparkSession, dir: String): DataFrame = {
-    def sigOf(sh: DataFrame, name: String): DataFrame = {
-      val aggs = (0 until 8).map(j => min(xxhash64(lit(j.toLong), col("sh"))).as(s"h$j"))
-      sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-        .select(col("doc_id"), xxhash64((0 until 8).map(j => col(s"h$j")): _*).as(name))
-    }
-    val sig1 = sigOf(shingles(s, dir), "sig")
-    val sig2 = sigOf(freshShingles(s, dir), "sig2")
-    val joined = sig1.join(sig2, Seq("doc_id"))
-      .join(words(s, dir).select(col("doc_id"), md5(col("text")).as("fp")), Seq("doc_id"))
-    val dupViol = joined.groupBy("fp")
-      .agg(count(lit(1)).as("nd"), countDistinct("sig").as("ns"))
-      .agg(
-        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup_groups"),
-        sum(when(col("nd") >= 2 && col("ns") > 1, 1L).otherwise(0L)).as("n_violations"))
-    joined.agg(
-        count(lit(1)).as("n_docs"),
-        sum(when(col("sig") === col("sig2"), 1L).otherwise(0L)).as("n_stable"))
-      .crossJoin(dupViol)
-      .select("n_docs", "n_stable", "n_dup_groups", "n_violations")
-  }
-
-  /** LSH banding candidate pairs (shuffle on band key only). */
-  private def q24(s: SparkSession, dir: String): DataFrame =
-    candidates(s, dir).orderBy("a", "b_id")
-
-  /** Exact n-gram Jaccard verification of the LSH candidates. */
-  private def q25(s: SparkSession, dir: String): DataFrame =
-    jaccard(s, dir)
-      .filter(col("jac") >= 0.5)
-      .select(col("a"), col("b_id"), col("inter"), round(col("jac"), 6).as("jac"))
-      .orderBy("a", "b_id")
-
-  /** Near-dup dedup end-to-end: drop the higher doc_id of every pair with
-    * jac >= 0.9; survivors counted per source. */
-  private def q26(s: SparkSession, dir: String): DataFrame = {
-    val losers = jaccard(s, dir).filter(col("jac") >= 0.9)
-      .select(col("b_id").as("doc_id")).distinct()
-    t(s, dir, "documents")
-      .join(losers, Seq("doc_id"), "left_anti")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_kept"))
-      .orderBy("source")
-  }
-
-  /** Per-doc 32-bit SimHash (per-row HOF — no shuffle). */
-  private def q27(s: SparkSession, dir: String): DataFrame =
-    simhashed(s, dir).select(col("doc_id"), col("simhash")).orderBy("doc_id")
-
-  /** SimHash near-dup pairs via multi-band blocking + Hamming distance:
-    * the 32-bit simhash is cut into 4 × 8-bit bands and a pair is a
-    * candidate if it collides in ANY band (union → distinct). Versus
-    * single-band top-byte blocking this (a) recovers pairs that differ in
-    * any one byte, and (b) keeps every join a bounded per-band bucket join
-    * — the all-pairs work is N²/(4·256) per band, never a single 256-way
-    * split of the whole corpus. The 4 band keys are derived in one pass
-    * over the simhash and unpivoted with stack(). The bucket join goes
-    * through boundedBucketPairs (cap 1000): on real corpora a band value
-    * can go degenerate-hot (30% of docs sharing one byte), and capping
-    * bounds every task's pair count where AQE cannot. */
-  private def q28(s: SparkSession, dir: String): DataFrame = {
-    val blk = simhashed(s, dir).selectExpr("doc_id", "simhash",
-      """stack(4,
-        | 0L, shiftright(simhash,  0) & 255,
-        | 1L, shiftright(simhash,  8) & 255,
-        | 2L, shiftright(simhash, 16) & 255,
-        | 3L, shiftright(simhash, 24) & 255) AS (bk, bv)""".stripMargin)
-    boundedBucketPairs(blk, Seq("bk", "bv"), "doc_id", Seq("simhash"), 1000)
-      .select(col("a"), col("b_id"),
-        expr("bit_count(a_simhash ^ b_simhash)").cast("long").as("dist"))
-      .distinct()
-      .filter(col("dist") <= 8)
-      .orderBy("a", "b_id")
-  }
-
-  /** Stopword-marker language ID; confusion counts vs the labeled lang. */
-  private def q29(s: SparkSession, dir: String): DataFrame =
-    words(s, dir)
-      .withColumn("s_en", expr("size(filter(w, t -> t IN ('the','a','of','and','to')))").cast("long"))
-      .withColumn("s_es", expr("size(filter(w, t -> t IN ('el','la','de','los','y')))").cast("long"))
-      .withColumn("s_de", expr("size(filter(w, t -> t IN ('der','die','das','und','ist')))").cast("long"))
-      .withColumn("s_fr", expr("size(filter(w, t -> t IN ('le','les','des','et','est')))").cast("long"))
-      .withColumn("pred", expr(
-        """CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-          |     WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-          |     WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END""".stripMargin))
-      .groupBy("lang", "pred").agg(count(lit(1)).as("n"))
-      .orderBy("lang", "pred")
-
-  /** Quality score (length, stopword ratio, punctuation, word length) →
-    * decile buckets per source (the filter stage of a data pipeline). */
-  private def q30(s: SparkSession, dir: String): DataFrame =
-    words(s, dir)
-      .withColumn("nw", size(col("w")).cast("long"))
-      .withColumn("n_stop", expr("size(filter(w, t -> t IN ('the','a','of','and','to','is','in')))").cast("long"))
-      .withColumn("n_punct", expr("size(regexp_extract_all(text, '[^a-z0-9 ]', 0))").cast("long"))
-      .withColumn("sum_wl", expr("aggregate(w, 0L, (acc, t) -> acc + length(t))"))
-      .withColumn("score", expr(
-        """0.4 * least(cast(nw as double) / 100.0, 1.0)
-          |+ 0.3 * (1.0 - cast(n_stop as double) / cast(nw as double))
-          |+ 0.2 * (1.0 - least(cast(n_punct as double) / cast(n_chars as double), 1.0))
-          |+ 0.1 * least(cast(sum_wl as double) / cast(nw as double) / 10.0, 1.0)""".stripMargin))
-      .withColumn("bucket", floor(col("score") * 10).cast("long"))
-      .groupBy("source", "bucket").agg(count(lit(1)).as("n"))
-      .orderBy("source", "bucket")
-
-  /** Token counting: whitespace tokens + BPE-ish regex tokens per source. */
-  private def q31(s: SparkSession, dir: String): DataFrame =
-    words(s, dir)
-      .withColumn("ws_tokens", size(col("w")).cast("long"))
-      .withColumn("bpe_tokens",
-        expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").cast("long"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("ws_tokens").as("sum_ws"),
-        sum("bpe_tokens").as("sum_bpe"),
-        round(avg(col("bpe_tokens").cast("double")), 4).as("avg_bpe"))
-      .orderBy("source")
-
-  /** Document fingerprints: sorted-bag md5 + winnowed char-8-gram min-hash. */
-  private def q32(s: SparkSession, dir: String): DataFrame =
-    words(s, dir)
-      .withColumn("fp", md5(concat_ws(" ", array_sort(array_distinct(col("w"))))))
-      .withColumn("winnow", expr(
-        "array_min(transform(sequence(1, greatest(length(text) - 7, 1), 4), i -> md5(substring(text, i, 8))))"))
-      .select(col("doc_id"), col("fp"), col("winnow"))
-      .orderBy("doc_id")
-
-  /** Duplicate-cluster assignment: connected components over the verified
-    * near-dup pairs (jac >= 0.8), each doc labeled with the min doc_id of
-    * its component — the standard fuzzy-dedup finisher. Iterative min-label
-    * propagation PLUS pointer doubling (each round also follows the label's
-    * own label), so convergence is O(log diameter) rounds instead of
-    * O(diameter) — on a 100 TB corpus with chain-shaped duplicate clusters
-    * that is the difference between ~6 and hundreds of shuffle rounds. Each
-    * round shuffles only the edge list and the label table, never
-    * materializing components on the driver. */
-  private def q70(s: SparkSession, dir: String): DataFrame =
-    components(s, dir)
-
-  /** Session-shared component-label table: q70, q102 and q224 all consume
-    * the SAME doc_id→component mapping, and the label loop is the most
-    * expensive text-tier build after jaccard itself — one materialization
-    * per (session, sfDir) is exactly the production "run dedup clustering
-    * once, join its labels everywhere" step. Prewarmed in Bench with the
-    * other shared projections. */
-  private def components(s: SparkSession, dir: String): DataFrame =
-    shared(s, dir, "components") {
-      withLoopParallelism(s)(q70Loop(s, dedupEdges(s, dir)))
-    }
-
-  /** Symmetrized near-dup edge list (jac ≥ 0.8), EAGERLY checkpointed
-    * BEFORE any partition narrowing. Two reasons, both from audits:
-    *  - checkpoint (vs persist): the logical plan would otherwise embed the
-    *    whole jaccard chain into EVERY loop round — with pointer doubling
-    *    each round references the previous one TWICE, so an un-truncated
-    *    loop plan grows exponentially (round 2: 185 exchanges; a doubling
-    *    variant hit 6693). One checkpoint keeps every round's plan O(1) and
-    *    bounds executor-loss recovery to the last round.
-    *  - eager (vs lazy, round-3 ADVICE): a lazy checkpoint would first
-    *    materialize inside the narrowed-partitions loop — and with it the
-    *    SHARED shingle/minhash/jaccard caches, which every later query in
-    *    the session would then re-read at 8-partition parallelism. Forcing
-    *    materialization here runs the corpus-scale work at the session's
-    *    full partition count; only the tiny label loop runs narrowed. */
-  private def dedupEdges(s: SparkSession, dir: String): DataFrame = {
-    val edges0 = jaccard(s, dir).filter(col("jac") >= 0.8)
-      .select(col("a").as("u"), col("b_id").as("v"))
-    edges0.union(edges0.select(col("v").as("u"), col("u").as("v")))
-      .distinct().localCheckpoint(true)
-  }
-
-  /** The label/edge tables are near-dup pairs — orders of magnitude smaller
-    * than the corpus — and the loop runs several shuffle rounds, so
-    * per-round task-scheduling overhead dominates at the default partition
-    * count; scope it down for the loop only (a production run sizes it to
-    * the edge count; AQE coalesces but can't merge per-round job overhead).
-    * NOT safe under concurrent queries on the same session — the conf is
-    * session-global; the driver contract runs queries sequentially. */
-  private def withLoopParallelism[T](s: SparkSession)(body: => T): T = {
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try body
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-  }
-
-  private def q70Loop(s: SparkSession, edges: DataFrame): DataFrame = {
-    val nodes = edges.select(col("u").as("node")).distinct()
-    var labels = nodes.withColumn("label", col("node")).localCheckpoint(false)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 20) {
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("node", "v_node"), col("v") === col("v_node"))
-        .select(col("u").as("node"), col("label"))
-      val propagated = labels.select(col("node"), col("label")).union(viaNeighbors)
-        .groupBy("node").agg(min("label").as("label"))
-      // pointer doubling: label ← min(label, label(label)); labels are
-      // always node ids, so the self-join resolves one extra hop per round.
-      // Only from round 3 on — graphs with diameter ≤ 2 (the common
-      // near-dup case) converge before doubling's extra self-join pays.
-      val stepped = if (iter < 2) propagated
-        else propagated.as("a")
-          .join(propagated.select(col("node").as("l_node"), col("label").as("l_label")).as("b"),
-            col("a.label") === col("l_node"), "left")
-          .select(col("a.node").as("node"),
-            least(col("a.label"), coalesce(col("l_label"), col("a.label"))).as("label"))
-      val next = stepped.localCheckpoint(false)
-      val changed = next.as("n").join(labels.as("o"), Seq("node"))
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
-      converged = changed == 0
-      iter += 1
-    }
-    labels.select(col("node").as("doc_id"), col("label").as("component"))
-      .orderBy("doc_id")
-  }
-
-  /** Incremental near-dup dedup: dedup an INCOMING batch (doc_id % 3 = 0)
-    * against an EXISTING corpus plus itself — the production crawl-ingest
-    * shape, where the existing side's shingle/signature tables are already
-    * materialized (here: the shared cache) and are NEVER re-deduped. An
-    * incoming doc is dropped if it near-matches (jac ≥ 0.9) any existing
-    * doc, or a lower-id incoming doc. Shuffles on band keys only; at
-    * 100 TB the existing-side signatures are a stored table and each
-    * ingest batch pays only its own banding + candidate joins. */
-  private def q89(s: SparkSession, dir: String): DataFrame = {
-    val hi = jaccard(s, dir).filter(col("jac") >= 0.9).select(col("a"), col("b_id"))
-    val losers = hi.filter(col("a") % 3 === 0 && col("b_id") % 3 =!= 0)
-      .select(col("a").as("doc_id"))
-      .union(hi.filter(col("b_id") % 3 === 0 && col("a") % 3 =!= 0)
-        .select(col("b_id").as("doc_id")))
-      .union(hi.filter(col("a") % 3 === 0 && col("b_id") % 3 === 0)
-        .select(col("b_id").as("doc_id")))
-      .distinct()
-      .withColumn("lost", lit(1))
-    t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id"), col("source"))
-      .join(losers, Seq("doc_id"), "left")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_incoming"),
-        sum(when(col("lost").isNull, 1L).otherwise(0L)).as("n_kept"))
-      .orderBy("source")
-  }
-
-  /** Stored-signature incremental dedup — q89's semantics with the
-    * existing corpus's MinHash signatures MATERIALIZED to parquet and read
-    * back, which is how a production crawl-ingest actually holds state:
-    * the 100 TB side contributes only its (tiny) signature table; document
-    * content is fetched ONLY for band-collision candidates (the exact-
-    * Jaccard verification join). The incoming batch (doc_id % 3 = 0)
-    * computes fresh signatures; candidates are incoming×stored band
-    * collisions; same oracle as q89 (identical math, different state
-    * management). */
-  private def q100(s: SparkSession, dir: String): DataFrame = {
-    val store = graft.Scratch.fresh("sigstore_")
-    minhashes(s, dir).write.mode("overwrite").parquet(store)
-    val stored = s.read.parquet(store)
-    def bandsOf(m: DataFrame): DataFrame = {
-      val b1 = m.select(col("doc_id"), lit(1L).as("k"),
-        md5(concat(col("h0"), col("h1"), col("h2"), col("h3"))).as("b"))
-      val b2 = m.select(col("doc_id"), lit(2L).as("k"),
-        md5(concat(col("h4"), col("h5"), col("h6"), col("h7"))).as("b"))
-      b1.union(b2)
-    }
-    val bd = bandsOf(stored)
-    val cand = bd.as("x").join(bd.as("y"),
-        col("x.b") === col("y.b") && col("x.k") === col("y.k") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b_id"))
-      // only pairs touching the incoming batch need verification
-      .filter(col("a") % 3 === 0 || col("b_id") % 3 === 0)
-      .distinct()
-    // content fetched ONLY for candidates: exact 3-gram Jaccard verify
-    val sh = shingles(s, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val hi = cand
-      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
-      .join(sh.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy("a", "b_id").agg(count(lit(1)).as("inter"))
-      .join(sizes.as("za"), col("a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("b_id") === col("zb.doc_id"))
-      .filter(col("inter").cast("double") /
-        (col("za.n") + col("zb.n") - col("inter")).cast("double") >= 0.9)
-      .select(col("a"), col("b_id"))
-    val losers = hi.filter(col("a") % 3 === 0 && col("b_id") % 3 =!= 0)
-      .select(col("a").as("doc_id"))
-      .union(hi.filter(col("b_id") % 3 === 0 && col("a") % 3 =!= 0)
-        .select(col("b_id").as("doc_id")))
-      .union(hi.filter(col("a") % 3 === 0 && col("b_id") % 3 === 0)
-        .select(col("b_id").as("doc_id")))
-      .distinct()
-      .withColumn("lost", lit(1))
-    t(s, dir, "documents").filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id"), col("source"))
-      .join(losers, Seq("doc_id"), "left")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_incoming"),
-        sum(when(col("lost").isNull, 1L).otherwise(0L)).as("n_kept"))
-      .orderBy("source")
-  }
-
-  /** End-to-end LLM training-data pipeline (the text-side flagship),
-    * fully oracle-checked: quality score → filter ≥ 0.4 → exact dedup
-    * (keep min doc_id per content hash) → near-dup dedup (LSH candidates,
-    * jac ≥ 0.9, drop higher id) → hash-cut train/val/test split → per-split
-    * doc/token/quality stats. Every stage is the scale-safe form: per-row
-    * scoring, hash-groupBy dedup, banded candidates, rank-free split. */
-  private def q88(s: SparkSession, dir: String): DataFrame = {
-    val scored = words(s, dir)
-      .withColumn("nw", size(col("w")).cast("long"))
-      .withColumn("n_stop", expr("size(filter(w, t -> t IN ('the','a','of','and','to','is','in')))").cast("long"))
-      .withColumn("n_punct", expr("size(regexp_extract_all(text, '[^a-z0-9 ]', 0))").cast("long"))
-      .withColumn("sum_wl", expr("aggregate(w, 0L, (acc, t) -> acc + length(t))"))
-      .withColumn("score", expr(
-        """0.4 * least(cast(nw as double) / 100.0, 1.0)
-          |+ 0.3 * (1.0 - cast(n_stop as double) / cast(nw as double))
-          |+ 0.2 * (1.0 - least(cast(n_punct as double) / cast(n_chars as double), 1.0))
-          |+ 0.1 * least(cast(sum_wl as double) / cast(nw as double) / 10.0, 1.0)""".stripMargin))
-      .filter(col("score") >= 0.4)
-      .withColumn("fp", md5(col("text")))
-    val keepers = scored.groupBy("fp").agg(min("doc_id").as("doc_id"))
-    val exactDeduped = scored.join(keepers, Seq("fp", "doc_id"))
-    val losers = jaccard(s, dir).filter(col("jac") >= 0.9)
-      .select(col("b_id").as("doc_id")).distinct()
-    val clean = exactDeduped.join(losers, Seq("doc_id"), "left_anti")
-      .withColumn("b", ((col("doc_id") * lit(2654435761L) + lit(7L)) % lit(4294967296L)) % lit(1000L))
-      .withColumn("split",
-        when(col("b") < 900, "train").when(col("b") < 950, "val").otherwise("test"))
-    clean.groupBy("split")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("nw").as("sum_tokens"),
-        round(avg("score"), 4).as("avg_score"))
-      .orderBy("split")
-  }
-
-  /** Dedup-cluster size distribution — the curation diagnostic on top of
-    * q70's connected components: how big do near-dup clusters get, and how
-    * much of the corpus is singleton? A power-law tail here is what tells
-    * an operator their crawl has template/boilerplate explosions. One
-    * groupBy over the (tiny) component table plus a scalar count of the
-    * corpus; size-1 row derived as total − in-component (components are
-    * edge-derived, so every real cluster has size ≥ 2 — no collision). */
-  private def q102(s: SparkSession, dir: String): DataFrame = {
-    val comp = components(s, dir)
-    val hist = comp.groupBy("component").agg(count(lit(1)).as("sz"))
-      .groupBy("sz").agg(count(lit(1)).as("n_clusters"))
-    val singles = t(s, dir, "documents").agg(count(lit(1)).as("n_all"))
-      .crossJoin(comp.agg(count(lit(1)).as("n_in")))
-      .select(lit(1L).as("sz"), (col("n_all") - col("n_in")).as("n_clusters"))
-    hist.unionByName(singles).orderBy("sz")
-  }
-
-  /** Benchmark decontamination: drop training docs sharing any 5-gram with
-    * a held-out eval set (the doc_id % 17 == 0 docs stand in for a
-    * benchmark corpus). The classic n-gram-overlap decontamination pass
-    * every large pretraining pipeline runs (13-grams at production n; 5
-    * here so the synthetic corpus has a non-trivial hit rate). Scale shape:
-    * the eval side's distinct n-grams are TINY relative to the corpus —
-    * broadcast them and left-semi join, so the 100 TB training side is
-    * never shuffled; contaminated-doc ids collapse via groupBy. */
-  private def q90(s: SparkSession, dir: String): DataFrame = {
-    val g5 = words(s, dir).filter(size(col("w")) >= 5)
-      .select(col("doc_id"), col("source"), explode(expr(
-        "transform(sequence(0, size(w)-5), i -> concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]))")).as("g"))
-    val evalGrams = g5.filter(col("doc_id") % 17 === 0).select("g").distinct()
-    val train = g5.filter(col("doc_id") % 17 =!= 0)
-    val contaminated = train.join(broadcast(evalGrams), Seq("g"), "left_semi")
-      .select("doc_id").distinct().withColumn("hit", lit(1))
-    words(s, dir).filter(size(col("w")) >= 5 && col("doc_id") % 17 =!= 0)
-      .select("doc_id", "source")
-      .join(contaminated, Seq("doc_id"), "left")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_train"),
-        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
-      .orderBy("source")
-  }
-
-  /** Gopher-style repetition signals: duplicate-word fraction and
-    * top-2-gram mass per source. All ratios are derived from integer sums
-    * (exact across engines) with ONE final IEEE division + round, so the
-    * hash compare is stable. Per-row feature extraction → one groupBy:
-    * zero extra shuffles at 100 TB. */
-  private def q91(s: SparkSession, dir: String): DataFrame = {
-    val perDoc = words(s, dir)
-      .select(col("doc_id"), col("source"), explode(expr(
-        "transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")).as("g"))
-      .groupBy("doc_id", "source", "g").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id", "source")
-      .agg(max("c").as("top2"), sum("c").as("n_pairs"))
-    val wordStats = words(s, dir)
-      .select(col("doc_id"), size(col("w")).cast("long").as("nw"),
-        size(array_distinct(col("w"))).cast("long").as("nd"))
-    perDoc.join(wordStats, Seq("doc_id"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("nw").as("tot_words"),
-        sum("nd").as("tot_distinct"),
-        round(lit(1.0) - sum("nd").cast("double") / sum("nw").cast("double"), 4).as("dup_word_frac"),
-        round(sum("top2").cast("double") / sum("n_pairs").cast("double"), 4).as("top2_frac"))
-      .orderBy("source")
-  }
-
-  /** PII scan + redaction audit. The synthetic corpus has no PII, so a
-    * deterministic injection (emails on doc_id % 7, phones on doc_id % 11 —
-    * built identically in the oracle) makes the scan non-vacuous; the regex
-    * machinery (extract_all counts + global replace length delta) is what's
-    * under test. Per-row regex → single groupBy: no shuffle of text. */
-  private def q92(s: SparkSession, dir: String): DataFrame = {
-    // the n_emails/n_phones > 0 predicates optimize to RLIKE early-exit
-    // probes (RegexCountToRLike) once projection collapse inlines them
-    graft.functions.expressions.RegexCountToRLike.register(s)
-    // [.] instead of \. — the pattern goes through BOTH expr() (SQL string
-    // literal, which eats backslash escapes) and the Column API (which
-    // doesn't); a bracket class parses identically everywhere.
-    val emailPat = "[a-z0-9._]+@[a-z0-9.-]+[.][a-z][a-z]+"
-    val phonePat = "5[0-9][0-9]-[0-9][0-9][0-9][0-9]"
-    val aug = t(s, dir, "documents")
-      .withColumn("aug", concat(col("text"),
-        when(col("doc_id") % 7 === 0,
-          concat(lit(" contact user"), col("doc_id"), lit("@example.com now"))).otherwise(lit("")),
-        when(col("doc_id") % 11 === 0,
-          concat(lit(" call 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit(""))))
-      .withColumn("n_emails", expr(s"size(regexp_extract_all(aug, '$emailPat', 0))").cast("long"))
-      .withColumn("n_phones", expr(s"size(regexp_extract_all(aug, '$phonePat', 0))").cast("long"))
-      .withColumn("red", regexp_replace(regexp_replace(col("aug"), emailPat, "<EMAIL>"), phonePat, "<PHONE>"))
-    aug.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("n_emails") > 0, 1L).otherwise(0L)).as("n_email_docs"),
-        sum(when(col("n_phones") > 0, 1L).otherwise(0L)).as("n_phone_docs"),
-        sum("n_emails").as("tot_emails"),
-        sum("n_phones").as("tot_phones"),
-        sum(length(col("aug")) - length(col("red"))).cast("long").as("redacted_delta"))
-      .orderBy("source")
-  }
-
-  /** Temperature-scaled domain mixing (α = 0.5): per-source sampling
-    * weights w_s = |s|^α / Σ|t|^α over total chars, and the doc budget each
-    * source gets at B = 1000. The standard multi-source pretraining mix
-    * (upweights small domains, tempers big ones). α = 0.5 so the power is
-    * a single IEEE sqrt — bit-identical across engines, unlike libm pow.
-    * One tiny aggregate (|sources| rows) → driver-size; the 100 TB side
-    * only ever computes per-source sums. */
-  private def q93(s: SparkSession, dir: String): DataFrame = {
-    val bySrc = t(s, dir, "documents").groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("tot_chars"))
-    val wTot = bySrc.agg(sum(sqrt(col("tot_chars").cast("double"))).as("z"))
-    bySrc.crossJoin(broadcast(wTot))
-      .withColumn("weight", round(sqrt(col("tot_chars").cast("double")) / col("z"), 6))
-      .withColumn("n_target",
-        round(sqrt(col("tot_chars").cast("double")) / col("z") * lit(1000.0), 0).cast("long"))
-      .select("source", "n_docs", "tot_chars", "weight", "n_target")
-      .orderBy("source")
-  }
-
-  /** Sequence packing (concat-then-chunk): within each source, docs in
-    * doc_id order are concatenated and cut into 512-token bins — the
-    * GPT-style pretraining packing pass. Emits per-source bin counts, the
-    * straddler count (docs crossing a bin boundary), and last-bin fill.
-    * All-integer arithmetic → exact hash parity. The running sum windows
-    * by SOURCE (each partition is one domain's stream), not globally —
-    * the global-cumsum single-partition trap; at 100 TB you'd sub-shard
-    * each source by a hash and pack per (source, shard). */
-  private def q94(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    words(s, dir)
-      .select(col("doc_id"), col("source"), size(col("w")).cast("long").as("tok"))
-      .withColumn("cum", sum("tok").over(w))
-      // `div`, not `/`: Spark's `/` on longs is DOUBLE division — exact
-      // only below 2^53, and this column is a token cumsum at corpus scale
-      .withColumn("start_bin", expr("(cum - tok) div 512L"))
-      .withColumn("end_bin", expr("(cum - 1L) div 512L"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("tok").as("tot_tokens"),
-        (max("end_bin") + 1L).as("n_bins"),
-        sum(when(col("end_bin") > col("start_bin"), 1L).otherwise(0L)).as("n_straddlers"),
-        (max("cum") - max("end_bin") * 512L).as("last_bin_fill"))
-      .orderBy("source")
-  }
-
-  /** Cross-source contamination matrix: 3-gram Jaccard between every
-    * source pair (corpus-level analytics for "how much does domain A leak
-    * into domain B"). Reuses the shared shingle table aggregated to
-    * (source, gram) — the self-join is |sources|², not |docs|², and the
-    * gram-level join shuffles on the gram key only. */
-  /** (source, gram) distinct projection (shared/persisted — q97/q99's
-    * corpus-statistics base table). */
-  private def srcGrams(s: SparkSession, dir: String): DataFrame =
-    shared(s, dir, "src_grams") {
-      shingles(s, dir)
-        .join(t(s, dir, "documents").select("doc_id", "source"), Seq("doc_id"))
-        .select("source", "sh").distinct()
-    }
-
-  private def q97(s: SparkSession, dir: String): DataFrame = {
-    val srcGrams = this.srcGrams(s, dir)
-    val sizes = srcGrams.groupBy("source").agg(count(lit(1)).as("n"))
-    val inter = srcGrams.as("x").join(srcGrams.as("y"),
-        col("x.sh") === col("y.sh") && col("x.source") < col("y.source"))
-      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.as("za"), col("src_a") === col("za.source"))
-      .join(sizes.as("zb"), col("src_b") === col("zb.source"))
-      .select(col("src_a"), col("src_b"), col("inter"),
-        round(col("inter").cast("double") /
-          (col("za.n") + col("zb.n") - col("inter")).cast("double"), 6).as("jac"))
-      .orderBy("src_a", "src_b")
-  }
-
-  /** Distinctive terms per source — TF-IDF-shaped "what characterizes this
-    * domain" analytics, but scored with the log-free lift ratio
-    * (tf_src/|src|) / (tf_corpus/|corpus|): a single division of exact
-    * integer products, so the score (and therefore the top-5 ranking) is
-    * bit-identical across engines — libm log is NOT correctly rounded and
-    * would make ranks flappy at ties. Two hash aggs + a broadcast of the
-    * per-source/corpus totals; the word-level shuffle is the only big
-    * exchange, exactly as a 100 TB vocabulary statistics job wants. */
-  private def q99(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tok = words(s, dir).select(col("source"), explode(col("w")).as("word"))
-    val sw = tok.groupBy("source", "word").agg(count(lit(1)).as("c_sw"))
-    val srcTot = sw.groupBy("source").agg(sum("c_sw").as("tot_s"))
-    val wTot = sw.groupBy("word").agg(sum("c_sw").as("c_w"))
-    val allTot = srcTot.agg(sum("tot_s").as("tot_all"))
-    val scored = sw
-      .join(broadcast(srcTot), Seq("source"))
-      .join(wTot, Seq("word"))
-      .crossJoin(broadcast(allTot))
-      .withColumn("lift", round(
-        (col("c_sw") * col("tot_all")).cast("double") /
-          (col("tot_s") * col("c_w")).cast("double"), 6))
-    val w = Window.partitionBy("source").orderBy(col("lift").desc, col("word"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= 5)
-      .select("source", "rk", "word", "c_sw", "lift")
-      .orderBy("source", "rk")
-  }
-
-  /** Hashed-feature linear scorer: unigram+bigram grams → 2^16 buckets via
-    * the first 4 md5 bytes, bucket → fixed weight in [−1.000, 1.000] via a
-    * Knuth-multiplicative mix — the fastText/"quality classifier" shape
-    * every production corpus filter runs, with the model folded into the
-    * hash so there is nothing to broadcast. All arithmetic up to the final
-    * division is exact integers (weights are integer millis summed as
-    * BIGINT), so the score and the pass/fail cut are bit-identical across
-    * engines and task retries. Compiled UDF for the md5-per-gram loop (the
-    * q27-simhash lesson: interpreted HOF lambdas dominate at sf0.1). */
-  private val hashedScoreRaw = udf { (w: Seq[String]) =>
-    val md = java.security.MessageDigest.getInstance("MD5")
-    def weight(g: String): Long = {
-      val d = md.digest(g.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      md.reset()
-      val h4 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      ((h4 % 65536L) * 2654435761L) % 2001L - 1000L
-    }
-    var s = 0L
-    var i = 0
-    while (i < w.length) {
-      s += weight(w(i))
-      if (i + 1 < w.length) s += weight(w(i) + " " + w(i + 1))
-      i += 1
-    }
-    s
-  }
-
-  /** Per-source classifier report: docs scored by the hashed linear model,
-    * pass = raw score > 0 (exact integer test). Per-row map + one tiny
-    * aggregation — the zero-shuffle shape a 100 TB quality-filter pass
-    * needs; mean score is a single division of exact integer sums. */
-  private def q108(s: SparkSession, dir: String): DataFrame = {
-    words(s, dir)
-      .withColumn("raw", hashedScoreRaw(col("w")))
-      .withColumn("n_grams", (size(col("w")) * 2 - 1).cast("long"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("raw") > 0, 1L).otherwise(0L)).as("n_pass"),
-        sum("raw").as("sum_raw"),
-        round(sum(col("raw")).cast("double") /
-          (sum(col("n_grams")) * 1000L).cast("double"), 6).as("mean_score"))
-      .orderBy("source")
-  }
-
-  /** URL canonicalization + dedup (the Common-Crawl-style pre-fetch dedup
-    * step). The corpus has no URL column, so URLs are synthesized
-    * deterministically (q92's injection pattern) with the classic
-    * near-duplicate forms — mixed-case host, explicit default port,
-    * tracking params, trailing slash, fragment — and canonicalized by
-    * lowercased host, port strip, utm strip, fragment strip, trailing-
-    * slash strip. 500 canonical targets under ~5 variant spellings each;
-    * the rollup proves the collapse ratio and that every canonical form
-    * is scheme://lower-host/path. Per-row regex work, one count
-    * aggregation — text never shuffles. */
-  private def q214(s: SparkSession, dir: String): DataFrame = {
-    val urls = t(s, dir, "documents")
-      .withColumn("url", concat(
-        lit("https://"),
-        when(col("doc_id") % 3 === 0, lit("WWW.Example.COM")).otherwise(lit("www.example.com")),
-        when(col("doc_id") % 5 === 0, lit(":443")).otherwise(lit("")),
-        lit("/docs/"), (col("doc_id") % 500).cast("string"),
-        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")),
-        when(col("doc_id") % 4 === 0, lit("?utm_source=feed&utm_campaign=x")).otherwise(lit("")),
-        when(col("doc_id") % 7 === 0, lit("#sec2")).otherwise(lit(""))))
-      .withColumn("host", lower(regexp_extract(col("url"), "https://([^/:?#]+)", 1)))
-      .withColumn("path", regexp_replace(
-        regexp_extract(col("url"), "https://[^/?#]+([^?#]*)", 1), "/$", ""))
-      .withColumn("canon", concat(lit("https://"), col("host"), col("path")))
-    val perCanon = urls.groupBy("canon")
-      .agg(count(lit(1)).as("n_raw"), countDistinct("url").as("n_forms"),
-        // portable canonical-set signature: the doc number survives in the
-        // path, the q13 multiplicative hash replays in DuckDB exactly
-        expr("((CAST(regexp_extract(canon, '/docs/([0-9]+)$', 1) AS BIGINT)" +
-          " * 2654435761 + 13) % 4294967296)").as("h"))
-    perCanon.agg(
-      sum("n_raw").cast("long").as("n_urls"),
-      count(lit(1)).as("n_canonical"),
-      max("n_forms").cast("long").as("max_forms"),
-      sum(when(col("n_forms") > 1, 1L).otherwise(0L)).as("n_collapsed"),
-      sum("h").cast("long").as("canon_sig"))
-  }
-
-  // ---------------------------------------------------------------------
-  // q218 — Gopher-style document quality rules
-  // ---------------------------------------------------------------------
-
-  /** Per-document quality gates with all thresholds evaluated in EXACT
-    * integer arithmetic (no double ever reaches a comparison), the
-    * Gopher/RedPajama rule-set shape (cf. "Scaling Language Models:
-    * Methods, Analysis & Insights from Training Gopher", appendix A1.1):
-    *
-    *   r1  word count in [50, 100000]
-    *   r2  mean word length in [3, 10]        (3·nw ≤ Σ|w| ≤ 10·nw)
-    *   r3  ≥ 2 distinct required stopwords present
-    *   r4  distinct-word ratio ≥ 0.5          (2·n_distinct ≥ nw)
-    *   r5  stopword fraction in [0.02, 0.30]  (50·n_stop ≥ nw ∧ 10·n_stop ≤ 3·nw)
-    *
-    * Every rule is a per-row map over the words array (higher-order
-    * functions, zero shuffle); the only exchange is the final per-source
-    * rollup — the exact shape a 100 TB quality-filter pass needs. */
-  private def gated(s: SparkSession, dir: String): DataFrame =
-    gopherGates(words(s, dir))
-
-  /** Gate core over any frame carrying a `w` words-array column —
-    * separated from the table read so the boundary algebra is unit-
-    * testable on synthetic word lists (GopherGateSpec). */
-  private[graft] def gopherGates(in: DataFrame): DataFrame = {
-    val stop = "array('the','a','of','and','to')"
-    in
-      .withColumn("nw", size(col("w")).cast("long"))
-      .withColumn("sum_wl", expr(
-        "aggregate(w, cast(0 as bigint), (a, x) -> a + length(x))"))
-      .withColumn("n_stop", expr(
-        s"cast(size(filter(w, x -> array_contains($stop, x))) as bigint)"))
-      .withColumn("n_stop_d", expr(
-        s"cast(size(array_intersect(array_distinct(w), $stop)) as bigint)"))
-      .withColumn("n_dist", size(array_distinct(col("w"))).cast("long"))
-      .withColumn("r1", col("nw") >= 50 && col("nw") <= 100000L)
-      .withColumn("r2", col("sum_wl") >= col("nw") * 3 && col("sum_wl") <= col("nw") * 10)
-      .withColumn("r3", col("n_stop_d") >= 2)
-      .withColumn("r4", col("n_dist") * 2 >= col("nw"))
-      .withColumn("r5", col("n_stop") * 50 >= col("nw") && col("n_stop") * 10 <= col("nw") * 3)
-  }
-
-  /** Per-source rule report: independent pass counts per rule, all-pass
-    * count, and a half-up integer-micro retention share (q149 rounding
-    * rule — no float rounding in the gate path). */
-  private def q218(s: SparkSession, dir: String): DataFrame = {
-    def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L)).as(s"n_$c")
-    gated(s, dir)
-      .withColumn("all_pass",
-        col("r1") && col("r2") && col("r3") && col("r4") && col("r5"))
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        cnt("r1"), cnt("r2"), cnt("r3"), cnt("r4"), cnt("r5"),
-        sum(when(col("all_pass"), 1L).otherwise(0L)).as("n_pass"))
-      .withColumn("retention",
-        expr("(2 * n_pass * 1000000 + n_docs) div (2 * n_docs)").cast("double") / 1000000.0)
-      .orderBy("source")
-  }
-
-  // ---------------------------------------------------------------------
-  // q221 — curation attrition funnel (gates → exact dedup)
-  // ---------------------------------------------------------------------
-
-  /** The per-stage attrition table every production curation pipeline
-    * publishes: documents surviving each gate applied IN SEQUENCE
-    * (r1 → r1∧r2 → … → all five), then corpus-wide exact dedup over the
-    * survivors (keep the min doc_id per md5(text) — dedup runs AFTER the
-    * cheap per-row gates, so the only shuffle on the expensive stage sees
-    * already-filtered rows; at 100 TB that ordering is the difference
-    * between hashing the corpus and hashing the survivors). */
-  private def q221(s: SparkSession, dir: String): DataFrame = {
-    val g = gated(s, dir)
-      .withColumn("s1", col("r1"))
-      .withColumn("s2", col("s1") && col("r2"))
-      .withColumn("s3", col("s2") && col("r3"))
-      .withColumn("s4", col("s3") && col("r4"))
-      .withColumn("s5", col("s4") && col("r5"))
-    val keepW = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
-    val d = g.filter(col("s5"))
-      .withColumn("keeper", col("doc_id") === min("doc_id").over(keepW))
-      .select(col("doc_id"), col("keeper"))
-    def cnt(c: String) = sum(when(col(c), 1L).otherwise(0L)).as(s"n_$c")
-    g.join(d, Seq("doc_id"), "left")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        cnt("s1"), cnt("s2"), cnt("s3"), cnt("s4"), cnt("s5"),
-        sum(when(col("keeper") === true, 1L).otherwise(0L)).as("n_kept"))
-      .withColumn("retention",
-        expr("(2 * n_kept * 1000000 + n_docs) div (2 * n_docs)").cast("double") / 1000000.0)
-      .orderBy("source")
-  }
-
-  // ---------------------------------------------------------------------
-  // q222 — quality-classifier threshold sweep (operating-point table)
-  // ---------------------------------------------------------------------
-
-  /** The tuning table behind every "score > τ" curation gate: confusion
-    * counts and precision/recall at a fixed grid of thresholds, with the
-    * curated proxy source (`src0`) as pseudo-positive label and q108's
-    * hashed linear model as the classifier. Scores and confusion counts
-    * are exact integers; precision/recall are half-up integer micro
-    * quotients (q149 rule), so the whole table is float-free.
-    *
-    * Scale shape: one per-row scoring pass (zero shuffle), a broadcast of
-    * the 9-row threshold grid, and one rollup keyed by threshold — the
-    * corpus is scanned once regardless of grid size. */
-  private def q222(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val grid = Seq(-30000L, -10000L, -3000L, -1000L, 0L, 1000L, 3000L, 10000L, 30000L)
-    val scored = words(s, dir)
-      .withColumn("raw", hashedScoreRaw(col("w")))
-      .withColumn("pos", col("source") === "src0")
-      .select("raw", "pos")
-    scored.crossJoin(broadcast(grid.toDF("thr")))
-      .groupBy("thr")
-      .agg(
-        sum(when(col("pos") && col("raw") > col("thr"), 1L).otherwise(0L)).as("tp"),
-        sum(when(!col("pos") && col("raw") > col("thr"), 1L).otherwise(0L)).as("fp"),
-        sum(when(col("pos") && col("raw") <= col("thr"), 1L).otherwise(0L)).as("fn"),
-        sum(when(!col("pos") && col("raw") <= col("thr"), 1L).otherwise(0L)).as("tn"))
-      .withColumn("prec", expr(
-        "case when tp + fp = 0 then cast(null as double) " +
-          "else cast((2 * tp * 1000000 + (tp + fp)) div (2 * (tp + fp)) as double) / 1000000.0 end"))
-      .withColumn("recall", expr(
-        "cast((2 * tp * 1000000 + (tp + fn)) div (2 * (tp + fn)) as double) / 1000000.0"))
-      .orderBy("thr")
-  }
-
-  // ---------------------------------------------------------------------
-  // q224 — quality-aware near-dup survivor selection
-  // ---------------------------------------------------------------------
-
-  /** Production near-dup dedup does NOT keep the minimum doc_id — it keeps
-    * the best-quality member of each duplicate cluster (the SlimPajama /
-    * RefinedWeb convention). This query selects each q70 connected
-    * component's representative by the EXACT-INTEGER q108 classifier score
-    * (argmax raw, min doc_id tiebreak — no float ever enters the
-    * comparator, so the survivor set is bit-stable across engines and
-    * retries) and reports the per-source keep/drop ledger.
-    *
-    * Scale shape: the component labels come from the shared checkpointed
-    * q70 loop (plan O(1) per round); the argmax window partitions by
-    * component over CLUSTERED docs only (singletons never enter the
-    * window); survivor flags attach back via equi-join on doc_id. */
-  private def q224(s: SparkSession, dir: String): DataFrame = {
-    val comp = components(s, dir)
-    val scored = words(s, dir)
-      .withColumn("raw", hashedScoreRaw(col("w")))
-      .select(col("doc_id"), col("source"), col("raw"))
-    val wnd = org.apache.spark.sql.expressions.Window.partitionBy("component")
-    val reps = scored.join(comp, Seq("doc_id"))
-      .withColumn("key", struct(col("raw"), (col("doc_id") * -1).as("nid")))
-      .withColumn("is_rep", col("key") === max("key").over(wnd))
-      .select(col("doc_id"), col("is_rep"))
-    scored.join(reps, Seq("doc_id"), "left")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("is_rep").isNotNull, 1L).otherwise(0L)).as("n_clustered"),
-        sum(when(col("is_rep") === true, 1L).otherwise(0L)).as("n_reps"),
-        sum(when(col("is_rep") === false, 1L).otherwise(0L)).as("n_dropped"))
-      .withColumn("n_kept", col("n_docs") - col("n_dropped"))
-      .orderBy("source")
-  }
-
-  // ---------------------------------------------------------------------
-  // q229 — MinHash estimator error audit (est vs exact Jaccard)
-  // ---------------------------------------------------------------------
-
-  /** The "are 8 permutations enough" audit every MinHash deployment owes
-    * its dedup thresholds: for each LSH candidate pair, the signature
-    * ESTIMATE (matching components / 8) against the EXACT shingle Jaccard,
-    * profiled as cumulative |error| buckets at 1/16, 1/8, 1/4 plus a
-    * mean-|error| figure — the empirical counterpart of the
-    * Var[est] = J(1-J)/k bound that says how far the banding thresholds
-    * can be trusted (the q225 recall-audit pattern applied to the
-    * signature tier instead of the index tier).
-    *
-    * All error arithmetic is integer-exact cross-multiplication:
-    * est − jac = (m·U − 8·I) / (8·U) with m = matching components,
-    * I = |A∩B|, U = |A∪B| — no float reaches a bucket boundary, and the
-    * mean is one division of exact integer sums (per-pair half-up ppm).
-    *
-    * Scale shape: the verified-pair table (shared `jaccard` cache —
-    * candidates only, never all-pairs) joins the 8-column signature table
-    * twice on a dense doc key and the shingle-count table twice; the
-    * audit output is one row. Nothing is quadratic; every join input is
-    * narrow. */
-  private def q229(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val m = minhashes(s, dir)
-    val m8 = (0 until 8)
-      .map(j => when(col(s"ma.h$j") === col(s"mb.h$j"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    val pairs = jaccard(s, dir).select("a", "b_id", "inter")
-      .join(sizes.as("za"), col("a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("b_id") === col("zb.doc_id"))
-      .select(col("a"), col("b_id"), col("inter"),
-        (col("za.n") + col("zb.n") - col("inter")).as("u"))
-      .join(m.as("ma"), col("a") === col("ma.doc_id"))
-      .join(m.as("mb"), col("b_id") === col("mb.doc_id"))
-      .withColumn("m8", m8)
-      .withColumn("anum", abs(col("m8") * col("u") - lit(8L) * col("inter")))
-      .withColumn("den", lit(8L) * col("u"))
-      .withColumn("ppm", expr(
-        "CAST(((anum * 1000000) + (den DIV 2)) DIV den AS BIGINT)"))
-    pairs.agg(
-      count(lit(1)).as("n_pairs"),
-      sum(when(col("anum") * 16 < col("den"), 1L).otherwise(0L)).as("n_lt_16th"),
-      sum(when(col("anum") * 8 < col("den"), 1L).otherwise(0L)).as("n_lt_8th"),
-      sum(when(col("anum") * 4 < col("den"), 1L).otherwise(0L)).as("n_lt_4th"),
-      sum("ppm").cast("long").as("sum_abs_err_ppm"),
-      expr("CAST((sum(ppm) + (count(1) DIV 2)) DIV count(1) AS BIGINT)")
-        .as("mean_abs_err_ppm"))
-  }
-
-  // ---------------------------------------------------------------------
-  // q230 — Unicode NFC normalization pass (graft_nfc expression)
-  // ---------------------------------------------------------------------
-
-  /** Composed spelling of the probe phrase (U+00E9 twice) and its NFD
-    * decomposition (e + U+0301) — byte-for-byte the same pair in the
-    * Spark plan and the DuckDB oracle because BOTH strings interpolate
-    * from these vals. */
-  private val NfcComposed = "caf\u00e9 r\u00e9sum\u00e9"
-  private val NfcDecomposed = "cafe\u0301 re\u0301sume\u0301"
-
-  /** The normalization pass every curation stack runs BEFORE hashing:
-    * Unicode NFC (the custom codegen'd `graft_nfc` expression — Spark SQL
-    * has no normalizer), control-character strip, whitespace squeeze,
-    * trim. The corpus is pure ASCII, so the unicode surface is
-    * synthesized deterministically (the q92/q214 injection pattern):
-    * 250 snippet groups, each spelled composed by half its docs and
-    * NFD-decomposed by the other half, some groups carrying a control
-    * char + ragged spacing. The rollup proves the operational point —
-    * n_raw_distinct collapses ~2:1 to n_norm_distinct, i.e. without this
-    * pass every downstream content hash, shingle, and suffix rank would
-    * treat trivially-respelled duplicates as distinct documents.
-    *
-    * Scale shape: per-row map (ASCII fast path returns the input
-    * UTF8String untouched — no allocation on the dominant path), one
-    * per-source rollup; the distinct counts are hash aggregates over
-    * bounded-cardinality synthesized strings. */
-  private def q230(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.expressions.NfcNormalize.register(s)
-    val raw = t(s, dir, "documents").select(col("doc_id"), col("source"))
-      .withColumn("snippet", concat(
-        lit("snippet "), (col("doc_id") % 250).cast("string"), lit(" "),
-        when((col("doc_id") / 250).cast("long") % 2 === 0, lit(NfcComposed))
-          .otherwise(lit(NfcDecomposed)),
-        when(col("doc_id") % 250 % 5 === 0,
-          lit("  twin  spaces ")).otherwise(lit(""))))
-      .withColumn("norm", trim(regexp_replace(regexp_replace(
-        expr("graft_nfc(snippet)"), "[\\x00-\\x1f]", ""), " +", " ")))
-    raw.groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("norm") =!= col("snippet"), 1L).otherwise(0L)).as("n_changed"),
-        sum(length(col("snippet"))).cast("long").as("raw_chars"),
-        sum(length(col("norm"))).cast("long").as("norm_chars"),
-        countDistinct("snippet").as("n_raw_distinct"),
-        countDistinct("norm").as("n_norm_distinct"))
-      .orderBy("source")
-  }
-
-  // ---------------------------------------------------------------------
-  // q231 — subword tokenization (WordPiece-style greedy longest match)
-  // ---------------------------------------------------------------------
-
-  /** Fixed subword vocabulary (token, id) — multi-char merges first, then
-    * the single-character alphabet as the fallback tier (the WordPiece
-    * base-vocab convention). A val so the Spark UDF and the DuckDB
-    * oracle's VALUES list interpolate from the SAME table. */
-  private[graft] val WpVocab: Seq[(String, Int)] =
-    Seq("str", "eam", "wind", "ow", "bat", "ch", "ta", "ble", "jo", "in",
-      "agg", "sort", "key", "data", "row", "scan", "filt", "er", "merge",
-      "query").zipWithIndex ++
-      ('a' to 'z').map(_.toString).zipWithIndex.map { case (c, i) => (c, 20 + i) }
-
-  /** Greedy longest-prefix segmentation of one word against [[WpVocab]]:
-    * returns (n_tokens, n_unk, id_sum). A character with no vocab match
-    * is consumed as one UNK token (contributes to n_unk, not id_sum) —
-    * so tokenization always terminates and covers every byte. */
-  private[graft] def wpSegment(word: String): (Long, Long, Long) = {
-    val byLenDesc = WpVocab.sortBy { case (t, _) => (-t.length, t) }
-    var i = 0
-    var nTok = 0L
-    var nUnk = 0L
-    var idSum = 0L
-    while (i < word.length) {
-      var matched = -1
-      var mLen = 0
-      var j = 0
-      while (matched < 0 && j < byLenDesc.length) {
-        val (t, id) = byLenDesc(j)
-        if (word.startsWith(t, i)) { matched = id; mLen = t.length }
-        j += 1
-      }
-      if (matched >= 0) { idSum += matched; i += mLen } else { nUnk += 1; i += 1 }
-      nTok += 1
-    }
-    (nTok, nUnk, idSum)
-  }
-
-  /** The token-yield report every mixture/budget plan needs: documents
-    * tokenized with a REAL subword tokenizer (greedy longest-match over a
-    * fixed merge vocabulary — the WordPiece inference rule), not
-    * whitespace counting, rolled up per source as token counts, UNK
-    * counts, an exact token-id checksum, and integer-ppm fertility
-    * (tokens per word).
-    *
-    * Scale shape — "tokenize the dictionary, not the corpus": the
-    * segmentation loop runs once per DISTINCT word (a vocabulary-bounded
-    * table, sublinear in corpus size), and the corpus contributes only a
-    * (source, word) count aggregation that joins the segmented dictionary
-    * on the word key. At 100 TB the heavy text pass is therefore ONE
-    * map-side-combinable count agg; the per-word segmentation cost is
-    * amortized over every occurrence. The DuckDB oracle replays the exact
-    * greedy rule with a recursive CTE + LATERAL longest-prefix probe over
-    * the same interpolated vocabulary. */
-  private def q231(s: SparkSession, dir: String): DataFrame = {
-    val seg = udf { (w: String) =>
-      val (t, u, i) = wpSegment(w); (t, u, i)
-    }
-    val occ = words(s, dir)
-      .select(col("source"), explode(col("w")).as("word"))
-      .groupBy("source", "word").agg(count(lit(1)).as("cnt"))
-    val dict = occ.select("word").distinct()
-      .withColumn("seg", seg(col("word")))
-      .select(col("word"), col("seg._1").as("n_tok"),
-        col("seg._2").as("n_unk"), col("seg._3").as("idsum"))
-    occ.join(dict, Seq("word"))
-      .groupBy("source")
-      .agg(sum("cnt").cast("long").as("n_words"),
-        sum(col("n_tok") * col("cnt")).cast("long").as("n_tokens"),
-        sum(col("n_unk") * col("cnt")).cast("long").as("n_unk"),
-        sum(col("idsum") * col("cnt")).cast("long").as("id_checksum"))
-      .withColumn("fertility_ppm", expr(
-        "CAST(((n_tokens * 1000000) + (n_words DIV 2)) DIV n_words AS BIGINT)"))
-      .orderBy("source")
-  }
-
-  // ---------------------------------------------------------------------
-  // q232 — filter ablation (per-rule attrition attribution)
-  // ---------------------------------------------------------------------
-
-  /** The ablation table behind every "which gate is costing us data"
-    * decision: for each Gopher rule, how many documents fail it at all
-    * (marginal), how many fail ONLY it (unique attribution — exactly the
-    * docs that would be rescued by dropping the rule), and the corpus
-    * pass rate with the rule removed. n_pass_without = n_pass_all +
-    * n_fail_only is an identity, published precomputed so the consumer
-    * never re-derives it wrong. Rates are half-up integer-ppm (the q149
-    * rounding rule).
-    *
-    * Scale shape: the gate columns come from the same per-row map as
-    * q218; the per-rule rollup is a 5-way stack of the gated frame
-    * (metadata columns only — the words array is dropped BEFORE the
-    * stack, so the corpus text contributes one scan), each branch a
-    * map-side-combinable count aggregation; output is 5 rows. */
-  private def q232(s: SparkSession, dir: String): DataFrame = {
-    val g = gated(s, dir)
-      .withColumn("n_fail", (0 until 5).map(i =>
-        when(col(s"r${i + 1}"), 0).otherwise(1)).reduce(_ + _))
-      .select((1 to 5).map(i => col(s"r$i")) :+ col("n_fail"): _*)
-    val stacked = g.select(expr(
-      """stack(5,
-        |  'r1', r1, 'r2', r2,
-        |  'r3', r3, 'r4', r4,
-        |  'r5', r5)""".stripMargin).as(Seq("rule", "pass")),
-      col("n_fail"))
-    val perRule = stacked.groupBy("rule").agg(
-      sum(when(!col("pass"), 1L).otherwise(0L)).as("n_fail_rule"),
-      sum(when(!col("pass") && col("n_fail") === 1, 1L).otherwise(0L))
-        .as("n_fail_only"))
-    val totals = g.agg(count(lit(1)).as("n_docs"),
-      sum(when(col("n_fail") === 0, 1L).otherwise(0L)).as("n_pass_all"))
-    perRule.crossJoin(broadcast(totals))
-      .withColumn("n_pass_without", col("n_pass_all") + col("n_fail_only"))
-      .withColumn("pass_ppm", expr(
-        "CAST((2 * n_pass_all * 1000000 + n_docs) DIV (2 * n_docs) AS BIGINT)"))
-      .withColumn("pass_without_ppm", expr(
-        "CAST((2 * n_pass_without * 1000000 + n_docs) DIV (2 * n_docs) AS BIGINT)"))
-      .select("rule", "n_docs", "n_fail_rule", "n_fail_only",
-        "n_pass_all", "n_pass_without", "pass_ppm", "pass_without_ppm")
-      .orderBy("rule")
-  }
-
-  // q235 — Aho–Corasick blocklist scan (multi-literal contamination filter)
-
-  /** The fixed blocklist. Chosen to exercise every automaton edge case:
-    * nested patterns ("table" inside "fast table"/"table table" — output
-    * links), a self-bordered pattern ("a a", whose occurrences can
-    * overlap: greedy-non-overlap semantics resolve it identically to SQL
-    * replace()), multi-word phrases, and a pattern absent from the
-    * corpus vocabulary ("drop cascade" — zero-count rows must still be
-    * exact). */
-  private[graft] val blocklistPatterns: Array[String] = Array(
-    "fast table", "table table", "scan slow", "value part hash",
-    "window spark", "a a", "big vector", "table", "merge batch",
-    "drop cascade")
-
-  /** Blocklist hit matrix: per (pattern, source), how many documents
-    * contain the literal and how many (greedy non-overlapping)
-    * occurrences there are in total — the audit report a contamination /
-    * bad-content literal filter produces before documents are dropped.
-    *
-    * Scale shape: the automaton (built once from the pattern list,
-    * pattern-count-independent matching) is broadcast; the scan is a
-    * zero-shuffle per-row projection; the only exchange is the final
-    * (pattern, source) rollup — at most |patterns|·|sources| rows. A 10k
-    * entry blocklist costs the same text pass as this 10-entry one. */
-  private def q235(s: SparkSession, dir: String): DataFrame = {
-    val bc = s.sparkContext.broadcast(graft.functions.AhoCorasick.build(blocklistPatterns))
-    val hitsUdf = udf { (text: String) =>
-      val c = bc.value.countNonOverlapping(if (text == null) "" else text)
-      c.toSeq.zipWithIndex.map { case (n, pid) => (pid, n) }
-    }
-    val patDf = s.createDataFrame(
-      blocklistPatterns.zipWithIndex.map { case (p, i) => (i, p) }.toSeq)
-      .toDF("pid", "pat")
-    t(s, dir, "documents")
-      .select(col("source"), explode(hitsUdf(col("text"))).as("h"))
-      .select(col("source"), col("h._1").as("pid"), col("h._2").as("n"))
-      .join(broadcast(patDf), Seq("pid"))
-      .groupBy("pat", "source")
-      .agg(sum(when(col("n") > 0, 1L).otherwise(0L)).as("n_docs"),
-        sum(col("n").cast("long")).as("n_hits"))
-      .orderBy("pat", "source")
-  }
-
-  // q237 — PassJoin edit-distance similarity self-join (τ=2)
-
-  /** Even τ+1-way segment split of a length-L string: (pos, len) per
-    * segment, the `L % (τ+1)` longer segments LAST. Both the index and
-    * probe sides must use the identical convention. */
-  private def segLens(L: Int, tau: Int): Array[(Int, Int)] = {
-    val k = tau + 1
-    val base = L / k; val rem = L % k
-    val out = new Array[(Int, Int)](k)
-    var p = 0; var i = 0
-    while (i < k) {
-      val l = if (i < k - rem) base else base + 1
-      out(i) = (p, l); p += l; i += 1
-    }
-    out
-  }
-
-  /** PassJoin (Li et al., VLDB'12) edit-distance self-join: every string
-    * is indexed under its τ+1 segments (pigeonhole: ≤τ edits leave at
-    * least one segment INTACT, and the intact segment's copy in the
-    * partner starts within ±τ of its home position), and probed with the
-    * bounded substring enumeration — ≤ (2τ+1)·(τ+1)·(2τ+1) keys per
-    * string. Candidates are therefore generated by an EQUI-join on
-    * (partner-length, segment-index, segment-content) — never an
-    * all-pairs comparison — then verified with the codegen'd levenshtein.
-    * This is the lossless form: the segment filter provably admits every
-    * true pair, so verification (not recall) is the only cost knob. At
-    * 100 TB the shuffle is the key join; key skew is bounded by segment
-    * content duplication — the same regime as the LSH band keys.
-    */
-  private[graft] def passJoinPairs(docs: DataFrame, tau: Int): DataFrame = {
-    // Zero-length segments (targets shorter than τ+1) index as ""-keys:
-    // the empty segment is trivially intact, so those strings degrade to
-    // an exhaustive within-length-window bucket — losslessness holds for
-    // ALL lengths, not just the ≥ τ+1 common case.
-    val idxKeys = udf { (t: String) =>
-      val L = t.length
-      segLens(L, tau).zipWithIndex.map { case ((p, l), i) =>
-        (L, i, t.substring(p, p + l))
-      }.toSeq
-    }
-    val probeKeys = udf { (t: String) =>
-      val ls = t.length
-      val buf = scala.collection.mutable.ListBuffer.empty[(Int, Int, String)]
-      var lt = math.max(1, ls - tau)
-      while (lt <= ls + tau) {
-        val segs = segLens(lt, tau)
-        var i = 0
-        while (i < segs.length) {
-          val (p, l) = segs(i)
-          if (l <= ls) {
-            var q = math.max(0, p - tau)
-            val qMax = math.min(ls - l, p + tau)
-            while (q <= qMax) { buf += ((lt, i, t.substring(q, q + l))); q += 1 }
-          }
-          i += 1
-        }
-        lt += 1
-      }
-      buf.distinct.toSeq
-    }
-    val idx = docs.select(col("doc_id").as("id_b"), col("t").as("tb"),
-      explode(idxKeys(col("t"))).as("k"))
-      .select(col("id_b"), col("tb"), col("k._1").as("kl"),
-        col("k._2").as("ki"), col("k._3").as("ks"))
-    val prb = docs.select(col("doc_id").as("id_a"), col("t").as("ta"),
-      explode(probeKeys(col("t"))).as("k"))
-      .select(col("id_a"), col("ta"), col("k._1").as("kl"),
-        col("k._2").as("ki"), col("k._3").as("ks"))
-    prb.join(idx, Seq("kl", "ki", "ks"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "ta", "tb").distinct()
-      .withColumn("dist", levenshtein(col("ta"), col("tb")))
-      .filter(col("dist") <= tau)
-      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
-        col("dist").cast("long").as("dist"))
-  }
-
-  /** Fuzzy record-linkage over the 16-char document prefixes: all
-    * unordered pairs within edit distance 2, found via lossless PassJoin
-    * segment blocking + exact levenshtein verify (the oracle brute-forces
-    * the quadratic join; the engine never does). */
-  private def q237(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), substring(col("text"), 1, 16).as("t"))
-    passJoinPairs(docs, tau = 2).orderBy("doc_a", "doc_b")
-  }
-
-  // q239 — classifier AUC (Mann–Whitney rank-sum, exact integer)
-
-  /** ROC-AUC of the stopword-density score as an en/non-en classifier,
-    * computed exactly via the Mann–Whitney identity AUC = (R⁺ −
-    * n⁺(n⁺+1)/2)/(n⁺n⁻) with MIDRANKS for ties (scores are ppm
-    * integers, so ties are the norm, not the edge case). All arithmetic
-    * stays integral — 2·midrank = c_lo + c_hi + 1 per tie group, and the
-    * final AUC is emitted ×10⁶ under floor division (numerator provably
-    * ≥ 0, so Spark DIV and DuckDB // agree) — the q174 cross-engine
-    * float-free rule. Completes the q222 threshold sweep: q222 gives
-    * operating points, q239 the threshold-free ranking quality.
-    *
-    * Scale shape: one groupBy(score) shuffle; the rank window runs over
-    * the AGGREGATED score table (≤ 10⁶ ppm values at any corpus size —
-    * data-size-independent), not the corpus. Exact-integer envelope:
-    * r2_pos ≤ 2N² needs N ≲ 2·10⁹ eval rows before Long overflow — far
-    * past any labeled eval set; past that, stratify. */
-  private def q239(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val d = words(s, dir)
-      .withColumn("nw", size(col("w")).cast("long"))
-      .withColumn("n_stop", expr(
-        "size(filter(w, t -> t IN ('the','a','of','and','to','is','in')))").cast("long"))
-      .withColumn("score", expr("CAST((n_stop * 1000000) DIV nw AS BIGINT)"))
-      .withColumn("pos", when(col("lang") === "en", 1L).otherwise(0L))
-    val grp = d.groupBy("score")
-      .agg(count(lit(1)).as("n"), sum("pos").as("np"))
-    val w = Window.orderBy("score")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grp.withColumn("c_hi", sum("n").over(w))
-      .withColumn("r2", col("np") * (col("c_hi") - col("n") + col("c_hi") + 1L))
-      .agg(sum("np").as("n_pos"), sum(col("n") - col("np")).as("n_neg"),
-        sum("r2").as("r2_pos"))
-      .withColumn("auc_ppm", expr(
-        "CAST(((r2_pos - n_pos * (n_pos + 1)) * 1000000) DIV (2 * n_pos * n_neg) AS BIGINT)"))
-  }
-
-  // q242 — sorted-neighborhood dedup (SNM)
-
-  /** Sorted-Neighborhood Method (Hernández & Stolfo '95): sort the corpus
-    * by a cheap key (the 16-char prefix), slide a width-w window down the
-    * order, and verify only within-window pairs — the third member of
-    * the blocked-dedup family next to LSH banding (probability-bounded)
-    * and PassJoin segments (lossless for a metric threshold). SNM's
-    * contract is METHOD-DEFINED (pairs at rank distance ≤ w), which the
-    * oracle replays verbatim.
-    *
-    * Scale shape: the global order comes from `Ranks.seqIdBy` (range-
-    * partitioned sort + zipWithIndex — never a single-partition window),
-    * and the window pairing is an EQUI-join of rank-buckets b = rank/w
-    * with bucket b joining b and b+1 only — each row meets ≤ 2w
-    * neighbors, so the candidate volume is linear in the corpus with a
-    * constant the window width controls. */
-  private[graft] def sortedNeighborhoodPairs(docs: DataFrame, w: Int,
-      tau: Int): DataFrame = {
-    val ranked = Ranks.seqIdBy(docs, "rk", col("t"), col("doc_id"))
-      .select(col("doc_id"), col("t"), col("rk"))
-      .withColumn("b", expr(s"CAST(rk DIV $w AS BIGINT)"))
-    val left = ranked.select(col("doc_id").as("id_a"), col("t").as("ta"),
-      col("rk").as("rka"), col("b"))
-    val right = ranked.select(col("doc_id").as("id_b"), col("t").as("tb"),
-      col("rk").as("rkb"), explode(expr("array(b, b - 1)")).as("b"))
-    left.join(right, Seq("b"))
-      .filter(col("rkb") > col("rka") && col("rkb") - col("rka") <= w)
-      .withColumn("dist", levenshtein(col("ta"), col("tb")))
-      .filter(col("dist") <= tau)
-      .select(
-        least(col("id_a"), col("id_b")).as("doc_a"),
-        greatest(col("id_a"), col("id_b")).as("doc_b"),
-        col("dist").cast("long").as("dist"))
-      .distinct()
-  }
-
-  /** SNM over the 16-char prefixes (w=5, τ=2): the cheap-sort complement
-    * to q237 — misses pairs the sort key separates (the method's known
-    * trade-off, visible as fewer rows than q237's lossless 42/2304), at
-    * a fraction of the candidate volume. */
-  private def q242(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), substring(col("text"), 1, 16).as("t"))
-    sortedNeighborhoodPairs(docs, w = 5, tau = 2).orderBy("doc_a", "doc_b")
-  }
-
-  // q243 — cross-document line-level dedup (CCNet / RefinedWeb rule)
-
-  /** Line-level dedup ACROSS documents — the CCNet/RefinedWeb boilerplate
-    * rule that document-granular dedup (q22) and span-granular dedup
-    * (q123/q217) both miss: a line whose exact content appears in more
-    * than T distinct documents is boilerplate (navigation, banners,
-    * footers) and is removed from EVERY document that carries it. The
-    * corpus has no newlines, so "lines" are deterministic 5-word chunks
-    * of the word array, and the duplicate class is guaranteed non-empty
-    * at every SF by the q92/q214 injection pattern: doc_id % 3 == 0
-    * prepends a newsletter banner, doc_id % 4 == 0 appends a rights
-    * footer (≈ n/3 and n/4 docs — far above T = 2).
-    *
-    * Scale shape: one shuffle of (line, doc_id) for the per-line distinct
-    * document frequency; the df > T survivors are the HEAVY HITTERS of
-    * that count — a set Zipf keeps tiny relative to the corpus (every
-    * boilerplate line is one row no matter how many million docs carry
-    * it) — so they come back as a broadcast semi-join and the corpus
-    * itself is never shuffled again. Removal accounting (lines/chars
-    * removed, docs touched) and a kept-line signature (sum of 32-bit md5
-    * prefixes — order-free, exact in BIGINT) are integer-exact. */
-  /** Line-dedup core over exploded (doc_id, source, line) rows: lines
-    * carried by more than `docFreqT` distinct documents are boilerplate
-    * and removed from every carrier; per-source removal accounting plus
-    * an order-free kept-line signature come back.
-    *
-    * The df > T survivor set is materialized (`localCheckpoint`) and
-    * COUNTED before the attach join: when it is genuinely small — the
-    * Zipf case, where each boilerplate line is one row no matter how
-    * many million documents carry it — it is broadcast explicitly, so
-    * the corpus is shuffled exactly once (for the df count) and the
-    * survivors attach without a second corpus exchange. Past
-    * `broadcastGuard` rows (boilerplate-line cardinality grows with the
-    * number of distinct DOMAINS in a web corpus, not with corpus size,
-    * so the bound must be enforced rather than assumed) it degrades to
-    * a plain shuffle join instead of OOM-ing the driver. */
-  private[graft] def lineDedupStats(lines: DataFrame, docFreqT: Int,
-      broadcastGuard: Long = 4000000L): DataFrame = {
-    val boiler = lines.groupBy("line")
-      .agg(countDistinct("doc_id").as("df"))
-      .filter(col("df") > docFreqT)
-      .localCheckpoint()
-    val hinted = if (boiler.count() <= broadcastGuard) broadcast(boiler) else boiler
-    lines.join(hinted, Seq("line"), "left")
-      .withColumn("removed", col("df").isNotNull)
-      .groupBy("source")
-      .agg(
-        countDistinct("doc_id").as("n_docs"),
-        count(lit(1)).as("n_lines"),
-        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
-        sum(when(col("removed"), length(col("line")).cast("long"))
-          .otherwise(0L)).as("chars_removed"),
-        countDistinct(when(col("removed"), col("doc_id"))).as("n_docs_touched"),
-        sum(when(!col("removed"),
-          conv(substring(md5(col("line")), 1, 8), 16, 10).cast("long"))
-          .otherwise(0L)).as("kept_sig"))
-      .orderBy("source")
-  }
-
-  /** The q243 line set: 5-word chunks of the word array plus the q92/q214
-    * banner/footer injections (doc_id % 3 prepends, % 4 appends) that
-    * guarantee a non-empty df > 2 class at every SF. */
-  private[graft] def q243Lines(s: SparkSession, dir: String): DataFrame =
-    words(s, dir)
-      .withColumn("chunks", expr(
-        "transform(sequence(0, CAST((size(w) - 1) DIV 5 AS INT))," +
-          " i -> concat_ws(' ', slice(w, i * 5 + 1, 5)))"))
-      .withColumn("ls", expr(
-        "concat(" +
-          " CASE WHEN doc_id % 3 = 0 THEN array('subscribe to our newsletter today')" +
-          "      ELSE CAST(array() AS ARRAY<STRING>) END," +
-          " chunks," +
-          " CASE WHEN doc_id % 4 = 0 THEN array('all rights reserved contact us')" +
-          "      ELSE CAST(array() AS ARRAY<STRING>) END)"))
-      .select(col("doc_id"), col("source"), explode(col("ls")).as("line"))
-
-  private def q243(s: SparkSession, dir: String): DataFrame =
-    lineDedupStats(q243Lines(s, dir), docFreqT = 2)
-
-  // q244 — classifier calibration audit (reliability bins + ECE/MCE)
-
-  /** Reliability diagram + Expected/Maximum Calibration Error of the q108
-    * hashed classifier against the q222 pseudo-label — the third leg of
-    * the eval tier (q222 operating points, q239 ranking quality, q244
-    * probability quality): a curation gate that thresholds on a score
-    * TRUSTS its magnitude, and ECE is the number that says whether it
-    * should. Confidence is a deterministic integer transform of the raw
-    * millis score (500000 + 10·raw, clamped to [0, 999999] ppm — the
-    * monotone calibration-map stand-in; a production sigmoid would be
-    * transcendental and cross-engine fragile), binned into ten
-    * equal-width bins by ppm DIV 100000. Per bin: half-up-ppm mean
-    * confidence and accuracy; ECE = Σ n_b·|acc−conf| / N and MCE = max
-    * gap, all integer with non-negative numerators so Spark DIV ≡
-    * DuckDB //.
-    *
-    * Scale shape: one per-row scoring pass (zero shuffle), a rollup
-    * keyed by the ≤10-value bin, and a 1-row broadcast for the corpus-
-    * wide ECE/MCE attach — corpus scanned exactly once. */
-  /** Calibration core over (conf: ppm in [0, 999999], p: 0/1) rows:
-    * ten equal-width reliability bins (ppm DIV 100000), half-up-ppm mean
-    * confidence and accuracy per bin, and the corpus-wide ECE/MCE
-    * attached via a 1-row broadcast. All arithmetic is integer with
-    * non-negative numerators (Spark DIV ≡ DuckDB //); the corpus is
-    * scanned exactly once — the only "join" is the ≤10-row bins table
-    * crossed with the 1-row total. */
-  private[graft] def calibrationEce(scored: DataFrame): DataFrame = {
-    // The ≤10-row bin table feeds BOTH the output and the ECE/MCE total;
-    // without the localCheckpoint the physical plan duplicates the bin
-    // subplan and the corpus is scanned twice — checkpointing the tiny
-    // rollup makes "corpus scanned exactly once" literally true.
-    val bins = scored
-      .groupBy(expr("conf DIV 100000").as("bin"))
-      .agg(count(lit(1)).as("n"), sum("p").as("n_pos"),
-        sum("conf").as("sum_conf"))
-      .withColumn("conf_ppm", expr("(2 * sum_conf + n) DIV (2 * n)"))
-      .withColumn("acc_ppm", expr("(2 * n_pos * 1000000 + n) DIV (2 * n)"))
-      .withColumn("gap_ppm", expr("abs(acc_ppm - conf_ppm)"))
-      .drop("sum_conf")
-      .localCheckpoint()
-    val tot = bins.agg(
-      expr("CAST((2 * sum(n * gap_ppm) + sum(n)) DIV (2 * sum(n)) AS BIGINT)").as("ece_ppm"),
-      max("gap_ppm").as("mce_ppm"))
-    bins.crossJoin(broadcast(tot)).orderBy("bin")
-  }
-
-  private def q244(s: SparkSession, dir: String): DataFrame =
-    calibrationEce(words(s, dir)
-      .withColumn("raw", hashedScoreRaw(col("w")))
-      .withColumn("p", when(col("source") === "src0", 1L).otherwise(0L))
-      .withColumn("conf", expr(
-        "least(CAST(999999 AS BIGINT), greatest(CAST(0 AS BIGINT), 500000 + raw * 10))")))
-
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q243_line_dedup" -> (q243 _),
-    "q244_calibration_ece" -> (q244 _),
-    "q242_sorted_neighborhood" -> (q242 _),
-    "q239_classifier_auc" -> (q239 _),
-    "q237_editdist_join" -> (q237 _),
-    "q235_blocklist_scan" -> (q235 _),
-    "q232_gate_ablation" -> (q232 _),
-    "q231_wordpiece_tokenize" -> (q231 _),
-    "q229_minhash_error_audit" -> (q229 _),
-    "q230_unicode_normalize" -> (q230 _),
-    "q224_cluster_best_keep" -> (q224 _),
-    "q222_classifier_sweep" -> (q222 _),
-    "q218_gopher_rules" -> (q218 _),
-    "q221_curation_funnel" -> (q221 _),
-    "q214_url_canonical" -> (q214 _),
-    "q108_hashed_classifier" -> (q108 _),
-    "q102_cluster_sizes" -> (q102 _),
-    "q100_stored_sig_dedup" -> (q100 _),
-    "q99_distinctive_terms" -> (q99 _),
-    "q93_domain_mix" -> (q93 _),
-    "q94_seq_packing" -> (q94 _),
-    "q97_source_overlap" -> (q97 _),
-    "q90_decontaminate" -> (q90 _),
-    "q91_repetition" -> (q91 _),
-    "q92_pii_scan" -> (q92 _),
-    "q89_incremental_dedup" -> (q89 _),
-    "q88_llm_pipeline" -> (q88 _),
-    "q70_dedup_components" -> (q70 _),
-    "q22_dedup_exact" -> (q22 _),
-    "q23_minhash_sig" -> (q23 _),
-    "q82_minhash_fast" -> (q82 _),
-    "q24_lsh_candidates" -> (q24 _),
-    "q25_jaccard_pairs" -> (q25 _),
-    "q26_neardup_dedup" -> (q26 _),
-    "q27_simhash" -> (q27 _),
-    "q28_simhash_blocked_pairs" -> (q28 _),
-    "q29_lang_id" -> (q29 _),
-    "q30_quality_score" -> (q30 _),
-    "q31_token_count" -> (q31 _),
-    "q32_fingerprint" -> (q32 _)
-  )
-
-  private val shingleCte =
-    """w AS (SELECT doc_id, lang, source, n_chars, text,
-      |        list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w
-      |      FROM documents),
-      |wf AS (SELECT * FROM w WHERE len(w) >= 3),
-      |sh0 AS (SELECT doc_id, unnest([w[i+1]||' '||w[i+2]||' '||w[i+3] for i in range(len(w)-2)]) AS sh FROM wf),
-      |sh AS (SELECT DISTINCT doc_id, sh FROM sh0),
-      |m AS (SELECT doc_id,
-      |  min(md5('0|'||sh)) AS h0, min(md5('1|'||sh)) AS h1,
-      |  min(md5('2|'||sh)) AS h2, min(md5('3|'||sh)) AS h3,
-      |  min(md5('4|'||sh)) AS h4, min(md5('5|'||sh)) AS h5,
-      |  min(md5('6|'||sh)) AS h6, min(md5('7|'||sh)) AS h7
-      | FROM sh GROUP BY 1),
-      |bands AS (
-      |  SELECT doc_id, 1 AS k, md5(h0||h1||h2||h3) AS b FROM m
-      |  UNION ALL
-      |  SELECT doc_id, 2 AS k, md5(h4||h5||h6||h7) AS b FROM m),
-      |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b_id
-      |  FROM bands x JOIN bands y ON x.b = y.b AND x.k = y.k AND x.doc_id < y.doc_id),
-      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-      |inter AS (SELECT a, b_id, count(*) AS inter
-      |  FROM cand JOIN sh sa ON a = sa.doc_id JOIN sh sb ON b_id = sb.doc_id AND sa.sh = sb.sh
-      |  GROUP BY 1,2),
-      |jac AS (SELECT a, b_id, inter,
-      |   CAST(inter AS DOUBLE)/CAST(za.n + zb.n - inter AS DOUBLE) AS jac
-      |  FROM inter JOIN sizes za ON a = za.doc_id JOIN sizes zb ON b_id = zb.doc_id)""".stripMargin
-
-  private val simhashCte =
-    """w AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w
-      |     FROM documents),
-      |wf AS (SELECT doc_id, w FROM w WHERE len(w) >= 3),
-      |hs AS (SELECT doc_id,
-      |  [CAST(('0x'||substr(md5(t),1,8)) AS BIGINT) for t in w] AS hs FROM wf),
-      |sim AS (SELECT doc_id,
-      |  CAST(list_aggregate([CASE WHEN list_aggregate([2*((h >> k) & 1) - 1 for h in hs], 'sum') > 0
-      |                       THEN (CAST(1 AS BIGINT) << k) ELSE 0 END for k in range(32)], 'sum')
-      |       AS BIGINT) AS simhash
-      | FROM hs)""".stripMargin
-
-  /** Shared CTE prefix for the q218/q221 gate family — the integer-exact
-    * Gopher rules over the whitespace word array (mirrors `gated`). */
-  private val gopherCte =
-    """w AS (SELECT doc_id, source, text,
-      |        list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w
-      |      FROM documents),
-      |wf AS (SELECT * FROM w WHERE len(w) >= 3),
-      |f AS (SELECT doc_id, source, text,
-      |  CAST(len(w) AS BIGINT) AS nw,
-      |  CAST(list_aggregate([CAST(length(t) AS BIGINT) for t in w], 'sum') AS BIGINT) AS sum_wl,
-      |  CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
-      |  CAST(len(list_intersect(list_distinct(w), ['the','a','of','and','to'])) AS BIGINT) AS n_stop_d,
-      |  CAST(len(list_distinct(w)) AS BIGINT) AS n_dist
-      | FROM wf),
-      |r AS (SELECT doc_id, source, text,
-      |  (nw >= 50 AND nw <= 100000) AS r1,
-      |  (sum_wl >= nw * 3 AND sum_wl <= nw * 10) AS r2,
-      |  (n_stop_d >= 2) AS r3,
-      |  (n_dist * 2 >= nw) AS r4,
-      |  (n_stop * 50 >= nw AND n_stop * 10 <= nw * 3) AS r5
-      | FROM f)""".stripMargin
-
-  /** DuckDB VALUES list interpolated from [[WpVocab]] — one source of
-    * truth for both engines. */
-  private def wpVocabValues: String =
-    WpVocab.map { case (t, i) => s"('$t',$i)" }.mkString(",")
-
-  val oracles: Map[String, String] = Map(
-    // same 5-word chunking + injection, df > 2 over distinct docs; the
-    // kept-line signature replays via the '0x'||md5-prefix cast idiom
-    "q243_line_dedup" ->
-      """WITH w AS (SELECT doc_id, source,
-        |        list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w
-        |      FROM documents),
-        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
-        |ls AS (SELECT doc_id, source, list_concat(list_concat(
-        |    CASE WHEN doc_id % 3 = 0 THEN ['subscribe to our newsletter today']
-        |         ELSE []::VARCHAR[] END,
-        |    [array_to_string(w[(i*5+1):(i*5+5)], ' ')
-        |       for i in range(((len(w)-1)//5)+1)]),
-        |    CASE WHEN doc_id % 4 = 0 THEN ['all rights reserved contact us']
-        |         ELSE []::VARCHAR[] END) AS ls
-        |  FROM wf),
-        |l AS (SELECT doc_id, source, unnest(ls) AS line FROM ls),
-        |f AS (SELECT line FROM l GROUP BY line HAVING count(DISTINCT doc_id) > 2),
-        |m AS (SELECT l.*, (l.line IN (SELECT line FROM f)) AS removed FROM l)
-        |SELECT source,
-        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
-        |  CAST(count(*) AS BIGINT) AS n_lines,
-        |  CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
-        |  CAST(sum(CASE WHEN removed THEN length(line) ELSE 0 END) AS BIGINT) AS chars_removed,
-        |  CAST(count(DISTINCT CASE WHEN removed THEN doc_id END) AS BIGINT) AS n_docs_touched,
-        |  CAST(sum(CASE WHEN NOT removed
-        |    THEN CAST(('0x'||substr(md5(line),1,8)) AS BIGINT) ELSE 0 END) AS BIGINT) AS kept_sig
-        |FROM m GROUP BY source ORDER BY source""".stripMargin,
-    // identical integer score (q222's gram weights), clamp, DIV-100000
-    // binning, half-up ppm means, floor division on non-negative
-    // numerators throughout
-    "q244_calibration_ece" ->
-      """WITH wf AS (SELECT source, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w
-        |  FROM documents
-        |  WHERE len(list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '')) >= 3),
-        |g AS (SELECT source,
-        |    list_concat(w, [w[i+1] || ' ' || w[i+2] for i in range(len(w)-1)]) AS grams FROM wf),
-        |r AS (SELECT source = 'src0' AS pos,
-        |    CAST(list_aggregate(
-        |      [ (CAST(('0x'||substr(md5(gr),1,8)) AS BIGINT) % 65536 * 2654435761 % 2001) - 1000
-        |        for gr in grams], 'sum') AS BIGINT) AS raw
-        |  FROM g),
-        |c AS (SELECT least(999999, greatest(0, 500000 + raw * 10)) AS conf,
-        |    CASE WHEN pos THEN 1 ELSE 0 END AS p FROM r),
-        |b AS (SELECT conf // 100000 AS bin, CAST(count(*) AS BIGINT) AS n,
-        |    CAST(sum(p) AS BIGINT) AS n_pos, CAST(sum(conf) AS BIGINT) AS sum_conf
-        |  FROM c GROUP BY 1),
-        |e AS (SELECT bin, n, n_pos,
-        |    (2*sum_conf + n) // (2*n) AS conf_ppm,
-        |    (2*n_pos*1000000 + n) // (2*n) AS acc_ppm FROM b),
-        |t AS (SELECT sum(n) AS nn, sum(n * abs(acc_ppm - conf_ppm)) AS sg,
-        |    max(abs(acc_ppm - conf_ppm)) AS mce FROM e)
-        |SELECT CAST(bin AS BIGINT) AS bin, n, n_pos,
-        |  CAST(conf_ppm AS BIGINT) AS conf_ppm, CAST(acc_ppm AS BIGINT) AS acc_ppm,
-        |  CAST(abs(acc_ppm - conf_ppm) AS BIGINT) AS gap_ppm,
-        |  CAST((2*sg + nn) // (2*nn) AS BIGINT) AS ece_ppm,
-        |  CAST(mce AS BIGINT) AS mce_ppm
-        |FROM e, t ORDER BY bin""".stripMargin,
-    // method-defined contract: pairs at sort-rank distance ≤ w, replayed
-    // verbatim (ORDER BY t, doc_id makes the rank, thus the pair set,
-    // deterministic)
-    "q242_sorted_neighborhood" ->
-      """WITH d AS (SELECT doc_id, substr(text,1,16) AS t FROM documents),
-        |r AS (SELECT doc_id, t, row_number() OVER (ORDER BY t, doc_id) AS rk FROM d)
-        |SELECT least(a.doc_id, b.doc_id) AS doc_a,
-        |  greatest(a.doc_id, b.doc_id) AS doc_b,
-        |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
-        |FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= 5
-        |WHERE levenshtein(a.t, b.t) <= 2""".stripMargin,
-    // midrank identity: 2·midrank over a tie group = c_lo + c_hi + 1;
-    // numerator ≥ 0 so floor (//) and truncating (DIV) division agree
-    "q239_classifier_auc" ->
-      """WITH w AS (SELECT lang, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
-        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
-        |f AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos,
-        |   (CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','is','in'))) AS BIGINT) * 1000000)
-        |     // CAST(len(w) AS BIGINT) AS score
-        | FROM wf),
-        |g AS (SELECT score, count(*) AS n, sum(pos) AS np FROM f GROUP BY score),
-        |r AS (SELECT score, n, np,
-        |   sum(n) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_hi
-        | FROM g),
-        |t AS (SELECT sum(np) AS n_pos, sum(n - np) AS n_neg,
-        |   sum(np * ((c_hi - n) + c_hi + 1)) AS r2_pos FROM r)
-        |SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
-        |  CAST(r2_pos AS BIGINT) AS r2_pos,
-        |  CAST(((r2_pos - n_pos*(n_pos+1)) * 1000000) // (2*n_pos*n_neg) AS BIGINT) AS auc_ppm
-        |FROM t""".stripMargin,
-    // the oracle is the quadratic ground truth the engine's lossless
-    // segment blocking must reproduce exactly
-    "q237_editdist_join" ->
-      """WITH d AS (SELECT doc_id, substr(text,1,16) AS t FROM documents)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |  CAST(levenshtein(a.t, b.t) AS BIGINT) AS dist
-        |FROM d a JOIN d b ON b.doc_id > a.doc_id
-        |WHERE levenshtein(a.t, b.t) <= 2""".stripMargin,
-    // replace() removes leftmost non-overlapping occurrences — exactly the
-    // automaton's greedy counting semantics (see AhoCorasick scaladoc)
-    "q235_blocklist_scan" ->
-      """WITH pats AS (SELECT * FROM (VALUES ('fast table'),('table table'),
-        |    ('scan slow'),('value part hash'),('window spark'),('a a'),
-        |    ('big vector'),('table'),('merge batch'),('drop cascade')) p(pat)),
-        |h AS (SELECT d.source, p.pat,
-        |    (length(d.text) - length(replace(d.text, p.pat, ''))) // length(p.pat) AS n
-        |  FROM documents d CROSS JOIN pats p)
-        |SELECT pat, source,
-        |  CAST(count(*) FILTER (WHERE n > 0) AS BIGINT) AS n_docs,
-        |  CAST(sum(n) AS BIGINT) AS n_hits
-        |FROM h GROUP BY pat, source""".stripMargin,
-    "q232_gate_ablation" ->
-      """WITH w AS (SELECT doc_id, source,
-        |        list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w
-        |      FROM documents),
-        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
-        |f AS (SELECT doc_id,
-        |  CAST(len(w) AS BIGINT) AS nw,
-        |  CAST(list_aggregate([CAST(length(t) AS BIGINT) for t in w], 'sum') AS BIGINT) AS sum_wl,
-        |  CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
-        |  CAST(len(list_intersect(list_distinct(w), ['the','a','of','and','to'])) AS BIGINT) AS n_stop_d,
-        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_dist
-        | FROM wf),
-        |r AS (SELECT doc_id,
-        |  (nw >= 50 AND nw <= 100000) AS r1,
-        |  (sum_wl >= nw * 3 AND sum_wl <= nw * 10) AS r2,
-        |  (n_stop_d >= 2) AS r3,
-        |  (n_dist * 2 >= nw) AS r4,
-        |  (n_stop * 50 >= nw AND n_stop * 10 <= nw * 3) AS r5
-        | FROM f),
-        |nf AS (SELECT *,
-        |  (CASE WHEN r1 THEN 0 ELSE 1 END + CASE WHEN r2 THEN 0 ELSE 1 END +
-        |   CASE WHEN r3 THEN 0 ELSE 1 END + CASE WHEN r4 THEN 0 ELSE 1 END +
-        |   CASE WHEN r5 THEN 0 ELSE 1 END) AS n_fail
-        | FROM r),
-        |st AS (
-        |  SELECT 'r1' AS rule, r1 AS pass, n_fail FROM nf UNION ALL
-        |  SELECT 'r2', r2, n_fail FROM nf UNION ALL
-        |  SELECT 'r3', r3, n_fail FROM nf UNION ALL
-        |  SELECT 'r4', r4, n_fail FROM nf UNION ALL
-        |  SELECT 'r5', r5, n_fail FROM nf),
-        |pr AS (SELECT rule,
-        |  CAST(sum(CASE WHEN NOT pass THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_rule,
-        |  CAST(sum(CASE WHEN NOT pass AND n_fail = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_only
-        | FROM st GROUP BY 1),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(CASE WHEN n_fail = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
-        | FROM nf)
-        |SELECT rule, n_docs, n_fail_rule, n_fail_only, n_pass_all,
-        |  n_pass_all + n_fail_only AS n_pass_without,
-        |  CAST((2 * n_pass_all * 1000000 + n_docs) // (2 * n_docs) AS BIGINT) AS pass_ppm,
-        |  CAST((2 * (n_pass_all + n_fail_only) * 1000000 + n_docs) // (2 * n_docs) AS BIGINT)
-        |    AS pass_without_ppm
-        |FROM pr, tot ORDER BY rule""".stripMargin,
-    "q231_wordpiece_tokenize" ->
-      s"""WITH RECURSIVE vocab(tok, tid) AS (
-         |  SELECT * FROM (VALUES $wpVocabValues) v(tok, tid)),
-         |w AS (SELECT source,
-         |    unnest(list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '')) AS word
-         |  FROM documents
-         |  WHERE len(list_filter(regexp_split_to_array(text,'\\s+'), x -> x <> '')) >= 3),
-         |wc AS (SELECT source, word, count(*) AS cnt FROM w GROUP BY 1, 2),
-         |dict AS (SELECT DISTINCT word FROM wc),
-         |seg AS (
-         |  SELECT word, word AS rest, 0::BIGINT AS n_tok, 0::BIGINT AS n_unk,
-         |    0::BIGINT AS idsum
-         |  FROM dict
-         |  UNION ALL
-         |  SELECT word,
-         |    CASE WHEN m.tok IS NULL THEN substr(rest, 2)
-         |         ELSE substr(rest, length(m.tok) + 1) END,
-         |    n_tok + 1,
-         |    n_unk + CASE WHEN m.tok IS NULL THEN 1 ELSE 0 END,
-         |    idsum + COALESCE(m.tid, 0)
-         |  FROM seg LEFT JOIN LATERAL (
-         |    SELECT v.tok, v.tid FROM vocab v
-         |    WHERE starts_with(seg.rest, v.tok)
-         |    ORDER BY length(v.tok) DESC LIMIT 1) m ON TRUE
-         |  WHERE rest <> ''),
-         |done AS (SELECT word, n_tok, n_unk, idsum FROM seg WHERE rest = '')
-         |SELECT source,
-         |  CAST(sum(cnt) AS BIGINT) AS n_words,
-         |  CAST(sum(n_tok * cnt) AS BIGINT) AS n_tokens,
-         |  CAST(sum(n_unk * cnt) AS BIGINT) AS n_unk,
-         |  CAST(sum(idsum * cnt) AS BIGINT) AS id_checksum,
-         |  CAST((sum(n_tok * cnt) * 1000000 + (sum(cnt) // 2)) // sum(cnt) AS BIGINT)
-         |    AS fertility_ppm
-         |FROM done JOIN wc USING (word)
-         |GROUP BY source ORDER BY source""".stripMargin,
-    "q229_minhash_error_audit" ->
-      s"""WITH $shingleCte,
-         |e AS (SELECT j.a, j.b_id, j.inter, za.n + zb.n - j.inter AS u,
-         |    (CASE WHEN ma.h0 = mb.h0 THEN 1 ELSE 0 END +
-         |     CASE WHEN ma.h1 = mb.h1 THEN 1 ELSE 0 END +
-         |     CASE WHEN ma.h2 = mb.h2 THEN 1 ELSE 0 END +
-         |     CASE WHEN ma.h3 = mb.h3 THEN 1 ELSE 0 END +
-         |     CASE WHEN ma.h4 = mb.h4 THEN 1 ELSE 0 END +
-         |     CASE WHEN ma.h5 = mb.h5 THEN 1 ELSE 0 END +
-         |     CASE WHEN ma.h6 = mb.h6 THEN 1 ELSE 0 END +
-         |     CASE WHEN ma.h7 = mb.h7 THEN 1 ELSE 0 END) AS m8
-         |  FROM jac j
-         |  JOIN sizes za ON j.a = za.doc_id JOIN sizes zb ON j.b_id = zb.doc_id
-         |  JOIN m ma ON j.a = ma.doc_id JOIN m mb ON j.b_id = mb.doc_id),
-         |x AS (SELECT abs(m8 * u - 8 * inter) AS anum, 8 * u AS den FROM e)
-         |SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-         |  CAST(sum(CASE WHEN anum * 16 < den THEN 1 ELSE 0 END) AS BIGINT) AS n_lt_16th,
-         |  CAST(sum(CASE WHEN anum * 8 < den THEN 1 ELSE 0 END) AS BIGINT) AS n_lt_8th,
-         |  CAST(sum(CASE WHEN anum * 4 < den THEN 1 ELSE 0 END) AS BIGINT) AS n_lt_4th,
-         |  CAST(sum(((anum * 1000000) + (den // 2)) // den) AS BIGINT) AS sum_abs_err_ppm,
-         |  CAST((sum(((anum * 1000000) + (den // 2)) // den) + (count(*) // 2))
-         |    // count(*) AS BIGINT) AS mean_abs_err_ppm
-         |FROM x""".stripMargin,
-    "q230_unicode_normalize" ->
-      s"""WITH r AS (SELECT doc_id, source,
-         |    'snippet ' || CAST(doc_id % 250 AS VARCHAR) || ' ' ||
-         |    CASE WHEN (doc_id // 250) % 2 = 0 THEN '$NfcComposed' ELSE '$NfcDecomposed' END ||
-         |    CASE WHEN (doc_id % 250) % 5 = 0 THEN chr(7) || '  twin  spaces ' ELSE '' END
-         |      AS snippet
-         |  FROM documents),
-         |n AS (SELECT doc_id, source, snippet,
-         |    trim(regexp_replace(regexp_replace(nfc_normalize(snippet),
-         |      '[\\x00-\\x1f]', '', 'g'), ' +', ' ', 'g')) AS norm
-         |  FROM r)
-         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(CASE WHEN norm <> snippet THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
-         |  CAST(sum(length(snippet)) AS BIGINT) AS raw_chars,
-         |  CAST(sum(length(norm)) AS BIGINT) AS norm_chars,
-         |  CAST(count(DISTINCT snippet) AS BIGINT) AS n_raw_distinct,
-         |  CAST(count(DISTINCT norm) AS BIGINT) AS n_norm_distinct
-         |FROM n GROUP BY source ORDER BY source""".stripMargin,
-    "q224_cluster_best_keep" ->
-      s"""WITH $shingleCte,
-         |e0 AS (SELECT a AS u, b_id AS v FROM jac WHERE jac >= 0.8),
-         |edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
-         |reach AS (
-         |  WITH RECURSIVE rr(src, dst) AS (
-         |    SELECT u, v FROM edges
-         |    UNION
-         |    SELECT rr.src, e.v FROM rr JOIN edges e ON rr.dst = e.u
-         |  ) SELECT src, dst FROM rr),
-         |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
-         |  FROM reach GROUP BY src),
-         |g AS (SELECT doc_id, source,
-         |    list_concat(w, [w[i+1] || ' ' || w[i+2] for i in range(len(w)-1)]) AS grams FROM wf),
-         |sc AS (SELECT doc_id, source,
-         |    CAST(list_aggregate(
-         |      [ (CAST(('0x'||substr(md5(gr),1,8)) AS BIGINT) % 65536 * 2654435761 % 2001) - 1000
-         |        for gr in grams], 'sum') AS BIGINT) AS raw
-         |  FROM g),
-         |cl AS (SELECT sc.doc_id, sc.raw, comp.component FROM sc JOIN comp USING (doc_id)),
-         |rep AS (SELECT doc_id,
-         |    (row_number() OVER (PARTITION BY component ORDER BY raw DESC, doc_id) = 1) AS is_rep
-         |  FROM cl),
-         |j AS (SELECT sc.source, rep.is_rep FROM sc LEFT JOIN rep USING (doc_id))
-         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(CASE WHEN is_rep IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered,
-         |  CAST(sum(CASE WHEN is_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_reps,
-         |  CAST(sum(CASE WHEN NOT is_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
-         |  CAST(count(*) - sum(CASE WHEN NOT is_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q222_classifier_sweep" ->
-      """WITH wf AS (SELECT source, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w
-        |  FROM documents
-        |  WHERE len(list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '')) >= 3),
-        |g AS (SELECT source,
-        |    list_concat(w, [w[i+1] || ' ' || w[i+2] for i in range(len(w)-1)]) AS grams FROM wf),
-        |r AS (SELECT source = 'src0' AS pos,
-        |    CAST(list_aggregate(
-        |      [ (CAST(('0x'||substr(md5(gr),1,8)) AS BIGINT) % 65536 * 2654435761 % 2001) - 1000
-        |        for gr in grams], 'sum') AS BIGINT) AS raw
-        |  FROM g),
-        |t AS (SELECT CAST(unnest([-30000,-10000,-3000,-1000,0,1000,3000,10000,30000]) AS BIGINT) AS thr),
-        |c AS (SELECT thr,
-        |  CAST(sum(CASE WHEN pos AND raw > thr THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-        |  CAST(sum(CASE WHEN NOT pos AND raw > thr THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-        |  CAST(sum(CASE WHEN pos AND raw <= thr THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-        |  CAST(sum(CASE WHEN NOT pos AND raw <= thr THEN 1 ELSE 0 END) AS BIGINT) AS tn
-        | FROM r CROSS JOIN t GROUP BY 1)
-        |SELECT thr, tp, fp, fn, tn,
-        |  CASE WHEN tp + fp = 0 THEN NULL
-        |       ELSE CAST((2*tp*1000000 + (tp+fp)) // (2*(tp+fp)) AS DOUBLE) / 1000000.0 END AS prec,
-        |  CAST((2*tp*1000000 + (tp+fn)) // (2*(tp+fn)) AS DOUBLE) / 1000000.0 AS recall
-        |FROM c ORDER BY thr""".stripMargin,
-    "q218_gopher_rules" ->
-      s"""WITH $gopherCte,
-        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n_r1,
-        |  CAST(sum(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS n_r2,
-        |  CAST(sum(CASE WHEN r3 THEN 1 ELSE 0 END) AS BIGINT) AS n_r3,
-        |  CAST(sum(CASE WHEN r4 THEN 1 ELSE 0 END) AS BIGINT) AS n_r4,
-        |  CAST(sum(CASE WHEN r5 THEN 1 ELSE 0 END) AS BIGINT) AS n_r5,
-        |  CAST(sum(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
-        | FROM r GROUP BY 1)
-        |SELECT source, n_docs, n_r1, n_r2, n_r3, n_r4, n_r5, n_pass,
-        |  CAST((2 * n_pass * 1000000 + n_docs) // (2 * n_docs) AS DOUBLE) / 1000000.0 AS retention
-        |FROM a ORDER BY source""".stripMargin,
-    "q221_curation_funnel" ->
-      s"""WITH $gopherCte,
-        |s AS (SELECT doc_id, source, text, r1 AS s1, (r1 AND r2) AS s2,
-        |  (r1 AND r2 AND r3) AS s3, (r1 AND r2 AND r3 AND r4) AS s4,
-        |  (r1 AND r2 AND r3 AND r4 AND r5) AS s5 FROM r),
-        |k AS (SELECT doc_id,
-        |    (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS keeper
-        |  FROM s WHERE s5),
-        |j AS (SELECT s.*, coalesce(k.keeper, false) AS keeper
-        |  FROM s LEFT JOIN k USING (doc_id)),
-        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_s1,
-        |  CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_s2,
-        |  CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_s3,
-        |  CAST(sum(CASE WHEN s4 THEN 1 ELSE 0 END) AS BIGINT) AS n_s4,
-        |  CAST(sum(CASE WHEN s5 THEN 1 ELSE 0 END) AS BIGINT) AS n_s5,
-        |  CAST(sum(CASE WHEN keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-        | FROM j GROUP BY 1)
-        |SELECT source, n_docs, n_s1, n_s2, n_s3, n_s4, n_s5, n_kept,
-        |  CAST((2 * n_kept * 1000000 + n_docs) // (2 * n_docs) AS DOUBLE) / 1000000.0 AS retention
-        |FROM a ORDER BY source""".stripMargin,
-    "q214_url_canonical" ->
-      """WITH u AS (SELECT doc_id,
-        |  'https://' ||
-        |  CASE WHEN doc_id % 3 = 0 THEN 'WWW.Example.COM' ELSE 'www.example.com' END ||
-        |  CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
-        |  '/docs/' || CAST(doc_id % 500 AS VARCHAR) ||
-        |  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
-        |  CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_campaign=x' ELSE '' END ||
-        |  CASE WHEN doc_id % 7 = 0 THEN '#sec2' ELSE '' END AS url
-        |  FROM documents),
-        |c AS (SELECT url,
-        |  'https://' || lower(regexp_extract(url, 'https://([^/:?#]+)', 1)) ||
-        |  regexp_replace(regexp_extract(url, 'https://[^/?#]+([^?#]*)', 1), '/$', '') AS canon
-        |  FROM u),
-        |p AS (SELECT canon, CAST(count(*) AS BIGINT) AS n_raw,
-        |  CAST(count(DISTINCT url) AS BIGINT) AS n_forms,
-        |  ((CAST(regexp_extract(canon, '/docs/([0-9]+)$', 1) AS BIGINT) * 2654435761 + 13) % 4294967296) AS h
-        |  FROM c GROUP BY canon)
-        |SELECT CAST(sum(n_raw) AS BIGINT) AS n_urls,
-        |  CAST(count(*) AS BIGINT) AS n_canonical,
-        |  CAST(max(n_forms) AS BIGINT) AS max_forms,
-        |  CAST(sum(CASE WHEN n_forms > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_collapsed,
-        |  CAST(sum(h) AS BIGINT) AS canon_sig
-        |FROM p""".stripMargin,
-    "q108_hashed_classifier" ->
-      """WITH wf AS (SELECT source, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w
-        |  FROM documents
-        |  WHERE len(list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '')) >= 3),
-        |g AS (SELECT source, len(w) AS nw,
-        |    list_concat(w, [w[i+1] || ' ' || w[i+2] for i in range(len(w)-1)]) AS grams
-        |  FROM wf),
-        |r AS (SELECT source, CAST(2*nw - 1 AS BIGINT) AS n_grams,
-        |    CAST(list_aggregate(
-        |      [ (CAST(('0x'||substr(md5(gr),1,8)) AS BIGINT) % 65536 * 2654435761 % 2001) - 1000
-        |        for gr in grams], 'sum') AS BIGINT) AS raw
-        |  FROM g)
-        |SELECT source, count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN raw > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-        |  CAST(sum(raw) AS BIGINT) AS sum_raw,
-        |  round(CAST(sum(raw) AS DOUBLE) / CAST(sum(n_grams) * 1000 AS DOUBLE), 6) AS mean_score
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q99_distinctive_terms" ->
-      """WITH w AS (SELECT doc_id, source, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
-        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
-        |tok AS (SELECT source, unnest(w) AS word FROM wf),
-        |sw AS (SELECT source, word, count(*) AS c_sw FROM tok GROUP BY 1,2),
-        |st AS (SELECT source, sum(c_sw) AS tot_s FROM sw GROUP BY 1),
-        |wt AS (SELECT word, sum(c_sw) AS c_w FROM sw GROUP BY 1),
-        |tt AS (SELECT sum(tot_s) AS tot_all FROM st),
-        |sc AS (SELECT sw.source, sw.word, sw.c_sw,
-        |  round(CAST(sw.c_sw * tt.tot_all AS DOUBLE) / CAST(st.tot_s * wt.c_w AS DOUBLE), 6) AS lift
-        | FROM sw JOIN st USING (source) JOIN wt USING (word), tt),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY lift DESC, word) AS rk FROM sc)
-        |SELECT source, CAST(rk AS BIGINT) AS rk, word, CAST(c_sw AS BIGINT) AS c_sw, lift
-        |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
-    "q93_domain_mix" ->
-      """WITH b AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS tot_chars FROM documents GROUP BY 1),
-        |z AS (SELECT sum(sqrt(CAST(tot_chars AS DOUBLE))) AS z FROM b)
-        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, CAST(tot_chars AS BIGINT) AS tot_chars,
-        |  round(sqrt(CAST(tot_chars AS DOUBLE)) / z, 6) AS weight,
-        |  CAST(round(sqrt(CAST(tot_chars AS DOUBLE)) / z * 1000.0, 0) AS BIGINT) AS n_target
-        |FROM b, z ORDER BY source""".stripMargin,
-    "q94_seq_packing" ->
-      """WITH w AS (SELECT doc_id, source, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
-        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
-        |d AS (SELECT doc_id, source, len(w) AS tok FROM wf),
-        |c AS (SELECT doc_id, source, tok,
-        |  sum(tok) OVER (PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d),
-        |e AS (SELECT *, (cum - tok) // 512 AS start_bin, (cum - 1) // 512 AS end_bin FROM c)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(tok) AS BIGINT) AS tot_tokens,
-        |  CAST(max(end_bin) + 1 AS BIGINT) AS n_bins,
-        |  CAST(sum(CASE WHEN end_bin > start_bin THEN 1 ELSE 0 END) AS BIGINT) AS n_straddlers,
-        |  CAST(max(cum) - max(end_bin) * 512 AS BIGINT) AS last_bin_fill
-        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q97_source_overlap" ->
-      s"""WITH $shingleCte,
-         |sg AS (SELECT DISTINCT d.source, sh.sh FROM sh JOIN documents d USING (doc_id)),
-         |sz AS (SELECT source, count(*) AS n FROM sg GROUP BY 1),
-         |i AS (SELECT x.source AS src_a, y.source AS src_b, count(*) AS inter
-         |  FROM sg x JOIN sg y ON x.sh = y.sh AND x.source < y.source GROUP BY 1,2)
-         |SELECT src_a, src_b, CAST(inter AS BIGINT) AS inter,
-         |  round(CAST(inter AS DOUBLE) / CAST(za.n + zb.n - inter AS DOUBLE), 6) AS jac
-         |FROM i JOIN sz za ON src_a = za.source JOIN sz zb ON src_b = zb.source
-         |ORDER BY 1, 2""".stripMargin,
-    "q90_decontaminate" ->
-      """WITH w AS (SELECT doc_id, source, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
-        |wf AS (SELECT * FROM w WHERE len(w) >= 5),
-        |g AS (SELECT doc_id, source, unnest([array_to_string(w[i+1:i+5], ' ') for i in range(len(w)-4)]) AS g FROM wf),
-        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 17 = 0),
-        |cont AS (SELECT DISTINCT doc_id FROM g WHERE doc_id % 17 <> 0 AND g IN (SELECT g FROM ev))
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_train,
-        |  CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM cont) THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
-        |FROM wf WHERE doc_id % 17 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q91_repetition" ->
-      """WITH w AS (SELECT doc_id, source, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
-        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
-        |g AS (SELECT doc_id, source, unnest([w[i+1]||' '||w[i+2] for i in range(len(w)-1)]) AS g FROM wf),
-        |pc AS (SELECT doc_id, source, g, count(*) AS c FROM g GROUP BY 1,2,3),
-        |pd AS (SELECT doc_id, source, max(c) AS top2, sum(c) AS n_pairs FROM pc GROUP BY 1,2),
-        |ws AS (SELECT doc_id, len(w) AS nw, len(list_distinct(w)) AS nd FROM wf)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(nw) AS BIGINT) AS tot_words,
-        |  CAST(sum(nd) AS BIGINT) AS tot_distinct,
-        |  round(1.0 - CAST(sum(nd) AS DOUBLE)/CAST(sum(nw) AS DOUBLE), 4) AS dup_word_frac,
-        |  round(CAST(sum(top2) AS DOUBLE)/CAST(sum(n_pairs) AS DOUBLE), 4) AS top2_frac
-        |FROM pd JOIN ws USING (doc_id) GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q92_pii_scan" ->
-      """WITH a AS (SELECT doc_id, source, text ||
-        |  CASE WHEN doc_id % 7 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
-        |  CASE WHEN doc_id % 11 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END AS aug
-        | FROM documents),
-        |b AS (SELECT source,
-        |  len(regexp_extract_all(aug, '[a-z0-9._]+@[a-z0-9.-]+[.][a-z][a-z]+')) AS n_emails,
-        |  len(regexp_extract_all(aug, '5[0-9][0-9]-[0-9][0-9][0-9][0-9]')) AS n_phones,
-        |  length(aug) - length(regexp_replace(regexp_replace(aug,
-        |    '[a-z0-9._]+@[a-z0-9.-]+[.][a-z][a-z]+', '<EMAIL>', 'g'),
-        |    '5[0-9][0-9]-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g')) AS delta
-        | FROM a)
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(CASE WHEN n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs,
-        |  CAST(sum(CASE WHEN n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_docs,
-        |  CAST(sum(n_emails) AS BIGINT) AS tot_emails,
-        |  CAST(sum(n_phones) AS BIGINT) AS tot_phones,
-        |  CAST(sum(delta) AS BIGINT) AS redacted_delta
-        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q102_cluster_sizes" ->
-      s"""WITH $shingleCte,
-         |e0 AS (SELECT a AS u, b_id AS v FROM jac WHERE jac >= 0.8),
-         |edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
-         |reach AS (
-         |  WITH RECURSIVE r(src, dst) AS (
-         |    SELECT u, v FROM edges
-         |    UNION
-         |    SELECT r.src, e.v FROM r JOIN edges e ON r.dst = e.u
-         |  ) SELECT src, dst FROM r),
-         |comp AS (SELECT src AS doc_id, least(src, min(dst)) AS component
-         |  FROM reach GROUP BY src),
-         |cs AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1),
-         |h AS (SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters FROM cs GROUP BY 1),
-         |tot AS (SELECT count(*) AS n_all FROM documents),
-         |ic AS (SELECT count(*) AS n_in FROM comp)
-         |SELECT sz, n_clusters FROM h
-         |UNION ALL
-         |SELECT CAST(1 AS BIGINT) AS sz, CAST(tot.n_all - ic.n_in AS BIGINT) AS n_clusters FROM tot, ic
-         |ORDER BY sz""".stripMargin,
-    // identical semantics to q89 — the engine path differs (signatures
-    // round-trip a parquet store), the math doesn't
-    "q100_stored_sig_dedup" ->
-      s"""WITH $shingleCte,
-         |hi AS (SELECT a, b_id FROM jac WHERE jac >= 0.9),
-         |losers AS (
-         |  SELECT a AS doc_id FROM hi WHERE a % 3 = 0 AND b_id % 3 <> 0
-         |  UNION
-         |  SELECT b_id FROM hi WHERE b_id % 3 = 0 AND a % 3 <> 0
-         |  UNION
-         |  SELECT b_id FROM hi WHERE a % 3 = 0 AND b_id % 3 = 0),
-         |inc AS (SELECT doc_id, source FROM documents WHERE doc_id % 3 = 0)
-         |SELECT source, count(*) AS n_incoming,
-         |  CAST(sum(CASE WHEN doc_id NOT IN (SELECT doc_id FROM losers) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-         |FROM inc GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q89_incremental_dedup" ->
-      s"""WITH $shingleCte,
-         |hi AS (SELECT a, b_id FROM jac WHERE jac >= 0.9),
-         |losers AS (
-         |  SELECT a AS doc_id FROM hi WHERE a % 3 = 0 AND b_id % 3 <> 0
-         |  UNION
-         |  SELECT b_id FROM hi WHERE b_id % 3 = 0 AND a % 3 <> 0
-         |  UNION
-         |  SELECT b_id FROM hi WHERE a % 3 = 0 AND b_id % 3 = 0),
-         |inc AS (SELECT doc_id, source FROM documents WHERE doc_id % 3 = 0)
-         |SELECT source, count(*) AS n_incoming,
-         |  CAST(sum(CASE WHEN doc_id NOT IN (SELECT doc_id FROM losers) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-         |FROM inc GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q88_llm_pipeline" ->
-      s"""WITH $shingleCte,
-         |f AS (SELECT doc_id, text, n_chars,
-         |  CAST(len(w) AS BIGINT) AS nw,
-         |  CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','is','in'))) AS BIGINT) AS n_stop,
-         |  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct,
-         |  CAST(list_aggregate([CAST(length(t) AS BIGINT) for t in w], 'sum') AS BIGINT) AS sum_wl
-         | FROM wf),
-         |scored AS (SELECT doc_id, nw, md5(text) AS fp,
-         |  0.4 * least(CAST(nw AS DOUBLE) / 100.0, 1.0)
-         |  + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(nw AS DOUBLE))
-         |  + 0.2 * (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 1.0))
-         |  + 0.1 * least(CAST(sum_wl AS DOUBLE) / CAST(nw AS DOUBLE) / 10.0, 1.0) AS score
-         | FROM f),
-         |flt AS (SELECT * FROM scored WHERE score >= 0.4),
-         |keepers AS (SELECT fp, min(doc_id) AS doc_id FROM flt GROUP BY fp),
-         |exact AS (SELECT flt.* FROM flt JOIN keepers USING (fp, doc_id)),
-         |losers AS (SELECT DISTINCT b_id AS doc_id FROM jac WHERE jac >= 0.9),
-         |clean AS (SELECT exact.*,
-         |   ((doc_id*2654435761+7)%4294967296)%1000 AS b
-         |  FROM exact WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
-         |sp AS (SELECT *, CASE WHEN b < 900 THEN 'train'
-         |                      WHEN b < 950 THEN 'val' ELSE 'test' END AS split FROM clean)
-         |SELECT split, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS sum_tokens,
-         |  round(avg(score), 4) AS avg_score
-         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q70_dedup_components" ->
-      s"""WITH $shingleCte,
-         |e0 AS (SELECT a AS u, b_id AS v FROM jac WHERE jac >= 0.8),
-         |edges AS (SELECT u, v FROM e0 UNION SELECT v, u FROM e0),
-         |reach AS (
-         |  WITH RECURSIVE r(src, dst) AS (
-         |    SELECT u, v FROM edges
-         |    UNION
-         |    SELECT r.src, e.v FROM r JOIN edges e ON r.dst = e.u
-         |  ) SELECT src, dst FROM r)
-         |SELECT src AS doc_id, least(src, min(dst)) AS component
-         |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
-    "q22_dedup_exact" ->
-      """SELECT lang, count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique
-        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q82_minhash_fast" ->
-      """WITH w AS (SELECT doc_id, text, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
-        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
-        |g AS (SELECT md5(text) AS fp, count(*) AS nd FROM wf GROUP BY 1)
-        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |       CAST(count(*) AS BIGINT) AS n_stable,
-        |       (SELECT CAST(count(*) AS BIGINT) FROM g WHERE nd >= 2) AS n_dup_groups,
-        |       CAST(0 AS BIGINT) AS n_violations
-        |FROM wf""".stripMargin,
-    "q23_minhash_sig" ->
-      s"""WITH $shingleCte
-         |SELECT doc_id, md5(h0||h1||h2||h3||h4||h5||h6||h7) AS sig FROM m ORDER BY doc_id""".stripMargin,
-    "q24_lsh_candidates" ->
-      s"""WITH $shingleCte
-         |SELECT a, b_id FROM cand ORDER BY a, b_id""".stripMargin,
-    "q25_jaccard_pairs" ->
-      s"""WITH $shingleCte
-         |SELECT a, b_id, inter, round(jac, 6) AS jac FROM jac WHERE jac >= 0.5 ORDER BY a, b_id""".stripMargin,
-    "q26_neardup_dedup" ->
-      s"""WITH $shingleCte,
-         |losers AS (SELECT DISTINCT b_id AS doc_id FROM jac WHERE jac >= 0.9)
-         |SELECT source, count(*) AS n_kept FROM documents
-         |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q27_simhash" ->
-      s"""WITH $simhashCte
-         |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
-    "q28_simhash_blocked_pairs" ->
-      s"""WITH $simhashCte,
-         |blk AS (SELECT doc_id, simhash, bk, (simhash >> (8*bk)) & 255 AS bv
-         |        FROM sim, (SELECT unnest([0,1,2,3]) AS bk) bands),
-         |p AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b_id,
-         |        bit_count(xor(x.simhash, y.simhash)) AS dist
-         |      FROM blk x JOIN blk y ON x.bk = y.bk AND x.bv = y.bv AND x.doc_id < y.doc_id)
-         |SELECT a, b_id, dist FROM p WHERE dist <= 8 ORDER BY a, b_id""".stripMargin,
-    "q29_lang_id" ->
-      """WITH w AS (SELECT doc_id, lang, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
-        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
-        |sc AS (SELECT lang,
-        |  len(list_filter(w, t -> t IN ('the','a','of','and','to'))) AS s_en,
-        |  len(list_filter(w, t -> t IN ('el','la','de','los','y'))) AS s_es,
-        |  len(list_filter(w, t -> t IN ('der','die','das','und','ist'))) AS s_de,
-        |  len(list_filter(w, t -> t IN ('le','les','des','et','est'))) AS s_fr
-        | FROM wf),
-        |p AS (SELECT lang,
-        |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
-        |       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
-        |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS pred
-        | FROM sc)
-        |SELECT lang, pred, count(*) AS n FROM p GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
-    "q30_quality_score" ->
-      """WITH w AS (SELECT doc_id, source, n_chars, text, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
-        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
-        |f AS (SELECT source,
-        |  CAST(len(w) AS BIGINT) AS nw,
-        |  CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to','is','in'))) AS BIGINT) AS n_stop,
-        |  CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS BIGINT) AS n_punct,
-        |  CAST(list_aggregate([CAST(length(t) AS BIGINT) for t in w], 'sum') AS BIGINT) AS sum_wl,
-        |  n_chars
-        | FROM wf),
-        |sc AS (SELECT source,
-        |  0.4 * least(CAST(nw AS DOUBLE) / 100.0, 1.0)
-        |  + 0.3 * (1.0 - CAST(n_stop AS DOUBLE) / CAST(nw AS DOUBLE))
-        |  + 0.2 * (1.0 - least(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 1.0))
-        |  + 0.1 * least(CAST(sum_wl AS DOUBLE) / CAST(nw AS DOUBLE) / 10.0, 1.0) AS score
-        | FROM f)
-        |SELECT source, CAST(floor(score * 10) AS BIGINT) AS bucket, count(*) AS n
-        |FROM sc GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
-    "q31_token_count" ->
-      """WITH w AS (SELECT doc_id, source, text, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
-        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
-        |f AS (SELECT source, CAST(len(w) AS BIGINT) AS ws_tokens,
-        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens
-        | FROM wf)
-        |SELECT source, count(*) AS n_docs,
-        | CAST(sum(ws_tokens) AS BIGINT) AS sum_ws,
-        | CAST(sum(bpe_tokens) AS BIGINT) AS sum_bpe,
-        | round(avg(CAST(bpe_tokens AS DOUBLE)), 4) AS avg_bpe
-        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q32_fingerprint" ->
-      """WITH w AS (SELECT doc_id, text, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w FROM documents),
-        |wf AS (SELECT * FROM w WHERE len(w) >= 3)
-        |SELECT doc_id,
-        | md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fp,
-        | list_aggregate([md5(substr(text, i+1, 8)) for i in range(0, greatest(length(text) - 7, 1), 4)], 'min') AS winnow
-        |FROM wf ORDER BY doc_id""".stripMargin
-  )
+  val oracles: Map[String, String] =
+    dedupOracles ++ curationOracles ++ evalOracles
 }

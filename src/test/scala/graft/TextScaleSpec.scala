@@ -1,0 +1,264 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextOps
+
+/** Synthetic scale-up proof for the text tier (round-7 verdict #4): the
+  * shipped testdata tops out at sf0.1 (~5k documents), so the 100 TB
+  * skew/shuffle claims are exercised here on a GENERATED corpus ≥100×
+  * that row count with deliberately hostile skew — Zipf domains, hot
+  * boilerplate, duplicate templates — the same proof rung
+  * MriVolumeScaleSpec gives the NIfTI tier. Every expected number is
+  * derived from the generated data, never hardcoded.
+  *
+  * What is proven empirically, per the verdict's list:
+  *  - the gates → exact dedup → LSH near-dup chain completes at 500k
+  *    docs with planted duplicate classes collapsing to exactly one
+  *    survivor each (funnel correctness under skew, not just at sf0.1);
+  *  - boundedBucketPairs under a hot bucket 5× the cap: cell occupancy
+  *    stays near the cap and the decomposed pair count equals the exact
+  *    triangle count (no pair lost, none duplicated);
+  *  - q243's boiler-line set cardinality grows with the DOMAIN count
+  *    (the reason round 7's unguarded broadcast was wrong) and the
+  *    size guard provably picks broadcast vs shuffle join, with
+  *    identical results on both paths;
+  *  - SNM candidate volume stays ≤ w·N even when the sort key is
+  *    pathologically duplicated — the linearity PassJoin cannot offer
+  *    under the same degeneracy.
+  */
+class TextScaleSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[16]")
+    .config("spark.sql.shuffle.partitions", "16")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  /** 500k-doc corpus with Zipf-skewed domains and planted duplicates:
+    *  - doc_id % 101 == 0  → exact-duplicate class (text from doc_id % 97)
+    *  - else doc_id % 200 < 8 → near-dup template per (dom, slot): 63
+    *    shared words + one varying word → pairwise Jaccard ≈ 0.908
+    *  - else 24 unique hash words.
+    * Every doc carries 3 stopwords so the ratio gates r2-r5 pass. */
+  private def corpus(n: Long): DataFrame =
+    spark.range(n).toDF("doc_id")
+      .withColumn("u",
+        pmod(xxhash64(col("doc_id")), lit(1000000L)).cast("double") / 1e6)
+      .withColumn("dom", expr("CAST(pow(u, 3) * 2000 AS INT)"))
+      .withColumn("slot", (col("doc_id") % 200).cast("int"))
+      .withColumn("isExact", col("doc_id") % 101 === 0)
+      .withColumn("isTmpl", !col("isExact") && col("slot") < 8)
+      // ~2% of docs are pathological repetition (one word 24 times) so
+      // the gate stage provably fires (r4 distinct-ratio kills them)
+      .withColumn("isJunk",
+        !col("isExact") && !col("isTmpl") && col("doc_id") % 53 === 1)
+      .withColumn("w", expr(
+        """concat(array('the','a','of'),
+          |  CASE
+          |    WHEN isJunk THEN
+          |      transform(sequence(1, 24), k -> 'spam')
+          |    WHEN isExact THEN
+          |      transform(sequence(1, 24),
+          |        k -> concat('e', pmod(xxhash64((doc_id % 97) * 131 + k), 50000)))
+          |    WHEN isTmpl THEN
+          |      concat(
+          |        transform(sequence(1, 60),
+          |          k -> concat('t', pmod(xxhash64(dom * 1009 + slot * 97 + k), 50000))),
+          |        array(concat('v', doc_id % 613)))
+          |    ELSE
+          |      transform(sequence(1, 24),
+          |        k -> concat('w', pmod(xxhash64(doc_id * 31 + k), 50000)))
+          |  END)""".stripMargin))
+      .withColumn("text", concat_ws(" ", col("w")))
+
+  test("500k skewed docs: gates -> exact dedup -> LSH near-dup chain, " +
+      "planted classes collapse to one survivor each", SlowTag) {
+    val t0 = System.nanoTime()
+    val docs = corpus(500000L).localCheckpoint()
+
+    // gates (ratio rules r2-r5; the synthetic docs are a scale model with
+    // 27-64 words, same rationale as CurationPipelineScaleSpec)
+    val gated = TextOps.gopherGates(docs)
+      .filter(col("r2") && col("r3") && col("r4") && col("r5"))
+      .select("doc_id", "dom", "slot", "isExact", "isTmpl", "isJunk", "w", "text")
+    // exact dedup: keep min doc_id per content hash
+    val keepers = gated.withColumn("fp", md5(col("text")))
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+    val exact = gated.join(keepers, Seq("doc_id"), "left_semi").localCheckpoint()
+
+    // near-dup: shingle -> 8 xxhash64 minhashes -> 2 bands -> bounded
+    // bucket pairs -> exact Jaccard verify >= 0.9 -> drop higher id
+    val sh = exact.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("sh"))
+      .distinct().localCheckpoint()
+    val aggs = (0 until 8).map(j => min(xxhash64(lit(j.toLong), col("sh"))).as(s"h$j"))
+    val mh = sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    val blk = mh.select(col("doc_id"), lit(0L).as("bk"),
+        xxhash64(col("h0"), col("h1"), col("h2"), col("h3")).as("bv"))
+      .union(mh.select(col("doc_id"), lit(1L).as("bk"),
+        xxhash64(col("h4"), col("h5"), col("h6"), col("h7")).as("bv")))
+    val cand = TextOps.boundedBucketPairs(blk, Seq("bk", "bv"), "doc_id", Seq.empty, 1000)
+      .select("a", "b_id").distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val losers = cand
+      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("a", "b_id").agg(count(lit(1)).as("inter"))
+      .join(sizes.as("za"), col("a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("b_id") === col("zb.doc_id"))
+      .filter(col("inter") * 10 >= (col("za.n") + col("zb.n") - col("inter")) * 9)
+      .select(col("b_id").as("doc_id")).distinct()
+    val survivors = exact.join(losers, Seq("doc_id"), "left_anti").localCheckpoint()
+
+    // funnel monotone + non-vacuous
+    val nAll = docs.count(); val nGated = gated.count()
+    val nExact = exact.count(); val nSurv = survivors.count()
+    assert(nAll >= nGated && nGated >= nExact && nExact >= nSurv,
+      s"funnel not monotone: $nAll -> $nGated -> $nExact -> $nSurv")
+    assert(nGated > nAll / 2, s"gates must keep a majority: $nAll -> $nGated")
+    assert(nGated < nAll, "gate stage was vacuous — junk class not caught")
+    val junkSurvivors = survivors.filter(col("isJunk")).count()
+    assert(junkSurvivors == 0, s"r4 must kill every repetition doc: $junkSurvivors")
+    assert(nExact < nGated && nSurv < nExact, "a dedup stage was vacuous")
+
+    // planted exact classes: one survivor per distinct gated class text
+    val expectedExact = gated.filter(col("isExact"))
+      .select(md5(col("text"))).distinct().count()
+    val survExact = survivors.filter(col("isExact")).count()
+    assert(survExact == expectedExact,
+      s"exact classes: $survExact survivors vs $expectedExact distinct texts")
+
+    // planted template groups: ideally one survivor per (dom, slot)
+    // group present after gating (pairwise jac ~ 0.908 >= 0.9 within a
+    // group). LSH banding is probability-bounded, not lossless — with 2
+    // bands of 4 at J ~ 0.908 a pair collides with p ~ 0.90, so tiny
+    // (2-member) groups occasionally produce 2 survivors. The assert
+    // MEASURES that recall at 500k scale instead of pretending the
+    // banding is exact: never fewer survivors than groups (distinct
+    // groups can't merge), and at most 3% excess.
+    val expectedTmpl = gated.filter(col("isTmpl"))
+      .select("dom", "slot").distinct().count()
+    val survTmpl = survivors.filter(col("isTmpl")).count()
+    assert(survTmpl >= expectedTmpl,
+      s"template groups merged: $survTmpl survivors vs $expectedTmpl groups")
+    assert((survTmpl - expectedTmpl) * 100 <= expectedTmpl * 3,
+      s"LSH missed too many in-group pairs: $survTmpl survivors vs " +
+        s"$expectedTmpl groups (excess ${survTmpl - expectedTmpl})")
+
+    // skew really present: the hottest band bucket is a real pile-up
+    val maxBucket = blk.groupBy("bk", "bv").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(maxBucket >= 100, s"generator failed to create skew: $maxBucket")
+
+    info(f"chain at 500k docs: $nAll -> $nGated -> $nExact -> $nSurv " +
+      f"(exact classes $expectedExact, template groups $expectedTmpl, " +
+      f"hottest bucket $maxBucket) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+  }
+
+  test("boundedBucketPairs under a hot bucket 5x the cap: exact pair " +
+      "count, near-cap cell occupancy", SlowTag) {
+    val cap = 1000
+    val hotN = 5000L
+    val coldBuckets = 500L
+    val coldN = 100L
+    // one hot bucket value + 500 cold buckets of 100
+    val hot = spark.range(hotN).select(col("id").as("doc_id"),
+      lit(0L).as("bk"), lit(-1L).as("bv"))
+    val cold = spark.range(coldBuckets * coldN).select(
+      (col("id") + 1000000L).as("doc_id"), lit(0L).as("bk"),
+      (col("id") % coldBuckets).as("bv"))
+    val blk = hot.union(cold)
+    val pairs = TextOps.boundedBucketPairs(blk, Seq("bk", "bv"), "doc_id", Seq.empty, cap)
+      .select("a", "b_id")
+    // exact triangle count: C(5000,2) + 500 * C(100,2) — no pair lost to
+    // the cell decomposition, none emitted twice
+    val expected = hotN * (hotN - 1) / 2 + coldBuckets * (coldN * (coldN - 1) / 2)
+    val n = pairs.count()
+    val nd = pairs.distinct().count()
+    assert(n == expected && nd == expected,
+      s"pairs $n (distinct $nd) vs exact $expected")
+    // replay the hash-cell assignment: the hot bucket splits into
+    // ceil(5000/1000) = 5 cells and no cell exceeds 1.5x the cap
+    val nCells = math.ceil(hotN.toDouble / cap).toInt
+    val occ = hot.withColumn("cell", pmod(xxhash64(col("doc_id")), lit(nCells.toLong)))
+      .groupBy("cell").count().agg(max("count")).collect()(0).getLong(0)
+    assert(nCells == 5 && occ <= (cap * 3) / 2,
+      s"hot-bucket cell occupancy $occ exceeds 1.5x cap ($nCells cells)")
+    info(s"hot bucket $hotN with cap $cap: $nCells cells, max occupancy $occ, " +
+      s"$n pairs == exact")
+  }
+
+  test("q243 boiler set grows with domain count; size guard picks the " +
+      "join and both paths agree", SlowTag) {
+    val n = 500000L
+    // 2000 Zipf domains, each with its own banner+footer boilerplate —
+    // the cardinality that made round 7's unguarded broadcast unsound
+    val base = spark.range(n).toDF("doc_id")
+      .withColumn("u", pmod(xxhash64(col("doc_id")), lit(1000000L)).cast("double") / 1e6)
+      .withColumn("dom", expr("CAST(pow(u, 3) * 2000 AS INT)"))
+      .withColumn("source", concat(lit("src"), (col("doc_id") % 3).cast("string")))
+    val lines = base.select(col("doc_id"), col("source"), explode(array(
+        concat(lit("unique content a "), col("doc_id")),
+        concat(lit("unique content b "), col("doc_id")),
+        concat(lit("domain "), col("dom"), lit(" banner line")),
+        concat(lit("domain "), col("dom"), lit(" footer line")))).as("line"))
+      .localCheckpoint()
+    // expected boiler set: 2 lines per domain with >= 3 docs; unique
+    // lines never qualify — recomputed from the data, independent plan
+    val domsOver = base.groupBy("dom").agg(countDistinct("doc_id").as("nd"))
+      .filter(col("nd") > 2).count()
+    val expectedBoiler = 2L * domsOver
+    val actualBoiler = lines.groupBy("line")
+      .agg(countDistinct("doc_id").as("df")).filter(col("df") > 2).count()
+    assert(actualBoiler == expectedBoiler,
+      s"boiler cardinality $actualBoiler vs expected $expectedBoiler")
+    assert(actualBoiler >= 1000L,
+      s"generator failed: boiler set must scale with domains ($actualBoiler)")
+
+    // guard above the cardinality -> broadcast attach; below -> shuffle
+    // join; results identical either way. autoBroadcastJoinThreshold is
+    // disabled for this block so Spark's OWN size-based broadcast (which
+    // happily fires on this 4k-row set) can't mask the guard's decision:
+    // any BroadcastHashJoin seen below comes from the guard hint alone.
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val (rb, rs) = try {
+      val broadcastPath = TextOps.lineDedupStats(lines, 2, broadcastGuard = 10000000L)
+      val shufflePath = TextOps.lineDedupStats(lines, 2, broadcastGuard = 0L)
+      val pb = broadcastPath.queryExecution.executedPlan.toString()
+      val ps = shufflePath.queryExecution.executedPlan.toString()
+      assert(pb.contains("BroadcastHashJoin"),
+        s"under-guard boiler set must broadcast via the hint:\n$pb")
+      assert(!ps.contains("BroadcastHashJoin"),
+        s"over-guard boiler set must fall back to a shuffle join:\n$ps")
+      (broadcastPath.collect().map(_.toSeq).toSeq,
+        shufflePath.collect().map(_.toSeq).toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    assert(rb == rs, "broadcast and shuffle paths must produce identical stats")
+    // sanity on the stats themselves: every boiler occurrence removed
+    val removedExpected = lines.groupBy("line")
+      .agg(countDistinct("doc_id").as("df"), count(lit(1)).as("occ"))
+      .filter(col("df") > 2).agg(sum("occ")).collect()(0).getLong(0)
+    val removedActual = rb.map(_(3).asInstanceOf[Long]).sum
+    assert(removedActual == removedExpected,
+      s"n_removed $removedActual vs independent recount $removedExpected")
+    info(s"boiler set $actualBoiler lines across $domsOver hot domains; " +
+      s"removed $removedActual occurrences; guard proven on both paths")
+  }
+
+  test("SNM candidate volume stays linear under a degenerate sort key", SlowTag) {
+    val n = 200000L
+    // 997 distinct 16-char keys, each duplicated ~200x — the degeneracy
+    // that blows PassJoin's segment blocking quadratic stays linear here
+    val docs = spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("prefix"), lpad((col("id") % 997).cast("string"), 10, "0")).as("t"))
+    val pairs = TextOps.sortedNeighborhoodPairs(docs, w = 5, tau = 2)
+    val c = pairs.count()
+    assert(c > 0 && c <= 5L * n,
+      s"SNM pair volume must be <= w*N = ${5L * n}, got $c")
+    info(s"SNM at $n rows with 997-value key: $c pairs (bound ${5L * n})")
+  }
+}

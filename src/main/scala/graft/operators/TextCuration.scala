@@ -632,10 +632,51 @@ trait TextCurationQueries extends Serializable { self: TextSharedCore =>
 
   /** DuckDB VALUES list interpolated from [[WpVocab]] — one source of
     * truth for both engines. */
+  // q248 — Heaps-law vocabulary growth curve
+
+  /** Vocabulary growth (Heaps' law, V ≈ K·N^β) measured the one-pass
+    * way: each word's FIRST-occurrence document (min doc_id over its
+    * occurrences) makes cumulative vocabulary at any corpus prefix a
+    * COUNT of first occurrences below the threshold — the corpus is
+    * never re-scanned per checkpoint, which is what turns "plot the
+    * curve" from 10 corpus passes into one. The curve is the sizing
+    * input every tokenizer-vocab and dedup-memory budget starts from.
+    * Output is exact integers per prefix step (docs, tokens, cumulative
+    * vocabulary, newly seen words); the β fit itself is the consumer's
+    * log-log regression over 10 points, kept out of the engine so no
+    * transcendental touches the hash gate.
+    *
+    * Scale shape: one (word)-keyed shuffle for the min-doc table
+    * (vocabulary-bounded, sublinear in corpus size), one rollup of
+    * per-doc token counts; the 10-row threshold table is broadcast onto
+    * both sides, and the lag window runs over the 10-row result. */
+  private def q248(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val wds = words(s, dir)
+    val maxId = wds.agg(max("doc_id")).head().getLong(0)
+    val th = (1 to 10).map(k => (k.toLong, (maxId + 1) * k / 10)).toDF("k", "cut")
+    val tok = wds.select(col("doc_id"), explode(col("w")).as("word"))
+    val fd = tok.groupBy("word").agg(min("doc_id").as("fd"))
+    val perDoc = wds.select(col("doc_id"), size(col("w")).cast("long").as("nt"))
+    val cum = perDoc.crossJoin(broadcast(th)).filter(col("doc_id") < col("cut"))
+      .groupBy("k", "cut")
+      .agg(count(lit(1)).as("docs_cum"), sum("nt").as("tokens_cum"))
+    val vc = fd.crossJoin(broadcast(th)).filter(col("fd") < col("cut"))
+      .groupBy("k").agg(count(lit(1)).as("vocab_cum"))
+    val w10 = org.apache.spark.sql.expressions.Window.orderBy("k")
+    cum.join(vc, Seq("k"))
+      .withColumn("new_words",
+        col("vocab_cum") - coalesce(lag("vocab_cum", 1).over(w10), lit(0L)))
+      .select("k", "cut", "docs_cum", "tokens_cum", "vocab_cum", "new_words")
+      .orderBy("k")
+  }
+
   private def wpVocabValues: String =
     WpVocab.map { case (t, i) => s"('$t',$i)" }.mkString(",")
 
   private[operators] val curationQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q248_vocab_growth" -> (q248 _),
     "q235_blocklist_scan" -> (q235 _),
     "q232_gate_ablation" -> (q232 _),
     "q231_wordpiece_tokenize" -> (q231 _),
@@ -658,6 +699,28 @@ trait TextCurationQueries extends Serializable { self: TextSharedCore =>
   )
 
   private[operators] val curationOracles: Map[String, String] = Map(
+    // identical integer thresholds ((max+1)*k)//10, first-occurrence
+    // vocabulary counts, 10-row lag — floor division on non-negative
+    // numerators throughout
+    "q248_vocab_growth" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w
+        |  FROM documents),
+        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
+        |mx AS (SELECT max(doc_id) AS m FROM wf),
+        |th AS (SELECT CAST(k AS BIGINT) AS k, ((m + 1) * k) // 10 AS cut
+        |  FROM mx, (SELECT unnest([1,2,3,4,5,6,7,8,9,10]) AS k) ks),
+        |tok AS (SELECT doc_id, unnest(w) AS word FROM wf),
+        |fd AS (SELECT word, min(doc_id) AS fd FROM tok GROUP BY 1),
+        |pd AS (SELECT doc_id, len(w) AS nt FROM wf),
+        |cum AS (SELECT k, CAST(cut AS BIGINT) AS cut,
+        |    CAST(count(*) AS BIGINT) AS docs_cum,
+        |    CAST(sum(nt) AS BIGINT) AS tokens_cum
+        |  FROM th JOIN pd ON doc_id < cut GROUP BY 1, 2),
+        |vc AS (SELECT k, CAST(count(*) AS BIGINT) AS vocab_cum
+        |  FROM th JOIN fd ON fd < cut GROUP BY 1)
+        |SELECT k, cut, docs_cum, tokens_cum, vocab_cum,
+        |  CAST(vocab_cum - coalesce(lag(vocab_cum) OVER (ORDER BY k), 0) AS BIGINT) AS new_words
+        |FROM cum JOIN vc USING (k) ORDER BY k""".stripMargin,
     // replace() removes leftmost non-overlapping occurrences — exactly the
     // automaton's greedy counting semantics (see AhoCorasick scaladoc)
     "q235_blocklist_scan" ->

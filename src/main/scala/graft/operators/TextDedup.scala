@@ -541,7 +541,47 @@ trait TextDedupQueries extends Serializable { self: TextSharedCore =>
   private def q243(s: SparkSession, dir: String): DataFrame =
     lineDedupStats(q243Lines(s, dir), docFreqT = 2)
 
+  // q247 — WITHIN-document repeated-line trim (CCNet's other half)
+
+  /** The intra-document complement of q243: repeated lines INSIDE one
+    * document (lyrics choruses, copy-pasted paragraphs, nav blocks
+    * repeated top and bottom) are trimmed to their first occurrence.
+    * q243 needs a corpus-wide df count; this rule is per-row algebra —
+    * `array_distinct` keeps exactly the first occurrence of each line,
+    * so the whole operator is a projection + one per-source rollup:
+    * TRUE zero-shuffle over the corpus, the cheapest gate in the tier
+    * and the reason production stacks run it before anything
+    * corpus-wide. Repetition is guaranteed non-vacuous at every SF by
+    * the injection pattern (doc_id % 5 == 0 re-appends the document's
+    * first 5-word chunk — the q92/q214/q243 convention). The kept-line
+    * signature is the q243 sum-of-md5-prefixes, order-free and exact
+    * in BIGINT, so the kept SET (not the kept positions) is what the
+    * oracle must reproduce. */
+  private def q247(s: SparkSession, dir: String): DataFrame =
+    words(s, dir)
+      .withColumn("chunks", expr(
+        "transform(sequence(0, CAST((size(w) - 1) DIV 5 AS INT))," +
+          " i -> concat_ws(' ', slice(w, i * 5 + 1, 5)))"))
+      .withColumn("ls", expr(
+        "CASE WHEN doc_id % 5 = 0 THEN concat(chunks, slice(chunks, 1, 1))" +
+          " ELSE chunks END"))
+      .withColumn("kept", expr("array_distinct(ls)"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(col("ls")).cast("long")).as("n_lines"),
+        sum(size(col("kept")).cast("long")).as("n_kept"),
+        sum((size(col("ls")) - size(col("kept"))).cast("long")).as("n_removed"),
+        sum(when(size(col("ls")) > size(col("kept")), 1L).otherwise(0L))
+          .as("n_docs_touched"),
+        sum(expr(
+          "aggregate(kept, CAST(0 AS BIGINT)," +
+            " (a, x) -> a + CAST(conv(substring(md5(x), 1, 8), 16, 10) AS BIGINT))"))
+          .as("kept_sig"))
+      .orderBy("source")
+
   private[operators] val dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q247_intradoc_line_dedup" -> (q247 _),
     "q243_line_dedup" -> (q243 _),
     "q242_sorted_neighborhood" -> (q242 _),
     "q237_editdist_join" -> (q237 _),
@@ -563,6 +603,39 @@ trait TextDedupQueries extends Serializable { self: TextSharedCore =>
   )
 
   private[operators] val dedupOracles: Map[String, String] = Map(
+    // same 5-word chunking + first-chunk re-append; the kept stats are
+    // per (doc, line) group counts — the kept SET is identical whether
+    // the engine keeps the first occurrence or any occurrence, and the
+    // signature is an order-free sum, so group-by replays array_distinct
+    "q247_intradoc_line_dedup" ->
+      """WITH w AS (SELECT doc_id, source,
+        |        list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w
+        |      FROM documents),
+        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
+        |ch AS (SELECT doc_id, source,
+        |    [array_to_string(w[(i*5+1):(i*5+5)], ' ')
+        |       for i in range(((len(w)-1)//5)+1)] AS chunks
+        |  FROM wf),
+        |ls AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 5 = 0 THEN list_concat(chunks, chunks[1:1])
+        |         ELSE chunks END AS ls
+        |  FROM ch),
+        |l AS (SELECT doc_id, source, unnest(ls) AS line FROM ls),
+        |g AS (SELECT doc_id, source, line, count(*) AS occ FROM l GROUP BY 1,2,3),
+        |d AS (SELECT doc_id, source,
+        |    CAST(sum(occ) AS BIGINT) AS n_lines,
+        |    CAST(count(*) AS BIGINT) AS n_kept,
+        |    CAST(sum(occ) - count(*) AS BIGINT) AS n_removed,
+        |    CAST(sum(CAST(('0x'||substr(md5(line),1,8)) AS BIGINT)) AS BIGINT) AS sig
+        |  FROM g GROUP BY 1,2)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_lines) AS BIGINT) AS n_lines,
+        |  CAST(sum(n_kept) AS BIGINT) AS n_kept,
+        |  CAST(sum(n_removed) AS BIGINT) AS n_removed,
+        |  CAST(sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_touched,
+        |  CAST(sum(sig) AS BIGINT) AS kept_sig
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
     // same 5-word chunking + injection, df > 2 over distinct docs; the
     // kept-line signature replays via the '0x'||md5-prefix cast idiom
     "q243_line_dedup" ->

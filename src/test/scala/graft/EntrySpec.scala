@@ -647,5 +647,22 @@ class EntrySpec extends AnyFunSuite {
       s"q244 may broadcast only the 1-row ECE/MCE total:\n$p244")
     assert(!p244.contains("FileScan") && !p244.contains("Exchange hashpartitioning"),
       s"q244 must fold the corpus once into the checkpointed bin table:\n$p244")
+    // q247 (intra-doc line trim): per-row array_distinct algebra — the
+    // corpus is NEVER joined or windowed; the only exchange is the
+    // per-source rollup
+    val p247 = plan("q247_intradoc_line_dedup")
+    assert(!p247.contains("Join") && !p247.contains("Window"),
+      s"q247 must stay a zero-join per-row projection:\n$p247")
+    assert("Exchange hashpartitioning".r.findAllIn(p247).length <= 1,
+      s"q247 must shuffle only the per-source rollup:\n$p247")
+    // q248 (vocab growth): the 10-row threshold table broadcasts onto
+    // the min-doc and per-doc sides (two BNLJ cross joins); the lag
+    // window runs over the 10-row joined result — no sort-merge join,
+    // no cartesian
+    val p248 = plan("q248_vocab_growth")
+    assert(!p248.contains("CartesianProduct") && !p248.contains("SortMergeJoin"),
+      s"q248 must broadcast the threshold table:\n$p248")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p248).length <= 2,
+      s"q248 may cross-join only the 10-row thresholds:\n$p248")
   }
 }

@@ -672,11 +672,53 @@ trait TextCurationQueries extends Serializable { self: TextSharedCore =>
       .orderBy("k")
   }
 
+  // q250 — length-bucketed batching padding audit
+
+  /** The padding-waste table behind every LLM dataloader configuration:
+    * fixed batches of B = 32 documents, each padded to its batch max
+    * length, under (a) corpus order and (b) length-sorted order — the
+    * classic length-bucketing trade every trainer measures before
+    * turning it on (sorted batches waste almost nothing but correlate
+    * examples; the table quantifies exactly what the shuffle-quality
+    * trade buys). padded = Σ_batches rows·max(len); waste_ppm half-up
+    * over non-negative integers (q149 rule), so the whole table is
+    * float-free.
+    *
+    * Scale shape: each ordering is one scale-honest global rank
+    * (Ranks.seqIdBy — range-partitioned sort + zipWithIndex, never a
+    * single-partition window; both key sets are total orders per the
+    * seqIdBy contract), one rank DIV 32 bucket rollup, one 1-row fold;
+    * output is 2 rows. The (doc_id, len) table is localCheckpointed so
+    * both orderings read one corpus scan. */
+  private def q250(s: SparkSession, dir: String): DataFrame = {
+    val lens = words(s, dir)
+      .select(col("doc_id"), size(col("w")).cast("long").as("nt"))
+      .localCheckpoint()
+    def strat(name: String, keys: Column*): DataFrame =
+      Ranks.seqIdBy(lens, "rk", keys: _*)
+        .withColumn("b", expr("CAST((rk - 1) DIV 32 AS BIGINT)"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("n"), max("nt").as("mx"), sum("nt").as("tok"))
+        .groupBy(lit(name).as("strategy"))
+        .agg(
+          sum("n").as("n_docs"),
+          count(lit(1)).as("n_batches"),
+          sum("tok").as("sum_tokens"),
+          sum(col("n") * col("mx")).as("padded_tokens"))
+        .withColumn("waste_ppm", expr(
+          "CAST((2 * (padded_tokens - sum_tokens) * 1000000 + padded_tokens)" +
+            " DIV (2 * padded_tokens) AS BIGINT)"))
+    strat("corpus_order", col("doc_id"))
+      .unionByName(strat("length_sorted", col("nt"), col("doc_id")))
+      .orderBy("strategy")
+  }
+
   private def wpVocabValues: String =
     WpVocab.map { case (t, i) => s"('$t',$i)" }.mkString(",")
 
   private[operators] val curationQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q248_vocab_growth" -> (q248 _),
+    "q250_length_bucketing" -> (q250 _),
     "q235_blocklist_scan" -> (q235 _),
     "q232_gate_ablation" -> (q232 _),
     "q231_wordpiece_tokenize" -> (q231 _),
@@ -699,6 +741,27 @@ trait TextCurationQueries extends Serializable { self: TextSharedCore =>
   )
 
   private[operators] val curationOracles: Map[String, String] = Map(
+    // batches of 32 in each total order, padded to batch max; half-up
+    // ppm waste over non-negative integers (DIV ≡ //)
+    "q250_length_bucketing" ->
+      """WITH w AS (SELECT doc_id, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w
+        |  FROM documents),
+        |wf AS (SELECT * FROM w WHERE len(w) >= 3),
+        |l AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS nt FROM wf),
+        |r1 AS (SELECT nt, (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS b FROM l),
+        |g1 AS (SELECT b, count(*) AS n, max(nt) AS mx, sum(nt) AS tok FROM r1 GROUP BY 1),
+        |s1 AS (SELECT 'corpus_order' AS strategy, CAST(sum(n) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_batches, CAST(sum(tok) AS BIGINT) AS sum_tokens,
+        |    CAST(sum(n * mx) AS BIGINT) AS padded_tokens FROM g1),
+        |r2 AS (SELECT nt, (row_number() OVER (ORDER BY nt, doc_id) - 1) // 32 AS b FROM l),
+        |g2 AS (SELECT b, count(*) AS n, max(nt) AS mx, sum(nt) AS tok FROM r2 GROUP BY 1),
+        |s2 AS (SELECT 'length_sorted' AS strategy, CAST(sum(n) AS BIGINT) AS n_docs,
+        |    CAST(count(*) AS BIGINT) AS n_batches, CAST(sum(tok) AS BIGINT) AS sum_tokens,
+        |    CAST(sum(n * mx) AS BIGINT) AS padded_tokens FROM g2)
+        |SELECT strategy, n_docs, n_batches, sum_tokens, padded_tokens,
+        |  CAST((2 * (padded_tokens - sum_tokens) * 1000000 + padded_tokens)
+        |    // (2 * padded_tokens) AS BIGINT) AS waste_ppm
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2) ORDER BY strategy""".stripMargin,
     // identical integer thresholds ((max+1)*k)//10, first-occurrence
     // vocabulary counts, 10-row lag — floor division on non-negative
     // numerators throughout

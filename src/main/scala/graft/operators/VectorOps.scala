@@ -1300,10 +1300,47 @@ object VectorOps {
       .orderBy("probe_id")
   }
 
+  // q249 — hard-negative mining for contrastive training
+
+  /** The mining pass behind every contrastive/embedding-training data
+    * build (DPR/Contriever convention): for each probe, the top-3
+    * most-similar vectors of a DIFFERENT label — "hard negatives", the
+    * near-misses that make the loss informative. Candidates come from
+    * the production band index expanded with multi-probe (the q245
+    * lesson applied at birth: on this near-orthogonal corpus
+    * single-probe retains almost nothing), the label exclusion rides
+    * the candidate join, and the exact cosine re-ranks only survivors.
+    * Scale shape: band-key equi-joins + the bounded %100 probe side —
+    * the corpus is never cross-joined; ranking is per-probe over
+    * candidate rows only. */
+  private def q249(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("label"), col("embedding"))
+    val bd = banded(s, dir)
+    val probeB = multiProbe(bd.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("bk"), col("bv")))
+    val cand = probeB.join(bd, Seq("bk", "bv"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select("probe_id", "vec_id").distinct()
+    val probesE = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("label").as("p_label"),
+        col("embedding").as("pe"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos").desc, col("vec_id"))
+    cand
+      .join(broadcast(probesE), Seq("probe_id"))
+      .join(emb, Seq("vec_id"))
+      .filter(col("label") =!= col("p_label")) // negatives only
+      .withColumn("cos", round(cosCol(s, "pe", "embedding"), 6))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("probe_id", "rk", "vec_id", "label", "cos")
+      .orderBy("probe_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q225_ann_recall" -> (q225 _),
     "q245_decontaminate_multiprobe" -> (q245 _),
     "q246_ann_recall_multiprobe" -> (q246 _),
+    "q249_hard_negatives" -> (q249 _),
     "q223_quant_recall" -> (q223 _),
     "q192_knn_core" -> (q192 _),
     "q202_knn_core_banded" -> (q202 _),
@@ -1342,6 +1379,25 @@ object VectorOps {
       |  FROM embeddings, (SELECT unnest([0,1,2,3]) AS k) ks)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // q249: multi-probe band candidates, different-label filter, exact
+    // cosine top-3 — the q34/q241 replay pattern with the label leg
+    "q249_hard_negatives" ->
+      s"""WITH $bandsSql,
+         |pb AS (SELECT vec_id AS probe_id, bk,
+         |    CASE WHEN j = 16 THEN bv ELSE xor(bv, CAST(1 << j AS BIGINT)) END AS bv
+         |  FROM bands CROSS JOIN generate_series(0,16) t(j)
+         |  WHERE vec_id % 100 = 0),
+         |cand AS (SELECT DISTINCT p.probe_id, y.vec_id
+         |  FROM pb p JOIN bands y ON y.bk = p.bk AND y.bv = p.bv
+         |    AND y.vec_id <> p.probe_id),
+         |sc AS (SELECT c.probe_id, c.vec_id, b.label, round($cosSql, 6) AS cos
+         |  FROM cand c JOIN embeddings a ON a.vec_id = c.probe_id
+         |              JOIN embeddings b ON b.vec_id = c.vec_id
+         |  WHERE b.label <> a.label),
+         |r AS (SELECT *, CAST(row_number() OVER (
+         |    PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk FROM sc)
+         |SELECT probe_id, rk, vec_id, label, cos
+         |FROM r WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin,
     // q246: q225's audit with the probe band set expanded to Hamming-1
     // buckets (q241's pb CTE) — same exact top-5 ground truth
     "q246_ann_recall_multiprobe" ->

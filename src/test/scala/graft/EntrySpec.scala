@@ -664,5 +664,19 @@ class EntrySpec extends AnyFunSuite {
       s"q248 must broadcast the threshold table:\n$p248")
     assert("BroadcastNestedLoopJoin".r.findAllIn(p248).length <= 2,
       s"q248 may cross-join only the 10-row thresholds:\n$p248")
+    // q249 (hard negatives): candidates from band-key equi-joins with
+    // the multi-probe expansion on the bounded probe side; the only
+    // broadcast is the probe embedding/label attach — never all-pairs
+    val p249 = plan("q249_hard_negatives")
+    assert(!p249.contains("CartesianProduct") && !p249.contains("BroadcastNestedLoopJoin"),
+      s"q249 must generate candidates by band equi-joins:\n$p249")
+    // q250 (length bucketing): both orderings go through seqIdBy's
+    // range-partitioned sort — no single-partition Window over the
+    // corpus (the lens table is checkpointed, so the visible plan is
+    // the two rank/rollup branches and the 2-row union)
+    val p250 = plan("q250_length_bucketing")
+    assert(!p250.contains("Window"),
+      s"q250 must rank via seqIdBy, not a window:\n$p250")
+    assert(!p250.contains("Join"), s"q250 must not join:\n$p250")
   }
 }

@@ -149,6 +149,11 @@ class StreamingVolumePipelineSpec extends AnyFunSuite {
     tmpOrphan.mkdirs()
     Files.copy(src.toPath.resolve(sinks.Lmdb.DataFileName),
       tmpOrphan.toPath.resolve(sinks.Lmdb.DataFileName))
+    // ...including one that died MID-write, leaving an inner tmp file the
+    // old named-files-only delete missed (round-7 advice: dir.delete()
+    // failed silently on the non-empty dir and the residue leaked forever)
+    Files.write(tmpOrphan.toPath.resolve(sinks.Lmdb.DataFileName + ".tmp-50b"),
+      Array[Byte](1, 2, 3))
 
     assert(sinks.LmdbStore.appendBatch(df("b1"), store, 1L))
     assert(!tmpOrphan.exists(), "crashed-task tmp dir must be swept")

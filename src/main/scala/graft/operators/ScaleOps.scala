@@ -524,6 +524,55 @@ object ScaleOps {
   }
 
   // ---------------------------------------------------------------------
+  // q251 — postings delta+varint compression accounting
+  // ---------------------------------------------------------------------
+
+  /** Index-size planning table for the q131 store: the byte cost of the
+    * postings under the standard delta-gap + LEB128 varint encoding
+    * every search/dedup index ships with, vs raw fixed-width 8-byte
+    * postings — rolled up per power-of-2 df band, the granularity an
+    * index operator budgets by (rare terms dominate term COUNT, stop
+    * words dominate BYTES; the band table shows both).
+    *
+    * Exactness: varint length is the full 9-level integer CASE over the
+    * 128^k thresholds (good to 2^63); gaps come from a lag window
+    * PARTITIONED BY WORD (keys = vocabulary — never a global window),
+    * with the first posting encoding doc_id + 1 so every encoded value
+    * is ≥ 1; the df band uses the log2(x + 0.5) trick the q131 shard
+    * planner already relies on (the half-offset sits strictly between
+    * integers, so float log2 can never round across a power-of-2
+    * boundary). Ratio is half-up ppm over non-negative integers. */
+  private def q251(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = t(s, dir, "documents").select(col("doc_id"),
+      explode(array_distinct(array_remove(split(lower(col("text")), "\\s+"), ""))).as("word"))
+    val w = Window.partitionBy("word").orderBy("doc_id")
+    val vlen = "CASE WHEN g < 128 THEN 1 WHEN g < 16384 THEN 2" +
+      " WHEN g < 2097152 THEN 3 WHEN g < 268435456 THEN 4" +
+      " WHEN g < 34359738368 THEN 5 WHEN g < 4398046511104 THEN 6" +
+      " WHEN g < 562949953421312 THEN 7 WHEN g < 72057594037927936 THEN 8" +
+      " ELSE 9 END"
+    val perTerm = pairs
+      .withColumn("g", coalesce(col("doc_id") - lag("doc_id", 1).over(w),
+        col("doc_id") + 1L))
+      .withColumn("vb", expr(s"CAST($vlen AS BIGINT)"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("df"), sum("vb").as("vbytes"))
+    perTerm
+      // explicit floor on BOTH sides: Spark's double->BIGINT cast
+      // truncates but DuckDB's ROUNDS — the cast alone is not portable
+      .withColumn("band", expr("CAST(floor(log2(df + 0.5D)) AS BIGINT)"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n_terms"),
+        sum("df").as("n_postings"),
+        (sum("df") * 8L).as("raw_bytes"),
+        sum("vbytes").as("varint_bytes"))
+      .withColumn("ratio_ppm", expr(
+        "CAST((2 * varint_bytes * 1000000 + raw_bytes) DIV (2 * raw_bytes) AS BIGINT)"))
+      .orderBy("band")
+  }
+
+  // ---------------------------------------------------------------------
   // q132 — SCD type-2 history collapse
   // ---------------------------------------------------------------------
 
@@ -825,6 +874,7 @@ object ScaleOps {
     "q136_equidepth_bins" -> (q136 _),
     "q137_group_regression" -> (q137 _),
     "q131_inverted_index" -> (q131 _),
+    "q251_postings_varint" -> (q251 _),
     "q132_scd2_history" -> (q132 _),
     "q133_cohort_retention" -> (q133 _),
     "q134_mv_refresh" -> (q134 _),
@@ -920,6 +970,31 @@ object ScaleOps {
         |  round((n * sxy - sx * sy) * (n * sxy - sx * sy)
         |    / (CAST(n * sxx - sx * sx AS DOUBLE) * (n * syy - sy * sy)), 8) AS r2
         |FROM s ORDER BY event_type""".stripMargin,
+    // same distinct (doc, word) pairs, lag-gap per word (first posting
+    // encodes doc_id + 1), identical 128^k CASE chain and log2(x+0.5)
+    // banding; half-up ppm ratio (DIV == // on non-negative numerators)
+    "q251_postings_varint" ->
+      """WITH p AS (SELECT DISTINCT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS word
+        |  FROM documents),
+        |g AS (SELECT word, coalesce(doc_id - lag(doc_id) OVER
+        |    (PARTITION BY word ORDER BY doc_id), doc_id + 1) AS g FROM p),
+        |v AS (SELECT word,
+        |    CASE WHEN g < 128 THEN 1 WHEN g < 16384 THEN 2
+        |         WHEN g < 2097152 THEN 3 WHEN g < 268435456 THEN 4
+        |         WHEN g < 34359738368 THEN 5 WHEN g < 4398046511104 THEN 6
+        |         WHEN g < 562949953421312 THEN 7 WHEN g < 72057594037927936 THEN 8
+        |         ELSE 9 END AS vb
+        |  FROM g),
+        |t AS (SELECT word, CAST(count(*) AS BIGINT) AS df,
+        |    CAST(sum(vb) AS BIGINT) AS vbytes FROM v GROUP BY 1),
+        |b AS (SELECT CAST(floor(log2(df + 0.5)) AS BIGINT) AS band, df, vbytes FROM t)
+        |SELECT band, CAST(count(*) AS BIGINT) AS n_terms,
+        |  CAST(sum(df) AS BIGINT) AS n_postings,
+        |  CAST(sum(df) * 8 AS BIGINT) AS raw_bytes,
+        |  CAST(sum(vbytes) AS BIGINT) AS varint_bytes,
+        |  CAST((2 * sum(vbytes) * 1000000 + sum(df) * 8) // (2 * sum(df) * 8) AS BIGINT) AS ratio_ppm
+        |FROM b GROUP BY band ORDER BY band""".stripMargin,
     "q131_inverted_index" ->
       """WITH tok AS (SELECT doc_id,
         |    unnest(list_distinct(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> ''))) AS word

@@ -650,10 +650,16 @@ trait TextCurationQueries extends Serializable { self: TextSharedCore =>
     * (vocabulary-bounded, sublinear in corpus size), one rollup of
     * per-doc token counts; the 10-row threshold table is broadcast onto
     * both sides, and the lag window runs over the 10-row result. */
-  private def q248(s: SparkSession, dir: String): DataFrame = {
-    val spark = s
+  private def q248(s: SparkSession, dir: String): DataFrame =
+    vocabGrowth(words(s, dir))
+
+  /** q248 core over any (doc_id, w: array<string>) frame — exposed so
+    * TextScaleSpec can prove a REAL Heaps curve on its 500k-doc
+    * synthetic corpus (the shipped testdata's 31-word vocabulary makes
+    * the curve flat, which gates the machinery but not the shape). */
+  private[graft] def vocabGrowth(wds: DataFrame): DataFrame = {
+    val spark = wds.sparkSession
     import spark.implicits._
-    val wds = words(s, dir)
     val maxId = wds.agg(max("doc_id")).head().getLong(0)
     val th = (1 to 10).map(k => (k.toLong, (maxId + 1) * k / 10)).toDF("k", "cut")
     val tok = wds.select(col("doc_id"), explode(col("w")).as("word"))
@@ -713,12 +719,73 @@ trait TextCurationQueries extends Serializable { self: TextSharedCore =>
       .orderBy("strategy")
   }
 
+  // q252 — Luhn-validated payment-card PII scan
+
+  /** The production refinement of q92's regex PII scan: a 16-digit run
+    * is only treated as a payment card if it passes the Luhn mod-10
+    * check — the validation step that separates card PII from order
+    * numbers/timestamps and keeps the redaction false-positive rate
+    * usable. The corpus has no cards, so they are injected
+    * deterministically (the q92/q214/q230 convention): doc_id % 9 == 0
+    * appends a VALID card (15 digits from doc_id + the computed Luhn
+    * check digit); doc_id % 13 == 0 appends a near-miss (check digit
+    * shifted by 5) that the regex finds but Luhn MUST reject — the scan
+    * is graded on telling them apart, not on the regex.
+    *
+    * All Luhn arithmetic is exact integers evaluated with the same
+    * digit-position algebra on both engines (right-index j: doubled iff
+    * j even over the full 16-digit number); candidate extraction and
+    * validation are per-row HOFs (regexp_extract_all + filter/aggregate
+    * lambdas), so the corpus is scanned once with zero joins — the only
+    * exchange is the per-source rollup. The signature sums an 8-digit
+    * substring of each valid card (bounded, overflow-safe in BIGINT). */
+  private def q252(s: SparkSession, dir: String): DataFrame = {
+    val luhn16 = "aggregate(sequence(1, 16), CAST(0 AS BIGINT), (a, j) -> a +" +
+      " CASE WHEN j % 2 = 0 THEN" +
+      "   IF(2 * CAST(substring(c, 17 - j, 1) AS BIGINT) > 9," +
+      "      2 * CAST(substring(c, 17 - j, 1) AS BIGINT) - 9," +
+      "      2 * CAST(substring(c, 17 - j, 1) AS BIGINT))" +
+      " ELSE CAST(substring(c, 17 - j, 1) AS BIGINT) END)"
+    t(s, dir, "documents")
+      .withColumn("base", lpad((col("doc_id") % 999999999L).cast("string"), 15, "7"))
+      // Luhn sum of the base as it will sit in the full number (right
+      // index j of base = right index j+1 of the 16-digit number, so
+      // base digits double at ODD j)
+      .withColumn("lsum", expr(
+        "aggregate(sequence(1, 15), CAST(0 AS BIGINT), (a, j) -> a +" +
+          " CASE WHEN j % 2 = 1 THEN" +
+          "   IF(2 * CAST(substring(base, 16 - j, 1) AS BIGINT) > 9," +
+          "      2 * CAST(substring(base, 16 - j, 1) AS BIGINT) - 9," +
+          "      2 * CAST(substring(base, 16 - j, 1) AS BIGINT))" +
+          " ELSE CAST(substring(base, 16 - j, 1) AS BIGINT) END)"))
+      .withColumn("chk", expr("(10 - (lsum % 10)) % 10"))
+      .withColumn("aug", concat(col("text"),
+        when(col("doc_id") % 9 === 0,
+          concat(lit(" card "), col("base"), col("chk").cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" ref "), col("base"),
+            expr("(chk + 5) % 10").cast("string"))).otherwise(lit(""))))
+      .withColumn("cands", expr("regexp_extract_all(aug, '[0-9]{16}', 0)"))
+      .withColumn("valids", expr(s"filter(cands, c -> ($luhn16) % 10 = 0)"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(col("cands")).cast("long")).as("n_candidates"),
+        sum(size(col("valids")).cast("long")).as("n_luhn_valid"),
+        sum((size(col("cands")) - size(col("valids"))).cast("long")).as("n_rejected"),
+        sum(when(size(col("valids")) > 0, 1L).otherwise(0L)).as("n_docs_with_cards"),
+        sum(expr(
+          "aggregate(valids, CAST(0 AS BIGINT)," +
+            " (a, c) -> a + CAST(substring(c, 5, 8) AS BIGINT))")).as("valid_sig"))
+      .orderBy("source")
+  }
+
   private def wpVocabValues: String =
     WpVocab.map { case (t, i) => s"('$t',$i)" }.mkString(",")
 
   private[operators] val curationQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q248_vocab_growth" -> (q248 _),
     "q250_length_bucketing" -> (q250 _),
+    "q252_luhn_pii" -> (q252 _),
     "q235_blocklist_scan" -> (q235 _),
     "q232_gate_ablation" -> (q232 _),
     "q231_wordpiece_tokenize" -> (q231 _),
@@ -741,6 +808,47 @@ trait TextCurationQueries extends Serializable { self: TextSharedCore =>
   )
 
   private[operators] val curationOracles: Map[String, String] = Map(
+    // identical injection (15-digit base + computed Luhn check; near-miss
+    // shifts the check by 5) and identical digit-position algebra —
+    // right-index j doubled iff j even over the 16-digit candidate
+    "q252_luhn_pii" ->
+      """WITH b AS (SELECT doc_id, source, text,
+        |    lpad(CAST(doc_id % 999999999 AS VARCHAR), 15, '7') AS base
+        |  FROM documents),
+        |l AS (SELECT *, CAST(list_aggregate(
+        |    [CASE WHEN j % 2 = 1 THEN
+        |       CASE WHEN 2 * CAST(substr(base, 16 - j, 1) AS BIGINT) > 9
+        |            THEN 2 * CAST(substr(base, 16 - j, 1) AS BIGINT) - 9
+        |            ELSE 2 * CAST(substr(base, 16 - j, 1) AS BIGINT) END
+        |     ELSE CAST(substr(base, 16 - j, 1) AS BIGINT) END
+        |     for j in range(1, 16)], 'sum') AS BIGINT) AS lsum
+        |  FROM b),
+        |a AS (SELECT doc_id, source, text ||
+        |    CASE WHEN doc_id % 9 = 0
+        |      THEN ' card ' || base || CAST((10 - (lsum % 10)) % 10 AS VARCHAR)
+        |      ELSE '' END ||
+        |    CASE WHEN doc_id % 13 = 0
+        |      THEN ' ref ' || base || CAST(((10 - (lsum % 10)) % 10 + 5) % 10 AS VARCHAR)
+        |      ELSE '' END AS aug
+        |  FROM l),
+        |c AS (SELECT source, regexp_extract_all(aug, '[0-9]{16}') AS cands FROM a),
+        |v AS (SELECT source, cands,
+        |    list_filter(cands, c -> CAST(list_aggregate(
+        |      [CASE WHEN j % 2 = 0 THEN
+        |         CASE WHEN 2 * CAST(substr(c, 17 - j, 1) AS BIGINT) > 9
+        |              THEN 2 * CAST(substr(c, 17 - j, 1) AS BIGINT) - 9
+        |              ELSE 2 * CAST(substr(c, 17 - j, 1) AS BIGINT) END
+        |       ELSE CAST(substr(c, 17 - j, 1) AS BIGINT) END
+        |       for j in range(1, 17)], 'sum') AS BIGINT) % 10 = 0) AS valids
+        |  FROM c)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(cands)) AS BIGINT) AS n_candidates,
+        |  CAST(sum(len(valids)) AS BIGINT) AS n_luhn_valid,
+        |  CAST(sum(len(cands) - len(valids)) AS BIGINT) AS n_rejected,
+        |  CAST(sum(CASE WHEN len(valids) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_cards,
+        |  CAST(sum(list_aggregate(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(substr(c, 5, 8) AS BIGINT) for c in valids]), 'sum')) AS BIGINT) AS valid_sig
+        |FROM v GROUP BY source ORDER BY source""".stripMargin,
     // batches of 32 in each total order, padded to batch max; half-up
     // ppm waste over non-negative integers (DIV ≡ //)
     "q250_length_bucketing" ->

@@ -678,5 +678,18 @@ class EntrySpec extends AnyFunSuite {
     assert(!p250.contains("Window"),
       s"q250 must rank via seqIdBy, not a window:\n$p250")
     assert(!p250.contains("Join"), s"q250 must not join:\n$p250")
+    // q251 (postings varint): the gap lag-window partitions by WORD
+    // (vocabulary keys, never the single-partition trap) and nothing
+    // joins
+    val p251 = plan("q251_postings_varint")
+    assert(!p251.contains("Join"), s"q251 must not join:\n$p251")
+    assert(!p251.contains("Exchange SinglePartition"),
+      s"q251's window must partition by word:\n$p251")
+    // q252 (Luhn PII): per-row HOF extraction + validation — zero joins,
+    // the only exchange is the per-source rollup
+    val p252 = plan("q252_luhn_pii")
+    assert(!p252.contains("Join"), s"q252 must stay a zero-join scan:\n$p252")
+    assert("Exchange hashpartitioning".r.findAllIn(p252).length <= 1,
+      s"q252 must shuffle only the per-source rollup:\n$p252")
   }
 }

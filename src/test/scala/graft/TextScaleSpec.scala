@@ -249,6 +249,32 @@ class TextScaleSpec extends AnyFunSuite {
       s"removed $removedActual occurrences; guard proven on both paths")
   }
 
+  test("vocabulary growth shows a real Heaps curve at 500k docs", SlowTag) {
+    // the shipped testdata has a 31-word vocabulary (flat curve); this
+    // corpus mixes a saturating 5000-word common vocab with one
+    // genuinely-new rare word per doc, so the curve must be strictly
+    // increasing with its biggest step first (common-vocab saturation)
+    val n = 500000L
+    val wds = spark.range(n).toDF("doc_id")
+      .withColumn("w", expr(
+        """concat(
+          |  transform(sequence(1, 20),
+          |    k -> concat('c', pmod(xxhash64(doc_id * 17 + k), 5000))),
+          |  array(concat('rare', doc_id)))""".stripMargin))
+    val curve = TextOps.vocabGrowth(wds).collect()
+    assert(curve.length == 10)
+    val vocab = curve.map(_.getLong(4))
+    val newW = curve.map(_.getLong(5))
+    assert(vocab.zip(vocab.tail).forall { case (a, b) => a < b },
+      s"vocab_cum must strictly increase: ${vocab.mkString(",")}")
+    assert(newW.head > newW.last,
+      s"first step must carry the common-vocab saturation: ${newW.mkString(",")}")
+    // every step still discovers at least its rare words (n/10 per step)
+    assert(newW.forall(_ >= n / 10),
+      s"each step adds >= its rare words: ${newW.mkString(",")}")
+    info(s"vocab curve: ${vocab.mkString(" -> ")}")
+  }
+
   test("SNM candidate volume stays linear under a degenerate sort key", SlowTag) {
     val n = 200000L
     // 997 distinct 16-char keys, each duplicated ~200x — the degeneracy

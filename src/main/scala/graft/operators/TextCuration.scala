@@ -660,7 +660,11 @@ trait TextCurationQueries extends Serializable { self: TextSharedCore =>
   private[graft] def vocabGrowth(wds: DataFrame): DataFrame = {
     val spark = wds.sparkSession
     import spark.implicits._
-    val maxId = wds.agg(max("doc_id")).head().getLong(0)
+    val maxRow = wds.agg(max("doc_id")).head()
+    if (maxRow.isNullAt(0)) // empty corpus: no thresholds, schema-stable
+      return Seq.empty[(Long, Long, Long, Long, Long, Long)]
+        .toDF("k", "cut", "docs_cum", "tokens_cum", "vocab_cum", "new_words")
+    val maxId = maxRow.getLong(0)
     val th = (1 to 10).map(k => (k.toLong, (maxId + 1) * k / 10)).toDF("k", "cut")
     val tok = wds.select(col("doc_id"), explode(col("w")).as("word"))
     val fd = tok.groupBy("word").agg(min("doc_id").as("fd"))
@@ -717,6 +721,36 @@ trait TextCurationQueries extends Serializable { self: TextSharedCore =>
     strat("corpus_order", col("doc_id"))
       .unionByName(strat("length_sorted", col("nt"), col("doc_id")))
       .orderBy("strategy")
+  }
+
+  // q253 — per-domain adaptive quality threshold
+
+  /** The FineWeb/per-dump refinement of a global quality cut: each
+    * DOMAIN gets its own threshold (here the per-source p25 of the q108
+    * hashed score), so a uniformly-weaker domain isn't wholesale-deleted
+    * by a corpus-global cut and a uniformly-stronger one still sheds its
+    * own worst quartile. Thresholds come from Percentiles.exactByRank —
+    * the distributed rank-selection that never builds a per-group sort
+    * buffer (the q08/q45 lesson), value-identical to DuckDB's
+    * quantile_cont — and attach back as a broadcast (|sources| rows).
+    * The pass rate lands ~750000 ppm per source BY CONSTRUCTION (the
+    * whole point of adaptive cuts); the hash gate rides on the exact
+    * thresholds and counts. */
+  private def q253(s: SparkSession, dir: String): DataFrame = {
+    val scored = words(s, dir)
+      .withColumn("raw", hashedScoreRaw(col("w")).cast("double"))
+      .select(col("doc_id"), col("source"), col("raw"))
+    val cuts = graft.functions.Percentiles
+      .exactByRank(scored, "source", "raw", Seq(0.25))
+      .select(col("source"), col("value").as("p25"))
+    scored.join(broadcast(cuts), Seq("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(max("p25"), 4).as("p25"),
+        sum(when(col("raw") > col("p25"), 1L).otherwise(0L)).as("n_pass"))
+      .withColumn("pass_ppm", expr(
+        "CAST((2 * n_pass * 1000000 + n_docs) DIV (2 * n_docs) AS BIGINT)"))
+      .orderBy("source")
   }
 
   // q252 — Luhn-validated payment-card PII scan
@@ -786,6 +820,7 @@ trait TextCurationQueries extends Serializable { self: TextSharedCore =>
     "q248_vocab_growth" -> (q248 _),
     "q250_length_bucketing" -> (q250 _),
     "q252_luhn_pii" -> (q252 _),
+    "q253_adaptive_threshold" -> (q253 _),
     "q235_blocklist_scan" -> (q235 _),
     "q232_gate_ablation" -> (q232 _),
     "q231_wordpiece_tokenize" -> (q231 _),
@@ -808,6 +843,27 @@ trait TextCurationQueries extends Serializable { self: TextSharedCore =>
   )
 
   private[operators] val curationOracles: Map[String, String] = Map(
+    // quantile_cont's linear interpolation is value-identical to
+    // exactByRank (the q08/q45 precedent); same integer score, strict >
+    // cut, half-up ppm
+    "q253_adaptive_threshold" ->
+      """WITH wf AS (SELECT source, list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '') AS w
+        |  FROM documents
+        |  WHERE len(list_filter(regexp_split_to_array(text,'\s+'), t -> t <> '')) >= 3),
+        |g AS (SELECT source,
+        |    list_concat(w, [w[i+1] || ' ' || w[i+2] for i in range(len(w)-1)]) AS grams FROM wf),
+        |r AS (SELECT source,
+        |    CAST(CAST(list_aggregate(
+        |      [ (CAST(('0x'||substr(md5(gr),1,8)) AS BIGINT) % 65536 * 2654435761 % 2001) - 1000
+        |        for gr in grams], 'sum') AS BIGINT) AS DOUBLE) AS raw
+        |  FROM g),
+        |c AS (SELECT source, quantile_cont(raw, 0.25) AS p25 FROM r GROUP BY 1)
+        |SELECT r.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  round(max(c.p25), 4) AS p25,
+        |  CAST(sum(CASE WHEN raw > p25 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  CAST((2 * sum(CASE WHEN raw > p25 THEN 1 ELSE 0 END) * 1000000 + count(*))
+        |    // (2 * count(*)) AS BIGINT) AS pass_ppm
+        |FROM r JOIN c USING (source) GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical injection (15-digit base + computed Luhn check; near-miss
     // shifts the check by 5) and identical digit-position algebra —
     // right-index j doubled iff j even over the 16-digit candidate

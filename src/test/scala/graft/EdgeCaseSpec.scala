@@ -99,4 +99,31 @@ class EdgeCaseSpec extends AnyFunSuite {
     KvStore.create(raw)
     intercept[IllegalArgumentException](KvStore.listKeys(raw))
   }
+
+  test("round-8 text helpers are schema-stable on empty input") {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    import graft.operators.TextOps
+    // line dedup: empty boiler set, empty rollup — no crash, zero rows
+    val noLines = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "line")
+    assert(TextOps.lineDedupStats(noLines, 2).collect().isEmpty)
+    // calibration: no bins, no totals — zero rows
+    val noScores = Seq.empty[(Long, Long)].toDF("conf", "p")
+    assert(TextOps.calibrationEce(noScores).collect().isEmpty)
+    // vocab growth: empty corpus short-circuits (the maxId read would
+    // otherwise NPE) with the full 6-column schema intact
+    val noDocs = Seq.empty[(Long, Seq[String])].toDF("doc_id", "w")
+    val vg = TextOps.vocabGrowth(noDocs)
+    assert(vg.columns.toSeq ==
+      Seq("k", "cut", "docs_cum", "tokens_cum", "vocab_cum", "new_words"))
+    assert(vg.collect().isEmpty)
+    // SNM and PassJoin: empty candidate spaces, zero rows
+    val noDocs2 = Seq.empty[(Long, String)].toDF("doc_id", "t")
+    assert(TextOps.sortedNeighborhoodPairs(noDocs2, 5, 2).collect().isEmpty)
+    assert(TextOps.passJoinPairs(noDocs2, 2).collect().isEmpty)
+  }
 }

@@ -691,5 +691,13 @@ class EntrySpec extends AnyFunSuite {
     assert(!p252.contains("Join"), s"q252 must stay a zero-join scan:\n$p252")
     assert("Exchange hashpartitioning".r.findAllIn(p252).length <= 1,
       s"q252 must shuffle only the per-source rollup:\n$p252")
+    // q253 (adaptive thresholds): the per-source cuts come from
+    // exactByRank (no per-group sort-agg) and attach as a broadcast —
+    // the corpus is never sort-merge-joined
+    val p253 = plan("q253_adaptive_threshold")
+    assert(!p253.contains("SortMergeJoin") && !p253.contains("CartesianProduct"),
+      s"q253 must broadcast the per-source cuts:\n$p253")
+    assert(p253.contains("BroadcastHashJoin"),
+      s"q253's threshold attach must be a broadcast join:\n$p253")
   }
 }

@@ -275,6 +275,38 @@ class TextScaleSpec extends AnyFunSuite {
     info(s"vocab curve: ${vocab.mkString(" -> ")}")
   }
 
+  test("per-domain adaptive cuts via exactByRank hold at 2000 skewed domains", SlowTag) {
+    // q253's machinery at width: 500k rows, 2000 Zipf domains (hottest
+    // ~40k rows, tail domains a handful) — exactByRank must produce a
+    // p25 per domain without any per-group sort buffer, and the
+    // strict > cut must pass 75% of each domain within interpolation
+    // slack (exact quartile semantics, not approximate)
+    val n = 500000L
+    val rows = spark.range(n).toDF("doc_id")
+      .withColumn("u",
+        pmod(xxhash64(col("doc_id")), lit(1000000L)).cast("double") / 1e6)
+      .withColumn("dom", expr("CAST(pow(u, 3) * 2000 AS INT)").cast("string"))
+      .withColumn("raw", pmod(xxhash64(col("doc_id"), lit(42L)), lit(100000L))
+        .cast("double"))
+    val cuts = graft.functions.Percentiles
+      .exactByRank(rows, "dom", "raw", Seq(0.25))
+      .select(col("dom"), col("value").as("p25"))
+    val audit = rows.join(broadcast(cuts), Seq("dom"))
+      .groupBy("dom")
+      .agg(count(lit(1)).as("nd"),
+        sum(when(col("raw") > col("p25"), 1L).otherwise(0L)).as("np"))
+      .withColumn("ok",
+        // pass count must be within 1 of ceil(3n/4) minus ties slack;
+        // raw values are near-unique so the quartile is sharp
+        abs(col("np") - (col("nd") * 3 + 3) / 4) <= (col("nd") / 100 + 2))
+    val bad = audit.filter(!col("ok")).count()
+    val nDoms = audit.count()
+    assert(nDoms > 1500, s"generator must produce ~2000 domains: $nDoms")
+    assert(bad == 0, s"$bad/$nDoms domains missed their exact quartile")
+    info(s"exactByRank p25 across $nDoms domains (hottest " +
+      s"${audit.agg(max("nd")).collect()(0).getLong(0)} rows): all quartiles exact")
+  }
+
   test("SNM candidate volume stays linear under a degenerate sort key", SlowTag) {
     val n = 200000L
     // 997 distinct 16-char keys, each duplicated ~200x — the degeneracy

@@ -328,6 +328,70 @@ trait TextDedupQueries extends Serializable { self: TextSharedCore =>
         .as("mean_abs_err_ppm"))
   }
 
+  // q254 — LSH S-curve audit (measured band collisions vs theory)
+
+  /** The design chart every banding configuration is tuned on: for a
+    * pair set spanning the Jaccard range, the MEASURED band-collision
+    * rate per exact-Jaccard bucket against the closed-form
+    * p(J) = 1 − (1 − J⁴)² of the 2-bands × 4-rows scheme (q23/q24's).
+    * q229 audits the signature ESTIMATE; this audits the CANDIDATE
+    * GENERATION itself — together they are the full "can I trust my
+    * thresholds" story.
+    *
+    * Pair set = every LSH candidate pair (the high-J mass) ∪ a
+    * deterministic md5-derived sample of near-diagonal pairs (the low-J
+    * mass; md5 so the oracle replays the sample exactly — no xxhash64
+    * in DuckDB). Exact J per pair from the shared shingle table
+    * (pair-list-bounded equi-joins, never all-pairs); measured
+    * collision from the shared minhash bands; bucket = (20·I) DIV U
+    * (integer cross-multiplication). Theory is evaluated at the bucket
+    * midpoint with plain mul/sub doubles (no libm pow), a deterministic
+    * constant per bucket. */
+  private def q254(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val ids = sh.select("doc_id").distinct()
+    val n = ids.count()
+    val sampled = ids
+      .withColumn("off", expr(
+        "1 + CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10) AS BIGINT) % 50"))
+      .select(col("doc_id").as("a"),
+        pmod(col("doc_id") + col("off"), lit(n)).as("b_id"))
+      .filter(col("a") < col("b_id"))
+    val pairs = candidates(s, dir).select("a", "b_id")
+      .unionByName(sampled).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = pairs
+      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy("a", "b_id").agg(count(lit(1)).as("i"))
+    val m = minhashes(s, dir)
+    val withJ = pairs
+      .join(inter, Seq("a", "b_id"), "left")
+      .withColumn("i", coalesce(col("i"), lit(0L)))
+      .join(sizes.as("za"), col("a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("b_id") === col("zb.doc_id"))
+      .withColumn("u", col("za.nsh") + col("zb.nsh") - col("i"))
+      .join(m.as("ma"), col("a") === col("ma.doc_id"))
+      .join(m.as("mb"), col("b_id") === col("mb.doc_id"))
+      .withColumn("collided", // band bucket equality ⟺ componentwise h equality
+        ((0 to 3).map(j => col(s"ma.h$j") === col(s"mb.h$j")).reduce(_ && _)) ||
+        ((4 to 7).map(j => col(s"ma.h$j") === col(s"mb.h$j")).reduce(_ && _)))
+      .withColumn("bucket", expr("CAST((20 * i) DIV u AS BIGINT)"))
+    withJ.groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("collided"), 1L).otherwise(0L)).as("n_collided"))
+      .withColumn("measured_ppm", expr(
+        "CAST((2 * n_collided * 1000000 + n_pairs) DIV (2 * n_pairs) AS BIGINT)"))
+      // midpoint J = (2b+1)/40; p = 1-(1-J^4)^2 with mul/sub only
+      .withColumn("jmid", (col("bucket") * 2 + 1).cast("double") / lit(40.0))
+      .withColumn("theory_ppm", round((lit(1.0) -
+        (lit(1.0) - col("jmid") * col("jmid") * col("jmid") * col("jmid")) *
+        (lit(1.0) - col("jmid") * col("jmid") * col("jmid") * col("jmid"))) * 1e6, 0)
+        .cast("long"))
+      .drop("jmid")
+      .orderBy("bucket")
+  }
+
   // q237 — PassJoin edit-distance similarity self-join (τ=2)
 
   /** Even τ+1-way segment split of a length-L string: (pos, len) per
@@ -581,6 +645,7 @@ trait TextDedupQueries extends Serializable { self: TextSharedCore =>
       .orderBy("source")
 
   private[operators] val dedupQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q254_lsh_scurve" -> (q254 _),
     "q247_intradoc_line_dedup" -> (q247 _),
     "q243_line_dedup" -> (q243 _),
     "q242_sorted_neighborhood" -> (q242 _),
@@ -603,6 +668,40 @@ trait TextDedupQueries extends Serializable { self: TextSharedCore =>
   )
 
   private[operators] val dedupOracles: Map[String, String] = Map(
+    // same md5-derived sampled pairs ∪ LSH candidates, exact per-pair
+    // (I, U) from the shingle joins, componentwise-h band collision,
+    // (20·I) DIV U buckets, midpoint theory with mul/sub only
+    "q254_lsh_scurve" ->
+      s"""WITH $shingleCte,
+         |ids AS (SELECT DISTINCT doc_id FROM sh),
+         |nn AS (SELECT count(*) AS n FROM ids),
+         |samp AS (SELECT doc_id AS a,
+         |    (doc_id + 1 + CAST(('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,6)) AS BIGINT) % 50)
+         |      % nn.n AS b_id
+         |  FROM ids, nn),
+         |p AS (SELECT a, b_id FROM cand
+         |      UNION SELECT a, b_id FROM samp WHERE a < b_id),
+         |iv AS (SELECT p.a, p.b_id, CAST(count(sb.sh) AS BIGINT) AS i
+         |  FROM p JOIN sh sa ON p.a = sa.doc_id
+         |         LEFT JOIN sh sb ON p.b_id = sb.doc_id AND sa.sh = sb.sh
+         |  GROUP BY 1, 2),
+         |w2 AS (SELECT iv.i, za.n + zb.n - iv.i AS u,
+         |    ((ma.h0 = mb.h0 AND ma.h1 = mb.h1 AND ma.h2 = mb.h2 AND ma.h3 = mb.h3)
+         |     OR (ma.h4 = mb.h4 AND ma.h5 = mb.h5 AND ma.h6 = mb.h6 AND ma.h7 = mb.h7)) AS collided
+         |  FROM iv JOIN sizes za ON iv.a = za.doc_id
+         |          JOIN sizes zb ON iv.b_id = zb.doc_id
+         |          JOIN m ma ON iv.a = ma.doc_id
+         |          JOIN m mb ON iv.b_id = mb.doc_id),
+         |bkt AS (SELECT (20 * i) // u AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(CASE WHEN collided THEN 1 ELSE 0 END) AS BIGINT) AS n_collided
+         |  FROM w2 GROUP BY 1),
+         |jm AS (SELECT *, (2 * bucket + 1) / 40.0 AS jmid FROM bkt)
+         |SELECT CAST(bucket AS BIGINT) AS bucket, n_pairs, n_collided,
+         |  CAST((2 * n_collided * 1000000 + n_pairs) // (2 * n_pairs) AS BIGINT) AS measured_ppm,
+         |  CAST(round((1 - (1 - jmid*jmid*jmid*jmid) * (1 - jmid*jmid*jmid*jmid)) * 1e6, 0)
+         |    AS BIGINT) AS theory_ppm
+         |FROM jm ORDER BY bucket""".stripMargin,
     // same 5-word chunking + first-chunk re-append; the kept stats are
     // per (doc, line) group counts — the kept SET is identical whether
     // the engine keeps the first occurrence or any occurrence, and the

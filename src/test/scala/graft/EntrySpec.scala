@@ -699,5 +699,10 @@ class EntrySpec extends AnyFunSuite {
       s"q253 must broadcast the per-source cuts:\n$p253")
     assert(p253.contains("BroadcastHashJoin"),
       s"q253's threshold attach must be a broadcast join:\n$p253")
+    // q254 (S-curve): the pair set is candidates (band equi-joins) plus
+    // an arithmetic sample — nothing all-pairs anywhere
+    val p254 = plan("q254_lsh_scurve")
+    assert(!p254.contains("CartesianProduct") && !p254.contains("BroadcastNestedLoopJoin"),
+      s"q254 must never go all-pairs:\n$p254")
   }
 }

@@ -64,13 +64,16 @@ object Bench {
     // machinery before the setProperty (TempDirectory caches it at first
     // use) — PROBE rather than assume, so the summary's tmpdir_tmpfs
     // field reports where temp files actually land.
-    val tmpdirMoved = tmpdirWanted && {
+    // probe failure (e.g. the localDir was swept concurrently by another
+    // run's dead-pid cleanup) must degrade to tmpdir_tmpfs=false, never
+    // abort the sweep before a single query is measured
+    val tmpdirMoved = tmpdirWanted && (try {
       val probe = java.io.File.createTempFile("graft-tmpdir-probe", ".tmp")
       val onTmpfs = probe.getParentFile.getCanonicalPath ==
         new java.io.File(localDir).getCanonicalPath
       probe.delete()
       onTmpfs
-    }
+    } catch { case _: java.io.IOException => false })
     val gcInterval = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC_INTERVAL", "90s")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -180,8 +183,18 @@ object Bench {
     // the environmental component (CPU-steal bursts, one-time cache builds
     // landing on the sweep tail) — recorded IN the artifact so a spike can
     // be attributed without a manual isolated re-run (round-6 verdict #6).
+    // The rerun runs right after 250+ queries' accumulated session garbage,
+    // so without hygiene it can CATCH an environmental spike instead of
+    // shedding one (BENCH_r08: q112 rerun 14.2 s vs 4.6 in-sweep — a full
+    // GC storm landed inside the rerun window and inverted the column's
+    // purpose). Fix per round-8 verdict #3: force a full GC before the
+    // pass, then measure each query TWICE and keep the min — the min of
+    // two back-to-back runs of an identical plan is the plan cost, any
+    // one-off disturbance can only inflate a single rep.
+    System.gc()
     val rerun = results.toSeq.sortBy(-_._2).take(10).map { case (name, _) =>
-      val sec = timed(name, SparkEntry.queries(name))
+      val sec = math.min(timed(name, SparkEntry.queries(name)),
+        timed(name, SparkEntry.queries(name)))
       println(s"""{"rerun":"$name","sec":${r3(sec)}}""")
       name -> sec
     }

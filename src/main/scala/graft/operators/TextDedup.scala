@@ -382,8 +382,12 @@ trait TextDedupQueries extends Serializable { self: TextSharedCore =>
         sum(when(col("collided"), 1L).otherwise(0L)).as("n_collided"))
       .withColumn("measured_ppm", expr(
         "CAST((2 * n_collided * 1000000 + n_pairs) DIV (2 * n_pairs) AS BIGINT)"))
-      // midpoint J = (2b+1)/40; p = 1-(1-J^4)^2 with mul/sub only
-      .withColumn("jmid", (col("bucket") * 2 + 1).cast("double") / lit(40.0))
+      // midpoint J = (2b+1)/40 clamped to 1 (bucket 20 = exact duplicates,
+      // whose midpoint would otherwise be 1.025 and report ~989231 ppm
+      // instead of the 1000000 a J=1 pair deserves); p = 1-(1-J^4)^2 with
+      // mul/sub only
+      .withColumn("jmid",
+        least((col("bucket") * 2 + 1).cast("double") / lit(40.0), lit(1.0)))
       .withColumn("theory_ppm", round((lit(1.0) -
         (lit(1.0) - col("jmid") * col("jmid") * col("jmid") * col("jmid")) *
         (lit(1.0) - col("jmid") * col("jmid") * col("jmid") * col("jmid"))) * 1e6, 0)
@@ -585,14 +589,20 @@ trait TextDedupQueries extends Serializable { self: TextSharedCore =>
       .orderBy("source")
   }
 
+  /** The ONE 5-word line-chunking projection (over the `w` word array)
+    * that defines the tier's "line" unit — q243Lines and q247 must chunk
+    * identically or their removal stats describe different corpora, so
+    * the expression lives here and nowhere else. */
+  private def lineChunks: org.apache.spark.sql.Column = expr(
+    "transform(sequence(0, CAST((size(w) - 1) DIV 5 AS INT))," +
+      " i -> concat_ws(' ', slice(w, i * 5 + 1, 5)))")
+
   /** The q243 line set: 5-word chunks of the word array plus the q92/q214
     * banner/footer injections (doc_id % 3 prepends, % 4 appends) that
     * guarantee a non-empty df > 2 class at every SF. */
   private[graft] def q243Lines(s: SparkSession, dir: String): DataFrame =
     words(s, dir)
-      .withColumn("chunks", expr(
-        "transform(sequence(0, CAST((size(w) - 1) DIV 5 AS INT))," +
-          " i -> concat_ws(' ', slice(w, i * 5 + 1, 5)))"))
+      .withColumn("chunks", lineChunks)
       .withColumn("ls", expr(
         "concat(" +
           " CASE WHEN doc_id % 3 = 0 THEN array('subscribe to our newsletter today')" +
@@ -623,9 +633,7 @@ trait TextDedupQueries extends Serializable { self: TextSharedCore =>
     * oracle must reproduce. */
   private def q247(s: SparkSession, dir: String): DataFrame =
     words(s, dir)
-      .withColumn("chunks", expr(
-        "transform(sequence(0, CAST((size(w) - 1) DIV 5 AS INT))," +
-          " i -> concat_ws(' ', slice(w, i * 5 + 1, 5)))"))
+      .withColumn("chunks", lineChunks)
       .withColumn("ls", expr(
         "CASE WHEN doc_id % 5 = 0 THEN concat(chunks, slice(chunks, 1, 1))" +
           " ELSE chunks END"))
@@ -696,7 +704,7 @@ trait TextDedupQueries extends Serializable { self: TextSharedCore =>
          |    CAST(count(*) AS BIGINT) AS n_pairs,
          |    CAST(sum(CASE WHEN collided THEN 1 ELSE 0 END) AS BIGINT) AS n_collided
          |  FROM w2 GROUP BY 1),
-         |jm AS (SELECT *, (2 * bucket + 1) / 40.0 AS jmid FROM bkt)
+         |jm AS (SELECT *, LEAST((2 * bucket + 1) / 40.0, 1.0) AS jmid FROM bkt)
          |SELECT CAST(bucket AS BIGINT) AS bucket, n_pairs, n_collided,
          |  CAST((2 * n_collided * 1000000 + n_pairs) // (2 * n_pairs) AS BIGINT) AS measured_ppm,
          |  CAST(round((1 - (1 - jmid*jmid*jmid*jmid) * (1 - jmid*jmid*jmid*jmid)) * 1e6, 0)

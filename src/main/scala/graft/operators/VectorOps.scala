@@ -242,7 +242,14 @@ object VectorOps {
     * where a recall miss = eval contamination SURVIVING into training
     * data). Candidate volume grows ×17 on the bounded eval side only;
     * the corpus-side index and plan shape are q211's, measured lift in
-    * SURVEY §18. */
+    * SURVEY §18. Round 9 adds the recall DENOMINATOR the lift number
+    * was missing (round-8 verdict #2): `n_true_contaminated` per label
+    * from the exhaustive q210-shaped pass — the eval side is bounded by
+    * construction, so the exact join is one broadcast-NLJ over the
+    * corpus scan (the q240/q246 ground-truth convention). A banded
+    * flag REQUIRES exact cos >= 0.35 on a candidate pair, so flagged ⊆
+    * truly-contaminated and n_contaminated / n_true_contaminated IS the
+    * decontamination recall, hash-gated per label. */
   private def q245(s: SparkSession, dir: String): DataFrame =
     bandedDecontaminate(s, dir, multiprobe = true)
 
@@ -264,14 +271,31 @@ object VectorOps {
       .withColumn("cos", cosCol(s, "ee", "embedding"))
       .groupBy("vec_id")
       .agg(max("cos").as("mc"))
-    emb.filter(col("vec_id") % 50 =!= 0).select("vec_id", "label")
+    val train = emb.filter(col("vec_id") % 50 =!= 0).select("vec_id", "label")
       .join(scored, Seq("vec_id"), "left")
-      .groupBy("label")
-      .agg(count(lit(1)).as("n_train"),
-        count(col("mc")).as("n_candidates"),
-        sum(when(col("mc") >= 0.35, 1L).otherwise(0L)).as("n_contaminated"),
-        round(coalesce(max("mc"), lit(-1.0)), 6).as("max_band_cos"))
-      .orderBy("label")
+    val baseAggs = Seq(
+      count(lit(1)).as("n_train"),
+      count(col("mc")).as("n_candidates"),
+      sum(when(col("mc") >= 0.35, 1L).otherwise(0L)).as("n_contaminated"),
+      round(coalesce(max("mc"), lit(-1.0)), 6).as("max_band_cos"))
+    if (!multiprobe)
+      train.groupBy("label").agg(baseAggs.head, baseAggs.tail: _*).orderBy("label")
+    else {
+      // exact ground truth (recall denominator): every train row's max
+      // cosine against the WHOLE broadcast eval side — q210's plan, kept
+      // alongside the banded pass so the artifact reports caught/total
+      val exact = emb.filter(col("vec_id") % 50 =!= 0)
+        .crossJoin(broadcast(evalEmb))
+        .withColumn("cos", cosCol(s, "ee", "embedding"))
+        .groupBy("vec_id")
+        .agg(max("cos").as("tmc"))
+      train.join(exact, Seq("vec_id"), "left")
+        .groupBy("label")
+        .agg(baseAggs.head, (baseAggs.tail :+
+          sum(when(col("tmc") >= 0.35, 1L).otherwise(0L))
+            .as("n_true_contaminated")): _*)
+        .orderBy("label")
+    }
   }
 
   /** SemDeDup-style semantic dedup: assign every vector to its
@@ -1066,6 +1090,18 @@ object VectorOps {
     knnCore(s, t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
       bandedCandidates = true)
 
+  /** q255 — q202 with the candidate band join multi-probe-expanded
+    * (round-8 verdict #5: q202 measured <40% mutual-edge recall vs the
+    * exact graph at sf0.01; Hamming-1 probing is the standard recall
+    * lever that costs ×17 on the probe side of the equi-join and
+    * nothing on the index side). Same mutual-5NN + 3-core peel tail;
+    * its oracle replays the expanded candidate set, so the multi-probe
+    * graph is hash-gated exactly like q202's. Recall lift vs the exact
+    * q192 graph is measured in VectorOpsSpec and recorded in SURVEY. */
+  private def q255(s: SparkSession, dir: String): DataFrame =
+    knnCore(s, t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      bandedCandidates = true, multiprobe = true)
+
   /** The q192 core over any (vec_id, embedding) frame — exposed so the
     * property sweep can drive the REAL plan with random vector sets
     * (including peel cascades deeper than the shipped testdata's) and
@@ -1083,7 +1119,7 @@ object VectorOps {
     * on clustered corpora (the near-dup use-case) the two coincide —
     * VectorOpsSpec asserts that equality and sweeps the recall. */
   private[graft] def knnCore(s: SparkSession, input: DataFrame,
-      bandedCandidates: Boolean = false): DataFrame = {
+      bandedCandidates: Boolean = false, multiprobe: Boolean = false): DataFrame = {
     // cosine is bit-exactly symmetric (per-element products and the norm
     // product commute in IEEE), so score each unordered pair ONCE
     // (qa < qb) and mirror — half the N²·dim kernel work
@@ -1092,7 +1128,12 @@ object VectorOps {
         .select(col("vec_id"), bands4x16(col("embedding")).as("bands"))
         .selectExpr("vec_id",
           "stack(4, 0L, bands[0], 1L, bands[1], 2L, bands[2], 3L, bands[3]) AS (bk, bv)")
-      bd.as("x").join(bd.as("y"),
+      // multi-probe expands ONE side only: Hamming distance between band
+      // signatures is symmetric, so probing x's Hamming-1 buckets against
+      // the unexpanded y index covers every pair within signature
+      // distance 1 — the ×17 never multiplies both legs of the join
+      val probeSide = if (multiprobe) multiProbe(bd) else bd
+      probeSide.as("x").join(bd.as("y"),
           col("x.bk") === col("y.bk") && col("x.bv") === col("y.bv") &&
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("qa"), col("y.vec_id").as("qb"))
@@ -1173,6 +1214,20 @@ object VectorOps {
     s"""WITH $bandsSql,
        |cand AS MATERIALIZED (SELECT DISTINCT x.vec_id AS qa, y.vec_id AS qb
        |  FROM bands x JOIN bands y ON x.bk = y.bk AND x.bv = y.bv AND x.vec_id <> y.vec_id),
+       |sc AS MATERIALIZED (SELECT c.qa, c.qb, round($cosSql, 6) AS cos
+       |  FROM cand c JOIN embeddings a ON a.vec_id = c.qa
+       |              JOIN embeddings b ON b.vec_id = c.qb),""".stripMargin)
+
+  // q255: the q202 peel chain over the Hamming-1-expanded candidate set
+  // (pb = every band signature plus its 16 one-bit flips; Hamming
+  // symmetry makes the one-sided expansion cover both directions).
+  private def kcoreBandedMpOracle: String = kcoreOracleFrom(
+    s"""WITH $bandsSql,
+       |pb AS MATERIALIZED (SELECT vec_id, bk,
+       |    CASE WHEN j = 16 THEN bv ELSE xor(bv, CAST(1 << j AS BIGINT)) END AS bv
+       |  FROM bands CROSS JOIN generate_series(0,16) t(j)),
+       |cand AS MATERIALIZED (SELECT DISTINCT x.vec_id AS qa, y.vec_id AS qb
+       |  FROM pb x JOIN bands y ON x.bk = y.bk AND x.bv = y.bv AND x.vec_id <> y.vec_id),
        |sc AS MATERIALIZED (SELECT c.qa, c.qb, round($cosSql, 6) AS cos
        |  FROM cand c JOIN embeddings a ON a.vec_id = c.qa
        |              JOIN embeddings b ON b.vec_id = c.qb),""".stripMargin)
@@ -1425,7 +1480,9 @@ object VectorOps {
          |  coalesce(cn.n_cand, 0) AS n_cand,
          |  CAST(h.n_hits AS DOUBLE) / CAST(h.n_top AS DOUBLE) AS recall5
          |FROM h LEFT JOIN cn USING (probe_id) ORDER BY h.probe_id""".stripMargin,
-    // q245: q211's oracle with the eval band set Hamming-1-expanded
+    // q245: q211's oracle with the eval band set Hamming-1-expanded,
+    // plus the exhaustive-pass recall denominator (ex CTE = q210's
+    // exact max-cosine scan at the same 0.35 cut)
     "q245_decontaminate_multiprobe" ->
       s"""WITH $bandsSql,
          |ev AS (SELECT vec_id AS eval_id, bk,
@@ -1438,12 +1495,18 @@ object VectorOps {
          |sc AS (SELECT c.vec_id, max($cosSql) AS mc
          |  FROM cand c JOIN embeddings a ON a.vec_id = c.vec_id
          |              JOIN embeddings b ON b.vec_id = c.eval_id
-         |  GROUP BY c.vec_id)
+         |  GROUP BY c.vec_id),
+         |ex AS (SELECT a.vec_id, max($cosSql) AS tmc
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id % 50 = 0
+         |  WHERE a.vec_id % 50 <> 0
+         |  GROUP BY a.vec_id)
          |SELECT t.label, CAST(count(*) AS BIGINT) AS n_train,
          |  CAST(count(sc.mc) AS BIGINT) AS n_candidates,
          |  CAST(sum(CASE WHEN sc.mc >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
-         |  round(coalesce(max(sc.mc), -1.0), 6) AS max_band_cos
+         |  round(coalesce(max(sc.mc), -1.0), 6) AS max_band_cos,
+         |  CAST(sum(CASE WHEN ex.tmc >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_contaminated
          |FROM embeddings t LEFT JOIN sc ON sc.vec_id = t.vec_id
+         |                  LEFT JOIN ex ON ex.vec_id = t.vec_id
          |WHERE t.vec_id % 50 <> 0
          |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q225_ann_recall" ->

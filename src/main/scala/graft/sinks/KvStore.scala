@@ -204,12 +204,23 @@ object KvStore {
   }
 
   /** Job commit (library path): manifest = every `.kv` currently in the
-    * dir, NUMERIC shard order (lexicographic flips at shard 100000). */
+    * dir, NUMERIC shard order (lexicographic flips at shard 100000).
+    * Safe to call on a store that appendBatch also manages: any existing
+    * `#batch` ledger lines are carried over (erasing them would re-open
+    * already-committed batch ids to replay), and when a ledger exists the
+    * uncommitted residue of a crashed append attempt is swept FIRST so
+    * the directory listing cannot adopt an orphan `.kv` and double-count
+    * a batch the ledger will later no-op. */
   def commit(path: String): Unit = {
     val (fs, dir) = fsFor(path)
+    val prevLedger =
+      if (fs.exists(new Path(dir, "_MANIFEST")))
+        manifestLines(path).filter(_.startsWith("#"))
+      else Nil
+    if (prevLedger.nonEmpty) sweepUncommitted(path)
     val shards = fs.listStatus(dir)
       .map(_.getPath.getName).filter(_.matches("shard-\\d+\\.kv")).toSeq
-    commitManifest(path, shards, Nil)
+    commitManifest(path, shards, prevLedger)
   }
 
   /** Distributed write: one shard per partition of `df(key, value, shape,

@@ -161,43 +161,64 @@ object EventStreams {
   }
 
   /** foreachBatch sink integration: stream the events into the sharded
-    * KvStore per micro-batch (the streaming twin of the reference's
-    * append-only audit trail feeding a keyed store), then verify by
-    * scan-back. Rows-only (binary sink). */
+    * KvStore per micro-batch through [[graft.sinks.KvStore.appendBatch]]
+    * — the EXACTLY-ONCE ledger path (round-8 built the ledger and proved
+    * it replay-safe in KvStoreAppendSpec; this is the one streaming
+    * KvStore consumer, previously on hand-rolled ShardWriters + a single
+    * end-of-stream commit, i.e. exactly the at-least-once seam q206
+    * closed for LMDB). Two ts-split staged files force ≥ 2 real
+    * micro-batches so the per-batch ledger commit is actually exercised;
+    * after the stream stops, batch 0 is REPLAYED through appendBatch
+    * (the foreachBatch failure-retry contract) and must be a ledger
+    * no-op — n_stored/n_hash_matched count the POST-replay store, so the
+    * oracle equalities prove no key was double-appended. */
   private def q78(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    val ev = Tables(s, dir, "events")
+      .filter(col("event_id") % 20 === 0)
+      .select(col("event_id"), col("ts"), col("props"))
+    val bounds = ev.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+    val midUs = (bounds.getLong(0) + bounds.getLong(1)) / 2
+    val d = graft.Scratch.freshPath("kvstream_")
+    val t0 = System.currentTimeMillis() - 120000
+    writeBatchFile(ev.filter(unix_micros(col("ts")) <= midUs), d.resolve("b0.parquet"), t0)
+    writeBatchFile(ev.filter(unix_micros(col("ts")) > midUs), d.resolve("b1.parquet"), t0 + 30000)
+    val schema = s.read.parquet(d.resolve("b0.parquet").toString).schema
+
     val store = graft.Scratch.fresh("stream_kv_")
     new java.io.File(store).delete()
-    graft.sinks.KvStore.create(store)
-    val q = stream(s, dir)
-      .filter(col("event_id") % 20 === 0)
+    graft.sinks.KvStore.createCommitted(store)
+    def recs(df: DataFrame, batchId: Long): DataFrame = df.select(
+      concat(lit(f"batch$batchId%03d/"), col("event_id")).as("key"),
+      col("props").cast("binary").as("value"),
+      array(lit(1)).as("shape"), lit("bytes").as("dtype"))
+    var nBatches = 0L
+    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(d.toString)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val recs = batch.select(
-          concat(lit(f"batch$batchId%03d/"), col("event_id")).as("key"),
-          col("props").cast("binary").as("value"),
-          array(lit(1)).as("shape"), lit("bytes").as("dtype"))
-        recs.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-          val pid = org.apache.spark.TaskContext.getPartitionId()
-          var w: graft.sinks.KvStore.ShardWriter = null
-          rows.foreach { r =>
-            if (w == null) w = new graft.sinks.KvStore.ShardWriter(
-              store, (batchId * 1000 + pid).toInt)
-            w.put(r.getAs[String]("key"), r.getAs[Array[Byte]]("value"),
-              r.getAs[scala.collection.Seq[Int]]("shape"), r.getAs[String]("dtype"))
-          }
-          if (w != null) w.close()
-          ()
-        }
+        graft.sinks.KvStore.appendBatch(recs(batch, batchId), store, batchId)
+        nBatches += 1
         ()
       }
       .start()
     try q.processAllAvailable() finally q.stop()
-    graft.sinks.KvStore.commit(store)
+
+    // at-least-once replay: the whole filtered set again under batch 0's
+    // already-committed id — the manifest ledger must no-op it
+    val replayed = graft.sinks.KvStore.appendBatch(recs(ev, 0L), store, 0L)
+
     val back = graft.sinks.KvStore.read(s, store)
-    val expected = Tables(s, dir, "events").filter(col("event_id") % 20 === 0).count()
-    Seq((expected, back.count(), graft.sinks.KvStore.listKeys(store, Some("^batch000/"), 10).length.toLong))
-      .toDF("n_expected", "n_stored", "n_batch0_sample")
+      .select(col("key"), md5(col("value")).as("h"))
+    val expected = ev.select(
+      concat(when(unix_micros(col("ts")) <= midUs, lit("batch000/"))
+        .otherwise(lit("batch001/")), col("event_id")).as("key"),
+      md5(col("props").cast("binary")).as("h"))
+    val matched = back.join(expected, Seq("key", "h")).count()
+    val keySample = graft.sinks.KvStore.listKeys(store, Some("^batch\\d{3}/"), 10).length.toLong
+    Seq((expected.count(), back.count(), matched, keySample, nBatches >= 2, !replayed))
+      .toDF("n_expected", "n_stored", "n_hash_matched", "n_key_sample",
+        "multi_batch", "exactly_once")
   }
 
   /** Streaming corpus ingest: the curation tier's front door as a stream —
@@ -916,11 +937,15 @@ object EventStreams {
         |  CAST(sum(nw) AS BIGINT) AS sum_tokens
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     // the streamed-store invariant is oracle-computable: everything the
-    // filter admits must land in the store, and the single replayed batch
-    // puts every key under batch000 (listing limit 10)
+    // filter admits must land in the store exactly once (post-replay
+    // counts equal pre-replay counts ⟺ the ledger no-opped the retry),
+    // every stored value must hash-match its event, the key listing is
+    // LEAST(10, total), and the batch/replay outcomes are structural
     "q78_stream_to_kvstore" ->
       """SELECT count(*) AS n_expected, count(*) AS n_stored,
-        | CAST(LEAST(10, count(*)) AS BIGINT) AS n_batch0_sample
+        | count(*) AS n_hash_matched,
+        | CAST(LEAST(10, count(*)) AS BIGINT) AS n_key_sample,
+        | TRUE AS multi_batch, TRUE AS exactly_once
         |FROM events WHERE event_id % 20 = 0""".stripMargin,
     // q206: every streamed event must scan back hash-identical from the
     // appended LMDB envs; entry total is exact, multi-batch is structural.

@@ -604,10 +604,14 @@ class EntrySpec extends AnyFunSuite {
         s"$name may broadcast-NLJ only the exact ground-truth build:\n$p")
     }
     // q245 (multi-probe decontamination): q211's all-equi-join shape must
-    // survive the probe expansion — the ×17 rides the bounded eval side
+    // survive the probe expansion — the ×17 rides the bounded eval side.
+    // Round 9 added the recall DENOMINATOR (exhaustive q210-shaped pass),
+    // which is the one permitted broadcast-NLJ (bounded eval side) — the
+    // q240/q246 ground-truth convention.
     val p245 = plan("q245_decontaminate_multiprobe")
-    assert(!p245.contains("CartesianProduct") && !p245.contains("BroadcastNestedLoopJoin"),
-      s"q245 must keep q211's equi-join-only shape:\n$p245")
+    assert(!p245.contains("CartesianProduct") &&
+      "BroadcastNestedLoopJoin".r.findAllIn(p245).length <= 1,
+      s"q245 may broadcast-NLJ only the exact recall-denominator build:\n$p245")
     // q246 (multi-probe recall audit): only the exact ground-truth build
     // may broadcast-NLJ; candidates stay band-key equi-joins
     val p246 = plan("q246_ann_recall_multiprobe")

@@ -75,6 +75,7 @@ object Bench {
       onTmpfs
     } catch { case _: java.io.IOException => false })
     val gcInterval = sys.env.getOrElse("SPARK_GRAFT_BENCH_GC_INTERVAL", "90s")
+    val whDir = graft.Scratch.fresh("wh_")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -101,8 +102,7 @@ object Bench {
       // experiment knob (default off).
       .config("spark.cleaner.periodicGC.interval", gcInterval)
       .config("spark.local.dir", localDir)
-      .config("spark.sql.warehouse.dir",
-        graft.Scratch.fresh("wh_"))
+      .config("spark.sql.warehouse.dir", whDir)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // session/codegen warmup so the first measured query isn't charged for it
@@ -191,6 +191,30 @@ object Bench {
     // pass, then measure each query TWICE and keep the min — the min of
     // two back-to-back runs of an identical plan is the plan cost, any
     // one-off disturbance can only inflate a single rep.
+    //
+    // That landed (r09: the q112-style GC storm is gone) but stateful
+    // queries (q185 streaming drain, q181 PPJoin) still rerun ABOVE their
+    // in-sweep numbers — genuine end-of-session state, not a spike
+    // (round-9 verdict #5). Two sources, both swept here at the
+    // quiescent point before the pass:
+    //  - every loaded streaming state-store provider (each keeps its
+    //    query's full state map on-heap; ~20 streaming queries × reps of
+    //    them by the end of the sweep) — unloadAll() drops them; reruns
+    //    re-stage their own fresh checkpoints anyway;
+    //  - dead Scratch dirs (KV/LMDB stores, stream staging, sink output
+    //    of all 252 queries) — ON TMPFS that residue is resident RAM.
+    //    Every query run creates fresh dirs, so only the session
+    //    warehouse is live across runs; sweep everything else.
+    // StateStore.unloadAll() is private[sql]; reflection, and non-fatal —
+    // a miss degrades to the old (merely noisier) rerun window
+    try {
+      val ss = Class.forName(
+        "org.apache.spark.sql.execution.streaming.state.StateStore$")
+      ss.getMethod("unloadAll").invoke(ss.getField("MODULE$").get(null))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] state-store unload skipped: ${e.getMessage}")
+    }
+    graft.Scratch.sweepExcept(Set(whDir))
     System.gc()
     val rerun = results.toSeq.sortBy(-_._2).take(10).map { case (name, _) =>
       val sec = math.min(timed(name, SparkEntry.queries(name)),

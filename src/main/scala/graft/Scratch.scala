@@ -29,6 +29,20 @@ object Scratch {
     * otherwise accumulate one dir per micro-batch). */
   def delete(p: java.nio.file.Path): Unit = deleteRecursively(p.toFile)
 
+  /** Drop every scratch dir EXCEPT the listed live ones (absolute paths).
+    * For a long sweep's quiescent points (nothing mid-flight): each query
+    * run creates fresh dirs, so everything else under the root is a dead
+    * store/checkpoint/staging dir — on tmpfs that residue is RAM, and
+    * 250 queries of it measurably disturbs late timings (round-9 verdict:
+    * rerun-pass numbers above in-sweep for stateful queries). */
+  def sweepExcept(live: Set[String]): Unit = {
+    val kids = root.toFile.listFiles()
+    if (kids != null)
+      kids.filterNot(k => live.contains(k.getAbsolutePath))
+        .foreach(deleteRecursively)
+    ()
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val kids = f.listFiles()
     if (kids != null) kids.foreach(deleteRecursively)

@@ -83,12 +83,19 @@ object VectorOps {
     ()
   }
 
+  /** The (vec_id, bk, bv) band projection of any (vec_id, embedding)
+    * frame — all 4 band keys in ONE pass, then unpivoted. Shared by the
+    * per-corpus cached projection below, knnCore, and the synthetic
+    * scale spec (VectorScaleSpec drives the REAL projection at 100×). */
+  private[graft] def bandProject(input: DataFrame): DataFrame =
+    input
+      .select(col("vec_id"), bands4x16(col("embedding")).as("bands"))
+      .selectExpr("vec_id",
+        "stack(4, 0L, bands[0], 1L, bands[1], 2L, bands[2], 3L, bands[3]) AS (bk, bv)")
+
   private def banded(s: SparkSession, dir: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"vec|$dir|banded") {
-      t(s, dir, "embeddings")
-        .select(col("vec_id"), bands4x16(col("embedding")).as("bands"))
-        .selectExpr("vec_id",
-          "stack(4, 0L, bands[0], 1L, bands[1], 2L, bands[2], 3L, bands[3]) AS (bk, bv)")
+      bandProject(t(s, dir, "embeddings"))
     }
 
   /** Multi-probe expansion (Lv et al., VLDB'07) of a (…, bk, bv) probe
@@ -98,7 +105,7 @@ object VectorOps {
     * adding bands. Probe-side only (×17 rows on the bounded probe set);
     * the corpus-side index is untouched. Shared by q241 (nDCG eval),
     * q245 (decontamination), and q246 (recall audit). */
-  private def multiProbe(probeB: DataFrame): DataFrame =
+  private[graft] def multiProbe(probeB: DataFrame): DataFrame =
     probeB
       .withColumn("j", explode(expr("sequence(0, 16)")))
       .withColumn("bv", expr(
@@ -309,22 +316,50 @@ object VectorOps {
     * bucket — never a within-cluster quadratic sweep. Full-precision
     * cosines (identical left-to-right summation in both engines) keep the
     * argmax and the 0.95 boundary deterministic. */
-  private def q98(s: SparkSession, dir: String): DataFrame = {
+  private def q98(s: SparkSession, dir: String): DataFrame =
+    semanticDedup(s, dir, multiprobe = false)
+
+  /** q256 — q98 with the (cluster, band-bucket) candidate join
+    * multi-probe-expanded (round-8 verdict #5's second half; the q245/q246
+    * option-flag pattern): one leg of the self-join also probes the 16
+    * Hamming-1 buckets per band, so near-duplicates whose signatures
+    * differ by one plane still pair up. Unlike q245/q246, BOTH sides here
+    * are the corpus — the ×17 lands on one full leg of the equi-join
+    * (shuffle rows, never a quadratic), which is the documented price of
+    * recall in the dedup (vs bounded-probe) setting. The output adds a
+    * per-label `n_cand` candidate count so the coverage lift over q98 is
+    * part of the hash-gated artifact itself, not just a spec anecdote. */
+  private def q256(s: SparkSession, dir: String): DataFrame =
+    semanticDedup(s, dir, multiprobe = true)
+
+  private def semanticDedup(s: SparkSession, dir: String,
+      multiprobe: Boolean): DataFrame = {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("label"), col("embedding"))
     val cents = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
     val wAsg = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cid"))
-    val asg = emb.crossJoin(broadcast(cents))
+    // rebase: the assignment feeds the candidate join (both legs), the
+    // per-label coverage count, and the final aggregate — without a
+    // materialization barrier the executed plan replicates the N×K argmax
+    // subtree at every reference (4 full corpus passes at 100 TB)
+    val asg = rebase(emb.crossJoin(broadcast(cents))
       .withColumn("cs", cosCol(s, "embedding", "cemb"))
       .withColumn("rk", row_number().over(wAsg))
       .filter(col("rk") === 1)
-      .select(col("vec_id"), col("label"), col("cid"))
+      .select(col("vec_id"), col("label"), col("cid")))
     val bd = banded(s, dir)
     val bc = bd.join(asg.select("vec_id", "cid"), Seq("vec_id"))
-    val cand = bc.as("x").join(bc.as("y"),
+    // Hamming symmetry: expanding ONE side covers every pair within
+    // signature distance 1 (the q255/knnCore argument) — the index side
+    // stays ×1 so the join never multiplies both legs
+    val probeSide = if (multiprobe) multiProbe(bc) else bc
+    val cand0 = probeSide.as("x").join(bc.as("y"),
         col("x.cid") === col("y.cid") && col("x.bk") === col("y.bk") &&
           col("x.bv") === col("y.bv") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b_id")).distinct()
+    // multiprobe reads the candidate set twice (coverage count + verify
+    // pass) — materialize it once too
+    val cand = if (multiprobe) rebase(cand0) else cand0
     val losers = cand
       .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
       .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")), Seq("b_id"))
@@ -332,12 +367,28 @@ object VectorOps {
       .filter(col("cos") >= 0.95)
       .select(col("b_id").as("vec_id")).distinct()
       .withColumn("lost", lit(1))
-    asg.join(losers, Seq("vec_id"), "left")
-      .groupBy("label")
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("lost").isNull, 1L).otherwise(0L)).as("n_kept"),
-        countDistinct("cid").as("n_clusters"))
-      .orderBy("label")
+    val base = asg.join(losers, Seq("vec_id"), "left")
+    if (!multiprobe)
+      base.groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lost").isNull, 1L).otherwise(0L)).as("n_kept"),
+          countDistinct("cid").as("n_clusters"))
+        .orderBy("label")
+    else {
+      // per-label candidate coverage (label of the higher-id endpoint) —
+      // the number the multi-probe exists to lift
+      val candN = cand
+        .join(asg.select(col("vec_id").as("b_id"), col("label")), Seq("b_id"))
+        .groupBy("label").agg(count(lit(1)).as("nc"))
+      base.groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("lost").isNull, 1L).otherwise(0L)).as("n_kept"),
+          countDistinct("cid").as("n_clusters"))
+        .join(candN, Seq("label"), "left")
+        .withColumn("n_cand", coalesce(col("nc"), lit(0L)))
+        .drop("nc")
+        .orderBy("label")
+    }
   }
 
   /** Cross-modal curation capstone: one gate over BOTH modalities — a doc
@@ -1096,8 +1147,12 @@ object VectorOps {
     * lever that costs ×17 on the probe side of the equi-join and
     * nothing on the index side). Same mutual-5NN + 3-core peel tail;
     * its oracle replays the expanded candidate set, so the multi-probe
-    * graph is hash-gated exactly like q202's. Recall lift vs the exact
-    * q192 graph is measured in VectorOpsSpec and recorded in SURVEY. */
+    * graph is hash-gated exactly like q202's. Measured in VectorOpsSpec
+    * on sf0.001 (deliberately hostile near-orthogonal corpus): mutual-
+    * edge recall vs exact 0.008 → 0.043 (×5.7 lift, candidates 599 →
+    * 2827); cand(multi) ⊇ cand(single) and the recall lift is monotone
+    * by construction (cand1 ⊆ all-pairs, so anything displacing a top-5
+    * entry under cand1 also displaces it in the exact ranking). */
   private def q255(s: SparkSession, dir: String): DataFrame =
     knnCore(s, t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
       bandedCandidates = true, multiprobe = true)
@@ -1118,16 +1173,38 @@ object VectorOps {
     * sf0.01), so the banded form is NOT a drop-in for the exact oracle;
     * on clustered corpora (the near-dup use-case) the two coincide —
     * VectorOpsSpec asserts that equality and sweeps the recall. */
+  /** Eager localCheckpoint + STATS reset: `localCheckpoint` truncates
+    * lineage but carries the ORIGIN plan's estimated statistics onto the
+    * checkpointed node, and size-only estimation multiplies children's
+    * sizeInBytes at every join — in a deletion-peel loop the estimate's
+    * digit count therefore ~doubles per round (digits_n ≈ C + 2·digits_{n-1}),
+    * and past ~15 rounds the driver burns MINUTES multiplying
+    * million-digit BigIntegers inside stats (q255's multi-probe plan
+    * inflated the base C enough to hang planning outright; q202 merely
+    * got away with it). Re-wrapping the checkpointed RDD in a fresh
+    * LogicalRDD resets the estimate each round, so planning cost is flat
+    * in the round number. The row conversion runs once per round over an
+    * already-peeled (strictly shrinking) graph. */
+  private[graft] def rebase(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
+  /** maxPeelRounds: the shipped queries keep the oracle-aligned 24 (the
+    * DuckDB oracle unrolls exactly 24 idempotent CTE rounds, and the
+    * require below makes the two computations agree by construction;
+    * sf0.01/sf0.1 converge in 9–13). Peel DEPTH grows with graph size —
+    * VectorScaleSpec measured >24 rounds at 50k vectors — so scale
+    * callers pass a larger budget; with rebase() the per-round cost is
+    * flat, making a deep peel linear work, not a planning blow-up. */
   private[graft] def knnCore(s: SparkSession, input: DataFrame,
-      bandedCandidates: Boolean = false, multiprobe: Boolean = false): DataFrame = {
+      bandedCandidates: Boolean = false, multiprobe: Boolean = false,
+      maxPeelRounds: Int = 24): DataFrame = {
     // cosine is bit-exactly symmetric (per-element products and the norm
     // product commute in IEEE), so score each unordered pair ONCE
     // (qa < qb) and mirror — half the N²·dim kernel work
     val half = (if (bandedCandidates) {
-      val bd = input
-        .select(col("vec_id"), bands4x16(col("embedding")).as("bands"))
-        .selectExpr("vec_id",
-          "stack(4, 0L, bands[0], 1L, bands[1], 2L, bands[2], 3L, bands[3]) AS (bk, bv)")
+      val bd = bandProject(input)
       // multi-probe expands ONE side only: Hamming distance between band
       // signatures is symmetric, so probing x's Hamming-1 buckets against
       // the unexpanded y index covers every pair within signature
@@ -1164,9 +1241,8 @@ object VectorOps {
         col("x.qa") === col("y.qb") && col("x.qb") === col("y.qa") &&
           col("x.qa") < col("x.qb"))
       .select(col("x.qa").as("u"), col("x.qb").as("v"))
-    val adj = mutual.select(col("u").as("a"), col("v").as("b"))
-      .union(mutual.select(col("v").as("a"), col("u").as("b")))
-      .localCheckpoint(true)
+    val adj = rebase(mutual.select(col("u").as("a"), col("v").as("b"))
+      .union(mutual.select(col("v").as("a"), col("u").as("b"))))
     // the kNN phase above wants full width (N² cosines); the peel loop
     // below shuffles a graph of at most N nodes 10+ times — at the
     // session's 32 shuffle partitions each round is pure task-scheduling
@@ -1175,18 +1251,17 @@ object VectorOps {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      var alive = adj.select("a").distinct().localCheckpoint(true)
+      var alive = rebase(adj.select("a").distinct())
       var nAlive = alive.count()
       var deg: DataFrame = null
       var stable = false
       var rounds = 0
-      while (!stable && rounds < 24) {
+      while (!stable && rounds < maxPeelRounds) {
         rounds += 1
-        deg = adj.join(alive, "a")
+        deg = rebase(adj.join(alive, "a")
           .join(alive.select(col("a").as("b")), "b")
           .groupBy("a").agg(count(lit(1)).as("core_deg"))
-          .filter(col("core_deg") >= 3)
-          .localCheckpoint(true)
+          .filter(col("core_deg") >= 3))
         val n2 = deg.count()
         stable = n2 == nAlive // monotone shrink → equal count = fixed point
         nAlive = n2
@@ -1399,6 +1474,8 @@ object VectorOps {
     "q223_quant_recall" -> (q223 _),
     "q192_knn_core" -> (q192 _),
     "q202_knn_core_banded" -> (q202 _),
+    "q255_knn_core_banded_mp" -> (q255 _),
+    "q256_semantic_dedup_mp" -> (q256 _),
     "q116_pq_quantize" -> (q116 _),
     "q77_ann_ivf" -> (q77 _),
     "q234_ivfpq_adc" -> (q234 _),
@@ -1558,6 +1635,7 @@ object VectorOps {
         |FROM rk GROUP BY 1 ORDER BY 1""".stripMargin,
     "q192_knn_core" -> kcoreOracle,
     "q202_knn_core_banded" -> kcoreBandedOracle,
+    "q255_knn_core_banded_mp" -> kcoreBandedMpOracle,
     // q116: exactly-computable counts + the in-query contract booleans as
     // literals (same pattern as q77/q109's invariant oracles)
     "q116_pq_quantize" ->
@@ -1760,6 +1838,40 @@ object VectorOps {
          |  CAST(sum(CASE WHEN vec_id NOT IN (SELECT vec_id FROM losers) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |  CAST(count(DISTINCT cid) AS BIGINT) AS n_clusters
          |FROM asg GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q256: the q98 chain with the candidate x-leg Hamming-1-expanded
+    // (pb = each (band, bucket) plus its 16 one-bit flips, the
+    // kcoreBandedMpOracle pattern scoped by cluster id) + the per-label
+    // candidate count the multi-probe exists to lift
+    "q256_semantic_dedup_mp" ->
+      s"""WITH $bandsSql,
+         |cent AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 8),
+         |a0 AS (SELECT e.vec_id, e.label, c.cid,
+         |  list_aggregate([CAST(e.embedding[i+1] AS DOUBLE) * CAST(c.cemb[i+1] AS DOUBLE) for i in range(len(e.embedding))], 'sum')
+         |  / sqrt(list_aggregate([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in e.embedding], 'sum')
+         |         * list_aggregate([CAST(x AS DOUBLE)*CAST(x AS DOUBLE) for x in c.cemb], 'sum')) AS cs
+         |  FROM embeddings e, cent c),
+         |asg AS (SELECT vec_id, label, cid FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rk FROM a0)
+         |  WHERE rk = 1),
+         |bc AS (SELECT b.vec_id, b.bk, b.bv, g.cid FROM bands b JOIN asg g USING (vec_id)),
+         |pb AS (SELECT vec_id, bk,
+         |    CASE WHEN j = 16 THEN bv ELSE xor(bv, CAST(1 << j AS BIGINT)) END AS bv, cid
+         |  FROM bc CROSS JOIN generate_series(0,16) t(j)),
+         |cand AS (SELECT DISTINCT x.vec_id AS a_id, y.vec_id AS b_id
+         |  FROM pb x JOIN bc y ON x.cid = y.cid AND x.bk = y.bk AND x.bv = y.bv
+         |    AND x.vec_id < y.vec_id),
+         |candn AS (SELECT g.label, CAST(count(*) AS BIGINT) AS n_cand
+         |  FROM cand c JOIN asg g ON g.vec_id = c.b_id GROUP BY 1),
+         |losers AS (SELECT DISTINCT c.b_id AS vec_id
+         |  FROM cand c JOIN embeddings a ON a.vec_id = c.a_id
+         |              JOIN embeddings b ON b.vec_id = c.b_id
+         |  WHERE $cosSql >= 0.95)
+         |SELECT g.label, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN g.vec_id NOT IN (SELECT vec_id FROM losers) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(count(DISTINCT g.cid) AS BIGINT) AS n_clusters,
+         |  CAST(coalesce(max(cn.n_cand), 0) AS BIGINT) AS n_cand
+         |FROM asg g LEFT JOIN candn cn ON cn.label = g.label
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q106_crossmodal_curation" ->
       s"""WITH $bandsSql,
          |w AS (SELECT doc_id, source, n_chars, text,

@@ -213,11 +213,17 @@ object KvStore {
     * a batch the ledger will later no-op. */
   def commit(path: String): Unit = {
     val (fs, dir) = fsFor(path)
+    // Sweep whenever a manifest EXISTS, not only when it already carries
+    // ledger lines: a ledger-managed store whose very first appendBatch
+    // crashed has a manifest (createCommitted) with zero `#batch` lines,
+    // and without the sweep the directory listing below would adopt the
+    // crashed attempt's orphan `.kv` files — double-counting the batch
+    // when its replay later no-ops. The legacy create()+ShardWriter flow
+    // has no manifest before first commit, so it stays unswept.
+    val hasManifest = fs.exists(new Path(dir, "_MANIFEST"))
     val prevLedger =
-      if (fs.exists(new Path(dir, "_MANIFEST")))
-        manifestLines(path).filter(_.startsWith("#"))
-      else Nil
-    if (prevLedger.nonEmpty) sweepUncommitted(path)
+      if (hasManifest) manifestLines(path).filter(_.startsWith("#")) else Nil
+    if (hasManifest) sweepUncommitted(path)
     val shards = fs.listStatus(dir)
       .map(_.getPath.getName).filter(_.matches("shard-\\d+\\.kv")).toSeq
     commitManifest(path, shards, prevLedger)

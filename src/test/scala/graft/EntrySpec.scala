@@ -259,6 +259,19 @@ class EntrySpec extends AnyFunSuite {
     val p202 = plan("q202_knn_core_banded")
     assert(!p202.contains("CartesianProduct") && !p202.contains("BroadcastNestedLoopJoin"),
       s"q202 must not contain an all-pairs join:\n$p202")
+    // q255 (multi-probe banded kNN core): Hamming-1 expansion buys recall
+    // by adding PROBE ROWS to one leg of the equi-join — never by
+    // widening the join itself to all-pairs
+    val p255 = plan("q255_knn_core_banded_mp")
+    assert(!p255.contains("CartesianProduct") && !p255.contains("BroadcastNestedLoopJoin"),
+      s"q255 must not contain an all-pairs join:\n$p255")
+    // q256 (multi-probe semantic dedup): the only all-pairs allowed is
+    // the K-row centroid broadcast q98 already carries — the expanded
+    // candidate join must stay an equi-join on (cid, bk, bv)
+    val p256 = plan("q256_semantic_dedup_mp")
+    assert(!p256.contains("CartesianProduct") &&
+      "BroadcastNestedLoopJoin".r.findAllIn(p256).length <= 1,
+      s"q256 may broadcast-NLJ only the centroid assignment:\n$p256")
   }
 
   test("round-6/7 tier plans keep their scale shape (q211/q208/q203/q205)") {

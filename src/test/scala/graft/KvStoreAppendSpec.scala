@@ -100,6 +100,37 @@ class KvStoreAppendSpec extends AnyFunSuite {
     assert(KvStore.get(path, "zz").isEmpty)
   }
 
+  test("commit() on a ledger-managed store: ledger carried, replay still no-op") {
+    val path = tmpDir()
+    KvStore.createCommitted(path)
+    KvStore.appendBatch(df("a" -> "1"), path, batchId = 0L)
+    // a library-path commit lands on the same store (mixed-flow caller):
+    // the #batch ledger must survive the manifest rebuild...
+    KvStore.commit(path)
+    assert(KvStore.manifestLines(path).contains("#batch:0"),
+      "commit() must carry ledger lines over")
+    // ...so a later replay of batch 0 is STILL a no-op
+    assert(!KvStore.appendBatch(df("a" -> "POISON"), path, batchId = 0L))
+    assert(dump(path) == Map("a" -> "1"))
+  }
+
+  test("commit() sweeps a first-appendBatch crash (manifest with empty ledger)") {
+    val path = tmpDir()
+    KvStore.createCommitted(path) // manifest exists, zero #batch lines
+    // fake the residue of a FIRST appendBatch that crashed mid-write:
+    // a committed-named shard on disk, absent from the manifest
+    val w = new KvStore.ShardWriter(path, 0L)
+    w.put("ghost", "GHOST".getBytes, Seq(1), "uint8")
+    w.close()
+    // commit() must sweep the orphan, not adopt it — adoption would
+    // double-count the batch when its replay later no-ops
+    KvStore.commit(path)
+    assert(dump(path).isEmpty, "orphan shard must be swept, not adopted")
+    assert(KvStore.appendBatch(df("a" -> "1"), path, batchId = 0L),
+      "batch 0 was never committed, so its replay must WRITE")
+    assert(dump(path) == Map("a" -> "1"))
+  }
+
   test("plain append continues after library-path write + commit") {
     val path = tmpDir()
     KvStore.write(df("a" -> "1", "b" -> "2"), path)

@@ -160,6 +160,61 @@ class VectorOpsSpec extends AnyFunSuite {
     alive.map(x => x -> (mutual(x) & alive).size.toLong).toMap
   }
 
+  /** In-JVM mutual-5NN EDGE set over an explicit candidate-pair set
+    * (None = all pairs) — the recall numerator/denominator for the
+    * banded/multi-probe forms. */
+  private def mutualEdgesJvm(vecs: Seq[(Long, Array[Float])],
+      cand: Option[Set[(Long, Long)]]): Set[(Long, Long)] = {
+    def isCand(a: Long, b: Long) =
+      cand.forall(c => c.contains((math.min(a, b), math.max(a, b))))
+    val knn = vecs.map { case (id, v) =>
+      id -> vecs.filter(o => o._1 != id && isCand(id, o._1))
+        .map { case (oid, ov) => (cos6J(v, ov), oid) }
+        .sortBy { case (c, oid) => (-c, oid) }.take(5).map(_._2).toSet
+    }.toMap
+    (for ((a, nbrs) <- knn; b <- nbrs if a < b && knn(b).contains(a))
+      yield (a, b)).toSet
+  }
+
+  test("q255 multi-probe: Spark graph == in-JVM Hamming-1 recomputation; " +
+      "mutual-edge recall lift vs exact measured") {
+    val embs = Tables(spark, dir, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq
+    val bands = embs.map { case (id, v) => id -> bandsJvm(v) }.toMap
+    def candAt(maxHamming: Int): Set[(Long, Long)] = (for {
+      (a, _) <- embs; (b, _) <- embs if a < b
+      if (0 until 4).exists(k =>
+        java.lang.Long.bitCount(bands(a)(k) ^ bands(b)(k)) <= maxHamming)
+    } yield (a, b)).toSet
+    val cand0 = candAt(0) // q202's single-probe collisions
+    val cand1 = candAt(1) // q255's Hamming-1 expansion
+    // superset by construction (j=16 keeps the exact bucket) — and the
+    // Spark graph matches the in-JVM recomputation over cand1
+    assert(cand0.subsetOf(cand1))
+    val want = coreJvm(embs, Some(cand1))
+    val got = operators.VectorOps.queries("q255_knn_core_banded_mp")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == want)
+    // the measurement the multi-probe exists for: mutual-edge recall vs
+    // the EXACT graph, single-probe vs Hamming-1 (recorded in SURVEY)
+    val exact = mutualEdgesJvm(embs, None)
+    val r0 = mutualEdgesJvm(embs, Some(cand0))
+    val r1 = mutualEdgesJvm(embs, Some(cand1))
+    val recall0 = (r0 & exact).size.toDouble / exact.size
+    val recall1 = (r1 & exact).size.toDouble / exact.size
+    info(f"sf0.001: exact mutual edges=${exact.size}, " +
+      f"banded recall=$recall0%.3f (${(r0 & exact).size}), " +
+      f"multi-probe recall=$recall1%.3f (${(r1 & exact).size}), " +
+      f"candidates ${cand0.size} -> ${cand1.size}")
+    // Hamming-1 probing must genuinely widen coverage on this corpus and
+    // never lose exact-graph edges relative to single-probe
+    assert(cand1.size > cand0.size,
+      "multi-probe expanded nothing — the probe sweep is dead")
+    assert(recall1 >= recall0,
+      f"multi-probe recall $recall1%.3f regressed below banded $recall0%.3f")
+  }
+
   test("q202 banded: Spark graph == in-JVM band-candidate recomputation on sf0.001") {
     val embs = Tables(spark, dir, "embeddings")
       .select("vec_id", "embedding").collect()

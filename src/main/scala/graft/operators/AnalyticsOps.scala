@@ -840,21 +840,23 @@ object AnalyticsOps {
       .union(edges.select(col("v").as("a"), col("u").as("b")))
       .localCheckpoint(true)
     import s.implicits._
-    var visited = Seq(("table", 0L)).toDF("word", "dist").localCheckpoint(true)
+    // Barrier.rebase per round: visited references both the previous
+    // visited and the frontier (which references visited again) — the
+    // Fibonacci case of the checkpoint stats blow-up (see graft.Barrier)
+    var visited = graft.Barrier.rebase(Seq(("table", 0L)).toDF("word", "dist"))
     var frontier = visited
     var d = 0L
     var growing = true
     while (growing && d < 12) {
       d += 1
       val dd = d
-      val next = frontier.join(adj, col("word") === col("a"))
+      val next = graft.Barrier.rebase(frontier.join(adj, col("word") === col("a"))
         .select(col("b").as("word")).distinct()
         .join(visited, Seq("word"), "left_anti")
-        .withColumn("dist", lit(dd))
-        .localCheckpoint(true)
+        .withColumn("dist", lit(dd)))
       growing = next.limit(1).count() > 0
       if (growing) {
-        visited = visited.unionByName(next).localCheckpoint(true)
+        visited = graft.Barrier.rebase(visited.unionByName(next))
         frontier = next
       }
     }
@@ -1054,16 +1056,18 @@ object AnalyticsOps {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      var dist = Seq(("table", 0L)).toDF("word", "dist").localCheckpoint(true)
+      // Barrier.rebase per round: one self-reference per relaxation is the
+      // linear case of the checkpoint stats blow-up (see graft.Barrier) —
+      // benign at 40 rounds but wrong by construction at a 100 TB diameter
+      var dist = graft.Barrier.rebase(Seq(("table", 0L)).toDF("word", "dist"))
       var changed = true
       var rounds = 0
       while (changed && rounds < 40) {
         rounds += 1
-        val relaxed = dist.join(adj, col("word") === col("a"))
+        val relaxed = graft.Barrier.rebase(dist.join(adj, col("word") === col("a"))
           .select(col("b").as("word"), (col("dist") + col("w")).as("dist"))
           .unionByName(dist)
-          .groupBy("word").agg(min("dist").as("dist"))
-          .localCheckpoint(true)
+          .groupBy("word").agg(min("dist").as("dist")))
         changed = relaxed.as("n")
           .join(dist.as("o"), col("n.word") === col("o.word"), "left_outer")
           .filter(col("o.word").isNull || col("n.dist") < col("o.dist"))

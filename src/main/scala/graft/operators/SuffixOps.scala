@@ -78,9 +78,11 @@ object SuffixOps {
     val ranked = seqIdBy(pairs, "nr", col("r"), col("r2"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nDistinct = ranked.count()
-    val next = cur.join(ranked, Seq("r", "r2"))
-      .select(col("doc_id"), col("pos"), col("nr").as("r"))
-      .localCheckpoint(true)
+    // Barrier.rebase, not bare localCheckpoint: cur feeds both the pair
+    // ranking and this join (two self-references per doubling round — the
+    // exponential case of the checkpoint stats blow-up, see graft.Barrier)
+    val next = graft.Barrier.rebase(cur.join(ranked, Seq("r", "r2"))
+      .select(col("doc_id"), col("pos"), col("nr").as("r")))
     ranked.unpersist(false)
     (next, nDistinct)
   }

@@ -251,7 +251,12 @@ trait TextSharedCore extends Serializable {
 
   private[operators] def q70Loop(s: SparkSession, edges: DataFrame): DataFrame = {
     val nodes = edges.select(col("u").as("node")).distinct()
-    var labels = nodes.withColumn("label", col("node")).localCheckpoint(false)
+    // Barrier.rebase, not bare localCheckpoint: from round 3 the pointer
+    // doubling joins the round's result onto itself, the exponential case
+    // of the checkpoint stats blow-up (see graft.Barrier) — at the 20-round
+    // cap the bare form would have the driver multiplying million-digit
+    // size estimates inside planning
+    var labels = graft.Barrier.rebase(nodes.withColumn("label", col("node")))
     var converged = false
     var iter = 0
     while (!converged && iter < 20) {
@@ -270,7 +275,7 @@ trait TextSharedCore extends Serializable {
             col("a.label") === col("l_node"), "left")
           .select(col("a.node").as("node"),
             least(col("a.label"), coalesce(col("l_label"), col("a.label"))).as("label"))
-      val next = stepped.localCheckpoint(false)
+      val next = graft.Barrier.rebase(stepped)
       val changed = next.as("n").join(labels.as("o"), Seq("node"))
         .filter(col("n.label") =!= col("o.label")).count()
       labels = next

@@ -1173,22 +1173,13 @@ object VectorOps {
     * sf0.01), so the banded form is NOT a drop-in for the exact oracle;
     * on clustered corpora (the near-dup use-case) the two coincide —
     * VectorOpsSpec asserts that equality and sweeps the recall. */
-  /** Eager localCheckpoint + STATS reset: `localCheckpoint` truncates
-    * lineage but carries the ORIGIN plan's estimated statistics onto the
-    * checkpointed node, and size-only estimation multiplies children's
-    * sizeInBytes at every join — in a deletion-peel loop the estimate's
-    * digit count therefore ~doubles per round (digits_n ≈ C + 2·digits_{n-1}),
-    * and past ~15 rounds the driver burns MINUTES multiplying
-    * million-digit BigIntegers inside stats (q255's multi-probe plan
-    * inflated the base C enough to hang planning outright; q202 merely
-    * got away with it). Re-wrapping the checkpointed RDD in a fresh
-    * LogicalRDD resets the estimate each round, so planning cost is flat
-    * in the round number. The row conversion runs once per round over an
-    * already-peeled (strictly shrinking) graph. */
-  private[graft] def rebase(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint(true)
-    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
-  }
+  /** Eager localCheckpoint + STATS reset — see [[graft.Barrier]]. The
+    * k-core peel joins the previous round's checkpoint back onto itself
+    * twice per round, the exponential case of the stats blow-up
+    * (digits_n ≈ C + 2·digits_{n-1}); q255's multi-probe plan inflated
+    * the base C enough to hang planning outright, q202 merely got away
+    * with it. */
+  private[graft] def rebase(df: DataFrame): DataFrame = graft.Barrier.rebase(df)
 
   /** maxPeelRounds: the shipped queries keep the oracle-aligned 24 (the
     * DuckDB oracle unrolls exactly 24 idempotent CTE rounds, and the

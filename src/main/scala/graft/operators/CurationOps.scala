@@ -287,7 +287,7 @@ object CurationOps {
     * emitted as the usual micro-unit quotient. */
   private def q181(s: SparkSession, dir: String): DataFrame =
     prefixFilterJoin(t(s, dir, "documents").select("doc_id", "text"),
-      Some(tok3(s, dir)))
+      Some(tok3(s, dir)), prefCacheKey = Some(s"curation|$dir|pref35"))
 
   /** Lowercased word-3-gram shingle instances per doc — the signature
     * table BOTH verification-tier joins (q181 PPJoin, q191 containment)
@@ -325,18 +325,31 @@ object CurationOps {
     * read the session-cached signature table instead of re-deriving the
     * shingle explode once per downstream consumer. */
   private[graft] def prefixFilterJoin(input: DataFrame,
-      tokPre: Option[DataFrame] = None): DataFrame = {
+      tokPre: Option[DataFrame] = None,
+      prefCacheKey: Option[String] = None): DataFrame = {
     val tok = tokPre.getOrElse(tok3Of(input))
-    val dfs = tok.groupBy("w").agg(count(lit(1)).as("df"))
-    val n = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // dfs is corpus-sized for shingles — join on the shingle key both
-    // sides already hash-partition by, never broadcast
-    val ranked = tok.join(dfs, "w").join(n, "doc_id")
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy("df", "w")))
-    val pref = ranked
-      .filter(col("rk") <= col("n") - expr("(3 * n + 4) div 5") + 1)
-      .select(col("doc_id"), col("w"), col("n"))
+    def prefPlan: DataFrame = {
+      val dfs = tok.groupBy("w").agg(count(lit(1)).as("df"))
+      val n = tok.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // dfs is corpus-sized for shingles — join on the shingle key both
+      // sides already hash-partition by, never broadcast
+      val ranked = tok.join(dfs, "w").join(n, "doc_id")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("doc_id").orderBy("df", "w")))
+      ranked
+        .filter(col("rk") <= col("n") - expr("(3 * n + 4) div 5") + 1)
+        .select(col("doc_id"), col("w"), col("n"))
+    }
+    // the candidate self-join reads pref on BOTH legs — without reuse the
+    // df/count aggregations and the rank window run twice per execution.
+    // Session-cached (not rebase'd): an InMemoryRelation keeps usable
+    // size stats, so the downstream join strategy (hash, never
+    // sort-merge — EntrySpec-asserted) is unchanged; the propspec path
+    // (no key) keeps the raw plan it drives deliberately.
+    val pref = prefCacheKey match {
+      case Some(k) => graft.SessionCache.getOrBuild(input.sparkSession, k)(prefPlan)
+      case None => prefPlan
+    }
     val cand = pref.as("x").join(pref.as("y"),
         col("x.w") === col("y.w") && col("x.doc_id") < col("y.doc_id") &&
           col("y.n") * 5 >= col("x.n") * 3 && col("y.n") * 3 <= col("x.n") * 5)

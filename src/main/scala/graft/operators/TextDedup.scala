@@ -197,7 +197,11 @@ trait TextDedupQueries extends Serializable { self: TextSharedCore =>
     // content fetched ONLY for candidates: exact 3-gram Jaccard verify
     val sh = shingles(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val hi = cand
+    // Barrier.rebase: `losers` below references hi THREE times, and each
+    // copy carries four shingle-subtree references — without the barrier
+    // the executed plan re-evaluated the verification join 3× (25
+    // documents scans / 52 exchanges measured in the plan audit)
+    val hi = graft.Barrier.rebase(cand
       .join(sh.as("sa"), col("a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
       .groupBy("a", "b_id").agg(count(lit(1)).as("inter"))
@@ -205,7 +209,7 @@ trait TextDedupQueries extends Serializable { self: TextSharedCore =>
       .join(sizes.as("zb"), col("b_id") === col("zb.doc_id"))
       .filter(col("inter").cast("double") /
         (col("za.n") + col("zb.n") - col("inter")).cast("double") >= 0.9)
-      .select(col("a"), col("b_id"))
+      .select(col("a"), col("b_id")))
     val losers = hi.filter(col("a") % 3 === 0 && col("b_id") % 3 =!= 0)
       .select(col("a").as("doc_id"))
       .union(hi.filter(col("b_id") % 3 === 0 && col("a") % 3 =!= 0)

@@ -425,11 +425,14 @@ object VectorOps {
     val cents = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
     val wAsg = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cid"))
-    val asg = emb.crossJoin(broadcast(cents))
+    // rebase for the same reason as semanticDedup: bc feeds both legs of
+    // the candidate self-join, so without the barrier the N×K argmax
+    // subtree is replicated per reference in the executed plan
+    val asg = rebase(emb.crossJoin(broadcast(cents))
       .withColumn("cs", cosCol(s, "embedding", "cemb"))
       .withColumn("rk", row_number().over(wAsg))
       .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cid"))
+      .select(col("vec_id"), col("cid")))
     val bc = banded(s, dir).join(asg, Seq("vec_id"))
     val cand = bc.as("x").join(bc.as("y"),
         col("x.cid") === col("y.cid") && col("x.bk") === col("y.bk") &&

@@ -164,6 +164,67 @@ object VectorOps {
         round(avg("norm"), 4).as("avg_norm"))
       .orderBy("label")
 
+  /** All 64 hyperplane sign bits per vector — the same quantized integer
+    * arithmetic as bands4x16 with the global plane index p = 16k + j, so
+    * q257's 4x16 row reproduces the production banding bit-for-bit. */
+  private val planeBits64 = udf { (e: Seq[Float]) =>
+    val dim = e.length
+    val q = new Array[Long](dim)
+    var d = 0
+    while (d < dim) {
+      q(d) = java.math.BigDecimal.valueOf(e(d).toDouble * 1000.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      d += 1
+    }
+    val out = new Array[Int](64)
+    var p = 0
+    while (p < 64) {
+      var sum = 0L
+      d = 0
+      while (d < dim) { sum += q(d) * (((p * 37 + d * 101) % 19) - 9); d += 1 }
+      out(p) = if (sum > 0) 1 else 0
+      p += 1
+    }
+    out
+  }
+
+  /** q257 — band-design entropy audit: the vector-side design chart
+    * (q254's role for minhash LSH). VectorScaleSpec measured that
+    * candidate density obeys the Σp² constancy law — the 4×16-bit family
+    * lands at ~5600 ppm of all pairs over a uniform background because
+    * its bits are correlated (consecutive plane coefficient vectors are
+    * mod-19 rotations), so the width/band-count trade-off must be chosen
+    * per corpus size. This query MEASURES that trade-off on the corpus
+    * itself: the same 64 sign bits regrouped as 2×32, 4×16 (the shipped
+    * config), and 8×8 bands, reporting bucket count, hottest bucket, and
+    * the collision pair mass ΣC(occ,2) — the exact number of candidate
+    * pairs the band self-join would produce per config — plus its
+    * parts-per-million density against C(N,2). All-integer arithmetic
+    * end to end (quantized planes, DIV, no libm near the hash gate — the
+    * q254 rule). Scale shape: one corpus scan, one explode(64), two
+    * grouped aggregations; never a pair join — the audit costs O(N·64)
+    * regardless of how hot the buckets are. */
+  private def q257(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val nn = emb.count()
+    val pairTotal = nn * (nn - 1) / 2
+    val bits = emb
+      .select(col("vec_id"), posexplode(planeBits64(col("embedding"))).as(Seq("j", "bit")))
+    val perConfig = Seq(("2x32", 32), ("4x16", 16), ("8x8", 8)).map { case (name, w) =>
+      val buckets = bits
+        .groupBy(col("vec_id"), expr(s"j DIV $w").as("bk"))
+        .agg(sum(expr(s"cast(bit AS BIGINT) * shiftleft(1L, j % $w)")).as("bv"))
+      buckets.groupBy("bk", "bv").agg(count(lit(1)).as("occ"))
+        .agg(count(lit(1)).as("n_buckets"),
+          max("occ").as("max_occ"),
+          sum(expr("occ * (occ - 1) DIV 2")).as("pair_mass"))
+        .select(lit(name).as("config"), col("n_buckets"), col("max_occ"),
+          col("pair_mass"),
+          expr(s"pair_mass * 1000000 DIV ${pairTotal}L").as("density_ppm"))
+    }
+    perConfig.reduce(_ unionByName _).orderBy("config")
+  }
+
   /** Embedding-cosine near-duplicate dedup: candidate pairs from the 4 ×
     * 16-bit band-OR (same machinery as q34) with cosine >= 0.99 → drop the
     * higher vec_id; kept per label. */
@@ -1470,6 +1531,7 @@ object VectorOps {
     "q202_knn_core_banded" -> (q202 _),
     "q255_knn_core_banded_mp" -> (q255 _),
     "q256_semantic_dedup_mp" -> (q256 _),
+    "q257_band_entropy" -> (q257 _),
     "q116_pq_quantize" -> (q116 _),
     "q77_ann_ivf" -> (q77 _),
     "q234_ivfpq_adc" -> (q234 _),
@@ -1630,6 +1692,28 @@ object VectorOps {
     "q192_knn_core" -> kcoreOracle,
     "q202_knn_core_banded" -> kcoreBandedOracle,
     "q255_knn_core_banded_mp" -> kcoreBandedMpOracle,
+    // q257: the 64 sign bits re-derived from the same quantized integer
+    // planes, regrouped per config; pure integer aggregation after that
+    "q257_band_entropy" ->
+      s"""WITH q AS MATERIALIZED (SELECT vec_id,
+         |  [CAST(round(CAST(embedding[d+1] AS DOUBLE) * 1000) AS BIGINT) for d in range(len(embedding))] AS qe
+         |  FROM embeddings),
+         |bits AS MATERIALIZED (SELECT vec_id, j,
+         |  CASE WHEN list_aggregate([qe[d+1] * (((j*37 + d*101) % 19) - 9) for d in range(len(qe))], 'sum') > 0
+         |    THEN 1 ELSE 0 END AS bit
+         |  FROM q CROSS JOIN generate_series(0, 63) t(j)),
+         |cfg AS (SELECT unnest(['2x32','4x16','8x8']) AS config, unnest([32,16,8]) AS w),
+         |buckets AS (SELECT c.config, b.vec_id, b.j // c.w AS bk,
+         |    sum(CAST(b.bit AS BIGINT) << (b.j % c.w)) AS bv
+         |  FROM bits b CROSS JOIN cfg c GROUP BY 1, 2, 3),
+         |occ AS (SELECT config, bk, bv, count(*) AS occ FROM buckets GROUP BY 1, 2, 3),
+         |tot AS (SELECT count(*) AS n FROM embeddings)
+         |SELECT config,
+         |  CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(max(occ) AS BIGINT) AS max_occ,
+         |  CAST(sum(occ * (occ - 1) // 2) AS BIGINT) AS pair_mass,
+         |  CAST(sum(occ * (occ - 1) // 2) * 1000000 // (SELECT n * (n - 1) // 2 FROM tot) AS BIGINT) AS density_ppm
+         |FROM occ GROUP BY 1 ORDER BY 1""".stripMargin,
     // q116: exactly-computable counts + the in-query contract booleans as
     // literals (same pattern as q77/q109's invariant oracles)
     "q116_pq_quantize" ->

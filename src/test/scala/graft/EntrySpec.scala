@@ -272,6 +272,12 @@ class EntrySpec extends AnyFunSuite {
     assert(!p256.contains("CartesianProduct") &&
       "BroadcastNestedLoopJoin".r.findAllIn(p256).length <= 1,
       s"q256 may broadcast-NLJ only the centroid assignment:\n$p256")
+    // q257 (band-design audit): the whole point is measuring collision
+    // mass WITHOUT producing the collisions — one scan, explode(64), two
+    // grouped aggs; any join means the audit degenerated into the pair
+    // join it exists to size
+    val p257 = plan("q257_band_entropy")
+    assert(!p257.contains("Join"), s"q257 must contain no join:\n$p257")
   }
 
   test("round-6/7 tier plans keep their scale shape (q211/q208/q203/q205)") {

@@ -206,10 +206,31 @@ object VectorOps {
     * regardless of how hot the buckets are. */
   private def q257(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val nn = emb.count()
+    // ONE corpus scan: the 64-plane projection + explode materializes
+    // once; the three config aggregations and the row count read the
+    // checkpointed bits (without the barrier each unionByName branch —
+    // and the count — re-ran the scan and the O(64·dim) UDF)
+    val bits = rebase(emb
+      .select(col("vec_id"), posexplode(planeBits64(col("embedding"))).as(Seq("j", "bit"))))
+    val nn = bits.where(col("j") === 0).count()
     val pairTotal = nn * (nn - 1) / 2
-    val bits = emb
-      .select(col("vec_id"), posexplode(planeBits64(col("embedding"))).as(Seq("j", "bit")))
+    // density_ppm = floor(pair_mass·10⁶ / pairTotal) in OVERFLOW-SAFE
+    // integer steps: with r = pm % pt, q1 = r·10³ DIV pt, r1 = r·10³ % pt,
+    //   floor(r·10⁶/pt) = q1·10³ + (r1·10³) DIV pt   (exact identity).
+    // Each intermediate is ≤ pt·10³, so the computation is exact for
+    // pt ≤ 9.2e15 (N ≤ ~1.3e8 vectors) — beyond that pair_mass itself
+    // no longer fits BIGINT at realistic densities, and the audit runs
+    // on a sample (the correct practice: Σp² is a distribution property,
+    // estimable from any uniform sample). The naive pm·10⁶ DIV pt form
+    // overflows Long at N ≈ 6e7 — exactly the sizes the audit serves.
+    // DuckDB's HUGEINT computes the same floor directly; both are exact
+    // within the envelope, so the hash gate holds.
+    val densityCol =
+      if (pairTotal == 0) lit(0L) // degenerate corpus (< 2 vectors)
+      else expr(
+        s"""(pair_mass DIV ${pairTotal}L) * 1000000
+           | + ((pair_mass % ${pairTotal}L) * 1000 DIV ${pairTotal}L) * 1000
+           | + ((pair_mass % ${pairTotal}L) * 1000 % ${pairTotal}L) * 1000 DIV ${pairTotal}L""".stripMargin)
     val perConfig = Seq(("2x32", 32), ("4x16", 16), ("8x8", 8)).map { case (name, w) =>
       val buckets = bits
         .groupBy(col("vec_id"), expr(s"j DIV $w").as("bk"))
@@ -219,8 +240,7 @@ object VectorOps {
           max("occ").as("max_occ"),
           sum(expr("occ * (occ - 1) DIV 2")).as("pair_mass"))
         .select(lit(name).as("config"), col("n_buckets"), col("max_occ"),
-          col("pair_mass"),
-          expr(s"pair_mass * 1000000 DIV ${pairTotal}L").as("density_ppm"))
+          col("pair_mass"), densityCol.as("density_ppm"))
     }
     perConfig.reduce(_ unionByName _).orderBy("config")
   }
@@ -394,7 +414,21 @@ object VectorOps {
     semanticDedup(s, dir, multiprobe = true)
 
   private def semanticDedup(s: SparkSession, dir: String,
-      multiprobe: Boolean): DataFrame = {
+      multiprobe: Boolean): DataFrame =
+    semanticDedupPlan(s, dir, multiprobe, rebase)
+
+  /** The q98/q256 plan with the materialization barriers replaced by
+    * identity — NEVER EXECUTED, planning only: EntrySpec asserts the
+    * physical shape of the argmax assignment and the candidate join,
+    * which in the production form run at construction time inside
+    * rebase() and are invisible in the final executedPlan (the round-10
+    * review find). */
+  private[graft] def semanticDedupRaw(s: SparkSession, dir: String,
+      multiprobe: Boolean): DataFrame =
+    semanticDedupPlan(s, dir, multiprobe, identity)
+
+  private def semanticDedupPlan(s: SparkSession, dir: String,
+      multiprobe: Boolean, bar: DataFrame => DataFrame): DataFrame = {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("label"), col("embedding"))
     val cents = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
@@ -403,7 +437,7 @@ object VectorOps {
     // per-label coverage count, and the final aggregate — without a
     // materialization barrier the executed plan replicates the N×K argmax
     // subtree at every reference (4 full corpus passes at 100 TB)
-    val asg = rebase(emb.crossJoin(broadcast(cents))
+    val asg = bar(emb.crossJoin(broadcast(cents))
       .withColumn("cs", cosCol(s, "embedding", "cemb"))
       .withColumn("rk", row_number().over(wAsg))
       .filter(col("rk") === 1)
@@ -420,7 +454,7 @@ object VectorOps {
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b_id")).distinct()
     // multiprobe reads the candidate set twice (coverage count + verify
     // pass) — materialize it once too
-    val cand = if (multiprobe) rebase(cand0) else cand0
+    val cand = if (multiprobe) bar(cand0) else cand0
     val losers = cand
       .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
       .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")), Seq("b_id"))
@@ -1252,6 +1286,29 @@ object VectorOps {
     * VectorScaleSpec measured >24 rounds at 50k vectors — so scale
     * callers pass a larger budget; with rebase() the per-round cost is
     * flat, making a deep peel linear work, not a planning blow-up. */
+  /** The banded candidate-pair join (q202/q255's scale-critical subplan),
+    * exposed UN-CHECKPOINTED so EntrySpec can assert its physical shape:
+    * inside knnCore everything upstream of the peel's rebase() executes at
+    * construction time and is replaced by a LogicalRDD scan in the final
+    * plan, so an all-pairs regression here would be invisible to an
+    * assert on the full query's executedPlan (the round-10 review find —
+    * the previous q202 assert was vacuous for the same reason).
+    *
+    * Multi-probe expands ONE side only: Hamming distance between band
+    * signatures is symmetric, so probing x's Hamming-1 buckets against
+    * the unexpanded y index covers every pair within signature distance
+    * 1 — the ×17 never multiplies both legs of the join. */
+  private[graft] def knnCandidatePairs(input: DataFrame,
+      multiprobe: Boolean): DataFrame = {
+    val bd = bandProject(input)
+    val probeSide = if (multiprobe) multiProbe(bd) else bd
+    probeSide.as("x").join(bd.as("y"),
+        col("x.bk") === col("y.bk") && col("x.bv") === col("y.bv") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("qa"), col("y.vec_id").as("qb"))
+      .distinct()
+  }
+
   private[graft] def knnCore(s: SparkSession, input: DataFrame,
       bandedCandidates: Boolean = false, multiprobe: Boolean = false,
       maxPeelRounds: Int = 24): DataFrame = {
@@ -1259,17 +1316,7 @@ object VectorOps {
     // product commute in IEEE), so score each unordered pair ONCE
     // (qa < qb) and mirror — half the N²·dim kernel work
     val half = (if (bandedCandidates) {
-      val bd = bandProject(input)
-      // multi-probe expands ONE side only: Hamming distance between band
-      // signatures is symmetric, so probing x's Hamming-1 buckets against
-      // the unexpanded y index covers every pair within signature
-      // distance 1 — the ×17 never multiplies both legs of the join
-      val probeSide = if (multiprobe) multiProbe(bd) else bd
-      probeSide.as("x").join(bd.as("y"),
-          col("x.bk") === col("y.bk") && col("x.bv") === col("y.bv") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("qa"), col("y.vec_id").as("qb"))
-        .distinct()
+      knnCandidatePairs(input, multiprobe)
         .join(input.select(col("vec_id").as("qa"), col("embedding").as("ea")), Seq("qa"))
         .join(input.select(col("vec_id").as("qb"), col("embedding").as("eb")), Seq("qb"))
     } else {

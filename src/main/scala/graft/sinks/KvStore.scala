@@ -203,14 +203,18 @@ object KvStore {
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
-  /** Job commit (library path): manifest = every `.kv` currently in the
-    * dir, NUMERIC shard order (lexicographic flips at shard 100000).
-    * Safe to call on a store that appendBatch also manages: any existing
+  /** Job commit (library path). For a LEGACY store (create() +
+    * ShardWriter, no manifest yet): manifest = every `.kv` currently in
+    * the dir, NUMERIC shard order (lexicographic flips at shard 100000).
+    * For a MANIFEST-BEARING store the contract is stricter: any existing
     * `#batch` ledger lines are carried over (erasing them would re-open
-    * already-committed batch ids to replay), and when a ledger exists the
-    * uncommitted residue of a crashed append attempt is swept FIRST so
-    * the directory listing cannot adopt an orphan `.kv` and double-count
-    * a batch the ledger will later no-op. */
+    * already-committed batch ids to replay), and unmanifested `.kv`
+    * files are treated as the residue of a crashed append attempt and
+    * swept FIRST — adoption would double-count a batch whose replay
+    * later no-ops (this includes a FIRST appendBatch crash, where the
+    * manifest exists via createCommitted with zero ledger lines). Add
+    * data to a manifest-bearing store through append()/appendBatch(),
+    * never by dropping bare shards next to it. */
   def commit(path: String): Unit = {
     val (fs, dir) = fsFor(path)
     // Sweep whenever a manifest EXISTS, not only when it already carries

@@ -254,28 +254,47 @@ class EntrySpec extends AnyFunSuite {
     assert(p197.contains("windowspecdefinition(source#"),
       s"q197's rank must partition by stratum:\n$p197")
     assert(!p197.contains("], [], ["), s"q197 must not use a global window:\n$p197")
-    // q202: the banded kNN core must contain NO cartesian/nested-loop
-    // anywhere — that is the entire point of the banded form
-    val p202 = plan("q202_knn_core_banded")
-    assert(!p202.contains("CartesianProduct") && !p202.contains("BroadcastNestedLoopJoin"),
-      s"q202 must not contain an all-pairs join:\n$p202")
-    // q255 (multi-probe banded kNN core): Hamming-1 expansion buys recall
-    // by adding PROBE ROWS to one leg of the equi-join — never by
-    // widening the join itself to all-pairs
-    val p255 = plan("q255_knn_core_banded_mp")
-    assert(!p255.contains("CartesianProduct") && !p255.contains("BroadcastNestedLoopJoin"),
-      s"q255 must not contain an all-pairs join:\n$p255")
-    // q256 (multi-probe semantic dedup): the only all-pairs allowed is
-    // the K-row centroid broadcast q98 already carries — the expanded
-    // candidate join must stay an equi-join on (cid, bk, bv)
-    val p256 = plan("q256_semantic_dedup_mp")
-    assert(!p256.contains("CartesianProduct") &&
-      "BroadcastNestedLoopJoin".r.findAllIn(p256).length <= 1,
-      s"q256 may broadcast-NLJ only the centroid assignment:\n$p256")
+    // q202/q255: the banded kNN candidate join must contain NO
+    // cartesian/nested-loop — that is the entire point of the banded
+    // form, and Hamming-1 multi-probe must buy recall by adding PROBE
+    // ROWS to one leg of the equi-join, never by widening the join.
+    // Asserted on the UN-CHECKPOINTED candidate subplan: in the full
+    // query everything upstream of the peel's rebase() executes at
+    // construction and is a LogicalRDD scan in the final plan, so an
+    // assert there would be vacuous (round-10 review find).
+    val embDf = Tables(spark, dir, "embeddings")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    for (mp <- Seq(false, true)) {
+      val pc = operators.VectorOps.knnCandidatePairs(embDf, multiprobe = mp)
+        .queryExecution.executedPlan.toString()
+      assert(!pc.contains("CartesianProduct") && !pc.contains("BroadcastNestedLoopJoin"),
+        s"knnCandidatePairs(mp=$mp) must not contain an all-pairs join:\n$pc")
+      assert(pc.contains("Join"), // the equi-join must actually be there
+        s"knnCandidatePairs(mp=$mp) lost its candidate join:\n$pc")
+    }
+    // q256 (and q98's shared plan): the only all-pairs allowed is the
+    // K-row centroid broadcast — the expanded candidate join must stay an
+    // equi-join on (cid, bk, bv). Same vacuity trap: asserted on the
+    // raw (barrier-free, planning-only) variant, where the argmax subtree
+    // is textually REPLICATED once per reference (the production form
+    // materializes it once via the barrier) — so assert every BNLJ is the
+    // broadcast-build cross (the bounded centroid side), not a count of 1.
+    for (mp <- Seq(false, true)) {
+      val p = operators.VectorOps.semanticDedupRaw(spark, dir, multiprobe = mp)
+        .queryExecution.executedPlan.toString()
+      assert(!p.contains("CartesianProduct"),
+        s"semanticDedup(mp=$mp) must not cartesian:\n$p")
+      val bnlj = "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).toSeq
+      assert(bnlj.nonEmpty && bnlj.forall(_.contains("BuildRight, Cross")),
+        s"semanticDedup(mp=$mp): every BNLJ must be the broadcast centroid build:\n$p")
+    }
     // q257 (band-design audit): the whole point is measuring collision
     // mass WITHOUT producing the collisions — one scan, explode(64), two
     // grouped aggs; any join means the audit degenerated into the pair
-    // join it exists to size
+    // join it exists to size. (The rebase inside only truncates the
+    // scan+explode below the aggregations, so a join regression in the
+    // aggregation tail would still be visible here.)
     val p257 = plan("q257_band_entropy")
     assert(!p257.contains("Join"), s"q257 must contain no join:\n$p257")
   }

@@ -81,11 +81,26 @@ object SuffixOps {
     // Barrier.rebase, not bare localCheckpoint: cur feeds both the pair
     // ranking and this join (two self-references per doubling round — the
     // exponential case of the checkpoint stats blow-up, see graft.Barrier)
-    val next = graft.Barrier.rebase(cur.join(ranked, Seq("r", "r2"))
-      .select(col("doc_id"), col("pos"), col("nr").as("r")))
+    val next = graft.Barrier.rebase(rankJoin(cur, ranked))
     ranked.unpersist(false)
     (next, nDistinct)
   }
+
+  private def rankJoin(cur: DataFrame, ranked: DataFrame): DataFrame =
+    cur.join(ranked, Seq("r", "r2"))
+      .select(col("doc_id"), col("pos"), col("nr").as("r"))
+
+  /** One doubling round's UN-CHECKPOINTED plan over any (doc_id, pos, r,
+    * r2) frame — exposed so EntrySpec can assert the loop's join shape:
+    * inside suffixRanks every round is eagerly materialized (barriers +
+    * the persist/count), so an all-pairs regression in the doubling
+    * would be invisible to an assert on q215's final plan (the same
+    * vacuity class as the q202 review find). seqIdBy's sort rides an
+    * RDD zipWithIndex and stays below the visible plan; the assertable
+    * surface is exactly the rank-join, which is where an all-pairs
+    * comparison sort would sneak in. */
+  private[graft] def denseRankRound(cur: DataFrame): DataFrame =
+    rankJoin(cur, seqIdBy(cur.select("r", "r2").distinct(), "nr", col("r"), col("r2")))
 
   /** The shared suffix-rank table: (doc_id, source, pos, rank, p64) with
     * `rank` the 1-based position of suffix (doc_id, pos) in the corpus-wide

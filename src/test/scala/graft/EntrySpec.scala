@@ -439,6 +439,21 @@ class EntrySpec extends AnyFunSuite {
     assert(!p215.contains("CartesianProduct") && !p215.contains("BroadcastNestedLoopJoin"),
       s"q215 must not contain an all-pairs join:\n$p215")
     assert(!p215.contains("Window"), s"q215 must not use a window:\n$p215")
+    // the doubling loop itself materializes each round eagerly, so its
+    // joins never appear in q215's final plan (the q202 vacuity class) —
+    // assert ONE round's un-checkpointed shape on a literal frame
+    locally {
+      import spark.implicits._
+      val cur = Seq((1L, 1, 5L, 7L), (1L, 2, 3L, 2L), (2L, 1, 5L, 0L), (2L, 2, 3L, 2L))
+        .toDF("doc_id", "pos", "r", "r2")
+      val pr = operators.SuffixOps.denseRankRound(cur)
+        .queryExecution.executedPlan.toString()
+      assert(!pr.contains("CartesianProduct") && !pr.contains("BroadcastNestedLoopJoin"),
+        s"the rank-doubling round must join on (r, r2), never all-pairs:\n$pr")
+      assert(!pr.contains("Window"),
+        s"the rank-doubling round must not use a window:\n$pr")
+      assert(pr.contains("Join"), s"the rank-doubling round lost its join:\n$pr")
+    }
     val p216 = SparkEntry.queries("q216_dup_substrings")(spark, dir)
       .queryExecution.executedPlan.toString()
     assert(!p216.contains("CartesianProduct") && !p216.contains("BroadcastNestedLoopJoin"),

@@ -193,6 +193,42 @@ class VectorScaleSpec extends AnyFunSuite {
     assert(exch <= 4, s"final knnCore plan has $exch exchanges:\n$plan")
   }
 
+  test("knnCore multi-probe at 10x: q255's form completes end-to-end, " +
+      "core is a superset-or-equal recovery of the single-probe one", SlowTag) {
+    val n = 20000L
+    val nClusters = 40
+    val clusterSize = 50
+    val planted = nClusters.toLong * clusterSize
+    val vecs = corpus(n, nClusters, clusterSize)
+    val t0 = System.nanoTime()
+    val mpRows = VectorOps.knnCore(spark, vecs, bandedCandidates = true,
+      multiprobe = true, maxPeelRounds = 500).collect()
+    val sec = (System.nanoTime() - t0) / 1e9
+    val mpClusters = mpRows.map(_.getLong(0)).filter(_ < planted)
+      .map(_ / clusterSize).distinct.length
+    val spRows = VectorOps.knnCore(spark, vecs, bandedCandidates = true,
+      maxPeelRounds = 500).collect()
+    val spClusters = spRows.map(_.getLong(0)).filter(_ < planted)
+      .map(_ / clusterSize).distinct.length
+    info(f"20k multi-probe knnCore: ${mpRows.length} core members, " +
+      f"$mpClusters/$nClusters clusters in $sec%.1f s " +
+      f"(single-probe: ${spRows.length} members, $spClusters clusters)")
+    // the ×17 expansion exists to widen candidate coverage: at cluster
+    // level the multi-probe core must recover at least as many planted
+    // clusters as the single-probe one (candidates are a superset; the
+    // mutual graph can only gain cluster-internal edges)
+    assert(mpClusters >= spClusters,
+      s"multi-probe recovered $mpClusters clusters < single-probe's $spClusters")
+    assert(mpClusters >= nClusters * 8 / 10,
+      s"only $mpClusters of $nClusters planted clusters in the multi-probe core")
+    // and the flat-plan discipline holds on the expanded path too
+    val plan = VectorOps.knnCore(spark, vecs, bandedCandidates = true,
+      multiprobe = true, maxPeelRounds = 500)
+      .queryExecution.executedPlan.toString()
+    assert("Exchange".r.findAllIn(plan).size <= 4,
+      s"multi-probe final plan not flat:\n$plan")
+  }
+
   test("q98 scoping at 50x: cluster-conditioned band join divides the " +
       "candidate mass by ~the cluster count", SlowTag) {
     val n = 100000L

@@ -214,6 +214,16 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] state-store unload skipped: ${e.getMessage}")
     }
+    // the sweep below assumes full quiescence — ENFORCE it rather than
+    // assume it: a streaming query leaked by any stream-driven query fn
+    // would otherwise have its live checkpoint deleted mid-flight,
+    // corrupting the rerun pass the sweep exists to stabilize
+    spark.streams.active.foreach { q =>
+      System.err.println(s"[bench] stopping leaked stream before sweep: ${q.name}")
+      try q.stop() catch { case e: Throwable =>
+        System.err.println(s"[bench] stream stop failed: ${e.getMessage}")
+      }
+    }
     graft.Scratch.sweepExcept(Set(whDir))
     System.gc()
     val rerun = results.toSeq.sortBy(-_._2).take(10).map { case (name, _) =>

@@ -36,9 +36,17 @@ object Scratch {
     * 250 queries of it measurably disturbs late timings (round-9 verdict:
     * rerun-pass numbers above in-sweep for stateful queries). */
   def sweepExcept(live: Set[String]): Unit = {
+    // canonicalize BOTH sides: the stored Scratch.fresh result and the
+    // listing may differ in symlink resolution (tmpdir on a symlinked
+    // mount) or separators — an exact-string compare would then silently
+    // delete the live dir the caller meant to protect (round-10 ADVICE)
+    def canon(p: String): String =
+      try new java.io.File(p).getCanonicalPath
+      catch { case _: java.io.IOException => p }
+    val liveC = live.map(canon)
     val kids = root.toFile.listFiles()
     if (kids != null)
-      kids.filterNot(k => live.contains(k.getAbsolutePath))
+      kids.filterNot(k => liveC.contains(canon(k.getAbsolutePath)))
         .foreach(deleteRecursively)
     ()
   }

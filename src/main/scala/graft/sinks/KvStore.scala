@@ -296,17 +296,29 @@ object KvStore {
 
   /** Uncommitted residue = shard files on disk but not in the manifest (a
     * crashed job's committed-named task output) and task-attempt
-    * `.tmp-*` files. Orphan sidecars of an uncommitted `.kv` go with it. */
-  private def sweepUncommitted(path: String): Unit = {
+    * `.tmp-*` files. Orphan sidecars of an uncommitted `.kv` go with it.
+    *
+    * Every swept path is LOGGED (and returned, for the spec surface):
+    * from the store's own metadata, crash residue and a contract
+    * violation (bare ShardWriter output dropped next to a
+    * manifest-bearing store) are indistinguishable — so the deletion
+    * must at minimum be observable, never silent (round-10 ADVICE). */
+  private[graft] def sweepUncommitted(path: String): Seq[String] = {
     val (fs, dir) = fsFor(path)
     val committed = committedShards(path).map(_.getName).toSet
+    val swept = Seq.newBuilder[String]
     fs.listStatus(dir).map(_.getPath).foreach { p =>
       val n = p.getName
       val stem = n.replaceAll("\\.(kv|idx|meta\\.txt|bloom)$", "")
       val orphan = n.matches("shard-\\d+\\.(kv|idx|meta\\.txt|bloom)") &&
         !committed(stem + ".kv")
-      if (n.contains(".tmp-") || orphan) fs.delete(p, true)
+      if (n.contains(".tmp-") || orphan) {
+        fs.delete(p, true)
+        swept += p.toString
+        System.err.println(s"[kvstore] swept uncommitted residue: $p")
+      }
     }
+    swept.result()
   }
 
   private[graft] def manifestLines(path: String): Seq[String] = {

@@ -131,6 +131,28 @@ class KvStoreAppendSpec extends AnyFunSuite {
     assert(dump(path) == Map("a" -> "1"))
   }
 
+  test("sweep is observable: every deleted residue path is returned (and logged)") {
+    val path = tmpDir()
+    KvStore.createCommitted(path)
+    KvStore.appendBatch(df("a" -> "1"), path, batchId = 0L)
+    // crash residue: a committed-named shard (plus sidecars) outside the
+    // manifest, and a task-attempt tmp file
+    val w = new KvStore.ShardWriter(path, 99L)
+    w.put("ghost", "GHOST".getBytes, Seq(1), "uint8")
+    w.close()
+    Files.write(java.nio.file.Paths.get(path, "shard-00099.kv.tmp-dead1234"),
+      Array[Byte](1, 2, 3))
+    val swept = KvStore.sweepUncommitted(path)
+    // silent deletion is the round-10 ADVICE failure mode: a caller who
+    // (wrongly) dropped bare shards next to a ledger-managed store must
+    // at least be able to SEE what was removed
+    assert(swept.size == 5, s"expected .kv/.idx/.meta.txt/.bloom/.tmp swept, got $swept")
+    assert(swept.exists(_.endsWith("shard-00099.kv")))
+    assert(swept.exists(_.contains(".tmp-dead1234")))
+    assert(dump(path) == Map("a" -> "1"), "committed data must survive the sweep")
+    assert(KvStore.sweepUncommitted(path).isEmpty, "clean store sweeps nothing")
+  }
+
   test("plain append continues after library-path write + commit") {
     val path = tmpDir()
     KvStore.write(df("a" -> "1", "b" -> "2"), path)

@@ -1227,7 +1227,8 @@ object VectorOps {
     * convergence within the same 24 so the two computations agree by
     * construction). */
   private def q192(s: SparkSession, dir: String): DataFrame =
-    knnCore(s, t(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
+    knnCore(s, t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      maxPeelRounds = kcorePeelRounds)
 
   /** q202: the knnCore 3-core in its 100 TB form — kNN candidates from the
     * 4×16-bit hyperplane band join (shuffle on (bk, bv) only; zero cross
@@ -1237,7 +1238,7 @@ object VectorOps {
     * exact q192 stays as ground truth for the small-corpus/audit path. */
   private def q202(s: SparkSession, dir: String): DataFrame =
     knnCore(s, t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
-      bandedCandidates = true)
+      bandedCandidates = true, maxPeelRounds = kcorePeelRounds)
 
   /** q255 — q202 with the candidate band join multi-probe-expanded
     * (round-8 verdict #5: q202 measured <40% mutual-edge recall vs the
@@ -1253,7 +1254,7 @@ object VectorOps {
     * entry under cand1 also displaces it in the exact ranking). */
   private def q255(s: SparkSession, dir: String): DataFrame =
     knnCore(s, t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
-      bandedCandidates = true, multiprobe = true)
+      bandedCandidates = true, multiprobe = true, maxPeelRounds = kcorePeelRounds)
 
   /** The q192 core over any (vec_id, embedding) frame — exposed so the
     * property sweep can drive the REAL plan with random vector sets
@@ -1279,13 +1280,17 @@ object VectorOps {
     * with it. */
   private[graft] def rebase(df: DataFrame): DataFrame = graft.Barrier.rebase(df)
 
-  /** maxPeelRounds: the shipped queries keep the oracle-aligned 24 (the
-    * DuckDB oracle unrolls exactly 24 idempotent CTE rounds, and the
-    * require below makes the two computations agree by construction;
-    * sf0.01/sf0.1 converge in 9–13). Peel DEPTH grows with graph size —
-    * VectorScaleSpec measured >24 rounds at 50k vectors — so scale
-    * callers pass a larger budget; with rebase() the per-round cost is
-    * flat, making a deep peel linear work, not a planning blow-up. */
+  /** maxPeelRounds: 0 (the default) = SIZE-DERIVED — run to the fixpoint
+    * under a hard cap of |nodes| + 1 rounds. The peel only ever SHRINKS
+    * the alive set and every non-stable round removes at least one node,
+    * so the fixpoint arrives within |nodes| rounds by construction and
+    * the auto budget can never trip; with rebase() the per-round cost is
+    * flat, making a deep peel (VectorScaleSpec measured >24 rounds at
+    * 50k vectors) linear work, not a planning blow-up. The oracle-gated
+    * queries (q192/q202/q255) pass the CTE-aligned 24 EXPLICITLY: the
+    * DuckDB oracle unrolls exactly 24 idempotent rounds, and the require
+    * below makes the two computations agree by construction
+    * (sf0.01/sf0.1 converge in 9–13). */
   /** The banded candidate-pair join (q202/q255's scale-critical subplan),
     * exposed UN-CHECKPOINTED so EntrySpec can assert its physical shape:
     * inside knnCore everything upstream of the peel's rebase() executes at
@@ -1311,7 +1316,7 @@ object VectorOps {
 
   private[graft] def knnCore(s: SparkSession, input: DataFrame,
       bandedCandidates: Boolean = false, multiprobe: Boolean = false,
-      maxPeelRounds: Int = 24): DataFrame = {
+      maxPeelRounds: Int = 0): DataFrame = {
     // cosine is bit-exactly symmetric (per-element products and the norm
     // product commute in IEEE), so score each unordered pair ONCE
     // (qa < qb) and mirror — half the N²·dim kernel work
@@ -1348,30 +1353,42 @@ object VectorOps {
     // the kNN phase above wants full width (N² cosines); the peel loop
     // below shuffles a graph of at most N nodes 10+ times — at the
     // session's 32 shuffle partitions each round is pure task-scheduling
-    // overhead, so the loop runs width-scoped (restored after). On a
-    // real cluster you'd size this to |graph| / target-partition-rows.
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      var alive = rebase(adj.select("a").distinct())
-      var nAlive = alive.count()
-      var deg: DataFrame = null
-      var stable = false
-      var rounds = 0
-      while (!stable && rounds < maxPeelRounds) {
-        rounds += 1
-        deg = rebase(adj.join(alive, "a")
-          .join(alive.select(col("a").as("b")), "b")
-          .groupBy("a").agg(count(lit(1)).as("core_deg"))
-          .filter(col("core_deg") >= 3))
-        val n2 = deg.count()
-        stable = n2 == nAlive // monotone shrink → equal count = fixed point
-        nAlive = n2
-        alive = deg.select("a")
-      }
-      require(stable, s"3-core peel did not converge in $rounds rounds")
-      deg.select(col("a").as("vec_id"), col("core_deg")).orderBy("vec_id")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // overhead, so the loop's exchanges are width-scoped PLAN-LOCALLY
+    // with explicit repartition(peelWidth, key) on each shuffle input
+    // (a session-conf mutation here would race concurrent queries on the
+    // same session and leak the width to anything planned in the
+    // window). The repartitions replace — not add to — the exchanges
+    // ENSURE_REQUIREMENTS would have inserted: each one lands exactly
+    // where the following join/agg needs that key's hash partitioning.
+    // On a real cluster you'd size this to |graph| / target-partition-rows.
+    val peelWidth = 8
+    var alive = rebase(adj.select("a")
+      .repartition(peelWidth, col("a")).distinct())
+    var nAlive = alive.count()
+    // 0 = size-derived budget: monotone shrink ⇒ fixpoint within nAlive
+    // rounds, so the cap below can never trip for the auto path
+    val budget: Long =
+      if (maxPeelRounds > 0) maxPeelRounds.toLong else nAlive + 1
+    var deg: DataFrame = null
+    var stable = false
+    var rounds = 0L
+    while (!stable && rounds < budget) {
+      rounds += 1
+      deg = rebase(adj.repartition(peelWidth, col("a"))
+        .join(alive.repartition(peelWidth, col("a")), "a")
+        .repartition(peelWidth, col("b"))
+        .join(alive.select(col("a").as("b"))
+          .repartition(peelWidth, col("b")), "b")
+        .repartition(peelWidth, col("a"))
+        .groupBy("a").agg(count(lit(1)).as("core_deg"))
+        .filter(col("core_deg") >= 3))
+      val n2 = deg.count()
+      stable = n2 == nAlive // monotone shrink → equal count = fixed point
+      nAlive = n2
+      alive = deg.select("a")
+    }
+    require(stable, s"3-core peel did not converge in $rounds rounds")
+    deg.select(col("a").as("vec_id"), col("core_deg")).orderBy("vec_id")
   }
 
   private val kcorePeelRounds = 24

@@ -155,11 +155,10 @@ class VectorScaleSpec extends AnyFunSuite {
     val planted = nClusters.toLong * clusterSize
     val vecs = corpus(n, nClusters, clusterSize)
     val t0 = System.nanoTime()
-    // peel depth grows with graph size (the shipped 24-round default is
-    // oracle parity for the small SFs; at 50k the peel measured deeper) —
-    // scale callers size the budget, each round is flat-cost post-rebase
-    val core = VectorOps.knnCore(spark, vecs, bandedCandidates = true,
-      maxPeelRounds = 500)
+    // peel depth grows with graph size (the oracle-gated queries pass the
+    // CTE-aligned 24 explicitly; at 50k the peel measured deeper) — the
+    // DEFAULT budget is now size-derived, so scale callers need no knob
+    val core = VectorOps.knnCore(spark, vecs, bandedCandidates = true)
     val rows = core.collect()
     val sec = (System.nanoTime() - t0) / 1e9
     val clusterMembers = rows.count(_.getLong(0) < planted)
@@ -202,12 +201,11 @@ class VectorScaleSpec extends AnyFunSuite {
     val vecs = corpus(n, nClusters, clusterSize)
     val t0 = System.nanoTime()
     val mpRows = VectorOps.knnCore(spark, vecs, bandedCandidates = true,
-      multiprobe = true, maxPeelRounds = 500).collect()
+      multiprobe = true).collect()
     val sec = (System.nanoTime() - t0) / 1e9
     val mpClusters = mpRows.map(_.getLong(0)).filter(_ < planted)
       .map(_ / clusterSize).distinct.length
-    val spRows = VectorOps.knnCore(spark, vecs, bandedCandidates = true,
-      maxPeelRounds = 500).collect()
+    val spRows = VectorOps.knnCore(spark, vecs, bandedCandidates = true).collect()
     val spClusters = spRows.map(_.getLong(0)).filter(_ < planted)
       .map(_ / clusterSize).distinct.length
     info(f"20k multi-probe knnCore: ${mpRows.length} core members, " +
@@ -223,7 +221,7 @@ class VectorScaleSpec extends AnyFunSuite {
       s"only $mpClusters of $nClusters planted clusters in the multi-probe core")
     // and the flat-plan discipline holds on the expanded path too
     val plan = VectorOps.knnCore(spark, vecs, bandedCandidates = true,
-      multiprobe = true, maxPeelRounds = 500)
+      multiprobe = true)
       .queryExecution.executedPlan.toString()
     assert("Exchange".r.findAllIn(plan).size <= 4,
       s"multi-probe final plan not flat:\n$plan")

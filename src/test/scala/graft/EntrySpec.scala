@@ -291,12 +291,16 @@ class EntrySpec extends AnyFunSuite {
     }
     // q257 (band-design audit): the whole point is measuring collision
     // mass WITHOUT producing the collisions — one scan, explode(64), two
-    // grouped aggs; any join means the audit degenerated into the pair
-    // join it exists to size. (The rebase inside only truncates the
-    // scan+explode below the aggregations, so a join regression in the
-    // aggregation tail would still be visible here.)
+    // grouped aggs. The ONLY join allowed is the 1-row C(N,2) pair-total
+    // scalar broadcast (the lazy-clean replacement for the former
+    // construction-time count literals); any equi/merge/cartesian join
+    // means the audit degenerated into the pair join it exists to size.
     val p257 = plan("q257_band_entropy")
-    assert(!p257.contains("Join"), s"q257 must contain no join:\n$p257")
+    assert(!p257.contains("CartesianProduct") && !p257.contains("SortMergeJoin") &&
+      !p257.contains("BroadcastHashJoin") && !p257.contains("ShuffledHashJoin"),
+      s"q257 must not join rows beyond the scalar total:\n$p257")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p257).length == 1,
+      s"q257's only join is the 1-row pair-total broadcast:\n$p257")
   }
 
   test("round-6/7 tier plans keep their scale shape (q211/q208/q203/q205)") {

@@ -445,8 +445,18 @@ object VectorOps {
       multiprobe: Boolean): DataFrame =
     semanticDedupPlan(s, dir, multiprobe, identity)
 
-  private def semanticDedupPlan(s: SparkSession, dir: String,
-      multiprobe: Boolean, bar: DataFrame => DataFrame): DataFrame = {
+  /** The shared q98/q256/q106 semantic-dedup chain — centroid-argmax
+    * assignment (label carried), (cluster ∩ band-bucket) candidate pairs
+    * (optionally Hamming-1-expanded on ONE leg), and the loser set at
+    * `threshold` — extracted so the three consumers run one
+    * implementation and cannot drift (round-10 verdict #3: q106 carried
+    * an inline copy differing only in the threshold). */
+  private[graft] final case class SemanticChain(
+      asg: DataFrame, cand: DataFrame, losers: DataFrame)
+
+  private[graft] def semanticChain(s: SparkSession, dir: String,
+      threshold: Double, multiprobe: Boolean,
+      bar: DataFrame => DataFrame): SemanticChain = {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("label"), col("embedding"))
     val cents = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
@@ -477,9 +487,17 @@ object VectorOps {
       .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
       .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")), Seq("b_id"))
       .withColumn("cos", cosCol(s, "ea", "eb"))
-      .filter(col("cos") >= 0.95)
+      .filter(col("cos") >= threshold)
       .select(col("b_id").as("vec_id")).distinct()
-      .withColumn("lost", lit(1))
+    SemanticChain(asg, cand, losers)
+  }
+
+  private def semanticDedupPlan(s: SparkSession, dir: String,
+      multiprobe: Boolean, bar: DataFrame => DataFrame): DataFrame = {
+    val chain = semanticChain(s, dir, threshold = 0.95, multiprobe, bar)
+    val asg = chain.asg
+    val cand = chain.cand
+    val losers = chain.losers.withColumn("lost", lit(1))
     val base = asg.join(losers, Seq("vec_id"), "left")
     if (!multiprobe)
       base.groupBy("label")
@@ -533,30 +551,12 @@ object VectorOps {
           |+ 0.2 * (1.0 - least(cast(n_punct as double) / cast(n_chars as double), 1.0))
           |+ 0.1 * least(cast(sum_wl as double) / cast(nw as double) / 10.0, 1.0)""".stripMargin))
       .withColumn("text_pass", col("score") >= 0.7)
-    // semantic leg — q98's loser set at this corpus's similarity tail
-    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-    val cents = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("cid"), col("embedding").as("cemb"))
-    val wAsg = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cid"))
-    // rebase for the same reason as semanticDedup: bc feeds both legs of
-    // the candidate self-join, so without the barrier the N×K argmax
-    // subtree is replicated per reference in the executed plan
-    val asg = rebase(emb.crossJoin(broadcast(cents))
-      .withColumn("cs", cosCol(s, "embedding", "cemb"))
-      .withColumn("rk", row_number().over(wAsg))
-      .filter(col("rk") === 1)
-      .select(col("vec_id"), col("cid")))
-    val bc = banded(s, dir).join(asg, Seq("vec_id"))
-    val cand = bc.as("x").join(bc.as("y"),
-        col("x.cid") === col("y.cid") && col("x.bk") === col("y.bk") &&
-          col("x.bv") === col("y.bv") && col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b_id")).distinct()
-    val losers = cand
-      .join(emb.select(col("vec_id").as("a"), col("embedding").as("ea")), Seq("a"))
-      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("eb")), Seq("b_id"))
-      .withColumn("cos", cosCol(s, "ea", "eb"))
-      .filter(col("cos") >= 0.3)
-      .select(col("b_id").as("doc_id")).distinct()
+    // semantic leg — the SHARED q98/q256 chain at this corpus's
+    // similarity tail (one implementation, threshold the only knob)
+    val losers = semanticChain(s, dir, threshold = 0.3,
+        multiprobe = false, bar = rebase)
+      .losers
+      .select(col("vec_id").as("doc_id"))
       .withColumn("sem_dup", lit(1))
     docs.join(losers, Seq("doc_id"), "left")
       .groupBy("source")

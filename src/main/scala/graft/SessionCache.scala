@@ -46,4 +46,27 @@ object SessionCache {
       }
     }
   }
+
+  /** Evict ONE entry: unpersist its blocks and forget the key, so the
+    * next getOrBuild re-derives and re-persists it. A 100 TB session
+    * that walks several corpora cannot keep every corpus-sized shared
+    * projection pinned for its lifetime — the policy is: PIN the
+    * projections of the corpus currently being processed (they feed
+    * dozens of queries each), DROP a corpus's entries when the pipeline
+    * moves past it. Dropping is always safe: entries are pure
+    * derivations of the source tables, and a dependent built FROM a
+    * dropped entry recomputes through its (still valid) plan.
+    * Returns true iff the key was present. */
+  def drop(s: SparkSession, key: String): Boolean = {
+    val d = mapFor(s).remove(key)
+    if (d != null) { d.unpersist(blocking = false); true } else false
+  }
+
+  /** Evict every entry of this session (e.g. before re-pointing one
+    * long-lived session at a new corpus). Returns the entry count. */
+  def clear(s: SparkSession): Int = {
+    val m = mapFor(s)
+    val keys = m.keySet().toArray(Array.empty[String])
+    keys.count(drop(s, _))
+  }
 }

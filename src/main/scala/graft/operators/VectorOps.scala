@@ -42,33 +42,43 @@ object VectorOps {
     * dim iterations per row dominated the sf0.1 bench (the q27-simhash
     * lesson). The UDF runs the IDENTICAL integer arithmetic — quantizer
     * `cast(round(x*1000, 0) as bigint)` reproduced via BigDecimal HALF_UP,
-    * which is exactly Spark's Round — so the DuckDB oracle is unchanged. */
-  private val bands4x16 = udf { (e: Seq[Float]) =>
-    val dim = e.length
-    val q = new Array[Long](dim)
-    var d = 0
-    while (d < dim) {
-      q(d) = java.math.BigDecimal.valueOf(e(d).toDouble * 1000.0)
-        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
-      d += 1
-    }
-    val out = new Array[Long](4)
-    var k = 0
-    while (k < 4) {
-      var bv = 0L
-      var j = 0
-      while (j < 16) {
-        val plane = (k * 16 + j) * 37
-        var s = 0L
-        d = 0
-        while (d < dim) { s += q(d) * (((plane + d * 101) % 19) - 9); d += 1 }
-        if (s > 0) bv |= 1L << j
-        j += 1
+    * which is exactly Spark's Round — so the DuckDB oracle is unchanged.
+    *
+    * PARAMETERIZED by band width (round-10 verdict #1): the same 64 sign
+    * bits (global plane p = k·width + j) regrouped as 64/width bands of
+    * `width` bits — exactly the regroupings the q257 design chart prices,
+    * so an operator can be pointed at the chart-chosen config. width 16
+    * reproduces the original 4×16 banding bit-for-bit. */
+  private def bandsUdf(width: Int) = {
+    require(64 % width == 0, s"band width $width must divide 64")
+    val nBands = 64 / width
+    udf { (e: Seq[Float]) =>
+      val dim = e.length
+      val q = new Array[Long](dim)
+      var d = 0
+      while (d < dim) {
+        q(d) = java.math.BigDecimal.valueOf(e(d).toDouble * 1000.0)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+        d += 1
       }
-      out(k) = bv
-      k += 1
+      val out = new Array[Long](nBands)
+      var k = 0
+      while (k < nBands) {
+        var bv = 0L
+        var j = 0
+        while (j < width) {
+          val plane = (k * width + j) * 37
+          var s = 0L
+          d = 0
+          while (d < dim) { s += q(d) * (((plane + d * 101) % 19) - 9); d += 1 }
+          if (s > 0) bv |= 1L << j
+          j += 1
+        }
+        out(k) = bv
+        k += 1
+      }
+      out
     }
-    out
   }
 
   /** (vec_id, bk, bv): all 4 band keys computed in ONE pass over the scan,
@@ -80,23 +90,28 @@ object VectorOps {
     * TextOps.prewarmShared). */
   private[graft] def prewarmShared(s: SparkSession, dir: String): Unit = {
     banded(s, dir).count()
+    banded(s, dir, width = 8).count() // the q258/q259 chart-chosen family
     bits64(s, dir).count()
     ()
   }
 
   /** The (vec_id, bk, bv) band projection of any (vec_id, embedding)
-    * frame — all 4 band keys in ONE pass, then unpivoted. Shared by the
+    * frame — all band keys in ONE pass, then unpivoted. Shared by the
     * per-corpus cached projection below, knnCore, and the synthetic
-    * scale spec (VectorScaleSpec drives the REAL projection at 100×). */
-  private[graft] def bandProject(input: DataFrame): DataFrame =
+    * scale spec (VectorScaleSpec drives the REAL projection at 100×).
+    * width 16 (default) is the original 4×16 family; width 8 the
+    * chart-chosen wide-recall 8×8 family (q257/q258). */
+  private[graft] def bandProject(input: DataFrame, width: Int = 16): DataFrame = {
+    val nBands = 64 / width
+    val stackArgs = (0 until nBands).map(k => s"${k}L, bands[$k]").mkString(", ")
     input
-      .select(col("vec_id"), bands4x16(col("embedding")).as("bands"))
-      .selectExpr("vec_id",
-        "stack(4, 0L, bands[0], 1L, bands[1], 2L, bands[2], 3L, bands[3]) AS (bk, bv)")
+      .select(col("vec_id"), bandsUdf(width)(col("embedding")).as("bands"))
+      .selectExpr("vec_id", s"stack($nBands, $stackArgs) AS (bk, bv)")
+  }
 
-  private def banded(s: SparkSession, dir: String): DataFrame =
-    graft.SessionCache.getOrBuild(s, s"vec|$dir|banded") {
-      bandProject(t(s, dir, "embeddings"))
+  private def banded(s: SparkSession, dir: String, width: Int = 16): DataFrame =
+    graft.SessionCache.getOrBuild(s, s"vec|$dir|banded|$width") {
+      bandProject(t(s, dir, "embeddings"), width)
     }
 
   /** Multi-probe expansion (Lv et al., VLDB'07) of a (…, bk, bv) probe
@@ -106,11 +121,11 @@ object VectorOps {
     * adding bands. Probe-side only (×17 rows on the bounded probe set);
     * the corpus-side index is untouched. Shared by q241 (nDCG eval),
     * q245 (decontamination), and q246 (recall audit). */
-  private[graft] def multiProbe(probeB: DataFrame): DataFrame =
+  private[graft] def multiProbe(probeB: DataFrame, width: Int = 16): DataFrame =
     probeB
-      .withColumn("j", explode(expr("sequence(0, 16)")))
+      .withColumn("j", explode(expr(s"sequence(0, $width)")))
       .withColumn("bv", expr(
-        "CASE WHEN j = 16 THEN bv ELSE cast(bv ^ shiftleft(1L, cast(j as int)) as bigint) END"))
+        s"CASE WHEN j = $width THEN bv ELSE cast(bv ^ shiftleft(1L, cast(j as int)) as bigint) END"))
       .drop("j")
 
   /** Brute-force cosine top-5 for a probe subset (vec_id % 100 == 0). */
@@ -359,13 +374,29 @@ object VectorOps {
   private def q245(s: SparkSession, dir: String): DataFrame =
     bandedDecontaminate(s, dir, multiprobe = true)
 
+  /** q258 — the decontamination screen pointed at the CHART-CHOSEN band
+    * family (round-10 verdict #1: close the loop from the q257 design
+    * chart to the operator it exists to parameterize). q257 measured the
+    * 8×8 regrouping of the same 64 sign bits at ~28× the 4×16 collision
+    * pair mass (151,751 vs 5,971 ppm at sf0.01) — more candidates for
+    * the exact-cosine verify pass to catch, which is precisely the knob
+    * a recall-starved screen turns (q245's published recall: 12.5%
+    * sf0.01 / 7.5% sf0.1). Same plan shape as q245 — every join stays a
+    * band-key equi-join, the ×(width+1) multi-probe expansion rides the
+    * bounded eval side, and the exact recall denominator is carried in
+    * the artifact — so recall and candidate cost per config are
+    * hash-gated side by side (q245 = 4×16, q258 = 8×8). Measured lift
+    * recorded in SURVEY §21. */
+  private def q258(s: SparkSession, dir: String): DataFrame =
+    bandedDecontaminate(s, dir, multiprobe = true, width = 8)
+
   private def bandedDecontaminate(s: SparkSession, dir: String,
-      multiprobe: Boolean): DataFrame = {
+      multiprobe: Boolean, width: Int = 16): DataFrame = {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("label"), col("embedding"))
-    val bd = banded(s, dir)
+    val bd = banded(s, dir, width)
     val evalB0 = bd.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("eval_id"), col("bk"), col("bv"))
-    val evalB = if (multiprobe) multiProbe(evalB0) else evalB0
+    val evalB = if (multiprobe) multiProbe(evalB0, width) else evalB0
     val cand = bd.filter(col("vec_id") % 50 =!= 0)
       .join(evalB, Seq("bk", "bv"))
       .select(col("vec_id"), col("eval_id")).distinct()
@@ -1536,8 +1567,16 @@ object VectorOps {
   private def q246(s: SparkSession, dir: String): DataFrame =
     annRecallAudit(s, dir, multiprobe = true)
 
+  /** q259 — the q246 recall audit pointed at the chart-chosen 8×8
+    * family: per-probe recall@5 and candidate count of the SAME index
+    * whose collision mass q257 priced, so the recall-vs-cost trade the
+    * chart predicts is measured per probe and hash-gated (the q258
+    * decontamination consumer's index-side companion). */
+  private def q259(s: SparkSession, dir: String): DataFrame =
+    annRecallAudit(s, dir, multiprobe = true, width = 8)
+
   private def annRecallAudit(s: SparkSession, dir: String,
-      multiprobe: Boolean): DataFrame = {
+      multiprobe: Boolean, width: Int = 16): DataFrame = {
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val probes = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"))
@@ -1548,10 +1587,10 @@ object VectorOps {
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= 5)
       .select("probe_id", "vec_id")
-    val bd = banded(s, dir)
+    val bd = banded(s, dir, width)
     val probeB0 = bd.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("probe_id"), col("bk"), col("bv"))
-    val probeB = if (multiprobe) multiProbe(probeB0) else probeB0
+    val probeB = if (multiprobe) multiProbe(probeB0, width) else probeB0
     val cand = probeB.join(bd, Seq("bk", "bv"))
       .filter(col("vec_id") =!= col("probe_id"))
       .select("probe_id", "vec_id").distinct()
@@ -1607,6 +1646,8 @@ object VectorOps {
     "q225_ann_recall" -> (q225 _),
     "q245_decontaminate_multiprobe" -> (q245 _),
     "q246_ann_recall_multiprobe" -> (q246 _),
+    "q258_decontaminate_8x8" -> (q258 _),
+    "q259_ann_recall_8x8" -> (q259 _),
     "q249_hard_negatives" -> (q249 _),
     "q223_quant_recall" -> (q223 _),
     "q192_knn_core" -> (q192 _),
@@ -1639,14 +1680,78 @@ object VectorOps {
   // The outer CAST matters: DuckDB's list_aggregate 'sum' over BIGINTs
   // returns HUGEINT (int128), which downstream consumers (pandas, hash
   // comparators) widen to float64 — "240.0" vs Spark's 240. Pin to BIGINT.
-  // Band k covers planes 16k..16k+15, mirroring bandExpr exactly.
-  private val bandsSql =
-    """bands AS (SELECT vec_id, k AS bk,
-      |  CAST(list_aggregate([CASE WHEN list_aggregate(
-      |      [CAST(round(CAST(embedding[d+1] AS DOUBLE) * 1000) AS BIGINT) * ((((j + 16*k) * 37 + d * 101) % 19) - 9)
-      |       for d in range(len(embedding))], 'sum') > 0
-      |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range(16)], 'sum') AS BIGINT) AS bv
-      |  FROM embeddings, (SELECT unnest([0,1,2,3]) AS k) ks)""".stripMargin
+  // Band k covers planes w·k .. w·k+w-1, mirroring bandsUdf exactly —
+  // parameterized by band width like the engine side (q245 vs q258).
+  private def bandsSqlW(w: Int): String = {
+    val ks = (0 until 64 / w).mkString(",")
+    s"""bands AS (SELECT vec_id, k AS bk,
+       |  CAST(list_aggregate([CASE WHEN list_aggregate(
+       |      [CAST(round(CAST(embedding[d+1] AS DOUBLE) * 1000) AS BIGINT) * ((((j + $w*k) * 37 + d * 101) % 19) - 9)
+       |       for d in range(len(embedding))], 'sum') > 0
+       |    THEN (CAST(1 AS BIGINT) << j) ELSE 0 END for j in range($w)], 'sum') AS BIGINT) AS bv
+       |  FROM embeddings, (SELECT unnest([$ks]) AS k) ks)""".stripMargin
+  }
+
+  private val bandsSql = bandsSqlW(16)
+
+  // q245/q258: the banded-decontamination oracle as a function of the
+  // band width — eval band set Hamming-1-expanded (j = w keeps the exact
+  // bucket), plus the exhaustive-pass recall denominator (ex CTE =
+  // q210's exact max-cosine scan at the same 0.35 cut)
+  private def decontamMpOracle(w: Int): String =
+    s"""WITH ${bandsSqlW(w)},
+       |ev AS (SELECT vec_id AS eval_id, bk,
+       |    CASE WHEN j = $w THEN bv ELSE xor(bv, CAST(1 << j AS BIGINT)) END AS bv
+       |  FROM bands CROSS JOIN generate_series(0,$w) t(j)
+       |  WHERE vec_id % 50 = 0),
+       |cand AS (SELECT DISTINCT t.vec_id, e.eval_id
+       |  FROM bands t JOIN ev e ON t.bk = e.bk AND t.bv = e.bv
+       |  WHERE t.vec_id % 50 <> 0),
+       |sc AS (SELECT c.vec_id, max($cosSql) AS mc
+       |  FROM cand c JOIN embeddings a ON a.vec_id = c.vec_id
+       |              JOIN embeddings b ON b.vec_id = c.eval_id
+       |  GROUP BY c.vec_id),
+       |ex AS (SELECT a.vec_id, max($cosSql) AS tmc
+       |  FROM embeddings a JOIN embeddings b ON b.vec_id % 50 = 0
+       |  WHERE a.vec_id % 50 <> 0
+       |  GROUP BY a.vec_id)
+       |SELECT t.label, CAST(count(*) AS BIGINT) AS n_train,
+       |  CAST(count(sc.mc) AS BIGINT) AS n_candidates,
+       |  CAST(sum(CASE WHEN sc.mc >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+       |  round(coalesce(max(sc.mc), -1.0), 6) AS max_band_cos,
+       |  CAST(sum(CASE WHEN ex.tmc >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_contaminated
+       |FROM embeddings t LEFT JOIN sc ON sc.vec_id = t.vec_id
+       |                  LEFT JOIN ex ON ex.vec_id = t.vec_id
+       |WHERE t.vec_id % 50 <> 0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // q246/q259: the multi-probe index recall audit as a function of the
+  // band width — same exact top-5 ground truth at every width
+  private def annRecallMpOracle(w: Int): String =
+    s"""WITH ${bandsSqlW(w)},
+       |sc AS (
+       |  SELECT a.vec_id AS probe_id, b.vec_id AS vec_id, round($cosSql, 6) AS cos
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id),
+       |top AS (SELECT probe_id, vec_id FROM (
+       |  SELECT probe_id, vec_id,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk FROM sc)
+       |  WHERE rk <= 5),
+       |pb AS (SELECT vec_id AS probe_id, bk,
+       |    CASE WHEN j = $w THEN bv ELSE xor(bv, CAST(1 << j AS BIGINT)) END AS bv
+       |  FROM bands CROSS JOIN generate_series(0,$w) t(j)
+       |  WHERE vec_id % 100 = 0),
+       |cand AS (SELECT DISTINCT p.probe_id, y.vec_id
+       |  FROM pb p JOIN bands y ON y.bk = p.bk AND y.bv = p.bv
+       |    AND y.vec_id <> p.probe_id),
+       |cn AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY 1),
+       |h AS (SELECT top.probe_id,
+       |    CAST(count(*) AS BIGINT) AS n_top,
+       |    CAST(sum(CASE WHEN cand.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM top LEFT JOIN cand USING (probe_id, vec_id) GROUP BY 1)
+       |SELECT h.probe_id, h.n_top, h.n_hits,
+       |  coalesce(cn.n_cand, 0) AS n_cand,
+       |  CAST(h.n_hits AS DOUBLE) / CAST(h.n_top AS DOUBLE) AS recall5
+       |FROM h LEFT JOIN cn USING (probe_id) ORDER BY h.probe_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     // q249: multi-probe band candidates, different-label filter, exact
@@ -1668,62 +1773,15 @@ object VectorOps {
          |    PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rk FROM sc)
          |SELECT probe_id, rk, vec_id, label, cos
          |FROM r WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin,
-    // q246: q225's audit with the probe band set expanded to Hamming-1
-    // buckets (q241's pb CTE) — same exact top-5 ground truth
-    "q246_ann_recall_multiprobe" ->
-      s"""WITH $bandsSql,
-         |sc AS (
-         |  SELECT a.vec_id AS probe_id, b.vec_id AS vec_id, round($cosSql, 6) AS cos
-         |  FROM embeddings a JOIN embeddings b ON a.vec_id % 100 = 0 AND a.vec_id <> b.vec_id),
-         |top AS (SELECT probe_id, vec_id FROM (
-         |  SELECT probe_id, vec_id,
-         |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk FROM sc)
-         |  WHERE rk <= 5),
-         |pb AS (SELECT vec_id AS probe_id, bk,
-         |    CASE WHEN j = 16 THEN bv ELSE xor(bv, CAST(1 << j AS BIGINT)) END AS bv
-         |  FROM bands CROSS JOIN generate_series(0,16) t(j)
-         |  WHERE vec_id % 100 = 0),
-         |cand AS (SELECT DISTINCT p.probe_id, y.vec_id
-         |  FROM pb p JOIN bands y ON y.bk = p.bk AND y.bv = p.bv
-         |    AND y.vec_id <> p.probe_id),
-         |cn AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_cand FROM cand GROUP BY 1),
-         |h AS (SELECT top.probe_id,
-         |    CAST(count(*) AS BIGINT) AS n_top,
-         |    CAST(sum(CASE WHEN cand.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
-         |  FROM top LEFT JOIN cand USING (probe_id, vec_id) GROUP BY 1)
-         |SELECT h.probe_id, h.n_top, h.n_hits,
-         |  coalesce(cn.n_cand, 0) AS n_cand,
-         |  CAST(h.n_hits AS DOUBLE) / CAST(h.n_top AS DOUBLE) AS recall5
-         |FROM h LEFT JOIN cn USING (probe_id) ORDER BY h.probe_id""".stripMargin,
-    // q245: q211's oracle with the eval band set Hamming-1-expanded,
-    // plus the exhaustive-pass recall denominator (ex CTE = q210's
-    // exact max-cosine scan at the same 0.35 cut)
-    "q245_decontaminate_multiprobe" ->
-      s"""WITH $bandsSql,
-         |ev AS (SELECT vec_id AS eval_id, bk,
-         |    CASE WHEN j = 16 THEN bv ELSE xor(bv, CAST(1 << j AS BIGINT)) END AS bv
-         |  FROM bands CROSS JOIN generate_series(0,16) t(j)
-         |  WHERE vec_id % 50 = 0),
-         |cand AS (SELECT DISTINCT t.vec_id, e.eval_id
-         |  FROM bands t JOIN ev e ON t.bk = e.bk AND t.bv = e.bv
-         |  WHERE t.vec_id % 50 <> 0),
-         |sc AS (SELECT c.vec_id, max($cosSql) AS mc
-         |  FROM cand c JOIN embeddings a ON a.vec_id = c.vec_id
-         |              JOIN embeddings b ON b.vec_id = c.eval_id
-         |  GROUP BY c.vec_id),
-         |ex AS (SELECT a.vec_id, max($cosSql) AS tmc
-         |  FROM embeddings a JOIN embeddings b ON b.vec_id % 50 = 0
-         |  WHERE a.vec_id % 50 <> 0
-         |  GROUP BY a.vec_id)
-         |SELECT t.label, CAST(count(*) AS BIGINT) AS n_train,
-         |  CAST(count(sc.mc) AS BIGINT) AS n_candidates,
-         |  CAST(sum(CASE WHEN sc.mc >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
-         |  round(coalesce(max(sc.mc), -1.0), 6) AS max_band_cos,
-         |  CAST(sum(CASE WHEN ex.tmc >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_contaminated
-         |FROM embeddings t LEFT JOIN sc ON sc.vec_id = t.vec_id
-         |                  LEFT JOIN ex ON ex.vec_id = t.vec_id
-         |WHERE t.vec_id % 50 <> 0
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // q246/q259: q225's audit with the probe band set expanded to
+    // Hamming-1 buckets (q241's pb CTE), at the 4×16 and chart-chosen
+    // 8×8 widths — same exact top-5 ground truth
+    "q246_ann_recall_multiprobe" -> annRecallMpOracle(16),
+    "q259_ann_recall_8x8" -> annRecallMpOracle(8),
+    // q245/q258: q211's oracle with the eval band set Hamming-1-expanded
+    // plus the exhaustive-pass recall denominator, at both band widths
+    "q245_decontaminate_multiprobe" -> decontamMpOracle(16),
+    "q258_decontaminate_8x8" -> decontamMpOracle(8),
     "q225_ann_recall" ->
       s"""WITH $bandsSql,
          |sc AS (

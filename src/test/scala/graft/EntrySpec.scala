@@ -675,6 +675,18 @@ class EntrySpec extends AnyFunSuite {
     assert(!p246.contains("CartesianProduct") &&
       "BroadcastNestedLoopJoin".r.findAllIn(p246).length <= 1,
       s"q246 may broadcast-NLJ only the exact ground-truth build:\n$p246")
+    // q258/q259 (chart-chosen 8×8 family): the width knob must not change
+    // the plan shape — wider recall comes from MORE band keys per vector
+    // (8 vs 4 equi-join rows) plus the ×9 Hamming-1 eval expansion, never
+    // from a widened join
+    val p258 = plan("q258_decontaminate_8x8")
+    assert(!p258.contains("CartesianProduct") &&
+      "BroadcastNestedLoopJoin".r.findAllIn(p258).length <= 1,
+      s"q258 may broadcast-NLJ only the exact recall-denominator build:\n$p258")
+    val p259 = plan("q259_ann_recall_8x8")
+    assert(!p259.contains("CartesianProduct") &&
+      "BroadcastNestedLoopJoin".r.findAllIn(p259).length <= 1,
+      s"q259 may broadcast-NLJ only the exact ground-truth build:\n$p259")
   }
 
   test("q242-q244 tier plans keep their scale shape") {

@@ -350,4 +350,53 @@ class VectorOpsSpec extends AnyFunSuite {
     }
     assert(got == exp.toMap, s"got $got\nexpected $exp")
   }
+
+  test("band-width refinement: each 16-bit band value is the concatenation of its 8-bit halves") {
+    import org.apache.spark.sql.functions._
+    // the q257 chart prices REGROUPINGS of one 64-plane bit set; the
+    // operators must band the SAME bits, or the chart prices an index
+    // nobody runs — 16-bit band k covers planes 16k..16k+15, i.e. 8-bit
+    // bands 2k (low byte) and 2k+1 (high byte)
+    val emb = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+    val b16 = VectorOps.bandProject(emb).withColumnRenamed("bv", "bv16")
+    val b8 = VectorOps.bandProject(emb, width = 8)
+    val lo = b8.filter(col("bk") % 2 === 0)
+      .select(col("vec_id"), (col("bk") / 2).cast("long").as("bk"), col("bv").as("lov"))
+    val hi = b8.filter(col("bk") % 2 === 1)
+      .select(col("vec_id"), ((col("bk") - 1) / 2).cast("long").as("bk"), col("bv").as("hiv"))
+    val joined = b16.join(lo, Seq("vec_id", "bk")).join(hi, Seq("vec_id", "bk"))
+    val n16 = b16.count()
+    assert(n16 > 0 && joined.count() == n16, "every 16-bit band needs both 8-bit halves")
+    assert(joined.filter(col("bv16") =!= col("lov") + col("hiv") * 256).count() == 0,
+      "8x8 banding must regroup the same 64 sign bits as 4x16")
+  }
+
+  test("chart-chosen 8x8 screen dominates 4x16 per label: candidates and catches are monotone") {
+    // provable refinement: vectors agreeing on all 16 bits of a band agree
+    // on both 8-bit halves, and a Hamming-1 16-bit probe differs from the
+    // index key in <= 1 bit of ONE half (the other exact) — so q258's
+    // candidate set contains q245's, and flagged(q245) <= flagged(q258)
+    // label-wise, with the exact recall denominator identical
+    def byLabel(name: String) =
+      VectorOps.queries(name)(spark, dir).collect()
+        .map(r => r.get(r.fieldIndex("label")).toString ->
+          (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_contaminated"),
+            r.getAs[Long]("n_true_contaminated"), r.getAs[Long]("n_train"))).toMap
+    val narrow = byLabel("q245_decontaminate_multiprobe")
+    val wide = byLabel("q258_decontaminate_8x8")
+    assert(narrow.keySet == wide.keySet)
+    for ((lbl, (nc, nf, nt, ntr)) <- narrow) {
+      val (wc, wf, wt, wtr) = wide(lbl)
+      assert(wtr == ntr && wt == nt,
+        s"$lbl: train count and exact denominator must not depend on banding")
+      assert(wc >= nc, s"$lbl: 8x8 candidates $wc < 4x16's $nc — refinement violated")
+      assert(wf >= nf, s"$lbl: 8x8 caught $wf < 4x16's $nf — refinement violated")
+    }
+    val caughtN = narrow.values.map(_._2).sum
+    val caughtW = wide.values.map(_._2).sum
+    val candN = narrow.values.map(_._1).sum
+    val candW = wide.values.map(_._1).sum
+    info(s"decontamination recall knob at ${dir.split('/').last}: " +
+      s"caught $caughtN -> $caughtW, candidate rows $candN -> $candW")
+  }
 }

@@ -278,6 +278,30 @@ object VectorOps {
       .orderBy("config")
   }
 
+  /** CLOSE THE LOOP from the q257 design chart to operator config: run
+    * the audit and return the widest-recall band width whose measured
+    * collision-pair density stays within `budgetPpm` (falling back to
+    * the narrowest-recall config when even it exceeds the budget).
+    * Narrower bands = more buckets = fewer collisions = less recall;
+    * by the refinement property (VectorOpsSpec) recall is MONOTONE in
+    * density, so "densest config under budget" IS the chart-optimal
+    * choice. This is a driver-side planning step, deliberately: a
+    * production pipeline audits a corpus once (O(N·64), one scan),
+    * pins the width, and every downstream screen/audit takes it as the
+    * `width` parameter — the per-corpus analog of the q254 minhash
+    * S-curve sizing. Cost: one action over the session-cached bits
+    * projection. */
+  private[graft] def chooseBandWidth(s: SparkSession, dir: String,
+      budgetPpm: Long): Int = {
+    val byConfig = q257(s, dir).collect()
+      .map(r => r.getAs[String]("config") -> r.getAs[Long]("density_ppm"))
+      .toMap
+    val widths = Seq("8x8" -> 8, "4x16" -> 16, "2x32" -> 32) // densest first
+    widths.collectFirst {
+      case (cfg, w) if byConfig(cfg) <= budgetPpm => w
+    }.getOrElse(32)
+  }
+
   /** Embedding-cosine near-duplicate dedup: candidate pairs from the 4 ×
     * 16-bit band-OR (same machinery as q34) with cosine >= 0.99 → drop the
     * higher vec_id; kept per label. */

@@ -399,4 +399,20 @@ class VectorOpsSpec extends AnyFunSuite {
     info(s"decontamination recall knob at ${dir.split('/').last}: " +
       s"caught $caughtN -> $caughtW, candidate rows $candN -> $candW")
   }
+
+  test("chooseBandWidth picks the densest config under the candidate budget") {
+    // measured densities at sf0.001 span orders of magnitude across the
+    // three configs (the whole point of the chart); the selector must
+    // return the widest-recall width whose density fits, and degrade to
+    // the narrowest-recall 2x32 when nothing fits
+    val byConfig = VectorOps.queries("q257_band_entropy")(spark, dir).collect()
+      .map(r => r.getAs[String]("config") -> r.getAs[Long]("density_ppm")).toMap
+    val d8 = byConfig("8x8"); val d16 = byConfig("4x16"); val d32 = byConfig("2x32")
+    info(s"density ppm: 8x8=$d8 4x16=$d16 2x32=$d32")
+    assert(d8 > d16 && d16 >= d32, "density must be monotone in band count")
+    assert(VectorOps.chooseBandWidth(spark, dir, budgetPpm = d8) == 8)
+    assert(VectorOps.chooseBandWidth(spark, dir, budgetPpm = d8 - 1) == 16 || d16 == d8)
+    assert(VectorOps.chooseBandWidth(spark, dir, budgetPpm = d32 - 1) == 32,
+      "over-budget everywhere must degrade to the narrowest-recall config")
+  }
 }

@@ -1424,19 +1424,16 @@ object VectorOps {
     val adj = rebase(mutual.select(col("u").as("a"), col("v").as("b"))
       .union(mutual.select(col("v").as("a"), col("u").as("b"))))
     // the kNN phase above wants full width (N² cosines); the peel loop
-    // below shuffles a graph of at most N nodes 10+ times — at the
-    // session's 32 shuffle partitions each round is pure task-scheduling
-    // overhead, so the loop's exchanges are width-scoped PLAN-LOCALLY
-    // with explicit repartition(peelWidth, key) on each shuffle input
-    // (a session-conf mutation here would race concurrent queries on the
-    // same session and leak the width to anything planned in the
-    // window). The repartitions replace — not add to — the exchanges
-    // ENSURE_REQUIREMENTS would have inserted: each one lands exactly
-    // where the following join/agg needs that key's hash partitioning.
-    // On a real cluster you'd size this to |graph| / target-partition-rows.
-    val peelWidth = 8
-    var alive = rebase(adj.select("a")
-      .repartition(peelWidth, col("a")).distinct())
+    // below shuffles a graph of at most N nodes 10+ times, where wide
+    // exchanges would be pure task-scheduling overhead. The width is
+    // left to AQE partition coalescing (session default): each round
+    // executes eagerly inside rebase(), so every loop exchange is
+    // post-shuffle-coalesced to the graph's actual size — plan-local,
+    // no session-conf mutation (which would race concurrent queries),
+    // and map-side partial aggregation is preserved (an explicit
+    // repartition before the groupBy measurably defeated it: +70% on
+    // q192's sf0.1 cost).
+    var alive = rebase(adj.select("a").distinct())
     var nAlive = alive.count()
     // 0 = size-derived budget: monotone shrink ⇒ fixpoint within nAlive
     // rounds, so the cap below can never trip for the auto path
@@ -1447,12 +1444,8 @@ object VectorOps {
     var rounds = 0L
     while (!stable && rounds < budget) {
       rounds += 1
-      deg = rebase(adj.repartition(peelWidth, col("a"))
-        .join(alive.repartition(peelWidth, col("a")), "a")
-        .repartition(peelWidth, col("b"))
-        .join(alive.select(col("a").as("b"))
-          .repartition(peelWidth, col("b")), "b")
-        .repartition(peelWidth, col("a"))
+      deg = rebase(adj.join(alive, "a")
+        .join(alive.select(col("a").as("b")), "b")
         .groupBy("a").agg(count(lit(1)).as("core_deg"))
         .filter(col("core_deg") >= 3))
       val n2 = deg.count()

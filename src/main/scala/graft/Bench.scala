@@ -123,6 +123,9 @@ object Bench {
       try {
         graft.operators.TextOps.prewarmShared(spark, sfDir)
         graft.operators.VectorOps.prewarmShared(spark, sfDir)
+        // Bench DOES run the q257 audit + the chart-chosen screens, so it
+        // warms the chart family too; generic sessions skip this build
+        graft.operators.VectorOps.prewarmChartFamily(spark, sfDir)
         graft.operators.CorpusOps.prewarmShared(spark, sfDir)
         graft.operators.CurationOps.prewarmShared(spark, sfDir)
         graft.operators.SuffixOps.prewarmShared(spark, sfDir)
@@ -224,7 +227,15 @@ object Bench {
         System.err.println(s"[bench] stream stop failed: ${e.getMessage}")
       }
     }
-    graft.Scratch.sweepExcept(Set(whDir))
+    // a stop() that threw (e.g. stopTimeout exceeded) can leave the query
+    // ALIVE — re-check, and skip the sweep rather than delete a live
+    // stream's checkpoint (the exact corruption this guard exists to
+    // prevent; round-11 ADVICE). The rerun pass degrades to the merely
+    // noisier pre-sweep window.
+    val stillActive = spark.streams.active
+    if (stillActive.isEmpty) graft.Scratch.sweepExcept(Set(whDir))
+    else System.err.println(s"[bench] ${stillActive.length} stream(s) still " +
+      s"active after stop — deferring scratch sweep: ${stillActive.map(_.name).mkString(",")}")
     System.gc()
     val rerun = results.toSeq.sortBy(-_._2).take(10).map { case (name, _) =>
       val sec = math.min(timed(name, SparkEntry.queries(name)),

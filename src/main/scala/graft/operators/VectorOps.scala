@@ -90,7 +90,19 @@ object VectorOps {
     * TextOps.prewarmShared). */
   private[graft] def prewarmShared(s: SparkSession, dir: String): Unit = {
     banded(s, dir).count()
-    banded(s, dir, width = 8).count() // the q258/q259 chart-chosen family
+    ()
+  }
+
+  /** The chart-family projections — the 8×8 banding and the O(N·64)-row
+    * bits64 sign-bit table — prewarmed SEPARATELY from the default 4×16
+    * family (round-11 ADVICE): only a session that actually runs the
+    * q257 audit or the q258–q260 chart-chosen screens (Bench does, so
+    * their timed numbers measure plans, not cache builds) should pay
+    * that cache memory; a generic session keeps just the default
+    * projection and lets these build lazily on first use — or drops
+    * them via SessionCache.drop once its audit phase is done. */
+  private[graft] def prewarmChartFamily(s: SparkSession, dir: String): Unit = {
+    banded(s, dir, width = 8).count()
     bits64(s, dir).count()
     ()
   }
@@ -1718,7 +1730,7 @@ object VectorOps {
   private def decontamMpOracle(w: Int): String =
     s"""WITH ${bandsSqlW(w)},
        |ev AS (SELECT vec_id AS eval_id, bk,
-       |    CASE WHEN j = $w THEN bv ELSE xor(bv, CAST(1 << j AS BIGINT)) END AS bv
+       |    CASE WHEN j = $w THEN bv ELSE xor(bv, (CAST(1 AS BIGINT) << j)) END AS bv
        |  FROM bands CROSS JOIN generate_series(0,$w) t(j)
        |  WHERE vec_id % 50 = 0),
        |cand AS (SELECT DISTINCT t.vec_id, e.eval_id
@@ -1754,7 +1766,7 @@ object VectorOps {
        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rk FROM sc)
        |  WHERE rk <= 5),
        |pb AS (SELECT vec_id AS probe_id, bk,
-       |    CASE WHEN j = $w THEN bv ELSE xor(bv, CAST(1 << j AS BIGINT)) END AS bv
+       |    CASE WHEN j = $w THEN bv ELSE xor(bv, (CAST(1 AS BIGINT) << j)) END AS bv
        |  FROM bands CROSS JOIN generate_series(0,$w) t(j)
        |  WHERE vec_id % 100 = 0),
        |cand AS (SELECT DISTINCT p.probe_id, y.vec_id

@@ -303,15 +303,58 @@ object VectorOps {
     * `width` parameter — the per-corpus analog of the q254 minhash
     * S-curve sizing. Cost: one action over the session-cached bits
     * projection. */
-  private[graft] def chooseBandWidth(s: SparkSession, dir: String,
-      budgetPpm: Long): Int = {
-    val byConfig = q257(s, dir).collect()
+  /** The q257 chart as a (config → density_ppm) map — ONE audit action
+    * over the session-cached bits projection, shared by chooseBandWidth
+    * and the q260 composed screen. */
+  private def auditChart(s: SparkSession, dir: String): Map[String, Long] =
+    q257(s, dir).collect()
       .map(r => r.getAs[String]("config") -> r.getAs[Long]("density_ppm"))
       .toMap
-    val widths = Seq("8x8" -> 8, "4x16" -> 16, "2x32" -> 32) // densest first
-    widths.collectFirst {
-      case (cfg, w) if byConfig(cfg) <= budgetPpm => w
-    }.getOrElse(32)
+
+  /** Pure selection rule over a measured chart: densest-first, first
+    * config whose density fits the budget; nothing fits → the
+    * narrowest-recall 2×32. Factored out so the Spark side and the spec
+    * share one rule and the DuckDB oracle can replay it as
+    * `ORDER BY w LIMIT 1` over the same chart (smaller width = denser). */
+  private[graft] def pickWidth(byConfig: Map[String, Long], budgetPpm: Long): Int =
+    Seq("8x8" -> 8, "4x16" -> 16, "2x32" -> 32) // densest first
+      .collectFirst { case (cfg, w) if byConfig(cfg) <= budgetPpm => w }
+      .getOrElse(32)
+
+  private[graft] def chooseBandWidth(s: SparkSession, dir: String,
+      budgetPpm: Long): Int =
+    pickWidth(auditChart(s, dir), budgetPpm)
+
+  /** q260 — the AUDIT → CONFIG → SCREEN loop as ONE hash-gated query
+    * (round-11 verdict #1: chooseBandWidth was spec-only; no query
+    * demonstrated the composition end-to-end). Runs the q257 audit on
+    * the corpus, picks the densest band family under a fixed
+    * candidate-density budget (150,000 ppm — the ~15%-of-pairs ceiling a
+    * recall-starved screen can afford to verify), runs the q245-shaped
+    * multi-probe decontamination screen at that width, and carries the
+    * CHOSEN width and its measured density as artifact columns. The
+    * budget is deliberately where the shipped corpora SPLIT: sf0.1's
+    * 8×8 density (148,215 ppm) fits and selects the wide-recall family;
+    * sf0.01's (151,751 ppm) does not and degrades to 4×16 — the same
+    * query, hash-gated at both SFs, proving the width is a PER-CORPUS
+    * decision, not a constant. The audit collect() is the documented
+    * driver-side planning step (the q254/chooseBandWidth convention):
+    * the width parameterizes plan STRUCTURE (the band-projection UDF),
+    * so it cannot ride as a column — each invocation re-audits, then
+    * builds the screen. The oracle replays the full loop in SQL: the
+    * q257 chart CTE, the ORDER BY w LIMIT 1 selection, and the screen
+    * over the chosen width's bucket table.
+    * Reference stake: extract_subimages.py:75-76 — the approved-set
+    * gate is only as good as the screen's recall, and the width IS the
+    * recall, now priced per corpus. */
+  private[graft] val q260BudgetPpm = 150000L
+
+  private def q260(s: SparkSession, dir: String): DataFrame = {
+    val chart = auditChart(s, dir)
+    val w = pickWidth(chart, q260BudgetPpm)
+    bandedDecontaminate(s, dir, multiprobe = true, width = w)
+      .withColumn("chosen_width", lit(w.toLong))
+      .withColumn("chosen_density_ppm", lit(chart(s"${64 / w}x$w")))
   }
 
   /** Embedding-cosine near-duplicate dedup: candidate pairs from the 4 ×
@@ -443,7 +486,9 @@ object VectorOps {
       .join(emb.select(col("vec_id"), col("embedding")), Seq("vec_id"))
       .withColumn("cos", cosCol(s, "ee", "embedding"))
       .groupBy("vec_id")
-      .agg(max("cos").as("mc"))
+      // np: this train row's distinct-candidate count — the verify pass's
+      // per-row cost, measured for free inside the max-cosine rollup
+      .agg(max("cos").as("mc"), count(lit(1)).as("np"))
     val train = emb.filter(col("vec_id") % 50 =!= 0).select("vec_id", "label")
       .join(scored, Seq("vec_id"), "left")
     val baseAggs = Seq(
@@ -456,17 +501,27 @@ object VectorOps {
     else {
       // exact ground truth (recall denominator): every train row's max
       // cosine against the WHOLE broadcast eval side — q210's plan, kept
-      // alongside the banded pass so the artifact reports caught/total
+      // alongside the banded pass so the artifact reports caught/total.
       val exact = emb.filter(col("vec_id") % 50 =!= 0)
         .crossJoin(broadcast(evalEmb))
         .withColumn("cos", cosCol(s, "ee", "embedding"))
         .groupBy("vec_id")
         .agg(max("cos").as("tmc"))
+      // n_cand_pairs / max_cand_per_row: the VERIFY-COST dimensions of the
+      // screen, hash-gated (round-11 verdict #2: at sf0.1/8×8 the ROW
+      // dimension saturates — every train row probes ≥1 colliding eval
+      // vector — and the claim that the PAIR dimension stays bucket-
+      // bounded was only narrated in PLANS.md). Per train row the pair
+      // count is ≤ Σ_bands |expanded eval probes in that row's bucket| —
+      // bucket occupancy × (width+1) probes, never |eval| — and
+      // max_cand_per_row is that bound MEASURED on the corpus.
       train.join(exact, Seq("vec_id"), "left")
         .groupBy("label")
-        .agg(baseAggs.head, (baseAggs.tail :+
+        .agg(baseAggs.head, (baseAggs.tail ++ Seq(
           sum(when(col("tmc") >= 0.35, 1L).otherwise(0L))
-            .as("n_true_contaminated")): _*)
+            .as("n_true_contaminated"),
+          sum(coalesce(col("np"), lit(0L))).as("n_cand_pairs"),
+          max(coalesce(col("np"), lit(0L))).as("max_cand_per_row"))): _*)
         .orderBy("label")
     }
   }
@@ -1677,6 +1732,7 @@ object VectorOps {
     "q246_ann_recall_multiprobe" -> (q246 _),
     "q258_decontaminate_8x8" -> (q258 _),
     "q259_ann_recall_8x8" -> (q259 _),
+    "q260_autowidth_screen" -> (q260 _),
     "q249_hard_negatives" -> (q249 _),
     "q223_quant_recall" -> (q223 _),
     "q192_knn_core" -> (q192 _),
@@ -1736,7 +1792,7 @@ object VectorOps {
        |cand AS (SELECT DISTINCT t.vec_id, e.eval_id
        |  FROM bands t JOIN ev e ON t.bk = e.bk AND t.bv = e.bv
        |  WHERE t.vec_id % 50 <> 0),
-       |sc AS (SELECT c.vec_id, max($cosSql) AS mc
+       |sc AS (SELECT c.vec_id, max($cosSql) AS mc, count(*) AS np
        |  FROM cand c JOIN embeddings a ON a.vec_id = c.vec_id
        |              JOIN embeddings b ON b.vec_id = c.eval_id
        |  GROUP BY c.vec_id),
@@ -1748,7 +1804,9 @@ object VectorOps {
        |  CAST(count(sc.mc) AS BIGINT) AS n_candidates,
        |  CAST(sum(CASE WHEN sc.mc >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
        |  round(coalesce(max(sc.mc), -1.0), 6) AS max_band_cos,
-       |  CAST(sum(CASE WHEN ex.tmc >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_contaminated
+       |  CAST(sum(CASE WHEN ex.tmc >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_contaminated,
+       |  CAST(sum(coalesce(sc.np, 0)) AS BIGINT) AS n_cand_pairs,
+       |  CAST(max(coalesce(sc.np, 0)) AS BIGINT) AS max_cand_per_row
        |FROM embeddings t LEFT JOIN sc ON sc.vec_id = t.vec_id
        |                  LEFT JOIN ex ON ex.vec_id = t.vec_id
        |WHERE t.vec_id % 50 <> 0
@@ -1811,6 +1869,64 @@ object VectorOps {
     // plus the exhaustive-pass recall denominator, at both band widths
     "q245_decontaminate_multiprobe" -> decontamMpOracle(16),
     "q258_decontaminate_8x8" -> decontamMpOracle(8),
+    // q260: the FULL audit→config→screen loop replayed in SQL — the q257
+    // chart CTE prices all three regroupings of the 64 sign bits, the
+    // densest config under the budget is selected (ORDER BY w: smaller
+    // width = denser; monotonicity proven in VectorOpsSpec makes that
+    // chart-optimal), and the decontamination screen runs over the CHOSEN
+    // width's bucket table with the Hamming-1 eval expansion
+    "q260_autowidth_screen" ->
+      s"""WITH q AS MATERIALIZED (SELECT vec_id,
+         |  [CAST(round(CAST(embedding[d+1] AS DOUBLE) * 1000) AS BIGINT) for d in range(len(embedding))] AS qe
+         |  FROM embeddings),
+         |bits AS MATERIALIZED (SELECT vec_id, j,
+         |  CASE WHEN list_aggregate([qe[d+1] * (((j*37 + d*101) % 19) - 9) for d in range(len(qe))], 'sum') > 0
+         |    THEN 1 ELSE 0 END AS bit
+         |  FROM q CROSS JOIN generate_series(0, 63) t(j)),
+         |cfg AS (SELECT unnest([32,16,8]) AS w),
+         |buckets AS MATERIALIZED (SELECT c.w, b.vec_id, b.j // c.w AS bk,
+         |    sum(CAST(b.bit AS BIGINT) << (b.j % c.w)) AS bv
+         |  FROM bits b CROSS JOIN cfg c GROUP BY 1, 2, 3),
+         |occ AS (SELECT w, bk, bv, count(*) AS occ FROM buckets GROUP BY 1, 2, 3),
+         |tot AS (SELECT count(*) AS n FROM bits WHERE j = 0),
+         |chart AS (SELECT w,
+         |    CAST(coalesce(sum(occ * (occ - 1) // 2) * 1000000
+         |      // NULLIF((SELECT n * (n - 1) // 2 FROM tot), 0), 0) AS BIGINT) AS density_ppm
+         |  FROM occ GROUP BY 1),
+         |chosen AS (SELECT coalesce(
+         |    (SELECT w FROM chart WHERE density_ppm <= ${q260BudgetPpm} ORDER BY w LIMIT 1),
+         |    32) AS w),
+         |cd AS (SELECT ch.w, ch.density_ppm FROM chart ch JOIN chosen c ON ch.w = c.w),
+         |bw AS (SELECT b.vec_id, b.bk, b.bv FROM buckets b JOIN chosen c ON b.w = c.w),
+         |ev AS (SELECT b.vec_id AS eval_id, b.bk,
+         |    CASE WHEN t.j = c.w THEN b.bv ELSE xor(b.bv, (CAST(1 AS BIGINT) << t.j)) END AS bv
+         |  FROM buckets b JOIN chosen c ON b.w = c.w
+         |  CROSS JOIN generate_series(0, 32) t(j)
+         |  WHERE t.j <= c.w AND b.vec_id % 50 = 0),
+         |cand AS (SELECT DISTINCT t.vec_id, e.eval_id
+         |  FROM bw t JOIN ev e ON t.bk = e.bk AND t.bv = e.bv
+         |  WHERE t.vec_id % 50 <> 0),
+         |sc AS (SELECT c.vec_id, max($cosSql) AS mc, count(*) AS np
+         |  FROM cand c JOIN embeddings a ON a.vec_id = c.vec_id
+         |              JOIN embeddings b ON b.vec_id = c.eval_id
+         |  GROUP BY c.vec_id),
+         |ex AS (SELECT a.vec_id, max($cosSql) AS tmc
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id % 50 = 0
+         |  WHERE a.vec_id % 50 <> 0
+         |  GROUP BY a.vec_id)
+         |SELECT t.label, CAST(count(*) AS BIGINT) AS n_train,
+         |  CAST(count(sc.mc) AS BIGINT) AS n_candidates,
+         |  CAST(sum(CASE WHEN sc.mc >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |  round(coalesce(max(sc.mc), -1.0), 6) AS max_band_cos,
+         |  CAST(sum(CASE WHEN ex.tmc >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_true_contaminated,
+         |  CAST(sum(coalesce(sc.np, 0)) AS BIGINT) AS n_cand_pairs,
+         |  CAST(max(coalesce(sc.np, 0)) AS BIGINT) AS max_cand_per_row,
+         |  CAST((SELECT w FROM chosen) AS BIGINT) AS chosen_width,
+         |  CAST((SELECT density_ppm FROM cd) AS BIGINT) AS chosen_density_ppm
+         |FROM embeddings t LEFT JOIN sc ON sc.vec_id = t.vec_id
+         |                  LEFT JOIN ex ON ex.vec_id = t.vec_id
+         |WHERE t.vec_id % 50 <> 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q225_ann_recall" ->
       s"""WITH $bandsSql,
          |sc AS (

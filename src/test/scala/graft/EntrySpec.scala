@@ -687,6 +687,14 @@ class EntrySpec extends AnyFunSuite {
     assert(!p259.contains("CartesianProduct") &&
       "BroadcastNestedLoopJoin".r.findAllIn(p259).length <= 1,
       s"q259 may broadcast-NLJ only the exact ground-truth build:\n$p259")
+    // q260 (audit→config→screen): the SCREEN the chart configures must
+    // keep the q245/q258 contract at whatever width the audit picked —
+    // the audit itself runs as the documented driver-side planning
+    // action at construction and never appears in the screen's plan
+    val p260 = plan("q260_autowidth_screen")
+    assert(!p260.contains("CartesianProduct") &&
+      "BroadcastNestedLoopJoin".r.findAllIn(p260).length <= 1,
+      s"q260 may broadcast-NLJ only the exact recall-denominator build:\n$p260")
   }
 
   test("q242-q244 tier plans keep their scale shape") {

@@ -381,23 +381,36 @@ class VectorOpsSpec extends AnyFunSuite {
       VectorOps.queries(name)(spark, dir).collect()
         .map(r => r.get(r.fieldIndex("label")).toString ->
           (r.getAs[Long]("n_candidates"), r.getAs[Long]("n_contaminated"),
-            r.getAs[Long]("n_true_contaminated"), r.getAs[Long]("n_train"))).toMap
+            r.getAs[Long]("n_true_contaminated"), r.getAs[Long]("n_train"),
+            r.getAs[Long]("n_cand_pairs"), r.getAs[Long]("max_cand_per_row"))).toMap
     val narrow = byLabel("q245_decontaminate_multiprobe")
     val wide = byLabel("q258_decontaminate_8x8")
     assert(narrow.keySet == wide.keySet)
-    for ((lbl, (nc, nf, nt, ntr)) <- narrow) {
-      val (wc, wf, wt, wtr) = wide(lbl)
+    val nEval = Tables(spark, dir, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0).count()
+    for ((lbl, (nc, nf, nt, ntr, npair, nmax)) <- narrow) {
+      val (wc, wf, wt, wtr, wpair, wmax) = wide(lbl)
       assert(wtr == ntr && wt == nt,
         s"$lbl: train count and exact denominator must not depend on banding")
       assert(wc >= nc, s"$lbl: 8x8 candidates $wc < 4x16's $nc — refinement violated")
       assert(wf >= nf, s"$lbl: 8x8 caught $wf < 4x16's $nf — refinement violated")
+      // the verify-cost columns inherit the refinement: every 4x16 pair
+      // survives at 8x8, per ROW, so both per-label pair totals and the
+      // per-row maximum are monotone — and the per-row maximum can never
+      // exceed |eval| (candidates are distinct (train, eval) pairs)
+      assert(wpair >= npair && wmax >= nmax,
+        s"$lbl: pair-cost columns must be monotone in chart density")
+      assert(nmax <= nEval && wmax <= nEval,
+        s"$lbl: per-row candidate count is bounded by the eval set")
     }
     val caughtN = narrow.values.map(_._2).sum
     val caughtW = wide.values.map(_._2).sum
     val candN = narrow.values.map(_._1).sum
     val candW = wide.values.map(_._1).sum
     info(s"decontamination recall knob at ${dir.split('/').last}: " +
-      s"caught $caughtN -> $caughtW, candidate rows $candN -> $candW")
+      s"caught $caughtN -> $caughtW, candidate rows $candN -> $candW, " +
+      s"max pairs/row ${narrow.values.map(_._6).max} -> ${wide.values.map(_._6).max} " +
+      s"(|eval| = $nEval)")
   }
 
   test("chooseBandWidth picks the densest config under the candidate budget") {
@@ -414,5 +427,34 @@ class VectorOpsSpec extends AnyFunSuite {
     assert(VectorOps.chooseBandWidth(spark, dir, budgetPpm = d8 - 1) == 16 || d16 == d8)
     assert(VectorOps.chooseBandWidth(spark, dir, budgetPpm = d32 - 1) == 32,
       "over-budget everywhere must degrade to the narrowest-recall config")
+  }
+
+  test("q260 composes the loop: chosen width matches the selector, screen matches the fixed-width query") {
+    import org.apache.spark.sql.functions.col
+    val rows = VectorOps.queries("q260_autowidth_screen")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val widths = rows.map(_.getAs[Long]("chosen_width")).distinct
+    assert(widths.length == 1, "one corpus, one chosen width")
+    val w = widths.head.toInt
+    assert(w == VectorOps.chooseBandWidth(spark, dir, VectorOps.q260BudgetPpm),
+      "the in-query selection must equal the standalone selector")
+    info(s"q260 at ${dir.split('/').last}: chose width $w, " +
+      s"density ${rows.head.getAs[Long]("chosen_density_ppm")} ppm")
+    // the screen at the chosen width must be EXACTLY the fixed-width
+    // query's artifact (q245 = 16, q258 = 8) minus the two chosen_*
+    // columns — the loop changes which screen runs, never what it computes
+    val fixedName = w match {
+      case 16 => Some("q245_decontaminate_multiprobe")
+      case 8  => Some("q258_decontaminate_8x8")
+      case _  => None // 2x32 has no registered fixed-width sibling
+    }
+    fixedName.foreach { name =>
+      val got = VectorOps.queries("q260_autowidth_screen")(spark, dir)
+        .drop("chosen_width", "chosen_density_ppm")
+        .orderBy(col("label")).collect().map(_.toSeq).toSeq
+      val want = VectorOps.queries(name)(spark, dir)
+        .orderBy(col("label")).collect().map(_.toSeq).toSeq
+      assert(got == want, s"q260's screen must reproduce $name row-for-row")
+    }
   }
 }

@@ -221,7 +221,11 @@ object Bench {
     // assume it: a streaming query leaked by any stream-driven query fn
     // would otherwise have its live checkpoint deleted mid-flight,
     // corrupting the rerun pass the sweep exists to stabilize
-    spark.streams.active.foreach { q =>
+    // drain clones have their own StreamingQueryManager — a leak check on
+    // the base session alone would be blind to them
+    def allActive() = spark.streams.active ++
+      graft.streaming.EventStreams.activeDrainStreams(spark)
+    allActive().foreach { q =>
       System.err.println(s"[bench] stopping leaked stream before sweep: ${q.name}")
       try q.stop() catch { case e: Throwable =>
         System.err.println(s"[bench] stream stop failed: ${e.getMessage}")
@@ -232,7 +236,7 @@ object Bench {
     // stream's checkpoint (the exact corruption this guard exists to
     // prevent; round-11 ADVICE). The rerun pass degrades to the merely
     // noisier pre-sweep window.
-    val stillActive = spark.streams.active
+    val stillActive = allActive()
     if (stillActive.isEmpty) graft.Scratch.sweepExcept(Set(whDir))
     else System.err.println(s"[bench] ${stillActive.length} stream(s) still " +
       s"active after stop — deferring scratch sweep: ${stillActive.map(_.name).mkString(",")}")

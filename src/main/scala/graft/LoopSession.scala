@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Narrow-width session clones for iterative BATCH loops — the batch twin
+  * of the streaming tier's drain sessions (EventStreams.drainSession).
+  *
+  * The component-label and shortest-path loops shuffle tables that are
+  * orders of magnitude smaller than the corpus, for many rounds, with a
+  * convergence-check action per round — per-round task-scheduling overhead
+  * dominates at the session's full shuffle width, and AQE's post-shuffle
+  * coalescing cannot merge per-round JOB overhead (A/B at sf0.1, 32 cores:
+  * removing the narrowing cost +30% on the q70 component build and +23% on
+  * q189 Bellman-Ford — the opposite of the knnCore case, whose two deep
+  * kNN rounds wanted the full width). These loops used to narrow
+  * `spark.sql.shuffle.partitions` by set/restore on the CALLER's session —
+  * the same race class the streaming tier eliminated (round-11 verdict #2):
+  * two concurrent scoped loops can interleave set/restore, and an unrelated
+  * concurrent query plans at the narrowed width inside the window.
+  *
+  * Structural scoping instead: the loop runs on a memoized `newSession()`
+  * clone (same SparkContext, shared cache manager, OWN SQLConf) whose
+  * width is written exactly once at creation and never mutated — nothing
+  * to race, and the caller's session is never touched. Loop inputs are
+  * checkpointed/rebased (RDD-backed — the Barrier discipline every loop
+  * here already follows), so re-homing them onto the clone is a free
+  * re-wrap of the materialized RDD, and the result re-homes back the same
+  * way; no plan recomputes across the session boundary.
+  */
+object LoopSession {
+
+  private val sessions =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[Int, SparkSession]]()
+
+  /** The memoized narrow clone of `s` with a fixed shuffle width. */
+  def narrow(s: SparkSession, parts: Int): SparkSession = sessions.synchronized {
+    var m = sessions.get(s)
+    if (m == null) {
+      m = new java.util.concurrent.ConcurrentHashMap[Int, SparkSession]()
+      sessions.put(s, m)
+    }
+    var ss = m.get(parts)
+    if (ss == null) {
+      ss = s.newSession()
+      ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
+      m.put(parts, ss)
+    }
+    ss
+  }
+
+  /** Re-wrap a frame onto `target` through its RDD, then eagerly
+    * checkpoint ON the target (Barrier.rebase): the Row round-trip of
+    * `df.rdd` → `createDataFrame` would otherwise re-run on EVERY read of
+    * the re-homed frame — measurable when a 40-round loop reads its
+    * adjacency each round — so it is paid exactly once here and the loop
+    * reads the materialized binary RDD like any other rebased frame. */
+  def rehome(df: DataFrame, target: SparkSession): DataFrame =
+    Barrier.rebase(target.createDataFrame(df.rdd, df.schema))
+}

@@ -15,6 +15,10 @@ object Tables {
       // events.ts has shipped as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS,
       // no-UTC) across testdata generations; sniff the decoded type and
       // surface a uniform session-local TimestampType column either way.
+      // This is the repo's ONE remaining conf write outside clone creation,
+      // and it is race-free by construction: a CONSTANT value, set-only
+      // (never restored), so concurrent writers always agree — unlike the
+      // set/restore scoping the drain/loop session clones replaced.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
     } else {

@@ -1046,37 +1046,39 @@ object AnalyticsOps {
       .distinct()
       .withColumn("w", expr(
         "1 + cast(conv(substring(md5(concat_ws('|', u, v)), 1, 8), 16, 10) as bigint) % 9"))
-    val adj = edges.select(col("u").as("a"), col("v").as("b"), col("w"))
+    val adj0 = edges.select(col("u").as("a"), col("v").as("b"), col("w"))
       .union(edges.select(col("v").as("a"), col("u").as("b"), col("w")))
       .localCheckpoint(true)
-    import s.implicits._
-    // the relaxation loop shuffles a vocabulary-sized table 10+ times;
-    // width-scope it (the q192 discipline) so rounds aren't dominated by
-    // empty-task scheduling at the session's 32 shuffle partitions
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try {
-      // Barrier.rebase per round: one self-reference per relaxation is the
-      // linear case of the checkpoint stats blow-up (see graft.Barrier) —
-      // benign at 40 rounds but wrong by construction at a 100 TB diameter
-      var dist = graft.Barrier.rebase(Seq(("table", 0L)).toDF("word", "dist"))
-      var changed = true
-      var rounds = 0
-      while (changed && rounds < 40) {
-        rounds += 1
-        val relaxed = graft.Barrier.rebase(dist.join(adj, col("word") === col("a"))
-          .select(col("b").as("word"), (col("dist") + col("w")).as("dist"))
-          .unionByName(dist)
-          .groupBy("word").agg(min("dist").as("dist")))
-        changed = relaxed.as("n")
-          .join(dist.as("o"), col("n.word") === col("o.word"), "left_outer")
-          .filter(col("o.word").isNull || col("n.dist") < col("o.dist"))
-          .limit(1).count() > 0
-        if (changed) dist = relaxed
-      }
-      require(!changed, s"Bellman-Ford did not converge in $rounds rounds")
-      dist.orderBy("word")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+    // the relaxation loop shuffles a vocabulary-sized table 10+ times with
+    // a convergence count per round; it runs on the NARROW loop-session
+    // clone (graft.LoopSession — fixed width at creation, no session-conf
+    // mutation on the caller) so rounds aren't dominated by empty-task
+    // scheduling at the session's 32 shuffle partitions (A/B-measured
+    // +23% at sf0.1 without the narrowing). The checkpointed adjacency
+    // re-homes onto the clone for free; the rebased result re-homes back.
+    val ss = graft.LoopSession.narrow(s, 4)
+    val adj = graft.LoopSession.rehome(adj0, ss)
+    import ss.implicits._
+    // Barrier.rebase per round: one self-reference per relaxation is the
+    // linear case of the checkpoint stats blow-up (see graft.Barrier) —
+    // benign at 40 rounds but wrong by construction at a 100 TB diameter
+    var dist = graft.Barrier.rebase(Seq(("table", 0L)).toDF("word", "dist"))
+    var changed = true
+    var rounds = 0
+    while (changed && rounds < 40) {
+      rounds += 1
+      val relaxed = graft.Barrier.rebase(dist.join(adj, col("word") === col("a"))
+        .select(col("b").as("word"), (col("dist") + col("w")).as("dist"))
+        .unionByName(dist)
+        .groupBy("word").agg(min("dist").as("dist")))
+      changed = relaxed.as("n")
+        .join(dist.as("o"), col("n.word") === col("o.word"), "left_outer")
+        .filter(col("o.word").isNull || col("n.dist") < col("o.dist"))
+        .limit(1).count() > 0
+      if (changed) dist = relaxed
+    }
+    require(!changed, s"Bellman-Ford did not converge in $rounds rounds")
+    graft.LoopSession.rehome(dist, s).orderBy("word")
   }
 
   // ---------------------------------------------------------------------

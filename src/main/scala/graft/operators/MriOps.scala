@@ -313,23 +313,21 @@ object MriOps {
     }
     val (wave1, wave2) = keys.partition(k => (k / 25) % 2 == 0)
     wave1.foreach(land)
-    val agg = s.readStream.format("nifti").option("mode", "slices").load(stage)
+    // the dedicated drain session carries the stream-scoped shuffle width
+    // from creation — no set/restore on the caller (EventStreams.drainSession)
+    val ss = graft.streaming.EventStreams.drainSession(s)
+    val agg = ss.readStream.format("nifti").option("mode", "slices").load(stage)
       .withColumn("slice_sum", expr("aggregate(pixels, 0D, (a, x) -> a + CAST(x AS DOUBLE))"))
       .groupBy("base", "orient")
       .agg(count(lit(1)).as("n_slices"), sum("slice_sum").as("pix_sum"))
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions",
-      graft.streaming.EventStreams.streamParts(s))
+    val q = agg.writeStream.format("memory").queryName("nifti_stream_ingest")
+      .outputMode("complete").start()
     try {
-      val q = agg.writeStream.format("memory").queryName("nifti_stream_ingest")
-        .outputMode("complete").start()
-      try {
-        q.processAllAvailable() // wave 1 admitted
-        wave2.foreach(land)
-        q.processAllAvailable() // wave 2 admitted incrementally
-      } finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.table("nifti_stream_ingest")
+      q.processAllAvailable() // wave 1 admitted
+      wave2.foreach(land)
+      q.processAllAvailable() // wave 2 admitted incrementally
+    } finally q.stop()
+    ss.table("nifti_stream_ingest")
       .select(regexp_extract(col("base"), "vol(\\d+)", 1).cast("long").as("s_suppkey"),
         col("orient"), col("n_slices"), col("pix_sum").cast("long").as("pix_sum"))
       .orderBy("s_suppkey", "orient")

@@ -211,7 +211,13 @@ trait TextSharedCore extends Serializable {
     * other shared projections. */
   private[operators] def components(s: SparkSession, dir: String): DataFrame =
     shared(s, dir, "components") {
-      withLoopParallelism(s)(q70Loop(s, dedupEdges(s, dir)))
+      // the label loop runs on the NARROW loop-session clone (fixed
+      // 8-partition width at creation — graft.LoopSession; no session-conf
+      // mutation on the caller). dedupEdges is checkpointed, so re-homing
+      // it onto the clone — and the rebased result back — is free.
+      val ss = graft.LoopSession.narrow(s, 8)
+      graft.LoopSession.rehome(
+        q70Loop(ss, graft.LoopSession.rehome(dedupEdges(s, dir), ss)), s)
     }
 
   /** Symmetrized near-dup edge list (jac ≥ 0.8), EAGERLY checkpointed
@@ -236,19 +242,13 @@ trait TextSharedCore extends Serializable {
   }
 
   /** The label/edge tables are near-dup pairs — orders of magnitude smaller
-    * than the corpus — and the loop runs several shuffle rounds, so
-    * per-round task-scheduling overhead dominates at the default partition
-    * count; scope it down for the loop only (a production run sizes it to
-    * the edge count; AQE coalesces but can't merge per-round job overhead).
-    * NOT safe under concurrent queries on the same session — the conf is
-    * session-global; the driver contract runs queries sequentially. */
-  private[operators] def withLoopParallelism[T](s: SparkSession)(body: => T): T = {
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try body
-    finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-  }
-
+    * than the corpus — and the loop runs several shuffle rounds with a
+    * convergence count per round, so per-round job/task-scheduling overhead
+    * dominates at the default partition count (a production run sizes it
+    * to the edge count; AQE coalesces tasks but can't merge per-round job
+    * overhead — A/B-measured +30% at sf0.1 without the narrowing). The
+    * narrow width comes from the caller passing a [[graft.LoopSession]]
+    * clone — never a set/restore on a shared session. */
   private[operators] def q70Loop(s: SparkSession, edges: DataFrame): DataFrame = {
     val nodes = edges.select(col("u").as("node")).distinct()
     // Barrier.rebase, not bare localCheckpoint: from round 3 the pointer

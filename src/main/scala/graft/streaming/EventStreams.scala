@@ -30,9 +30,10 @@ object EventStreams {
   }
 
   /** Raw streamed events with the ts normalization of Tables (physical
-    * ns-as-long or µs-NTZ, whichever this testdata generation shipped). */
+    * ns-as-long or µs-NTZ, whichever this testdata generation shipped).
+    * Callers pass the DRAIN session ([[drainSession]]), which carries the
+    * nanosAsLong decode conf from creation — never the caller's session. */
   private def stream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     Tables.normalizeTs(s.readStream.schema(schema).parquet(streamDir(dir)))
   }
@@ -40,33 +41,79 @@ object EventStreams {
   /** Stream-scoped shuffle-partition count: every partition costs a
     * state-store instance per micro-batch (a RocksDB instance each for the
     * transformWithState queries), which dominates the replayed-batch
-    * queries' wall time. Default 8; Bench pins 2 via this conf (results
-    * are partition-count-invariant — same aggregations, same watermarks —
-    * so the correctness gate, which never sets the conf, is unchanged).
-    * On a production cluster you would size it to cores × smallish. */
+    * queries' wall time. Default 8; Bench pins a smaller count via this
+    * conf (results are partition-count-invariant — same aggregations, same
+    * watermarks — so the correctness gate, which never sets the conf, is
+    * unchanged). On a production cluster you would size it to cores ×
+    * smallish. */
   private[graft] def streamParts(s: SparkSession): String =
     s.conf.getOption("spark.graft.stream.benchParts").getOrElse("8")
 
-  /** Run a streaming DF to a memory sink and return the materialized table.
-    * Streaming state is partitioned by spark.sql.shuffle.partitions,
-    * scoped to the stream via [[streamParts]] and restored after. */
-  private def run(s: SparkSession, df: DataFrame, name: String, mode: OutputMode): DataFrame = {
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", streamParts(s))
-    try {
-      val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
-      try q.processAllAvailable() finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.table(name)
+  /** Dedicated DRAIN sessions (round-11 verdict #2): the state-store
+    * partition count must be fixed before a streaming query's first
+    * checkpoint, and the drains used to set/restore
+    * `spark.sql.shuffle.partitions` (and the RocksDB provider) on the
+    * CALLER's session — a set/restore race under concurrent queries, and
+    * a window where an unrelated batch query planned at the narrowed
+    * width. Each drain now builds its WHOLE streaming plan on a memoized
+    * `newSession()` clone — same SparkContext and shared state, its OWN
+    * SQLConf and temp-view registry — whose conf is written exactly once
+    * at creation and never mutated after: scoping is structural, not
+    * save/restore, so there is nothing left to race and the caller's
+    * session is never touched. One clone per (base session, provider);
+    * the RocksDB clone exists because transformWithState requires that
+    * provider while the windowed/agg drains keep the default HDFS-backed
+    * one. Keyed weakly on the base session (the SessionCache convention)
+    * so a stopped session's clones become collectable. */
+  private val drainSessions =
+    new java.util.WeakHashMap[SparkSession, Array[SparkSession]]()
+
+  private[graft] def drainSession(s: SparkSession, rocksdb: Boolean = false): SparkSession =
+    drainSessions.synchronized {
+      var arr = drainSessions.get(s)
+      if (arr == null) { arr = new Array[SparkSession](2); drainSessions.put(s, arr) }
+      val i = if (rocksdb) 1 else 0
+      if (arr(i) == null) {
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", streamParts(s))
+        ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        if (rocksdb) ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        arr(i) = ss
+      }
+      arr(i)
+    }
+
+  /** Streaming queries still alive on `s`'s drain clones — each clone has
+    * its own StreamingQueryManager, so a leak check on the base session's
+    * `streams.active` alone would be blind to them (Bench's pre-sweep
+    * quiescence guard checks both). */
+  private[graft] def activeDrainStreams(
+      s: SparkSession): Array[org.apache.spark.sql.streaming.StreamingQuery] =
+    drainSessions.synchronized {
+      val arr = drainSessions.get(s)
+      if (arr == null) Array.empty
+      else arr.toSeq.filter(_ != null).flatMap(_.streams.active).toArray
+    }
+
+  /** Build a streaming DF on the drain session, run it to a memory sink,
+    * and return the materialized table (registered on the drain session —
+    * the caller's temp-view namespace is untouched). */
+  private def run(s: SparkSession, build: SparkSession => DataFrame, name: String,
+      mode: OutputMode, rocksdb: Boolean = false): DataFrame = {
+    val ss = drainSession(s, rocksdb)
+    val q = build(ss).writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    ss.table(name)
   }
 
   /** Tumbling 1-hour windows with watermark (window() + complete mode). */
   private def q60(s: SparkSession, dir: String): DataFrame = {
-    val agg = stream(s, dir)
+    run(s, ss => stream(ss, dir)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
-    run(s, agg, "stream_tumbling", OutputMode.Complete())
+      .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value")),
+      "stream_tumbling", OutputMode.Complete())
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
       .orderBy("hour", "event_type")
   }
@@ -76,11 +123,11 @@ object EventStreams {
     * result (streaming countDistinct is unsupported; approx_count_distinct
     * would break oracle parity). */
   private def q61(s: SparkSession, dir: String): DataFrame = {
-    val agg = stream(s, dir)
+    run(s, ss => stream(ss, dir)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "2 hours", "1 hour"), col("user_id"))
-      .agg(count(lit(1)).as("n"))
-    run(s, agg, "stream_sliding", OutputMode.Complete())
+      .agg(count(lit(1)).as("n")),
+      "stream_sliding", OutputMode.Complete())
       .groupBy(col("window.start").as("w_start"))
       .agg(sum("n").as("n"), countDistinct("user_id").as("n_users"))
       .orderBy("w_start")
@@ -89,11 +136,11 @@ object EventStreams {
   /** session_window(ts, 30 min) per user — the streaming twin of the batch
     * lag-gap sessionization (Relational q20; same oracle CTE shape). */
   private def q62(s: SparkSession, dir: String): DataFrame = {
-    val agg = stream(s, dir)
+    run(s, ss => stream(ss, dir)
       .withWatermark("ts", "10 minutes")
       .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-      .agg(count(lit(1)).as("n_events"))
-    run(s, agg, "stream_session", OutputMode.Complete())
+      .agg(count(lit(1)).as("n_events")),
+      "stream_session", OutputMode.Complete())
       .groupBy("user_id")
       .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
       .orderBy("user_id")
@@ -101,12 +148,12 @@ object EventStreams {
 
   /** Streaming exact dedup: dropDuplicates on a content key + counts. */
   private def q63(s: SparkSession, dir: String): DataFrame = {
-    val agg = stream(s, dir)
+    run(s, ss => stream(ss, dir)
       .withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n_unique_users"))
-    run(s, agg, "stream_dedup", OutputMode.Complete())
+      .agg(count(lit(1)).as("n_unique_users")),
+      "stream_dedup", OutputMode.Complete())
       .orderBy("event_type")
   }
 
@@ -115,9 +162,8 @@ object EventStreams {
     * v2/nii_to_lmdb_paralel.py:357-369). */
   private def q64(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val typed = stream(s, dir)
+    run(s, ss => stream(ss, dir)
       .select(col("user_id"), col("value")).as[(Long, Double)]
-    val counted = typed
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Double), (Long, Long, Double)](
         OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
@@ -130,8 +176,8 @@ object EventStreams {
           Iterator((user, n, sum))
       }
       .toDF("user_id", "n_events", "sum_value")
-      .withColumn("sum_value", round(col("sum_value"), 3))
-    run(s, counted, "stream_stateful", OutputMode.Update())
+      .withColumn("sum_value", round(col("sum_value"), 3)),
+      "stream_stateful", OutputMode.Update())
       .orderBy("user_id")
   }
 
@@ -141,18 +187,19 @@ object EventStreams {
     * pairs land append-mode in the sink and are then rolled up per click
     * hour. The oracle mirrors the interval join in batch SQL. */
   private def q85(s: SparkSession, dir: String): DataFrame = {
-    val ev = stream(s, dir)
-    val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts").as("c_ts"))
-      .withWatermark("c_ts", "1 hour")
-    val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 hour")
-    val joined = clicks.join(purchases,
-      col("user_id") === col("p_user") &&
-        col("p_ts") >= col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
-    val pairs = run(s, joined, "stream_join", OutputMode.Append())
+    val pairs = run(s, { ss =>
+      val ev = stream(ss, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 hour")
+      clicks.join(purchases,
+        col("user_id") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"))
+    }, "stream_join", OutputMode.Append())
     pairs
       .select(date_trunc("hour", col("c_ts")).as("click_hour"), col("user_id"))
       .groupBy("click_hour")
@@ -230,19 +277,19 @@ object EventStreams {
     * per-file micro-batches, dedup state in the state store (RocksDB in
     * production), counters in complete mode. */
   private def q101(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = s.read.parquet(s"$dir/documents.parquet").schema
     val d = graft.Scratch.freshPath("docstream_")
     java.nio.file.Files.createSymbolicLink(d.resolve("documents.parquet"),
       java.nio.file.Paths.get(s"$dir/documents.parquet"))
-    val agg = s.readStream.schema(schema).parquet(d.toString)
-      .withColumn("nw", size(array_remove(split(col("text"), "\\s+"), "")).cast("long"))
-      .filter(col("nw") >= 5 && col("n_chars") >= 100)
-      .withColumn("fp", md5(col("text")))
-      .dropDuplicates("source", "fp")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"), sum("nw").as("sum_tokens"))
-    run(s, agg, "stream_corpus_ingest", OutputMode.Complete())
+    run(s, { ss =>
+      val schema = ss.read.parquet(s"$dir/documents.parquet").schema
+      ss.readStream.schema(schema).parquet(d.toString)
+        .withColumn("nw", size(array_remove(split(col("text"), "\\s+"), "")).cast("long"))
+        .filter(col("nw") >= 5 && col("n_chars") >= 100)
+        .withColumn("fp", md5(col("text")))
+        .dropDuplicates("source", "fp")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nw").as("sum_tokens"))
+    }, "stream_corpus_ingest", OutputMode.Complete())
       .orderBy("source")
   }
 
@@ -281,26 +328,23 @@ object EventStreams {
     val d = graft.Scratch.freshPath("late_")
     val t0 = System.currentTimeMillis() - 120000
     writeBatchFile(ev.filter(col("event_id") % 2 === 0), d.resolve("b0.parquet"), t0)
-    val schema = s.read.parquet(d.resolve("b0.parquet").toString).schema
-    val agg = s.readStream.schema(schema)
+    val ss = drainSession(s)
+    val schema = ss.read.parquet(d.resolve("b0.parquet").toString).schema
+    val agg = ss.readStream.schema(schema)
       .parquet(d.toString)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum("event_id").as("id_sum"))
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", streamParts(s))
+    val q = agg.writeStream.format("memory").queryName("stream_late_data")
+      .outputMode(OutputMode.Append()).start()
     try {
-      val q = agg.writeStream.format("memory").queryName("stream_late_data")
-        .outputMode(OutputMode.Append()).start()
-      try {
-        q.processAllAvailable() // batch(evens) + zero-data watermark promotion
-        writeBatchFile(ev.filter(col("event_id") % 2 === 1), d.resolve("b1.parquet"), t0 + 30000)
-        q.processAllAvailable() // batch(odds): late filter vs max(even)−10min
-        writeBatchFile(sentinel, d.resolve("b2.parquet"), t0 + 60000)
-        q.processAllAvailable() // sentinel advances watermark → all real windows emit
-      } finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.table("stream_late_data")
+      q.processAllAvailable() // batch(evens) + zero-data watermark promotion
+      writeBatchFile(ev.filter(col("event_id") % 2 === 1), d.resolve("b1.parquet"), t0 + 30000)
+      q.processAllAvailable() // batch(odds): late filter vs max(even)−10min
+      writeBatchFile(sentinel, d.resolve("b2.parquet"), t0 + 60000)
+      q.processAllAvailable() // sentinel advances watermark → all real windows emit
+    } finally q.stop()
+    ss.table("stream_late_data")
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("id_sum"))
       .filter(col("event_type") =!= "sentinel")
       .orderBy("hour", "event_type")
@@ -315,13 +359,14 @@ object EventStreams {
     * batch with no restart); no state is keyed on the dim, so dim size
     * never bloats the state store. */
   private def q119(s: SparkSession, dir: String): DataFrame = {
-    val dim = Tables(s, dir, "customer")
-      .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
-    val agg = stream(s, dir)
-      .join(broadcast(dim), Seq("user_id"))
-      .groupBy("segment", "event_type")
-      .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
-    run(s, agg, "stream_static_join", OutputMode.Complete())
+    run(s, { ss =>
+      val dim = Tables(ss, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
+      stream(ss, dir)
+        .join(broadcast(dim), Seq("user_id"))
+        .groupBy("segment", "event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 3).as("sum_value"))
+    }, "stream_static_join", OutputMode.Complete())
       .orderBy("segment", "event_type")
   }
 
@@ -352,30 +397,22 @@ object EventStreams {
 
   /** transformWithState (the Spark 4 arbitrary-state API): per-user
     * running counters in a named RocksDB-backed ValueState (the API
-    * requires the RocksDB provider — scoped to this query and restored).
+    * requires the RocksDB provider — structurally scoped via the
+    * dedicated rocksdb drain session, never set on the caller).
     * Update-mode emissions are monotone, so the batch-side max IS the
     * final state; oracle = the plain batch rollup. */
   private def q173(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val typed = stream(s, dir)
-        .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
-        .as[(Long, Long)]
-      val out = typed.groupByKey(_._1)
-        .transformWithState(new RunningMaxCount, TimeMode.None(), OutputMode.Update())
-        .toDF("user_id", "n_events", "max_cents")
-      run(s, out, "stream_tws", OutputMode.Update())
-        .groupBy("user_id")
-        .agg(max("n_events").as("n_events"), max("max_cents").as("max_cents"))
-        .orderBy("user_id")
-    } finally prev match {
-      case Some(p) => s.conf.set(key, p)
-      case None => s.conf.unset(key)
-    }
+    run(s, ss => stream(ss, dir)
+      .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new RunningMaxCount, TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "n_events", "max_cents"),
+      "stream_tws", OutputMode.Update(), rocksdb = true)
+      .groupBy("user_id")
+      .agg(max("n_events").as("n_events"), max("max_cents").as("max_cents"))
+      .orderBy("user_id")
   }
 
   /** Stream-stream LEFT OUTER interval join (§2.11's last missing join
@@ -399,8 +436,9 @@ object EventStreams {
     val d = graft.Scratch.freshPath("outer_")
     val t0 = System.currentTimeMillis() - 120000
     writeBatchFile(ev, d.resolve("b0.parquet"), t0)
-    val schema = s.read.parquet(d.resolve("b0.parquet").toString).schema
-    val src = s.readStream.schema(schema).parquet(d.toString)
+    val ss = drainSession(s)
+    val schema = ss.read.parquet(d.resolve("b0.parquet").toString).schema
+    val src = ss.readStream.schema(schema).parquet(d.toString)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"))
       .withWatermark("c_ts", "10 minutes")
@@ -412,20 +450,16 @@ object EventStreams {
         col("p_ts") >= col("c_ts") &&
         col("p_ts") <= col("c_ts") + expr("INTERVAL 30 MINUTES"),
       "left_outer")
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", streamParts(s))
+    val q = joined.writeStream.format("memory").queryName("stream_outer_join")
+      .outputMode(OutputMode.Append()).start()
     try {
-      val q = joined.writeStream.format("memory").queryName("stream_outer_join")
-        .outputMode(OutputMode.Append()).start()
-      try {
-        q.processAllAvailable() // real data + zero-data watermark promotion
-        writeBatchFile(sentinel(-1L, "click", 1000L * 3600 * 1000)
-          .unionByName(sentinel(-2L, "purchase", 1000L * 3600 * 1000 + 3600000L)),
-          d.resolve("b1.parquet"), t0 + 30000)
-        q.processAllAvailable() // watermark passes every expiry → outer rows flush
-      } finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.table("stream_outer_join")
+      q.processAllAvailable() // real data + zero-data watermark promotion
+      writeBatchFile(sentinel(-1L, "click", 1000L * 3600 * 1000)
+        .unionByName(sentinel(-2L, "purchase", 1000L * 3600 * 1000 + 3600000L)),
+        d.resolve("b1.parquet"), t0 + 30000)
+      q.processAllAvailable() // watermark passes every expiry → outer rows flush
+    } finally q.stop()
+    ss.table("stream_outer_join")
       .filter(col("user_id") >= 0) // drop only the negative-id sentinels
       .select(date_trunc("hour", col("c_ts")).as("click_hour"),
         col("user_id"), col("p_ts"))
@@ -494,48 +528,35 @@ object EventStreams {
     * timer semantics against batch anti-join semantics, row-for-row. */
   private def q186(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prevProvider = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", streamParts(s))
+    val ev = Tables(s, dir, "events").select("user_id", "ts", "event_type")
+      .filter(col("event_type").isin("click", "purchase"))
+    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val d = graft.Scratch.freshPath("carts_")
+    val t0 = System.currentTimeMillis() - 120000
+    writeBatchFile(ev, d.resolve("b0.parquet"), t0)
+    val ss = drainSession(s, rocksdb = true) // timers API requires RocksDB
+    val schema = ss.read.parquet(d.resolve("b0.parquet").toString).schema
+    val typed = ss.readStream.schema(schema).parquet(d.toString)
+      .withWatermark("ts", "10 minutes")
+      .as[(Long, java.sql.Timestamp, String)]
+    val out = typed.groupByKey(_._1)
+      .transformWithState(new AbandonedCarts, TimeMode.EventTime(), OutputMode.Append())
+      .toDF("user_id", "click_es")
+    val q = out.writeStream.format("memory").queryName("stream_timers")
+      .outputMode(OutputMode.Append()).start()
     try {
-      val ev = Tables(s, dir, "events").select("user_id", "ts", "event_type")
-        .filter(col("event_type").isin("click", "purchase"))
-      val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
-      val d = graft.Scratch.freshPath("carts_")
-      val t0 = System.currentTimeMillis() - 120000
-      writeBatchFile(ev, d.resolve("b0.parquet"), t0)
-      val schema = s.read.parquet(d.resolve("b0.parquet").toString).schema
-      val typed = s.readStream.schema(schema).parquet(d.toString)
-        .withWatermark("ts", "10 minutes")
-        .as[(Long, java.sql.Timestamp, String)]
-      val out = typed.groupByKey(_._1)
-        .transformWithState(new AbandonedCarts, TimeMode.EventTime(), OutputMode.Append())
-        .toDF("user_id", "click_es")
-      val q = out.writeStream.format("memory").queryName("stream_timers")
-        .outputMode(OutputMode.Append()).start()
-      try {
-        q.processAllAvailable() // real data + zero-data watermark promotion
-        writeBatchFile(Seq((-1L,
-          new java.sql.Timestamp(maxTs.getTime + 1000L * 3600 * 1000), "click"))
-          .toDF("user_id", "ts", "event_type"), d.resolve("b1.parquet"), t0 + 30000)
-        q.processAllAvailable() // watermark passes every timer -> abandonments flush
-      } finally q.stop()
-      s.table("stream_timers")
-        .filter(col("user_id") >= 0)
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_abandoned"),
-          min("click_es").as("first_abandoned_es"))
-        .orderBy("user_id")
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevProvider match {
-        case Some(p) => s.conf.set(key, p)
-        case None => s.conf.unset(key)
-      }
-    }
+      q.processAllAvailable() // real data + zero-data watermark promotion
+      writeBatchFile(Seq((-1L,
+        new java.sql.Timestamp(maxTs.getTime + 1000L * 3600 * 1000), "click"))
+        .toDF("user_id", "ts", "event_type"), d.resolve("b1.parquet"), t0 + 30000)
+      q.processAllAvailable() // watermark passes every timer -> abandonments flush
+    } finally q.stop()
+    ss.table("stream_timers")
+      .filter(col("user_id") >= 0)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_abandoned"),
+        min("click_es").as("first_abandoned_es"))
+      .orderBy("user_id")
   }
 
   /** MapState processor for q187 — the third and last state primitive of
@@ -578,27 +599,18 @@ object EventStreams {
     * delivery, where a bare max(sum_cents) would pick a stale peak. */
   private def q187(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val typed = stream(s, dir)
-        .select(col("user_id"), col("event_type"),
-          round(col("value") * 100).cast("long").as("cents"))
-        .as[(Long, String, Long)]
-      val out = typed.groupByKey(_._1)
-        .transformWithState(new TypeTotals, TimeMode.None(), OutputMode.Update())
-        .toDF("user_id", "event_type", "n_events", "sum_cents")
-      run(s, out, "stream_mapstate", OutputMode.Update())
-        .groupBy("user_id", "event_type")
-        .agg(max("n_events").as("n_events"),
-          max_by(col("sum_cents"), col("n_events")).as("sum_cents"))
-        .orderBy("user_id", "event_type")
-    } finally prev match {
-      case Some(p) => s.conf.set(key, p)
-      case None => s.conf.unset(key)
-    }
+    run(s, ss => stream(ss, dir)
+      .select(col("user_id"), col("event_type"),
+        round(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new TypeTotals, TimeMode.None(), OutputMode.Update())
+      .toDF("user_id", "event_type", "n_events", "sum_cents"),
+      "stream_mapstate", OutputMode.Update(), rocksdb = true)
+      .groupBy("user_id", "event_type")
+      .agg(max("n_events").as("n_events"),
+        max_by(col("sum_cents"), col("n_events")).as("sum_cents"))
+      .orderBy("user_id", "event_type")
   }
 
   /** The chained two-stage aggregation of q188, factored so the spec can
@@ -636,20 +648,17 @@ object EventStreams {
     val d = graft.Scratch.freshPath("chain_")
     val t0 = System.currentTimeMillis() - 120000
     writeBatchFile(ev, d.resolve("b0.parquet"), t0)
-    val schema = s.read.parquet(d.resolve("b0.parquet").toString).schema
-    val agg = chainedAgg(s.readStream.schema(schema).parquet(d.toString))
-    val prev = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", streamParts(s))
+    val ss = drainSession(s)
+    val schema = ss.read.parquet(d.resolve("b0.parquet").toString).schema
+    val agg = chainedAgg(ss.readStream.schema(schema).parquet(d.toString))
+    val q = agg.writeStream.format("memory").queryName("stream_chained")
+      .outputMode(OutputMode.Append()).start()
     try {
-      val q = agg.writeStream.format("memory").queryName("stream_chained")
-        .outputMode(OutputMode.Append()).start()
-      try {
-        q.processAllAvailable() // real data + zero-data watermark promotion
-        writeBatchFile(sentinel, d.resolve("b1.parquet"), t0 + 30000)
-        q.processAllAvailable() // watermark passes every hour → both stages flush
-      } finally q.stop()
-    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.table("stream_chained")
+      q.processAllAvailable() // real data + zero-data watermark promotion
+      writeBatchFile(sentinel, d.resolve("b1.parquet"), t0 + 30000)
+      q.processAllAvailable() // watermark passes every hour → both stages flush
+    } finally q.stop()
+    ss.table("stream_chained")
       .filter(col("event_type") =!= "sentinel")
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_cents"), col("n_buckets"), col("max_bucket_n"))
@@ -673,12 +682,12 @@ object EventStreams {
     * cross-batch eviction behavior this API exists for is the q107
     * two-batch machinery and is state-size, not result, semantics. */
   private def q196(s: SparkSession, dir: String): DataFrame = {
-    val dd = stream(s, dir)
+    run(s, ss => stream(ss, dir)
       .withColumn("day", expr("unix_micros(ts) div 86400000000"))
       .select("user_id", "event_type", "day", "ts")
       .withWatermark("ts", "2 hours")
-      .dropDuplicatesWithinWatermark("user_id", "event_type", "day")
-    run(s, dd, "stream_dedup_wm", OutputMode.Append())
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "day"),
+      "stream_dedup_wm", OutputMode.Append())
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_user_days"))
       .orderBy("event_type")
@@ -850,11 +859,10 @@ object EventStreams {
     * the top-2 cut is deterministic. */
   private def q144(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val agg = stream(s, dir)
+    val served = run(s, ss => stream(ss, dir)
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val served = run(s,
-      agg.select(col("window.start").as("ws"), col("event_type"), col("n")),
+      .select(col("window.start").as("ws"), col("event_type"), col("n")),
       "stream_trending", OutputMode.Complete())
     val w = Window.partitionBy("ws").orderBy(col("n").desc, col("event_type"))
     served.withColumn("rk", row_number().over(w).cast("long"))

@@ -31,23 +31,34 @@ object LoopSession {
 
   private val sessions =
     new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[Int, SparkSession]]()
+      java.util.concurrent.ConcurrentHashMap[(Int, Boolean), SparkSession]]()
 
-  /** The memoized narrow clone of `s` with a fixed shuffle width. */
-  def narrow(s: SparkSession, parts: Int): SparkSession = sessions.synchronized {
-    var m = sessions.get(s)
-    if (m == null) {
-      m = new java.util.concurrent.ConcurrentHashMap[Int, SparkSession]()
-      sessions.put(s, m)
+  /** The memoized narrow clone of `s` with a fixed shuffle width.
+    *
+    * `aqe = false` additionally turns adaptive execution off ON THE CLONE
+    * (structurally scoped like the width — written once at creation):
+    * for a many-round loop over a tiny rebased working set, AQE's
+    * per-exchange stage materialization turns every round into several
+    * sequential sub-jobs plus runtime replanning, pure driver overhead
+    * when the loop width is already pinned small and the per-round plan
+    * never needs a runtime join-strategy change. */
+  def narrow(s: SparkSession, parts: Int, aqe: Boolean = true): SparkSession =
+    sessions.synchronized {
+      var m = sessions.get(s)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[(Int, Boolean), SparkSession]()
+        sessions.put(s, m)
+      }
+      val key = (parts, aqe)
+      var ss = m.get(key)
+      if (ss == null) {
+        ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        if (!aqe) ss.conf.set("spark.sql.adaptive.enabled", "false")
+        m.put(key, ss)
+      }
+      ss
     }
-    var ss = m.get(parts)
-    if (ss == null) {
-      ss = s.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", parts.toString)
-      m.put(parts, ss)
-    }
-    ss
-  }
 
   /** Re-wrap a frame onto `target` through its RDD, then eagerly
     * checkpoint ON the target (Barrier.rebase): the Row round-trip of

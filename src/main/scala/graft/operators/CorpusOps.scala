@@ -92,7 +92,10 @@ object CorpusOps {
     * md5 so bucket skew is bounded by true span multiplicity (and the
     * hottest span's bucket is a count, not a materialized pair list). */
   private def q123(s: SparkSession, dir: String): DataFrame = {
+    // single-split source + a per-row span kernel evaluated on BOTH sides
+    // of the firsts join — spread before the per-row work (q50/q111 rule)
     val sp = t(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("source"),
         array_remove(split(lower(col("text")), "\\s+"), "").as("ws"))
       .withColumn("spans",

@@ -166,8 +166,11 @@ object CurationOps {
     val li = t(s, dir, "lineitem")
       .select(round(col("l_extendedprice") * 100).cast("long").as("cents"))
     val ps = Seq(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875)
+    // collapse=false: cents are 97% unique (the q45 rule) — the collapse
+    // pre-shuffle shrinks nothing. Value-identical either way.
     val cuts = Percentiles
-      .exactByRank(li.withColumn("g", lit("all")), "g", "cents", ps)
+      .exactByRank(li.withColumn("g", lit("all")), "g", "cents", ps,
+        collapse = false)
       .collect()
       .map(r => math.round(r.getAs[Double]("value")))
       .sorted
@@ -311,7 +314,12 @@ object CurationOps {
 
   private def tok3(s: SparkSession, dir: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"curation|$dir|tok3")(
-      tok3Of(t(s, dir, "documents").select("doc_id", "text")))
+      // repartition before the shingle explode: the build has no exchange,
+      // so the cache — which q181/q191 read four times each as the map
+      // side of their joins — would otherwise materialize as ONE partition
+      // (round-12; the q50/q111 rule)
+      tok3Of(t(s, dir, "documents").select("doc_id", "text")
+        .repartition(s.sparkContext.defaultParallelism)))
 
   /** Bench untimed-warmup hook (round-6 verdict #1 policy). */
   private[graft] def prewarmShared(s: SparkSession, dir: String): Unit = {

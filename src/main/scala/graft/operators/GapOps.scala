@@ -76,7 +76,11 @@ object GapOps {
     * numerics live in MorphologySpec. */
   private def q59(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // single parquet split + a per-row Otsu/morphology/SNR kernel: spread
+    // across every core before the map (the q50 rule; A/B isolated warm
+    // min at sf0.1/32: q59 1.55 -> 0.34 s)
     val sups = t(s, dir, "supplier").select(col("s_suppkey")).as[Long]
+      .repartition(s.sparkContext.defaultParallelism)
     sups.map { sk =>
       val dims = Array(12, 12, 8)
       val rng = new graft.functions.Rng(1000 + sk)
@@ -269,6 +273,9 @@ object GapOps {
       t(s, dir, "lineitem")
         .withColumn("cents", expr("cast(round(l_extendedprice*(1-l_discount)*100) as bigint)"))
         .select("l_orderkey", "cents")
+        // spread the bucketed write: the single-split source would
+        // otherwise sort+write all 8 bucket files from one task
+        .repartition(8, col("l_orderkey"))
         .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$base/li").saveAsTable(liTbl)
       t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))

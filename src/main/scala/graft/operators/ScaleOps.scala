@@ -149,27 +149,89 @@ object ScaleOps {
     * comprehensions over the same md5, so both engines must cut every
     * document at identical offsets. */
   /** Append exploded CDC chunk hashes (col "h") to a frame with a `text`
-    * column and a `slen` = length(text) column. */
+    * column and a `slen` = length(text) column.
+    *
+    * Round 12: compiled UDF instead of the previous
+    * `filter(sequence(...)) -> md5(substring(...))` HOF chain — Catalyst
+    * HOF lambdas evaluate interpreted PER ELEMENT (the q27-simhash /
+    * bandsUdf lesson), and the boundary scan is one md5 per character
+    * position, so a 300-char doc paid ~300 interpreted md5(substring)
+    * expression trees plus UTF8String/hex allocations each. The UDF runs
+    * the IDENTICAL arithmetic (boundary at position i in 8..slen iff
+    * md5(chars[i-8..i)) has high nibble 0 — the hex-'0' test computed
+    * directly on the digest byte; chunk hash = md5 hex of the chars
+    * between consecutive boundaries, over UTF-8 bytes exactly like
+    * Catalyst's md5(substring)), so the DuckDB oracle and the
+    * shift-invariance spec are unchanged. A/B isolated warm min at
+    * sf0.1/32 (UDF + the q111 repartition below together):
+    * q111 3.22 -> 0.59 s. */
+  private val chunkHashesUdf = udf { (text: String, slen: Long) =>
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    // char->byte offset map (texts are ASCII in the shipped corpora, but
+    // the substring semantics are char-based — map offsets exactly)
+    val n = text.length
+    val charOff = new Array[Int](n + 1)
+    if (bytes.length == n) { // ASCII fast path
+      var k = 0
+      while (k <= n) { charOff(k) = k; k += 1 }
+    } else {
+      var ci = 0; var bi = 0
+      while (ci < n) {
+        charOff(ci) = bi
+        val cp = text.codePointAt(ci)
+        val cw = Character.charCount(cp)
+        bi += text.substring(ci, ci + cw).getBytes(
+          java.nio.charset.StandardCharsets.UTF_8).length
+        ci += cw
+        if (cw == 2) charOff(ci - 1) = bi // low surrogate maps to end
+      }
+      charOff(n) = bytes.length
+    }
+    def md5HighNibbleZero(fromChar: Int, untilChar: Int): Boolean = {
+      md.reset()
+      md.update(bytes, charOff(fromChar), charOff(untilChar) - charOff(fromChar))
+      (md.digest()(0) & 0xF0) == 0
+    }
+    def md5Hex(fromChar: Int, untilChar: Int): String = {
+      md.reset()
+      md.update(bytes, charOff(fromChar), charOff(untilChar) - charOff(fromChar))
+      val d = md.digest()
+      val sb = new java.lang.StringBuilder(32)
+      var i = 0
+      while (i < d.length) {
+        sb.append(Character.forDigit((d(i) >> 4) & 0xF, 16))
+        sb.append(Character.forDigit(d(i) & 0xF, 16))
+        i += 1
+      }
+      sb.toString
+    }
+    val L = math.min(slen, n.toLong).toInt // slen == length(text) by contract
+    val cuts = scala.collection.mutable.ArrayBuffer(0)
+    var i = 8
+    while (i <= L) {
+      if (md5HighNibbleZero(i - 8, i) && cuts.last != i) cuts += i
+      i += 1
+    }
+    if (cuts.last != L) cuts += L
+    val out = new Array[String](cuts.length - 1)
+    var j = 1
+    while (j < cuts.length) { out(j - 1) = md5Hex(cuts(j - 1), cuts(j)); j += 1 }
+    out.toSeq
+  }
+
   private[graft] def withChunkHashes(df: DataFrame): DataFrame =
-    // sorted distinct boundary set {0, content cuts, slen}; the i <= slen
-    // guard inside filter (with greatest() on the range end) sidesteps
-    // sequence()'s auto-reversal when slen < 8
-    df.withColumn("bounds", expr(
-      """array_sort(array_distinct(concat(
-        |  array(0L),
-        |  filter(sequence(8L, greatest(slen, 8L)),
-        |         i -> i <= slen AND
-        |              substring(md5(substring(text, cast(i as int) - 7, 8)), 1, 1) = '0'),
-        |  array(slen))))""".stripMargin))
-      .withColumn("h", explode(expr(
-        """transform(sequence(1, size(bounds) - 1),
-          |  j -> md5(substring(text, cast(bounds[j - 1] as int) + 1,
-          |                     cast(bounds[j] - bounds[j - 1] as int))))""".stripMargin)))
+    df.withColumn("h", explode(chunkHashesUdf(col("text"), col("slen"))))
 
   private def q111(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"),
         length(col("text")).cast("long").as("slen"))
+      // the source is a single parquet split but the chunk kernel is one
+      // md5 per character position — spread it across every core before
+      // the per-row work (the q50/q110 rule: kernel parallelism follows
+      // cluster width, not source file count)
+      .repartition(s.sparkContext.defaultParallelism)
     val chunked = withChunkHashes(base)
     val chunkAgg = chunked.groupBy("source")
       .agg(count(lit(1)).as("n_chunks"), countDistinct(col("h")).as("n_distinct"))
@@ -721,7 +783,11 @@ object ScaleOps {
     import org.apache.spark.sql.functions._
     val li = t(s, dir, "lineitem")
       .select(col("l_extendedprice").as("price"), lit("all").as("g"))
-    val cuts = Percentiles.exactByRank(li, "g", "price", (1 to 7).map(_ / 8.0))
+    // collapse=false: l_extendedprice is 97% unique (the q45 rule) — the
+    // duplicate-collapse pre-shuffle is a full extra exchange that shrinks
+    // nothing. Value-identical either way (PercentilesSpec).
+    val cuts = Percentiles.exactByRank(li, "g", "price", (1 to 7).map(_ / 8.0),
+      collapse = false)
       .select(round(col("value"), 2).as("b"), col("p"))
       .orderBy("p").collect().map(_.getAs[Double]("b"))
     val bin = cuts.foldLeft(lit(0L))((acc, b) =>

@@ -275,6 +275,7 @@ trait TextCurationQueries extends Serializable { self: TextSharedCore =>
     * needs; mean score is a single division of exact integer sums. */
   private def q108(s: SparkSession, dir: String): DataFrame = {
     words(s, dir)
+      .repartition(s.sparkContext.defaultParallelism) // q222's scoring spread
       .withColumn("raw", hashedScoreRaw(col("w")))
       .withColumn("n_grams", (size(col("w")) * 2 - 1).cast("long"))
       .groupBy("source")

@@ -364,14 +364,30 @@ trait TextDedupQueries extends Serializable { self: TextSharedCore =>
     val pairs = candidates(s, dir).select("a", "b_id")
       .unionByName(sampled).distinct()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
-    val inter = pairs
+    // Exact intersection counts: the CANDIDATE pairs' counts are already
+    // materialized in the shared jaccard table (same definition — count of
+    // shared shingles per candidate pair; a zero-shared candidate has no
+    // row there, exactly as the inner shingle join below yields none), so
+    // only pairs NOT covered there — the md5-sampled near-diagonal mass —
+    // pay the shingle-level equi-join. Round 12: this replaces a shingle
+    // join over ALL pairs (candidates included), which re-shuffled the
+    // full shingle table against the large candidate side per run.
+    val known = jaccard(s, dir).select(col("a"), col("b_id"),
+      col("inter").as("i_known"))
+    val withKnown = pairs.join(known, Seq("a", "b_id"), "left")
+    // (zero-shared candidate pairs land here too and simply match no
+    // shingle — the inner join below emits nothing and they coalesce to 0,
+    // identical to before)
+    val need = withKnown.filter(col("i_known").isNull).select("a", "b_id")
+    val inter2 = need
       .join(sh.as("sa"), col("a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy("a", "b_id").agg(count(lit(1)).as("i"))
+      .groupBy("a", "b_id").agg(count(lit(1)).as("i_new"))
     val m = minhashes(s, dir)
-    val withJ = pairs
-      .join(inter, Seq("a", "b_id"), "left")
-      .withColumn("i", coalesce(col("i"), lit(0L)))
+    val withJ = withKnown
+      .join(inter2, Seq("a", "b_id"), "left")
+      .withColumn("i", coalesce(col("i_known"), col("i_new"), lit(0L)))
+      .drop("i_known", "i_new")
       .join(sizes.as("za"), col("a") === col("za.doc_id"))
       .join(sizes.as("zb"), col("b_id") === col("zb.doc_id"))
       .withColumn("u", col("za.nsh") + col("zb.nsh") - col("i"))
@@ -605,7 +621,10 @@ trait TextDedupQueries extends Serializable { self: TextSharedCore =>
     * banner/footer injections (doc_id % 3 prepends, % 4 appends) that
     * guarantee a non-empty df > 2 class at every SF. */
   private[graft] def q243Lines(s: SparkSession, dir: String): DataFrame =
+    // single-split source; the line explode feeds both the boilerplate
+    // aggregation and the removal join — spread first (q50/q111 rule)
     words(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("chunks", lineChunks)
       .withColumn("ls", expr(
         "concat(" +

@@ -27,7 +27,12 @@ trait TextEvalQueries extends Serializable { self: TextSharedCore =>
     val spark = s
     import spark.implicits._
     val grid = Seq(-30000L, -10000L, -3000L, -1000L, 0L, 1000L, 3000L, 10000L, 30000L)
+    // the source is a single parquet split but hashedScoreRaw is ~2 md5s
+    // per word per row — spread the scoring across every core before the
+    // per-row work (the q50/q111 rule; A/B isolated warm min at sf0.1/32:
+    // q222 2.68 -> 0.58 s)
     val scored = words(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("raw", hashedScoreRaw(col("w")))
       .withColumn("pos", col("source") === "src0")
       .select("raw", "pos")
@@ -131,6 +136,7 @@ trait TextEvalQueries extends Serializable { self: TextSharedCore =>
 
   private def q244(s: SparkSession, dir: String): DataFrame =
     calibrationEce(words(s, dir)
+      .repartition(s.sparkContext.defaultParallelism) // q222's scoring spread
       .withColumn("raw", hashedScoreRaw(col("w")))
       .withColumn("p", when(col("source") === "src0", 1L).otherwise(0L))
       .withColumn("conf", expr(

@@ -76,7 +76,12 @@ trait TextSharedCore extends Serializable {
     * tree can never plan-match. EntrySpec asserts no InMemoryRelation
     * appears under this plan even with the shared cache materialized. */
   private[graft] def freshShingles(s: SparkSession, dir: String): DataFrame =
+    // repartition before the explode: the independent re-derivation is
+    // per-query work (never cached, by design) on a single-split source
+    // (q50/q111 rule). An Exchange node cannot plan-match the cached
+    // `shingles` subtree, so the distinctness guarantee is unaffected.
     words(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(size(w)-3, 0, -1), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("sh"))
       .distinct()
@@ -162,8 +167,13 @@ trait TextSharedCore extends Serializable {
 
   private[operators] def simhashed(s: SparkSession, dir: String): DataFrame =
     shared(s, dir, "simhashed") {
-      // cache only (doc_id, simhash): the blocked self-join reads this twice
-      words(s, dir).select(col("doc_id"), simhash32(col("w")).as("simhash"))
+      // cache only (doc_id, simhash): the blocked self-join reads this twice.
+      // repartition BEFORE the kernel: the build plan has no exchange of its
+      // own, so without it the cache materializes as ONE partition (the
+      // single-split source) — the UDF pass runs serial and every consumer's
+      // map side reads a 1-partition cache (round-12; the q50/q111 rule)
+      words(s, dir).repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), simhash32(col("w")).as("simhash"))
     }
 
   /** Skew-hardened all-pairs within buckets — the one skew case AQE cannot

@@ -123,7 +123,12 @@ object VectorOps {
 
   private def banded(s: SparkSession, dir: String, width: Int = 16): DataFrame =
     graft.SessionCache.getOrBuild(s, s"vec|$dir|banded|$width") {
-      bandProject(t(s, dir, "embeddings"), width)
+      // repartition BEFORE the 64-plane UDF: the projection has no exchange,
+      // so the cache would otherwise materialize as ONE partition (single-
+      // split source) — serial build AND a serial map side for every
+      // consumer of the cache (round-12; the q50/q111 rule)
+      bandProject(t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism), width)
     }
 
   /** Multi-probe expansion (Lv et al., VLDB'07) of a (…, bk, bv) probe
@@ -241,7 +246,10 @@ object VectorOps {
     * plan as literals, stale if the source changed before execution). */
   private def bits64(s: SparkSession, dir: String): DataFrame =
     graft.SessionCache.getOrBuild(s, s"vec|$dir|bits64") {
+      // repartition before the 64-plane UDF — same single-split/1-partition
+      // cache rationale as `banded`
       t(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("vec_id"),
           posexplode(planeBits64(col("embedding"))).as(Seq("j", "bit")))
     }
@@ -1454,6 +1462,39 @@ object VectorOps {
       .distinct()
   }
 
+  // Temporary round-12 phase probes (ProbeKnn) — mirror knnCore's first
+  // two phases exactly.
+  private[graft] def probeScored(s: SparkSession, input: DataFrame,
+      banded: Boolean, multiprobe: Boolean): DataFrame = {
+    val half = (if (banded) {
+      knnCandidatePairs(input, multiprobe)
+        .join(input.select(col("vec_id").as("qa"), col("embedding").as("ea")), Seq("qa"))
+        .join(input.select(col("vec_id").as("qb"), col("embedding").as("eb")), Seq("qb"))
+    } else {
+      input.select(col("vec_id").as("qa"), col("embedding").as("ea"))
+        .crossJoin(input.select(col("vec_id").as("qb"), col("embedding").as("eb")))
+        .filter(col("qa") < col("qb"))
+    })
+      .withColumn("cos", round(cosCol(s, "ea", "eb"), 6))
+      .select("qa", "qb", "cos")
+    half
+  }
+
+  private[graft] def probeMutual(s: SparkSession, input: DataFrame,
+      banded: Boolean, multiprobe: Boolean): DataFrame = {
+    val half = probeScored(s, input, banded, multiprobe)
+    val pairs = half.select(explode(array(
+        struct(col("qa"), col("qb"), col("cos")),
+        struct(col("qb").as("qa"), col("qa").as("qb"), col("cos")))).as("p"))
+      .select("p.qa", "p.qb", "p.cos")
+    val knn = graft.plans.TopKPerKey(pairs, Seq("qa"),
+      Seq(("cos", false), ("qb", true)), 5).select("qa", "qb")
+    knn.as("x").join(knn.as("y"),
+        col("x.qa") === col("y.qb") && col("x.qb") === col("y.qa") &&
+          col("x.qa") < col("x.qb"))
+      .select(col("x.qa").as("u"), col("x.qb").as("v"))
+  }
+
   private[graft] def knnCore(s: SparkSession, input: DataFrame,
       bandedCandidates: Boolean = false, multiprobe: Boolean = false,
       maxPeelRounds: Int = 0): DataFrame = {
@@ -1488,18 +1529,24 @@ object VectorOps {
         col("x.qa") === col("y.qb") && col("x.qb") === col("y.qa") &&
           col("x.qa") < col("x.qb"))
       .select(col("x.qa").as("u"), col("x.qb").as("v"))
-    val adj = rebase(mutual.select(col("u").as("a"), col("v").as("b"))
-      .union(mutual.select(col("v").as("a"), col("u").as("b"))))
     // the kNN phase above wants full width (N² cosines); the peel loop
-    // below shuffles a graph of at most N nodes 10+ times, where wide
-    // exchanges would be pure task-scheduling overhead. The width is
-    // left to AQE partition coalescing (session default): each round
-    // executes eagerly inside rebase(), so every loop exchange is
-    // post-shuffle-coalesced to the graph's actual size — plan-local,
-    // no session-conf mutation (which would race concurrent queries),
-    // and map-side partial aggregation is preserved (an explicit
-    // repartition before the groupBy measurably defeated it: +70% on
-    // q192's sf0.1 cost).
+    // below shuffles a graph of at most N nodes 20+ times, where wide
+    // exchanges would be pure task-scheduling overhead. Round 12: the
+    // loop now runs on the NARROW LoopSession clone (fixed 8-partition
+    // width at creation — the q70/q189 pattern; no session-conf mutation
+    // on the caller). Probe-measured at sf0.1/32 cores (ProbeKnn-style
+    // per-phase breakdown, warm reps): the 21-round mp peel went
+    // 3.68 → 2.85 s under the narrow clone; AQE-off and chained-round
+    // variants measured WORSE (4.1 s / flat) and were rejected — the
+    // residual ~0.14 s/round is per-round job-scheduling floor, intrinsic
+    // to the fixpoint's sequential rounds. Map-side partial aggregation
+    // is preserved (the plan is unchanged — only the clone's shuffle
+    // width differs; the round-11 explicit-repartition experiment that
+    // defeated partial agg (+70% on q192) stays rejected).
+    val loopS = graft.LoopSession.narrow(s, 8)
+    val adj = graft.LoopSession.rehome(
+      mutual.select(col("u").as("a"), col("v").as("b"))
+        .union(mutual.select(col("v").as("a"), col("u").as("b"))), loopS)
     var alive = rebase(adj.select("a").distinct())
     var nAlive = alive.count()
     // 0 = size-derived budget: monotone shrink ⇒ fixpoint within nAlive
@@ -1521,7 +1568,8 @@ object VectorOps {
       alive = deg.select("a")
     }
     require(stable, s"3-core peel did not converge in $rounds rounds")
-    deg.select(col("a").as("vec_id"), col("core_deg")).orderBy("vec_id")
+    graft.LoopSession.rehome(
+      deg.select(col("a").as("vec_id"), col("core_deg")), s).orderBy("vec_id")
   }
 
   private val kcorePeelRounds = 24
@@ -1608,7 +1656,11 @@ object VectorOps {
       s"""aggregate(zip_with($a, $b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)
          | / sqrt(aggregate($a, 0D, (acc, v) -> acc + v * v)
          |        * aggregate($b, 0D, (acc, v) -> acc + v * v))""".stripMargin)
-    val scored = base.crossJoin(broadcast(probes))
+    // the corpus side is a single parquet split and the per-pair HOF
+    // cosines evaluate interpreted — spread the pair scoring across every
+    // core before the broadcast join (the q50/q111 rule)
+    val scored = base.repartition(s.sparkContext.defaultParallelism)
+      .crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos_e", round(cosE("xd", "pxd"), 6))
       .withColumn("cos_q", round(cosE("rq", "prq"), 6))

@@ -730,6 +730,9 @@ object CurationOps {
   private def q219(s: SparkSession, dir: String): DataFrame = {
     val B = 1024
     val docs = t(s, dir, "documents")
+      // single-split source; dsirBuckets is md5-per-gram and `docs` feeds
+      // BOTH the bucket count and the scoring pass (q50/q111 rule)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("source"),
         array_remove(split(col("text"), "\\s+"), "").as("w"))
       .filter(size(col("w")) >= 3)

@@ -738,7 +738,10 @@ trait TextCurationQueries extends Serializable { self: TextSharedCore =>
     * whole point of adaptive cuts); the hash gate rides on the exact
     * thresholds and counts. */
   private def q253(s: SparkSession, dir: String): DataFrame = {
+    // q222's scoring spread; `scored` is evaluated by BOTH the percentile
+    // pass and the final join, so the serial kernel was paid twice
     val scored = words(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("raw", hashedScoreRaw(col("w")).cast("double"))
       .select(col("doc_id"), col("source"), col("raw"))
     val cuts = graft.functions.Percentiles

@@ -1236,6 +1236,9 @@ object VectorOps {
       dot / math.sqrt(na * nb)
     }
     val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      // single-split source; the projection UDF and the per-pair scoring
+      // below otherwise run on one task (q50/q111 rule)
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("y", projUdf(col("embedding")))
     val probes = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),

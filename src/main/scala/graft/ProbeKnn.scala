@@ -4,8 +4,12 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Temporary phase-breakdown probe for knnCore's peel loop (round-12
-  * measurement; not part of the driver contract — deleted after use). */
+/** Phase-breakdown probe for knnCore's peel loop (round-12 measurement
+  * harness, kept alongside Explain as a local dev main — NOT part of the
+  * driver contract). Variants via PROBE_VARIANT (base | narrow8 |
+  * narrow8noaqe | narrow1noaqe) and PROBE_CHAIN (rounds per rebase);
+  * the measurements that chose the shipped narrow8 design are recorded
+  * in OPTIMIZATION_r12.md. */
 object ProbeKnn {
   @volatile var jobs = 0
   def main(args: Array[String]): Unit = {

@@ -120,7 +120,10 @@ trait TextDedupQueries extends Serializable { self: TextSharedCore =>
 
   /** Document fingerprints: sorted-bag md5 + winnowed char-8-gram min-hash. */
   private def q32(s: SparkSession, dir: String): DataFrame =
+    // single-split source; the winnow is one md5 per 4 chars per row
+    // (q50/q111 rule)
     words(s, dir)
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("fp", md5(concat_ws(" ", array_sort(array_distinct(col("w"))))))
       .withColumn("winnow", expr(
         "array_min(transform(sequence(1, greatest(length(text) - 7, 1), 4), i -> md5(substring(text, i, 8))))"))

@@ -118,20 +118,40 @@ object Bench {
     var prewarmSec = 0.0
     if (prewarm) {
       val t0 = System.nanoTime()
-      // non-fatal: a prewarm failure must degrade to the lazy-build
-      // behavior, never kill the sweep before a single query is measured
-      try {
-        graft.operators.TextOps.prewarmShared(spark, sfDir)
-        graft.operators.VectorOps.prewarmShared(spark, sfDir)
+      // Round 13 (r12 VERDICT #7): the cache FAMILIES are independent of
+      // each other (each derives only from the source tables, or from
+      // caches built earlier in its own list), so they build CONCURRENTLY
+      // — guide §2.6 "overlap independent jobs": Spark's scheduler runs
+      // several jobs in one application happily, and the suffix-doubling
+      // chain no longer serializes behind the text tier's aggregations.
+      // SessionCache publishes via putIfAbsent (single winner persists),
+      // so even a racing getOrBuild of one key from two families is safe.
+      // Order INSIDE a family is preserved (one thread per family).
+      // Failures stay non-fatal per family: a prewarm failure degrades to
+      // the lazy-build behavior, never kills the sweep before a single
+      // query is measured.
+      val families: Seq[(String, () => Unit)] = Seq(
+        "text" -> (() => graft.operators.TextOps.prewarmShared(spark, sfDir)),
         // Bench DOES run the q257 audit + the chart-chosen screens, so it
         // warms the chart family too; generic sessions skip this build
-        graft.operators.VectorOps.prewarmChartFamily(spark, sfDir)
-        graft.operators.CorpusOps.prewarmShared(spark, sfDir)
-        graft.operators.CurationOps.prewarmShared(spark, sfDir)
-        graft.operators.SuffixOps.prewarmShared(spark, sfDir)
-      } catch {
-        case e: Throwable => System.err.println(s"[bench] prewarm failed: ${e.getMessage}")
-      }
+        "vector" -> (() => {
+          graft.operators.VectorOps.prewarmShared(spark, sfDir)
+          graft.operators.VectorOps.prewarmChartFamily(spark, sfDir)
+        }),
+        "corpus" -> (() => graft.operators.CorpusOps.prewarmShared(spark, sfDir)),
+        "curation" -> (() => graft.operators.CurationOps.prewarmShared(spark, sfDir)),
+        "suffix" -> (() => graft.operators.SuffixOps.prewarmShared(spark, sfDir)))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(families.size)
+      try {
+        families.map { case (name, build) =>
+          name -> pool.submit(new Runnable { def run(): Unit = build() })
+        }.foreach { case (name, fut) =>
+          try fut.get()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] prewarm($name) failed: ${e.getMessage}")
+          }
+        }
+      } finally pool.shutdown()
       prewarmSec = (System.nanoTime() - t0) / 1e9
       println(s"""{"prewarm_sec":${r3(prewarmSec)}}""")
     }
@@ -247,6 +267,45 @@ object Bench {
       println(s"""{"rerun":"$name","sec":${r3(sec)}}""")
       name -> sec
     }
+    // median: the variance-stable statistic on this host — full-sweep
+    // totals on identical code measured 332-550 s (10-70 s CPU-steal
+    // spikes landing on different queries each run) while the per-query
+    // median held at ~1.0 s across all six runs
+    val median = if (results.isEmpty) 0.0 else {
+      val v = results.values.toArray.sorted
+      if (v.length % 2 == 1) v(v.length / 2)
+      else (v(v.length / 2 - 1) + v(v.length / 2)) / 2.0
+    }
+    // Round 13 (r12 VERDICT #2): noise-robust per-query numbers, ADDITIONS
+    // ONLY — every pre-existing key keeps its exact meaning (first-run
+    // sweep numbers). The r12 PERF comparison was first-run-only on a
+    // steal-noisy box and labelled untouched queries "regressed" at 0.2×
+    // while the bench's own rerun column showed them at or below the
+    // prior round (q107 18.1 s in-sweep, 3.2 s rerun). Extension: after
+    // the (unchanged) top-10 rerun pass, run ONE more warm rep of every
+    // query whose first run exceeded max(1.0 s, 2×median) — on a quiet
+    // box that is the genuinely-slow tier, on a disturbed box it is
+    // exactly the set of spiked queries — and publish per-query
+    // min(first, rerun) for ALL queries. A query under the floor sits at
+    // its per-query plan floor already (a steal spike would have pushed
+    // it over the floor and bought it a rerun), so its min IS its first
+    // run. Cost is bounded by the warm cost of the slow tier, not a full
+    // second sweep. min-of-reps of an identical plan is the plan cost:
+    // disturbances only ever inflate a rep, never deflate one.
+    val rerunMap = rerun.toMap
+    val minFloor = math.max(1.0, 2 * median)
+    val minrepRan = results.toSeq
+      .filter { case (name, sec) => sec > minFloor && !rerunMap.contains(name) }
+      .sortBy(_._1)
+      .map { case (name, _) =>
+        val sec = timed(name, SparkEntry.queries(name))
+        println(s"""{"minrep":"$name","sec":${r3(sec)}}""")
+        name -> sec
+      }.toMap
+    val minResults = results.map { case (name, first) =>
+      name -> math.min(first, math.min(rerunMap.getOrElse(name, first),
+        minrepRan.getOrElse(name, first)))
+    }
     // The driver keeps only the LAST 2000 chars of stdout; with 170+
     // queries even a short-key full map (~3.4 KB) lands truncated mid-JSON
     // ("parsed": null in BENCH_r03/r04). So: the COMPLETE map goes out
@@ -257,21 +316,20 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"all_queries","unit":"sec","queries":$full}""")
+    // the noise-robust companion map (same keys, min-of-reps values) — a
+    // separate greppable line, like all_queries
+    val fullMin = minResults.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"all_queries_min","unit":"sec","queries":$fullMin}""")
     def short(m: Seq[(String, Double)]) = m
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val top = short(results.toSeq.sortBy(-_._2).take(20))
+    val topMin = short(minResults.toSeq.sortBy(-_._2).take(10))
     val rr = short(rerun)
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // median: the variance-stable statistic on this host — full-sweep
-    // totals on identical code measured 332-550 s (10-70 s CPU-steal
-    // spikes landing on different queries each run) while the per-query
-    // median held at ~1.0 s across all six runs
-    val median = if (results.isEmpty) 0.0 else {
-      val v = results.values.toArray.sorted
-      if (v.length % 2 == 1) v(v.length / 2)
-      else (v(v.length / 2 - 1) + v(v.length / 2)) / 2.0
-    }
+    val totalMin = if (minResults.nonEmpty) minResults.values.sum else 0.0
     // env: the measurement configuration, so artifacts are self-describing
     // and cross-round comparisons can detect environment changes from the
     // artifact alone (round-6 ADVICE — r01-r05 were disk-backed, no GC
@@ -279,7 +337,7 @@ object Bench {
     val env = s""""localdir":"$localDirKind","gc_interval":"$gcInterval"""" +
       s""","gc_every":$gcEvery,"prewarm":$prewarm,"prewarm_sec":${r3(prewarmSec)}""" +
       s""","tmpdir_tmpfs":$tmpdirMoved"""
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries_n":${results.size},"median":${r3(median)},$env,"rerun":$rr,"queries":$top,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries_n":${results.size},"median":${r3(median)},$env,"value_min":${r3(totalMin)},"minrep_n":${minrepRan.size},"queries_min":$topMin,"rerun":$rr,"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

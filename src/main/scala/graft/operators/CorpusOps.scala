@@ -94,8 +94,7 @@ object CorpusOps {
   private def q123(s: SparkSession, dir: String): DataFrame = {
     // single-split source + a per-row span kernel evaluated on BOTH sides
     // of the firsts join — spread before the per-row work (q50/q111 rule)
-    val sp = t(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    val sp = graft.Spread.ifNarrow(s, t(s, dir, "documents"))
       .select(col("doc_id"), col("source"),
         array_remove(split(lower(col("text")), "\\s+"), "").as("ws"))
       .withColumn("spans",

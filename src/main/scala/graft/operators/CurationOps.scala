@@ -318,8 +318,8 @@ object CurationOps {
       // so the cache — which q181/q191 read four times each as the map
       // side of their joins — would otherwise materialize as ONE partition
       // (round-12; the q50/q111 rule)
-      tok3Of(t(s, dir, "documents").select("doc_id", "text")
-        .repartition(s.sparkContext.defaultParallelism)))
+      tok3Of(graft.Spread.ifNarrow(s,
+        t(s, dir, "documents").select("doc_id", "text"))))
 
   /** Bench untimed-warmup hook (round-6 verdict #1 policy). */
   private[graft] def prewarmShared(s: SparkSession, dir: String): Unit = {
@@ -729,10 +729,9 @@ object CurationOps {
 
   private def q219(s: SparkSession, dir: String): DataFrame = {
     val B = 1024
-    val docs = t(s, dir, "documents")
-      // single-split source; dsirBuckets is md5-per-gram and `docs` feeds
+    val docs = graft.Spread.ifNarrow(s, t(s, dir, "documents"))
+      // narrow source; dsirBuckets is md5-per-gram and `docs` feeds
       // BOTH the bucket count and the scoring pass (q50/q111 rule)
-      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("source"),
         array_remove(split(col("text"), "\\s+"), "").as("w"))
       .filter(size(col("w")) >= 3)

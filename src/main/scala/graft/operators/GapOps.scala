@@ -79,8 +79,8 @@ object GapOps {
     // single parquet split + a per-row Otsu/morphology/SNR kernel: spread
     // across every core before the map (the q50 rule; A/B isolated warm
     // min at sf0.1/32: q59 1.55 -> 0.34 s)
-    val sups = t(s, dir, "supplier").select(col("s_suppkey")).as[Long]
-      .repartition(s.sparkContext.defaultParallelism)
+    val sups = graft.Spread.ifNarrow(s,
+      t(s, dir, "supplier").select(col("s_suppkey")).as[Long])
     sups.map { sk =>
       val dims = Array(12, 12, 8)
       val rng = new graft.functions.Rng(1000 + sk)

@@ -216,11 +216,12 @@ object MriOps {
     * DegradeSpec (not SQL-expressible). */
   private def q50(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val parts = t(s, dir, "part").select(col("p_partkey"), col("p_size"))
-      .filter(col("p_partkey") % 10 === 0)
-      // the source is a single small parquet split, but the per-row kernel
-      // is CPU-heavy — spread it across every core before the map
-      .repartition(s.sparkContext.defaultParallelism)
+    val parts = graft.Spread.ifNarrow(s,
+      t(s, dir, "part").select(col("p_partkey"), col("p_size"))
+        .filter(col("p_partkey") % 10 === 0))
+      // a narrow source (single small parquet split) with a CPU-heavy
+      // per-row kernel: spread across every core before the map; a
+      // pre-split source skips the exchange (round 13)
       .as[(Long, Int)]
     parts.map { case (pk, size) =>
       val h = 24; val w = 20
@@ -258,8 +259,8 @@ object MriOps {
     * (the flagship reference pipeline shape, self-contained). */
   private def q52(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sups = t(s, dir, "supplier").select(col("s_suppkey"))
-      .repartition(s.sparkContext.defaultParallelism) // CPU-bound kernel, small scan
+    val sups = graft.Spread.ifNarrow(s, t(s, dir, "supplier")
+        .select(col("s_suppkey"))) // CPU-bound kernel, narrow scan
       .as[Long]
     sups.flatMap { sk =>
       val dims = Array(16, 14, 6)

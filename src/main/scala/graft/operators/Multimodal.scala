@@ -27,9 +27,8 @@ object Multimodal {
     * pixel blocks and its mass-conservation invariant holds bit-for-bit. */
   private def pngPayloads(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables(s, dir, "part").select(col("p_partkey")).as[Long]
-      .filter(_ % 8 == 0)
-      .repartition(s.sparkContext.defaultParallelism)
+    graft.Spread.ifNarrow(s, Tables(s, dir, "part").select(col("p_partkey")).as[Long]
+      .filter(_ % 8 == 0))
       .map { pk =>
         val h = 16 + (pk % 3).toInt * 8 // 16 | 24 | 32
         // (pk/8) parity, NOT pk parity: media ids are the pk % 8 == 0 keys,
@@ -185,8 +184,8 @@ object Multimodal {
   private def q86(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val h = 12; val w = 10
-    val clips = Tables(s, dir, "supplier").select(col("s_suppkey"))
-      .repartition(s.sparkContext.defaultParallelism)
+    val clips = graft.Spread.ifNarrow(s,
+      Tables(s, dir, "supplier").select(col("s_suppkey")))
       .as[Long]
       .map { sk =>
         val nFrames = 4 + (sk % 5).toInt
@@ -298,9 +297,9 @@ object Multimodal {
     * buckets are bounded by true visual-duplicate multiplicity. */
   private def q143(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hashed = Tables(s, dir, "part").select(col("p_partkey")).as[Long]
-      .filter(_ % 8 == 0)
-      .repartition(s.sparkContext.defaultParallelism)
+    val hashed = graft.Spread.ifNarrow(s,
+      Tables(s, dir, "part").select(col("p_partkey")).as[Long]
+      .filter(_ % 8 == 0))
       .map { pk =>
         val t = pk / 8
         val h = 16 + (t % 3).toInt * 8
@@ -355,9 +354,9 @@ object Multimodal {
     * collapses onto one of 6 shared seeds. */
   private def q145(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val hashed = Tables(s, dir, "part").select(col("p_partkey")).as[Long]
-      .filter(_ % 16 == 0)
-      .repartition(s.sparkContext.defaultParallelism)
+    val hashed = graft.Spread.ifNarrow(s,
+      Tables(s, dir, "part").select(col("p_partkey")).as[Long]
+      .filter(_ % 16 == 0))
       .map { pk =>
         val t = pk / 16
         val seed = if (t % 5 == 0) t % 6 else t

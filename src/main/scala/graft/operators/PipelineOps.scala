@@ -102,10 +102,10 @@ object PipelineOps {
     // sink uses for hdfs:// and s3a:// store locations
     val storeDir = s"file://$tmp"
 
-    val parts = Tables(s, dir, "part").select(col("p_partkey"))
-      .filter(col("p_partkey") % 4 === 0)
-      // small single-split scan feeding a CPU-heavy kernel: spread first
-      .repartition(s.sparkContext.defaultParallelism)
+    val parts = graft.Spread.ifNarrow(s, Tables(s, dir, "part")
+        .select(col("p_partkey"))
+        .filter(col("p_partkey") % 4 === 0))
+      // narrow scan feeding a CPU-heavy kernel: spread first
       .as[Long]
     val records = parts.map { pk =>
       val img = Array.tabulate(16 * 16)(i => ((pk * 31 + i * 7) % 256).toFloat / 255f)
@@ -139,8 +139,8 @@ object PipelineOps {
     import s.implicits._
     val root = graft.Scratch.fresh("png_")
 
-    val slices = Tables(s, dir, "supplier").select(col("s_suppkey"))
-      .repartition(s.sparkContext.defaultParallelism) // CPU-bound kernel, small scan
+    val slices = graft.Spread.ifNarrow(s, Tables(s, dir, "supplier")
+        .select(col("s_suppkey"))) // CPU-bound kernel, narrow scan
       .as[Long]
       .flatMap { sk =>
         val h = 16; val w = 12

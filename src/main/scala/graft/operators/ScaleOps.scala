@@ -224,14 +224,13 @@ object ScaleOps {
     df.withColumn("h", explode(chunkHashesUdf(col("text"), col("slen"))))
 
   private def q111(s: SparkSession, dir: String): DataFrame = {
-    val base = t(s, dir, "documents")
+    // the chunk kernel is one md5 per character position — spread it
+    // across every core before the per-row work when the source is
+    // narrow (the q50/q110 rule: kernel parallelism follows cluster
+    // width, not source file count; pre-split sources skip the exchange)
+    val base = graft.Spread.ifNarrow(s, t(s, dir, "documents")
       .select(col("doc_id"), col("source"), col("text"),
-        length(col("text")).cast("long").as("slen"))
-      // the source is a single parquet split but the chunk kernel is one
-      // md5 per character position — spread it across every core before
-      // the per-row work (the q50/q110 rule: kernel parallelism follows
-      // cluster width, not source file count)
-      .repartition(s.sparkContext.defaultParallelism)
+        length(col("text")).cast("long").as("slen")))
     val chunked = withChunkHashes(base)
     val chunkAgg = chunked.groupBy("source")
       .agg(count(lit(1)).as("n_chunks"), countDistinct(col("h")).as("n_distinct"))

@@ -274,8 +274,7 @@ trait TextCurationQueries extends Serializable { self: TextSharedCore =>
     * aggregation — the zero-shuffle shape a 100 TB quality-filter pass
     * needs; mean score is a single division of exact integer sums. */
   private def q108(s: SparkSession, dir: String): DataFrame = {
-    words(s, dir)
-      .repartition(s.sparkContext.defaultParallelism) // q222's scoring spread
+    graft.Spread.ifNarrow(s, words(s, dir)) // q222's scoring spread
       .withColumn("raw", hashedScoreRaw(col("w")))
       .withColumn("n_grams", (size(col("w")) * 2 - 1).cast("long"))
       .groupBy("source")
@@ -740,8 +739,7 @@ trait TextCurationQueries extends Serializable { self: TextSharedCore =>
   private def q253(s: SparkSession, dir: String): DataFrame = {
     // q222's scoring spread; `scored` is evaluated by BOTH the percentile
     // pass and the final join, so the serial kernel was paid twice
-    val scored = words(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    val scored = graft.Spread.ifNarrow(s, words(s, dir))
       .withColumn("raw", hashedScoreRaw(col("w")).cast("double"))
       .select(col("doc_id"), col("source"), col("raw"))
     val cuts = graft.functions.Percentiles

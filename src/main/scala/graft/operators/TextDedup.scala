@@ -120,10 +120,9 @@ trait TextDedupQueries extends Serializable { self: TextSharedCore =>
 
   /** Document fingerprints: sorted-bag md5 + winnowed char-8-gram min-hash. */
   private def q32(s: SparkSession, dir: String): DataFrame =
-    // single-split source; the winnow is one md5 per 4 chars per row
-    // (q50/q111 rule)
-    words(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    // narrow source; the winnow is one md5 per 4 chars per row
+    // (q50/q111 rule; pre-split sources skip the exchange — round 13)
+    graft.Spread.ifNarrow(s, words(s, dir))
       .withColumn("fp", md5(concat_ws(" ", array_sort(array_distinct(col("w"))))))
       .withColumn("winnow", expr(
         "array_min(transform(sequence(1, greatest(length(text) - 7, 1), 4), i -> md5(substring(text, i, 8))))"))
@@ -624,10 +623,9 @@ trait TextDedupQueries extends Serializable { self: TextSharedCore =>
     * banner/footer injections (doc_id % 3 prepends, % 4 appends) that
     * guarantee a non-empty df > 2 class at every SF. */
   private[graft] def q243Lines(s: SparkSession, dir: String): DataFrame =
-    // single-split source; the line explode feeds both the boilerplate
+    // narrow source; the line explode feeds both the boilerplate
     // aggregation and the removal join — spread first (q50/q111 rule)
-    words(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    graft.Spread.ifNarrow(s, words(s, dir))
       .withColumn("chunks", lineChunks)
       .withColumn("ls", expr(
         "concat(" +

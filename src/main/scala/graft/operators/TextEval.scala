@@ -31,8 +31,7 @@ trait TextEvalQueries extends Serializable { self: TextSharedCore =>
     // per word per row — spread the scoring across every core before the
     // per-row work (the q50/q111 rule; A/B isolated warm min at sf0.1/32:
     // q222 2.68 -> 0.58 s)
-    val scored = words(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    val scored = graft.Spread.ifNarrow(s, words(s, dir))
       .withColumn("raw", hashedScoreRaw(col("w")))
       .withColumn("pos", col("source") === "src0")
       .select("raw", "pos")
@@ -135,8 +134,7 @@ trait TextEvalQueries extends Serializable { self: TextSharedCore =>
   }
 
   private def q244(s: SparkSession, dir: String): DataFrame =
-    calibrationEce(words(s, dir)
-      .repartition(s.sparkContext.defaultParallelism) // q222's scoring spread
+    calibrationEce(graft.Spread.ifNarrow(s, words(s, dir)) // q222's scoring spread
       .withColumn("raw", hashedScoreRaw(col("w")))
       .withColumn("p", when(col("source") === "src0", 1L).otherwise(0L))
       .withColumn("conf", expr(

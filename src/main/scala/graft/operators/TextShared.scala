@@ -80,8 +80,7 @@ trait TextSharedCore extends Serializable {
     // per-query work (never cached, by design) on a single-split source
     // (q50/q111 rule). An Exchange node cannot plan-match the cached
     // `shingles` subtree, so the distinctness guarantee is unaffected.
-    words(s, dir)
-      .repartition(s.sparkContext.defaultParallelism)
+    graft.Spread.ifNarrow(s, words(s, dir))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(size(w)-3, 0, -1), i -> concat(w[i], ' ', w[i+1], ' ', w[i+2]))")).as("sh"))
       .distinct()
@@ -172,7 +171,7 @@ trait TextSharedCore extends Serializable {
       // own, so without it the cache materializes as ONE partition (the
       // single-split source) — the UDF pass runs serial and every consumer's
       // map side reads a 1-partition cache (round-12; the q50/q111 rule)
-      words(s, dir).repartition(s.sparkContext.defaultParallelism)
+      graft.Spread.ifNarrow(s, words(s, dir))
         .select(col("doc_id"), simhash32(col("w")).as("simhash"))
     }
 

@@ -127,8 +127,7 @@ object VectorOps {
       // so the cache would otherwise materialize as ONE partition (single-
       // split source) — serial build AND a serial map side for every
       // consumer of the cache (round-12; the q50/q111 rule)
-      bandProject(t(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism), width)
+      bandProject(graft.Spread.ifNarrow(s, t(s, dir, "embeddings")), width)
     }
 
   /** Multi-probe expansion (Lv et al., VLDB'07) of a (…, bk, bv) probe
@@ -248,8 +247,7 @@ object VectorOps {
     graft.SessionCache.getOrBuild(s, s"vec|$dir|bits64") {
       // repartition before the 64-plane UDF — same single-split/1-partition
       // cache rationale as `banded`
-      t(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism)
+      graft.Spread.ifNarrow(s, t(s, dir, "embeddings"))
         .select(col("vec_id"),
           posexplode(planeBits64(col("embedding"))).as(Seq("j", "bit")))
     }
@@ -1235,10 +1233,10 @@ object VectorOps {
       while (i < b.length) { nb += b(i) * b(i); i += 1 }
       dot / math.sqrt(na * nb)
     }
-    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
-      // single-split source; the projection UDF and the per-pair scoring
-      // below otherwise run on one task (q50/q111 rule)
-      .repartition(s.sparkContext.defaultParallelism)
+    // narrow source: the projection UDF and the per-pair scoring below
+    // otherwise run on one task (q50/q111 rule)
+    val emb = graft.Spread.ifNarrow(s,
+        t(s, dir, "embeddings").select(col("vec_id"), col("embedding")))
       .withColumn("y", projUdf(col("embedding")))
     val probes = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("probe_id"), col("embedding").as("pe"),
@@ -1662,7 +1660,7 @@ object VectorOps {
     // the corpus side is a single parquet split and the per-pair HOF
     // cosines evaluate interpreted — spread the pair scoring across every
     // core before the broadcast join (the q50/q111 rule)
-    val scored = base.repartition(s.sparkContext.defaultParallelism)
+    val scored = graft.Spread.ifNarrow(s, base)
       .crossJoin(broadcast(probes))
       .filter(col("vec_id") =!= col("probe_id"))
       .withColumn("cos_e", round(cosE("xd", "pxd"), 6))

@@ -77,6 +77,26 @@ object EventStreams {
         val ss = s.newSession()
         ss.conf.set("spark.sql.shuffle.partitions", streamParts(s))
         ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // Checkpoint-manifest churn is the measured fixed cost of every
+        // micro-batch (round-13 ProbeDrain, q185 at sf0.1/tmpfs): with the
+        // default FileContext-based manager each offsets/commits/state
+        // file costs a steady ~25-35 ms of pure code-path overhead even on
+        // tmpfs — walCommit 33 ms, commitOffsets 33 ms, per-instance state
+        // commits ~40 ms, ~270 ms per batch across a 4-batch drain. The
+        // FileSystem-based manager (Spark's own implementation for schemes
+        // without FileContext) does the identical create-temp-then-rename
+        // protocol through the cached FileSystem API: walCommit/commit-
+        // Offsets drop to ~8 ms, state commit sums 650→40 ms, q185
+        // 4.1→2.9 s. On a SINGLE-DRIVER local-fs checkpoint the rename is
+        // atomic and nothing else writes the directory, so the managers
+        // are interchangeable; multi-driver HDFS deployments (zombie-
+        // driver fencing via FileContext rename-no-overwrite) should set
+        // spark.graft.stream.checkpointFileManager to the FileContext
+        // class — parameterized, never hardcoded to the local choice.
+        ss.conf.set("spark.sql.streaming.checkpointFileManagerClass",
+          s.conf.getOption("spark.graft.stream.checkpointFileManager")
+            .getOrElse("org.apache.spark.sql.execution.streaming" +
+              ".checkpointing.FileSystemBasedCheckpointFileManager"))
         if (rocksdb) ss.conf.set("spark.sql.streaming.stateStore.providerClass",
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         arr(i) = ss
@@ -240,7 +260,10 @@ object EventStreams {
       col("props").cast("binary").as("value"),
       array(lit(1)).as("shape"), lit("bytes").as("dtype"))
     var nBatches = 0L
-    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    // the stream runs on the drain clone for its checkpoint-manager conf
+    // (round 13); the foreachBatch body only touches the batch frame and
+    // the KvStore ledger, so the clone's narrow width is irrelevant here
+    val q = drainSession(s).readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .parquet(d.toString)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -307,6 +330,40 @@ object EventStreams {
     ()
   }
 
+  /** Stage one ARRIVAL of a multi-arrival drain as SEVERAL parquet files
+    * sharing one forced modTime (round 13; guide §1.2 + §2.5). The sources
+    * that use this set no maxFilesPerTrigger, so every file of the arrival
+    * lands in the SAME micro-batch — batch content (a set union) and hence
+    * watermarks and results are identical to the old single-file staging;
+    * only the staging write and the batch-0 scan stop being single-task
+    * (coalesce(1) serialized the write, and one parquet file decoded ~N
+    * rows on one core inside the first micro-batch). Also folds the
+    * sentinel's max(tsCol) into the write job via `observe`, replacing the
+    * separate full-scan aggregation every drain paid up front — one pass
+    * instead of two. Returns null iff `df` is empty. */
+  private def stageArrival(df: DataFrame, destDir: java.nio.file.Path, prefix: String,
+      modTime: Long, tsCol: String): java.sql.Timestamp = {
+    val s = df.sparkSession
+    val obs = org.apache.spark.sql.Observation()
+    val tmp = graft.Scratch.freshPath("wmbatch_")
+    val n = math.min(s.sparkContext.defaultParallelism, 8)
+    df.observe(obs, max(col(tsCol)).as("mx"))
+      .repartition(n).write.mode("overwrite").parquet(tmp.toString)
+    val parts = new java.io.File(tmp.toString).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+      .sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (part, i) =>
+      val dest = destDir.resolve(f"${prefix}_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dest,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dest.toFile.setLastModified(modTime)
+    }
+    obs.get("mx") match {
+      case t: java.sql.Timestamp => t
+      case _ => null
+    }
+  }
+
   /** Watermark late-data semantics across real micro-batches (§2.11): the
     * one streaming behavior a single replayed batch can't exercise. Files
     * arrive one at a time with the stream drained between arrivals (the
@@ -322,14 +379,13 @@ object EventStreams {
   private def q107(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables(s, dir, "events").select("event_id", "ts", "event_type")
-    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
-    val sentinel = Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 1000L * 3600 * 1000), "sentinel"))
-      .toDF("event_id", "ts", "event_type")
     val d = graft.Scratch.freshPath("late_")
     val t0 = System.currentTimeMillis() - 120000
-    writeBatchFile(ev.filter(col("event_id") % 2 === 0), d.resolve("b0.parquet"), t0)
+    // per-arrival maxima observed during the staging writes replace the
+    // old up-front full-scan agg: max(all) = max(max(evens), max(odds))
+    val mxEven = stageArrival(ev.filter(col("event_id") % 2 === 0), d, "b0", t0, "ts")
     val ss = drainSession(s)
-    val schema = ss.read.parquet(d.resolve("b0.parquet").toString).schema
+    val schema = ss.read.parquet(d.toString).schema
     val agg = ss.readStream.schema(schema)
       .parquet(d.toString)
       .withWatermark("ts", "10 minutes")
@@ -339,8 +395,11 @@ object EventStreams {
       .outputMode(OutputMode.Append()).start()
     try {
       q.processAllAvailable() // batch(evens) + zero-data watermark promotion
-      writeBatchFile(ev.filter(col("event_id") % 2 === 1), d.resolve("b1.parquet"), t0 + 30000)
+      val mxOdd = stageArrival(ev.filter(col("event_id") % 2 === 1), d, "b1", t0 + 30000, "ts")
       q.processAllAvailable() // batch(odds): late filter vs max(even)−10min
+      val maxTs = if (mxOdd == null || (mxEven != null && mxEven.after(mxOdd))) mxEven else mxOdd
+      val sentinel = Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 1000L * 3600 * 1000), "sentinel"))
+        .toDF("event_id", "ts", "event_type")
       writeBatchFile(sentinel, d.resolve("b2.parquet"), t0 + 60000)
       q.processAllAvailable() // sentinel advances watermark → all real windows emit
     } finally q.stop()
@@ -429,15 +488,16 @@ object EventStreams {
   private def q185(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables(s, dir, "events").select("user_id", "ts", "event_type")
-    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
+    val d = graft.Scratch.freshPath("outer_")
+    val t0 = System.currentTimeMillis() - 120000
+    // one pass: parallel multi-file staging + sentinel timestamp observed
+    // during the write (round 13 — was a full-scan agg + coalesce(1) write)
+    val maxTs = stageArrival(ev, d, "b0", t0, "ts")
     def sentinel(uid: Long, tpe: String, offsetMs: Long) =
       Seq((uid, new java.sql.Timestamp(maxTs.getTime + offsetMs), tpe))
         .toDF("user_id", "ts", "event_type")
-    val d = graft.Scratch.freshPath("outer_")
-    val t0 = System.currentTimeMillis() - 120000
-    writeBatchFile(ev, d.resolve("b0.parquet"), t0)
     val ss = drainSession(s)
-    val schema = ss.read.parquet(d.resolve("b0.parquet").toString).schema
+    val schema = ss.read.parquet(d.toString).schema
     val src = ss.readStream.schema(schema).parquet(d.toString)
     val clicks = src.filter(col("event_type") === "click")
       .select(col("user_id"), col("ts").as("c_ts"))
@@ -530,12 +590,12 @@ object EventStreams {
     import s.implicits._
     val ev = Tables(s, dir, "events").select("user_id", "ts", "event_type")
       .filter(col("event_type").isin("click", "purchase"))
-    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
     val d = graft.Scratch.freshPath("carts_")
     val t0 = System.currentTimeMillis() - 120000
-    writeBatchFile(ev, d.resolve("b0.parquet"), t0)
+    // one pass: parallel staging + observed sentinel timestamp (round 13)
+    val maxTs = stageArrival(ev, d, "b0", t0, "ts")
     val ss = drainSession(s, rocksdb = true) // timers API requires RocksDB
-    val schema = ss.read.parquet(d.resolve("b0.parquet").toString).schema
+    val schema = ss.read.parquet(d.toString).schema
     val typed = ss.readStream.schema(schema).parquet(d.toString)
       .withWatermark("ts", "10 minutes")
       .as[(Long, java.sql.Timestamp, String)]
@@ -642,14 +702,14 @@ object EventStreams {
   private def q188(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val ev = Tables(s, dir, "events").select("ts", "event_type", "value")
-    val maxTs = ev.agg(max("ts")).head().getTimestamp(0)
-    val sentinel = Seq((new java.sql.Timestamp(maxTs.getTime + 1000L * 3600 * 1000),
-      "sentinel", 0.0)).toDF("ts", "event_type", "value")
     val d = graft.Scratch.freshPath("chain_")
     val t0 = System.currentTimeMillis() - 120000
-    writeBatchFile(ev, d.resolve("b0.parquet"), t0)
+    // one pass: parallel staging + observed sentinel timestamp (round 13)
+    val maxTs = stageArrival(ev, d, "b0", t0, "ts")
+    val sentinel = Seq((new java.sql.Timestamp(maxTs.getTime + 1000L * 3600 * 1000),
+      "sentinel", 0.0)).toDF("ts", "event_type", "value")
     val ss = drainSession(s)
-    val schema = ss.read.parquet(d.resolve("b0.parquet").toString).schema
+    val schema = ss.read.parquet(d.toString).schema
     val agg = chainedAgg(ss.readStream.schema(schema).parquet(d.toString))
     val q = agg.writeStream.format("memory").queryName("stream_chained")
       .outputMode(OutputMode.Append()).start()
@@ -737,12 +797,13 @@ object EventStreams {
           when(col("event_type") === "error", "D").otherwise("U").as("op"),
           col("cents"))).as("last"))
         .select(col("user_id"), col("last.op").as("op"), col("last.cents").as("s_cents"))
+      val bs = batch.sparkSession // single-session merge join (round 13)
       val prevState =
-        if (batchId == 0) s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        if (batchId == 0) bs.createDataFrame(bs.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
             org.apache.spark.sql.types.StructField("cents", org.apache.spark.sql.types.LongType))))
-        else s.read.parquet(tgtRoot.resolve(s"target_v${batchId - 1}").toString)
+        else bs.read.parquet(tgtRoot.resolve(s"target_v${batchId - 1}").toString)
       val next = prevState.as("t").join(delta.as("s"), Seq("user_id"), "full_outer")
         .withColumn("f_cents", when(col("s.op").isNull, col("t.cents"))
           .when(col("s.op") === "U", col("s.s_cents")))
@@ -751,7 +812,11 @@ object EventStreams {
       next.write.mode("overwrite").parquet(tgtRoot.resolve(s"target_v$batchId").toString)
       lastVersion = math.max(lastVersion, batchId)
     }
-    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(d.toString)
+    // drain clone for the checkpoint-manager conf (round 13); mergeBatch
+    // reads/writes its versioned targets through the BATCH's own session
+    // so every frame in the merge join shares one session
+    val q = drainSession(s).readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(d.toString)
       .writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
         mergeBatch(batch, batchId)
         val first = digest(s.read.parquet(tgtRoot.resolve(s"target_v$batchId").toString))
@@ -795,7 +860,8 @@ object EventStreams {
     new java.io.File(store).delete()
     graft.sinks.LmdbStore.create(store)
     var nBatches = 0L
-    val q = s.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+    // drain clone for the checkpoint-manager conf (round 13)
+    val q = drainSession(s).readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .parquet(d.toString)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

@@ -1544,12 +1544,33 @@ object VectorOps {
     // is preserved (the plan is unchanged — only the clone's shuffle
     // width differs; the round-11 explicit-repartition experiment that
     // defeated partial agg (+70% on q192) stays rejected).
-    val loopS = graft.LoopSession.narrow(s, 8)
-    val adj = graft.LoopSession.rehome(
+    val loopS0 = graft.LoopSession.narrow(s, 8)
+    val adj0 = graft.LoopSession.rehome(
       mutual.select(col("u").as("a"), col("v").as("b"))
-        .union(mutual.select(col("v").as("a"), col("u").as("b"))), loopS)
-    var alive = rebase(adj.select("a").distinct())
+        .union(mutual.select(col("v").as("a"), col("u").as("b"))), loopS0)
+    var alive = rebase(adj0.select("a").distinct())
     var nAlive = alive.count()
+    // Round 13 (r12 VERDICT #5): the peel width derives from the GRAPH
+    // SIZE instead of being the constant 8 — at 100 TB-scale N the peel
+    // rounds shuffle a mutual graph of ~N·k edge rows, where a fixed
+    // 8-partition loop is the bottleneck; locally the graph is tiny and
+    // the narrow width keeps the per-round job floor low (the r12
+    // ProbeKnn result). Width = ceil(nAlive / 16k) (~64k edge rows per
+    // loop task at k≈5) clamped to [8, defaultParallelism] — the guide
+    // §2.2 "few, large partitions" regime without exceeding cluster
+    // width. nAlive comes from the count the loop needed anyway; the
+    // small-graph path (width 8) is the unchanged r12 flow, and only a
+    // genuinely large graph pays the re-wrap of the already-checkpointed
+    // adjacency onto the wider clone.
+    val peelWidth = math.max(8L, math.min(
+      s.sparkContext.defaultParallelism.toLong, nAlive / 16384 + 1)).toInt
+    val adj =
+      if (peelWidth == 8) adj0
+      else {
+        val wider = graft.LoopSession.narrow(s, peelWidth)
+        alive = graft.LoopSession.rehome(alive, wider)
+        graft.LoopSession.rehome(adj0, wider)
+      }
     // 0 = size-derived budget: monotone shrink ⇒ fixpoint within nAlive
     // rounds, so the cap below can never trip for the auto path
     val budget: Long =

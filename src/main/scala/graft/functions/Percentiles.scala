@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -80,15 +80,16 @@ object Percentiles {
     *
     *  1. collapse duplicates: (group, value) → count — ONE hash shuffle
     *     with map-side combine;
-    *  2. range-partition by (group, value) and sort within partitions: the
-    *     global order of each group spans MANY partitions — no group ever
+    *  2. assign every row an order-consistent BUCKET id (pid) map-side
+    *     from driver-sampled range cuts ([[bucketer]]; round 13 — the old
+    *     plan derived pid from a full repartitionByRange exchange): the
+    *     global order of each group spans MANY buckets — no group ever
     *     sits in one task;
-    *  3. per-(partition, group) subtotal (tiny: P×G rows) → prefix offsets
+    *  3. per-(bucket, group) subtotal (tiny: P×G rows) → prefix offsets
     *     via a window over the SMALL table;
-    *  4. absolute rank of every distinct value = offset + within-partition
+    *  4. absolute rank of every distinct value = offset + within-bucket
     *     running count, where the running-count window partitions by
-    *     (partitionId, group) — bounded by the range-partition size, never
-    *     by group size;
+    *     (pid, group) — bounded by the bucket size, never by group size;
     *  5. broadcast the (group, p, targetRank) table and keep only the ≤2
     *     covering rows per target, then interpolate exactly as Spark does:
     *     `vlo·(⌈i⌉−i) + vhi·(i−⌊i⌋)`, i = p·(n−1).
@@ -114,10 +115,55 @@ object Percentiles {
     // them NOW. Without this every q08/q45/bench rep left a cached copy of
     // the input in the block manager for the session lifetime (round-3
     // ADVICE; at sf0.1 that heap creep showed up as multi-second GC stalls
-    // on unrelated queries later in the bench sweep).
+    // on unrelated queries later in the bench sweep). Since round 13 the
+    // plan pins nothing (the bucket id no longer depends on a persisted
+    // exchange), so the unpersist loop is ordinarily a no-op.
     val result = out.localCheckpoint(true)
     pinned.foreach(_.unpersist())
     result
+  }
+
+  /** Per-session cache of the sampled range partitioner, keyed by the
+    * canonicalized input plan + partition count. The cuts are a
+    * PARTITIONER choice, not a result: every cut set yields bit-identical
+    * output (the rank arithmetic uses pid only for bucket-prefix offsets,
+    * and any order-consistent bucketing gives the same absolute ranks),
+    * so reusing — or even hash-colliding on — a cached partitioner can
+    * only affect bucket balance, never values. Weakly keyed on the
+    * session (the SessionCache convention). */
+  private val cutsCache = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[(Int, Int), org.apache.spark.Partitioner]]()
+
+  /** A pid column generator whose buckets are ORDER-CONSISTENT per group:
+    * for fixed g, v1 < v2 ⇒ pid(g,v1) ≤ pid(g,v2) — the only property the
+    * rank-selection needs (cuts compare (g-as-string, v) lexicographically,
+    * which for fixed g reduces to v; groups sharing a bucket is harmless
+    * because every window below keys by (pid, g)). Cuts come from one
+    * reservoir-sketch pass over the narrow (gs, v) projection — the same
+    * sampling the old repartitionByRange ran, minus the exchange it fed. */
+  private def bucketer(spark: SparkSession, base: DataFrame, parts: Int): Column => Column = {
+    val m = cutsCache.synchronized {
+      var mm = cutsCache.get(spark)
+      if (mm == null) {
+        mm = new java.util.concurrent.ConcurrentHashMap[(Int, Int), org.apache.spark.Partitioner]()
+        cutsCache.put(spark, mm)
+      }
+      mm
+    }
+    val key = (base.queryExecution.analyzed.canonicalized.semanticHash(), parts)
+    var p = m.get(key)
+    if (p == null) {
+      val keyRdd = base
+        .select(coalesce(col("g").cast("string"), lit("")).as("gs"), col("v"))
+        .rdd.map(r => ((r.getString(0), r.getDouble(1)), ()))
+      p = new org.apache.spark.RangePartitioner(parts, keyRdd, ascending = true,
+        samplePointsPerPartitionHint = 20)
+      val prev = m.putIfAbsent(key, p)
+      if (prev != null) p = prev
+    }
+    val part = p
+    val f = udf((gs: String, v: Double) => part.getPartition((gs, v)))
+    (v: Column) => f(coalesce(col("g").cast("string"), lit("")), v)
   }
 
   /** The un-checkpointed plan plus the persisted intermediates it pins —
@@ -127,31 +173,25 @@ object Percentiles {
       ps: Seq[Double], collapse: Boolean = true): (DataFrame, Seq[DataFrame]) = {
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
-    // BOTH persists are load-bearing. cnt: the range partitioner's SAMPLING
-    // job re-executes its child, so an uncached cnt would run the groupBy
-    // twice. ranged: pid must be identical for the subtotal and rank
-    // consumers — two separate materializations of a range exchange draw
-    // DIFFERENT sampling boundaries (the sampler seeds from the RDD id), so
-    // an unpinned ranged silently mis-offsets every rank (caught by the
-    // round-3 oracle run: q08 p99 off by 10%).
     val base = df.filter(col(valueCol).isNotNull)
       .select(col(groupCol).as("g"), col(valueCol).cast("double").as("v"))
-    // collapse=true: persist is load-bearing (the sampling job would run
-    // the groupBy twice). collapse=false: cnt is a narrow deterministic
-    // projection of the scan — recomputing it in the sampling pass is
-    // cheaper than materializing a full-data cache, so no persist.
-    val cnt0 = if (collapse)
+    // Round 13 (r12 VERDICT #4): the range exchange is GONE. The old plan
+    // range-partitioned (g, v) — a full-data exchange whose only product
+    // was an order-consistent bucket id (spark_partition_id), plus the
+    // partitioner's sampling job and two load-bearing persists keeping
+    // that id stable across consumers. The bucket id is now computed
+    // MAP-SIDE from driver-sampled cuts ([[bucketer]]; cached per domain,
+    // deterministic under task retry by construction rather than by
+    // persist), so the windows below reach their (pid, g) clustering
+    // through ONE full-data hash exchange where the old plan paid
+    // range + hash, and nothing needs pinning.
+    val pidOf = bucketer(spark, base, parts)
+    val cnt = (if (collapse)
         base.groupBy("g", "v").agg(count(lit(1)).as("c"))
-      else base.withColumn("c", lit(1L))
-    val cnt = if (collapse)
-        cnt0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else cnt0
-    val ranged = cnt.repartitionByRange(parts, col("g"), col("v"))
-      .sortWithinPartitions("g", "v")
-      .withColumn("pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else base.withColumn("c", lit(1L)))
+      .withColumn("pid", pidOf(col("v")))
     // tiny table: one row per (partition, group)
-    val subtotals = ranged.groupBy("pid", "g").agg(sum("c").as("pc"))
+    val subtotals = cnt.groupBy("pid", "g").agg(sum("c").as("pc"))
     val wOff = Window.partitionBy("g").orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = subtotals
@@ -161,7 +201,7 @@ object Percentiles {
     // uncollapsed ties each cover a distinct rank (same value either way)
     val wRun = Window.partitionBy("pid", "g").orderBy("v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = ranged
+    val cum = cnt
       .withColumn("cw", sum("c").over(wRun))
       .join(broadcast(offsets.select("pid", "g", "off")), Seq("pid", "g"))
       .withColumn("cum", col("off") + col("cw"))
@@ -184,6 +224,6 @@ object Percentiles {
           .otherwise(col("vlo") * (col("khi") - col("idx")) +
             col("vhi") * (col("idx") - col("klo"))))
       .select(col("g").as(groupCol), col("p"), col("value"), col("n"))
-    (out, (if (collapse) Seq(cnt) else Nil) :+ ranged)
+    (out, Nil)
   }
 }

@@ -140,7 +140,8 @@ object Bench {
         }),
         "corpus" -> (() => graft.operators.CorpusOps.prewarmShared(spark, sfDir)),
         "curation" -> (() => graft.operators.CurationOps.prewarmShared(spark, sfDir)),
-        "suffix" -> (() => graft.operators.SuffixOps.prewarmShared(spark, sfDir)))
+        "suffix" -> (() => graft.operators.SuffixOps.prewarmShared(spark, sfDir)),
+        "stream-staging" -> (() => graft.streaming.EventStreams.prewarmStaging(spark, sfDir)))
       val pool = java.util.concurrent.Executors.newFixedThreadPool(families.size)
       try {
         families.map { case (name, build) =>
@@ -257,7 +258,8 @@ object Bench {
     // prevent; round-11 ADVICE). The rerun pass degrades to the merely
     // noisier pre-sweep window.
     val stillActive = allActive()
-    if (stillActive.isEmpty) graft.Scratch.sweepExcept(Set(whDir))
+    if (stillActive.isEmpty) graft.Scratch.sweepExcept(
+      Set(whDir) ++ graft.streaming.EventStreams.stagedLivePaths(spark))
     else System.err.println(s"[bench] ${stillActive.length} stream(s) still " +
       s"active after stop — deferring scratch sweep: ${stillActive.map(_.name).mkString(",")}")
     System.gc()

@@ -353,7 +353,12 @@ trait TextDedupQueries extends Serializable { self: TextSharedCore =>
     * (integer cross-multiplication). Theory is evaluated at the bucket
     * midpoint with plain mul/sub doubles (no libm pow), a deterministic
     * constant per bucket. */
-  private def q254(s: SparkSession, dir: String): DataFrame = {
+  /** q254's pair sets around the shingle-level equi-join, exposed for the
+    * ProbeQ254 row-count evidence (r12 VERDICT #8): (all audited pairs,
+    * pairs joined against the shared jaccard intersections, the remainder
+    * that still pays the shingle join, shingle rows). */
+  private[graft] def q254JoinVolumes(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val sh = shingles(s, dir)
     val ids = sh.select("doc_id").distinct()
     val n = ids.count()
@@ -365,7 +370,6 @@ trait TextDedupQueries extends Serializable { self: TextSharedCore =>
       .filter(col("a") < col("b_id"))
     val pairs = candidates(s, dir).select("a", "b_id")
       .unionByName(sampled).distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     // Exact intersection counts: the CANDIDATE pairs' counts are already
     // materialized in the shared jaccard table (same definition — count of
     // shared shingles per candidate pair; a zero-shared candidate has no
@@ -381,6 +385,12 @@ trait TextDedupQueries extends Serializable { self: TextSharedCore =>
     // shingle — the inner join below emits nothing and they coalesce to 0,
     // identical to before)
     val need = withKnown.filter(col("i_known").isNull).select("a", "b_id")
+    (pairs, withKnown, need, sh)
+  }
+
+  private def q254(s: SparkSession, dir: String): DataFrame = {
+    val (_, withKnown, need, sh) = q254JoinVolumes(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
     val inter2 = need
       .join(sh.as("sa"), col("a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("b_id") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))

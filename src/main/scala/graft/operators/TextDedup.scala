@@ -511,8 +511,11 @@ trait TextDedupQueries extends Serializable { self: TextSharedCore =>
     * segment blocking + exact levenshtein verify (the oracle brute-forces
     * the quadratic join; the engine never does). */
   private def q237(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-      .select(col("doc_id"), substring(col("text"), 1, 16).as("t"))
+    // narrow source; both PassJoin key-enumeration UDF explodes (≤75
+    // probe keys per string) run ahead of the first exchange and would
+    // otherwise enumerate on one task (q50/q111 rule, round 13)
+    val docs = graft.Spread.ifNarrow(s, t(s, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 16).as("t")))
     passJoinPairs(docs, tau = 2).orderBy("doc_a", "doc_b")
   }
 
